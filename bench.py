@@ -1,0 +1,77 @@
+"""Benchmark runner — prints ONE JSON line with per-query seconds.
+
+Headline queries span the engine's cost centers: scan+agg, multiway
+join, window, grouping sets, top-N, set-similarity dedup, minhash LSH,
+similarity top-k, text analysis. Runs at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Method: one warmup of a trivial action to pay JVM/codegen startup, then
+each query timed as plan-build + execution to a count()-style sink
+(results are not collected to the driver — we measure the engine, not
+arrow serialization of result sets).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from presto_on_ray_spark import suite  # noqa: E402
+from presto_on_ray_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner_multiway",
+    "agg_grouping_sets",
+    "window_ranking",
+    "window_top_n_per_group",
+    "topn_global",
+    "dedup_exact_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "text_quality_scores",
+    "text_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    suite.load_all()
+    spark = get_spark(app_name="presto-on-ray-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM, parquet footer reads, codegen paths.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = suite.QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

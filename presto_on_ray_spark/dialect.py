@@ -1,0 +1,75 @@
+"""Presto-SQL → Spark-SQL dialect translation.
+
+The reference's only query interface is Presto SQL text typed into
+presto-cli (reference: presto-mgr.py:268-273; demo queries
+README.md:92, :102). Spark SQL is close enough that a pre-parse
+translation layer covers the dialect gap (SURVEY §4.2 concluded no
+custom Catalyst rule is warranted): function renames + a few syntactic
+rewrites. Anything not rewritten passes through verbatim to Spark's
+ANTLR parser.
+
+Deliberately conservative: token-aware renames only (never inside
+string literals), no full grammar. Unknown constructs surface as Spark
+parse errors rather than silently changing semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+from presto_on_ray_spark.functions.registry import PRESTO_TO_SPARK_FN
+
+# Renames that need the call-site parenthesis to avoid clobbering
+# identifiers: name( -> replacement(
+_FN_CALL = {
+    **PRESTO_TO_SPARK_FN,
+    "date_format": "date_format_mysql",  # MySQL patterns -> shim UDF
+    "normalize": "normalize_nfc",
+}
+
+_STRING_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _split_literals(sql: str) -> list[tuple[bool, str]]:
+    """Split SQL into (is_literal, text) segments so rewrites never touch
+    the inside of string literals."""
+    parts: list[tuple[bool, str]] = []
+    pos = 0
+    for m in _STRING_LITERAL.finditer(sql):
+        if m.start() > pos:
+            parts.append((False, sql[pos : m.start()]))
+        parts.append((True, m.group(0)))
+        pos = m.end()
+    if pos < len(sql):
+        parts.append((False, sql[pos:]))
+    return parts
+
+
+def _rewrite_code(seg: str) -> str:
+    for presto_name, spark_name in _FN_CALL.items():
+        if presto_name == spark_name:
+            continue
+        seg = re.sub(
+            rf"\b{presto_name}\s*\(", f"{spark_name}(", seg, flags=re.IGNORECASE
+        )
+    # `IS [NOT] DISTINCT FROM` -> Spark supports it natively; no rewrite.
+    return seg
+
+
+def translate(sql: str) -> str:
+    """Translate a Presto-dialect SQL string into Spark SQL."""
+    out: list[str] = []
+    for is_literal, seg in _split_literals(sql):
+        out.append(seg if is_literal else _rewrite_code(seg))
+    translated = "".join(out)
+    # TRY(CAST(expr AS type)) -> try_cast(expr AS type); applied on the
+    # joined text because the cast argument may be a string literal.
+    # Other TRY() uses pass through and error loudly rather than
+    # silently changing semantics.
+    translated = re.sub(
+        r"\bTRY\s*\(\s*CAST\s*\(([^()]*?)\s+AS\s+(\w+(?:\(\d+(?:,\s*\d+)?\))?)\s*\)\s*\)",
+        r"try_cast(\1 AS \2)",
+        translated,
+        flags=re.IGNORECASE,
+    )
+    return translated

@@ -1,0 +1,67 @@
+"""Engine — the front door (SURVEY §3.3, §7 milestone 0).
+
+The reference's user surface is: start a cluster, attach a catalog,
+connect a SQL REPL (reference: presto-mgr.py:248-281). On Spark the
+cluster/catalog plumbing is the platform's job, so the engine is a thin,
+testable library over an existing SparkSession:
+
+    eng = Engine(spark)                      # ~ start + connect
+    eng.register_tables("/root/testdata/sf0.01")   # ~ catalog attach
+    eng.sql("SELECT approx_distinct(l_orderkey) FROM lineitem")
+    eng.table("lineitem").groupBy(...)       # DataFrame front door
+
+Both front doors converge on one Catalyst logical plan (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from presto_on_ray_spark import dialect
+from presto_on_ray_spark.functions.registry import (
+    register_function,
+    register_presto_functions,
+)
+from presto_on_ray_spark.session import apply_session_defaults
+from presto_on_ray_spark.sources.tables import load_table, register_tables
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = apply_session_defaults(spark)
+        register_presto_functions(spark)
+        self._sf_dir: str | None = None
+
+    # -- catalog ------------------------------------------------------
+    def register_tables(self, sf_dir: str, names: list[str] | None = None) -> "Engine":
+        """Attach the fixture parquet catalog as temp views."""
+        register_tables(self.spark, sf_dir, names)
+        self._sf_dir = sf_dir
+        return self
+
+    def table(self, name: str) -> DataFrame:
+        if self._sf_dir is not None:
+            return load_table(self.spark, self._sf_dir, name)
+        return self.spark.table(name)
+
+    # -- SQL front door ----------------------------------------------
+    def sql(self, text: str) -> DataFrame:
+        """Run Presto-dialect SQL (translated) on Spark."""
+        return self.spark.sql(dialect.translate(text))
+
+    def spark_sql(self, text: str) -> DataFrame:
+        """Run native Spark SQL untranslated."""
+        return self.spark.sql(text)
+
+    # -- extensibility (SURVEY §2.10) --------------------------------
+    def register_function(self, name: str, fn, return_type) -> "Engine":
+        register_function(self.spark, name, fn, return_type)
+        return self
+
+    # -- introspection ------------------------------------------------
+    def explain(self, df_or_sql) -> str:
+        """Formatted physical plan — the engine's perf feedback loop."""
+        df = self.sql(df_or_sql) if isinstance(df_or_sql, str) else df_or_sql
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )

@@ -1,0 +1,241 @@
+"""Presto scalar-function surface on Spark (SURVEY §2.8, §2.10).
+
+Three tiers:
+
+1. **Pure renames** (`PRESTO_TO_SPARK_FN`) — Presto name → Spark builtin
+   with compatible semantics; consumed by the SQL dialect translator
+   (presto_on_ray_spark.dialect). Stays fully JVM-side / codegen'd.
+2. **Expression shims** (`EXPRESSION_SHIMS`) — Presto functions whose
+   semantics are a 1-line composition of Spark builtins (still JVM-side).
+3. **Registered UDFs** (`register_presto_functions`) — the short tail
+   with no Spark equivalent (word_stem, MySQL-pattern date_format, ...),
+   as Arrow-batched pandas UDFs where vectorizable.
+
+The reference itself has no function code — the whole §2.8 library lives
+in the unvendored Presto 0.248 JVM (launch proof: reference
+README.md:46); this module is its Spark-native re-expression.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as hmac_mod
+import struct
+import unicodedata
+import urllib.parse
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType, StringType, TimestampType
+
+from presto_on_ray_spark.functions.datetime_shim import format_series, parse_series
+
+# ---------------------------------------------------------------------------
+# Tier 1 — pure renames: presto_name -> spark_name (same arity/semantics).
+# ---------------------------------------------------------------------------
+PRESTO_TO_SPARK_FN: dict[str, str] = {
+    "approx_distinct": "approx_count_distinct",
+    "approx_percentile": "percentile_approx",
+    "arbitrary": "any_value",
+    "strpos": "instr",
+    "codepoint": "ascii",  # exact for BMP code points
+    "levenshtein_distance": "levenshtein",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "json_extract": "get_json_object",
+    "json_extract_scalar": "get_json_object",
+    "json_format": "to_json",
+    "json_array_length": "json_array_length",
+    "regexp_like": "rlike",
+    "cardinality": "size",
+    "reduce": "aggregate",
+    "array_average": "array_mean",
+    "is_nan": "isnan",
+    "power": "pow",
+    "ceiling": "ceil",
+    "truncate": "trunc",  # numeric truncate; date trunc handled by date_trunc
+    "log": "log",
+    "mod": "mod",
+    "rand": "rand",
+    "random": "rand",
+    "to_unixtime": "unix_timestamp",
+    "from_unixtime": "from_unixtime",
+    "day_of_week": "dayofweek",
+    "day_of_month": "dayofmonth",
+    "day_of_year": "dayofyear",
+    "week": "weekofyear",
+    "week_of_year": "weekofyear",
+    "yow": "yearofweek",
+    "last_day_of_month": "last_day",
+    "map_from_entries": "map_from_entries",
+    "multimap_from_entries": "map_from_entries",  # approximation; values grouped
+}
+
+# ---------------------------------------------------------------------------
+# Tier 2 — expression shims: presto function -> Spark Column expression.
+# Each returns a Column; usable from DataFrame code directly.
+# ---------------------------------------------------------------------------
+
+
+def geometric_mean(col):
+    """Presto geometric_mean(x) = exp(avg(ln(x)))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.exp(F.avg(F.log(c)))
+
+
+def is_finite(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return (~F.isnan(c)) & (c != float("inf")) & (c != float("-inf"))
+
+
+def infinity():
+    return F.lit(float("inf"))
+
+
+def nan():
+    return F.lit(float("nan"))
+
+
+def split_part(col, delim: str, n):
+    """Presto split_part (1-based; exists natively in Spark 3.4+)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split_part(c, F.lit(delim), F.lit(n) if isinstance(n, int) else n)
+
+
+def cosine_similarity_arrays(a, b):
+    """Presto's cosine_similarity is over maps; the engine's primary
+    variant is over embedding arrays (SURVEY §2.11). Pure higher-order
+    functions — stays in codegen, no UDF crossing."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+def array_ngrams(col, n: int):
+    """Presto ngrams(array, n) -> array of n-element subarrays, via
+    transform over indices (JVM-side, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(c) - (n - 1), F.lit(0))),
+        lambda i: F.slice(c, i, n),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 3 — registered UDFs for the no-equivalent tail.
+# ---------------------------------------------------------------------------
+
+_PORTER_SUFFIXES = [  # tiny stemmer: Presto word_stem approximation
+    ("sses", "ss"),
+    ("ies", "i"),
+    ("ss", "ss"),
+    ("s", ""),
+    ("eed", "ee"),
+    ("ing", ""),
+    ("ed", ""),
+]
+
+
+def _word_stem(word: str | None) -> str | None:
+    if word is None:
+        return None
+    w = word.lower()
+    for suf, rep in _PORTER_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) + len(rep) >= 2:
+            return w[: len(w) - len(suf)] + rep
+    return w
+
+
+def _hamming_distance(a: str | None, b: str | None) -> int | None:
+    if a is None or b is None:
+        return None
+    if len(a) != len(b):
+        raise ValueError("hamming_distance: arguments must have the same length")
+    return sum(1 for x, y in zip(a, b) if x != y)
+
+
+def _url_encode(s: str | None) -> str | None:
+    return None if s is None else urllib.parse.quote_plus(s)
+
+
+def _url_decode(s: str | None) -> str | None:
+    return None if s is None else urllib.parse.unquote_plus(s)
+
+
+def _normalize_nfc(s: str | None) -> str | None:
+    return None if s is None else unicodedata.normalize("NFC", s)
+
+
+def _to_big_endian_64(x: int | None) -> bytes | None:
+    return None if x is None else struct.pack(">q", x)
+
+
+def _hmac_sha256(data: bytes | None, key: bytes | None) -> bytes | None:
+    if data is None or key is None:
+        return None
+    return hmac_mod.new(key, data, hashlib.sha256).digest()
+
+
+def register_presto_functions(spark: SparkSession) -> None:
+    """Register the shim-UDF tail under their Presto names.
+
+    The reference's extension story is Java plugins only (SURVEY §2.10);
+    Spark's ``spark.udf.register`` is the strictly-richer equivalent and
+    the engine's user-facing ``register_function`` hook.
+    """
+
+    @pandas_udf(StringType())
+    def presto_date_format(ts: pd.Series, pattern: pd.Series) -> pd.Series:
+        return format_series(ts, pattern)
+
+    @pandas_udf(TimestampType())
+    def presto_date_parse(text: pd.Series, pattern: pd.Series) -> pd.Series:
+        return parse_series(text, pattern)
+
+    @pandas_udf(StringType())
+    def word_stem(words: pd.Series) -> pd.Series:
+        return words.map(_word_stem, na_action="ignore")
+
+    @pandas_udf(LongType())
+    def hamming_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_hamming_distance(x, y) for x, y in zip(a, b)], dtype="Int64"
+        )
+
+    @pandas_udf(StringType())
+    def url_encode(s: pd.Series) -> pd.Series:
+        return s.map(_url_encode, na_action="ignore")
+
+    @pandas_udf(StringType())
+    def url_decode(s: pd.Series) -> pd.Series:
+        return s.map(_url_decode, na_action="ignore")
+
+    @pandas_udf(StringType())
+    def normalize(s: pd.Series) -> pd.Series:
+        return s.map(_normalize_nfc, na_action="ignore")
+
+    spark.udf.register("date_format_mysql", presto_date_format)
+    spark.udf.register("date_parse", presto_date_parse)
+    spark.udf.register("word_stem", word_stem)
+    spark.udf.register("hamming_distance", hamming_distance)
+    spark.udf.register("url_encode", url_encode)
+    spark.udf.register("url_decode", url_decode)
+    spark.udf.register("normalize_nfc", normalize)
+    spark.udf.register("to_big_endian_64", F.udf(_to_big_endian_64, "binary"))
+    spark.udf.register("hmac_sha256", F.udf(_hmac_sha256, "binary"))
+
+
+def register_function(spark: SparkSession, name: str, fn, return_type) -> None:
+    """User-facing UDF registry (Engine.register_function)."""
+    spark.udf.register(name, F.udf(fn, return_type))

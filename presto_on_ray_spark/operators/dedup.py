@@ -1,0 +1,263 @@
+"""Deduplication operators (SURVEY §2.11 — training-data pipeline).
+
+Four tiers, all scale-first designs:
+
+- **exact**: hash-groupBy on a content digest. One shuffle on the
+  digest; survivors picked by deterministic min-id. At 100 TB the
+  shuffle carries (digest, id) pairs only, never document bodies.
+- **ngram-Jaccard**: join-based set-similarity — explode distinct
+  shingles, self-join on shingle, count co-occurrences. This IS the
+  scalable algorithm (prefix-filter-style); no O(n²) pair loop.
+- **MinHash + LSH**: signature via k hash permutations (pure
+  higher-order functions, no UDF crossing), banded into buckets;
+  candidate pairs only form within a bucket — the 100 TB path where
+  even the shingle join is too big.
+- **SimHash**: 64-bit near-dup fingerprint via bitwise HOFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.suite import query
+
+# Deterministic MinHash permutation parameters h_i(x) = (a_i*x + b_i) mod p.
+# 31-bit Mersenne prime keeps a*x < 2^62: no long overflow under Spark 4's
+# ANSI arithmetic (overflow would throw, not wrap).
+_MERSENNE_P = (1 << 31) - 1
+_NUM_HASHES = 32
+_LSH_BANDS = 8  # 8 bands x 4 rows
+
+
+def _perm_params(i: int) -> tuple[int, int]:
+    # Fixed pseudo-random odd multipliers/offsets derived from splitmix-
+    # style constants; deterministic across runs and machines.
+    a = (0x9E3779B97F4A7C15 * (i + 1) + 0xBF58476D1CE4E5B9) % _MERSENNE_P | 1
+    b = (0x94D049BB133111EB * (i + 1) + 0x2545F4914F6CDD1D) % _MERSENNE_P
+    return a, b
+
+
+def shingles(col, n: int = 3):
+    """Distinct word n-gram shingles, hashed to i64 (xxhash64 — JVM side)."""
+    words = F.split(col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.xxhash64(F.array_join(F.slice(words, i, n), " ")),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col):
+    """k-wide MinHash signature as an array<long>, built entirely from
+    higher-order functions (stays in whole-stage codegen)."""
+    def _permute(a: int, b: int):
+        # closure factory: pyspark treats extra default args on a lambda
+        # as lambda variables, so the params must be captured, not defaulted.
+        # fold the 64-bit shingle hash into [0, p) first so the multiply
+        # stays within long range (ANSI-safe).
+        return lambda h: F.pmod(
+            F.pmod(h, F.lit(_MERSENNE_P)) * a + b, F.lit(_MERSENNE_P)
+        )
+
+    sig = []
+    for i in range(_NUM_HASHES):
+        a, b = _perm_params(i)
+        sig.append(F.array_min(F.transform(shingle_col, _permute(a, b))))
+    return F.array(*sig)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MD5(text) AS digest,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY MD5(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: md5-groupBy, deterministic keeper = min doc_id.
+    The full pipeline form is exact_dedup_keep() below."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("digest"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup_keep(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Library form: return df with exact-duplicate rows removed,
+    keeping the min-id row per digest. Window over digest = one shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT MD5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT MD5(text)) AS n_removed
+    FROM documents
+    """,
+)
+def dedup_exact_survivors(spark, sf_dir):
+    """Dedup accounting: total vs unique vs removed."""
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_removed"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 2, 0) + 1),
+               i -> STRING_SPLIT(text,' ')[i] || ' ' || STRING_SPLIT(text,' ')[i+1] || ' ' || STRING_SPLIT(text,' ')[i+2]
+             ))) AS sh
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection by exact 3-gram Jaccard ≥ 0.6, computed as a
+    distributed set-similarity join (explode shingles → equi-join →
+    count) — no pairwise loop, shuffles scale with shingle frequency,
+    not n². Skew note: stop-shingles would hot-spot the join at 100 TB;
+    the LSH variant below is the escape hatch."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i, 3), " "),
+        )
+    )
+    sh = d.select("doc_id", F.explode(grams).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs (SURVEY §2.11): shingle → 32-perm
+    minhash signature → 8 bands of 4 → bucket join. Pure DataFrame ops;
+    the only shuffle keys are (band, band_hash). No oracle (not
+    SQL-expressible at reasonable cost); invariants asserted in
+    tests/test_dedup.py: exact duplicates always collide in all bands,
+    candidates' true Jaccard is verified in a final exact pass."""
+    d = t(spark, sf_dir, "documents")
+    sig = d.select("doc_id", minhash_signature(shingles(F.col("text"))).alias("sig"))
+    rows_per_band = _NUM_HASHES // _LSH_BANDS
+    # Band structs built with literal indices (python loop, no nested
+    # lambdas): band b hashes signature rows [b*r, (b+1)*r).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(_LSH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash 64-bit fingerprints via bitwise HOFs (no UDF): for each
+    bit, majority vote of word-hash bits; near-dups share fingerprints
+    up to small Hamming distance (asserted in tests). Rows-only check —
+    fingerprints are engine-internal values."""
+    import functools
+
+    n_bits = 48  # well clear of the sign bit; plenty for near-dup bins
+    d = t(spark, sf_dir, "documents")
+    word_hashes = F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+    # counts[bit] = sum over words of (bit set ? +1 : -1); the per-bit
+    # extraction uses literal shift amounts (shiftright requires them).
+    counts = F.aggregate(
+        word_hashes,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) * 2 - 1)
+                    for i in range(n_bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    simhash = functools.reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(F.element_at(F.col("_counts"), i + 1) > 0, F.lit(1 << i).cast("long"))
+            .otherwise(0)
+            .cast("long")
+        ),
+        range(n_bits),
+        F.lit(0).cast("long"),
+    )
+    return (
+        d.select("doc_id", counts.alias("_counts"))
+        .select("doc_id", simhash.alias("simhash"))
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embeddings (SURVEY §2.11).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the 100 TB path (candidates per bucket ≪ n, recall measured
+in tests against brute force).
+
+Determinism design: embeddings are quantized to integers
+(round(x*1000)) before the dot product, so cross-engine results are
+bit-identical — integer dot products are exact, and the final
+cosine = dot / (sqrt(na)*sqrt(nb)) is a single IEEE expression.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.suite import query
+
+
+def quantized(col):
+    """array<float> -> array<long> with x -> round(x*1000)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
+
+
+def dot_i64(a, b):
+    """Exact integer dot product via zip_with + aggregate (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_q(a, b):
+    """Deterministic cosine over quantized vectors."""
+    return dot_i64(a, b).cast("double") / (
+        F.sqrt(dot_i64(a, a).cast("double")) * F.sqrt(dot_i64(b, b).cast("double"))
+    )
+
+
+@query(
+    "similarity_bruteforce_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id <= 5
+    ),
+    c AS (
+      SELECT vec_id AS cid, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT qid, cid,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qv) + 1), i -> qv[i] * cv[i])) AS DOUBLE)
+               / (SQRT(CAST(LIST_SUM(LIST_TRANSFORM(qv, x -> x * x)) AS DOUBLE))
+                  * SQRT(CAST(LIST_SUM(LIST_TRANSFORM(cv, x -> x * x)) AS DOUBLE))) AS cos
+      FROM q CROSS JOIN c
+      WHERE qid <> cid
+    )
+    SELECT qid, cid, ROUND(cos, 6) AS cosine
+    FROM (SELECT qid, cid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def similarity_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for 5 query vectors: broadcast the tiny
+    query side, HOF dot product over every candidate, per-query top-k
+    via window rank (Spark prunes with window-group-limit). At scale:
+    queries broadcast, candidates never shuffle until the k-row-per-
+    query rank output."""
+    e = t(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") <= 5)
+        .select(F.col("vec_id").alias("qid"), quantized(F.col("embedding")).alias("qv"))
+    )
+    c = e.select(F.col("vec_id").alias("cid"), quantized(F.col("embedding")).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine_q(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cid", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# Deterministic random-hyperplane LSH: planes from fixed hash constants.
+_N_PLANES = 12
+
+
+def _plane_component(plane: int, dim_col):
+    """Pseudo-random ±1 component for (plane, dimension) — derived from
+    xxhash64 of the pair, so identical on every executor with no
+    broadcast of plane vectors needed."""
+    return (
+        F.pmod(F.xxhash64(F.lit(f"plane-{plane}"), dim_col), F.lit(2)) * 2 - 1
+    ).cast("long")
+
+
+def signature_bits(vec_col):
+    """Sign bits of v·plane_j for j in [0, _N_PLANES) packed to a long."""
+    def _components_for(j: int):
+        # closure factory (default-arg lambdas confuse pyspark's
+        # lambda-arity detection)
+        return lambda d: _plane_component(j, d)
+
+    dims = F.sequence(F.lit(1), F.size(vec_col))
+    bits = []
+    for j in range(_N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(dims, _components_for(j)),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(0).cast("long"))
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), bits)
+
+
+@query("similarity_lsh_buckets")
+def similarity_lsh_buckets(spark, sf_dir):
+    """ANN via random-hyperplane LSH (SURVEY §2.11 scale path): bucket =
+    packed sign bits of 12 deterministic hyperplane projections;
+    neighbor candidates are same-bucket pairs. Recall vs brute force is
+    asserted in tests/test_similarity.py. Rows-only driver check."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", quantized(F.col("embedding")).alias("qv")
+    ).select("vec_id", "label", signature_bits(F.col("qv")).alias("bucket"))
+    return (
+        v.groupBy("bucket")
+        .agg(
+            F.count("*").alias("bucket_size"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .filter(F.col("bucket_size") > 1)
+    )
+
+
+@query(
+    "similarity_pairwise_threshold",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id <= 60
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(a.label = b.label AS BOOLEAN) AS same_label
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+          / (SQRT(CAST(LIST_SUM(LIST_TRANSFORM(a.qv, x -> x * x)) AS DOUBLE))
+             * SQRT(CAST(LIST_SUM(LIST_TRANSFORM(b.qv, x -> x * x)) AS DOUBLE))) > 0.8
+    """,
+)
+def similarity_pairwise_threshold(spark, sf_dir):
+    """All pairs above a cosine threshold (embedding-cosine near-dup
+    dedup) on a bounded slice — the exact-verify stage an LSH pipeline
+    feeds into."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 60)
+    v = e.select("vec_id", "label", quantized(F.col("embedding")).alias("qv"))
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = cosine_q(F.col("a.qv"), F.col("b.qv"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos > 0.8)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Text analysis operators (SURVEY §2.11): language-ID, quality
+scoring, token counting, document fingerprinting — all expressed with
+built-in string/array functions (JVM-side; no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.suite import query
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           n_chars,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+           ROUND(CAST(LENGTH(text) AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 4) AS avg_word_len,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LIST_CONTAINS(['the','a','of','and','to'], w))) AS BIGINT) AS n_stopwords,
+           ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LIST_CONTAINS(['the','a','of','and','to'], w))) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_unique_words
+    FROM documents
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Quality scoring: length, word count, avg word length, stopword
+    ratio, vocabulary size — the filter features of a pretraining
+    pipeline, all as codegen'd expressions."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_words = F.size(words).cast("long")
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w))).cast("long")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        F.round(F.length("text").cast("double") / n_words, 4).alias("avg_word_len"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop.cast("double") / n_words, 4).alias("stopword_ratio"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_unique_words"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    SELECT predicted_lang, COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE predicted_lang = lang) AS n_match
+    FROM (
+      SELECT lang,
+             CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LIST_CONTAINS(['the','a','of','and','to'], w))) >= 2
+                  THEN 'en' ELSE 'other' END AS predicted_lang
+      FROM documents
+    )
+    GROUP BY predicted_lang
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword-hit count — the n-gram-heuristic
+    family): deterministic expression, scored against the fixture's
+    lang column."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    pred = F.when(
+        F.size(F.filter(words, lambda w: F.array_contains(stop, w))) >= 2, "en"
+    ).otherwise("other")
+    return (
+        d.select("lang", pred.alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("predicted_lang") == F.col("lang")).alias("n_match"),
+        )
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT source,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS whitespace_tokens,
+           CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(text, '[^a-zA-Z0-9]+'))) AS BIGINT) AS bpe_ish_tokens,
+           CAST(SUM(CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS BIGINT) AS char4_token_estimate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting three ways (whitespace, alnum-run "BPE-ish"
+    regex, chars/4 estimate) aggregated per source — the budget
+    accounting every training-data pipeline runs."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("whitespace_tokens"),
+        F.sum(F.size(F.split("text", "[^a-zA-Z0-9]+"))).cast("long").alias("bpe_ish_tokens"),
+        F.sum(F.ceil(F.length("text") / 4.0).cast("long")).cast("long").alias("char4_token_estimate"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: canonical bag-of-words digest (sorted
+    distinct words → md5). Word-order-insensitive, so shuffled near-dups
+    collide — complementary to exact dedup."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ")).alias(
+            "fingerprint"
+        ),
+    )

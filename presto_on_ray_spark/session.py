@@ -1,0 +1,74 @@
+"""SparkSession construction tuned for the engine.
+
+The reference's "cluster sizing" surface is JVM heap flags and per-query
+memory caps written into config files (reference: presto-mgr.py:18-22,
+:65-84). In Spark those map onto SparkConf; this module centralizes the
+conf we want both locally (local[N]) and on a real cluster.
+
+Scale stance (100 TB design, tested on local[32]):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and broadcast-join demotion/promotion replace hand-tuning per query.
+- shuffle.partitions is only the *initial* number; AQE coalesces. On a
+  1000-executor cluster you'd raise initialPartitionNum instead.
+- Arrow enabled: every pandas UDF crossing is vectorized.
+- session timezone pinned UTC so timestamp semantics are stable across
+  driver/executors and match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "presto-on-ray-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Small dims (region/nation/supplier/customer at low SF) should
+        # always broadcast; 64 MB covers every dim at sf0.1 while at
+        # cluster scale AQE re-checks actual sizes at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Single large parquet files must still parallelize: cap split
+        # size so local[32] gets >=32 input partitions at sf0.1.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def apply_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-built session.
+
+    The driver hands ``entry(spark)`` a session we did not construct
+    (mirroring how the reference attaches its CLI to an already-running
+    coordinator, presto-mgr.py:268-273). Static conf (memory, master)
+    cannot change post-launch, but these SQL confs can.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
