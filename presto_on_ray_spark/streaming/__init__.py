@@ -1,0 +1,11 @@
+from presto_on_ray_spark.streaming.windows import (
+    sessionize_events,
+    tumbling_window_counts,
+    tumbling_window_counts_batch,
+)
+
+__all__ = [
+    "tumbling_window_counts",
+    "tumbling_window_counts_batch",
+    "sessionize_events",
+]

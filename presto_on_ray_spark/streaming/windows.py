@@ -1,0 +1,143 @@
+"""Structured Streaming operators (SURVEY §2.9 — additive).
+
+The reference has **no** streaming execution (Presto 0.248 is
+batch-only; the only stream-adjacent artifact is an unconfigured Kafka
+connector — SURVEY §2.9). These operators are the additive capability
+the events fixture invites: tumbling-window aggregation with watermark,
+and session windows — the standard Structured Streaming shapes that
+scale to unbounded input (state store per window key, late data dropped
+past the watermark).
+
+Each streaming op has a batch twin with identical semantics on bounded
+input; the batch twin is what the differential oracle checks, and the
+streaming form is exercised in tests via availableNow over the same
+parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture (parquet source, schema from a
+    batch read — the standard pattern for replaying files as a stream)."""
+    from presto_on_ray_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: long
+    # file streams take a directory; glob down to the one fixture file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def tumbling_window_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming tumbling-window counts with watermark-based late-data
+    handling. At scale: state is one row per (window, event_type);
+    watermark bounds state size for unbounded input."""
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def tumbling_window_counts_batch(spark: SparkSession, sf_dir: str, window: str = "1 hour") -> DataFrame:
+    """Batch twin of tumbling_window_counts — same window(), same agg,
+    over the bounded table. This is the oracle-checked form."""
+    from presto_on_ray_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based) — batch form using
+    session_window, the operator Presto has no equivalent for."""
+    from presto_on_ray_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+# Suite registration: the batch twins are oracle-checkable; the
+# streaming forms get exercised in tests/test_streaming.py.
+from presto_on_ray_spark.suite import query  # noqa: E402
+
+
+@query(
+    "streaming_tumbling_window_batch",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_window_batch(spark, sf_dir):
+    """Tumbling-window aggregation (batch twin of the Structured
+    Streaming operator; identical semantics on bounded input)."""
+    return tumbling_window_counts_batch(spark, sf_dir)
+
+
+@query("streaming_session_windows")
+def streaming_session_windows(spark, sf_dir):
+    """Gap-based session windows per user (session_window) — no SQL
+    oracle (DuckDB has no session windows); invariants asserted in
+    tests/test_streaming.py (sessions disjoint per user, counts sum to
+    total events)."""
+    return sessionize_events(spark, sf_dir)
+
+
+def run_stream_to_memory(df: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming DataFrame with availableNow → memory sink,
+    return the materialized result (test/demo harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(query_name)

@@ -57,3 +57,4 @@ def load_all() -> None:
         textstats,
         windows,
     )
+    from presto_on_ray_spark.streaming import windows as streaming_windows  # noqa: F401

@@ -1,0 +1,82 @@
+"""Self-consistency invariants for the non-SQL-expressible dedup ops
+(SURVEY §5.2: LSH/minhash get rows-only driver checks + these)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from presto_on_ray_spark import suite
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.operators.dedup import exact_dedup_keep
+
+suite.load_all()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return t(spark, sf_dir, "documents").cache()
+
+
+def test_exact_dedup_keep_removes_only_dupes(spark, sf_dir, docs):
+    total = docs.count()
+    deduped = exact_dedup_keep(docs, "text", "doc_id")
+    n_unique = docs.select(F.md5("text")).distinct().count()
+    assert deduped.count() == n_unique <= total
+    # keeper is the min doc_id of its digest group
+    keeper_check = (
+        deduped.select(F.md5("text").alias("d"), "doc_id")
+        .join(
+            docs.groupBy(F.md5("text").alias("d")).agg(F.min("doc_id").alias("m")),
+            "d",
+        )
+        .filter(F.col("doc_id") != F.col("m"))
+    )
+    assert keeper_check.count() == 0
+
+
+def test_minhash_lsh_finds_all_exact_duplicates(spark, sf_dir, docs):
+    """An exact duplicate pair has identical shingle sets → identical
+    signatures → collides in every band. LSH candidates must therefore
+    be a superset of exact-duplicate pairs."""
+    dupes = (
+        docs.alias("x")
+        .join(docs.alias("y"), F.col("x.text") == F.col("y.text"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+    )
+    n_dupes = dupes.count()
+    candidates = suite.QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    missed = dupes.join(candidates, ["doc_a", "doc_b"], "left_anti")
+    assert missed.count() == 0, f"{missed.count()}/{n_dupes} exact dupes missed by LSH"
+
+
+def test_minhash_lsh_candidates_have_high_jaccard_enrichment(spark, sf_dir):
+    """Candidate pairs should be enriched for true near-dups: verify a
+    sample of candidates against exact 3-gram Jaccard and require the
+    high-similarity fraction to beat the random-pair baseline."""
+    candidates = suite.QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    exact = suite.QUERIES["dedup_ngram_jaccard"](spark, sf_dir)  # pairs with J>=0.6
+    n_cand = candidates.count()
+    if n_cand == 0:
+        pytest.skip("no candidates at this sf")
+    hits = candidates.join(exact, ["doc_a", "doc_b"], "inner").count()
+    n_exact = exact.count()
+    if n_exact == 0:
+        pytest.skip("no true near-dup pairs at this sf")
+    recall = hits / n_exact
+    assert recall >= 0.8, f"LSH recall vs J>=0.6 truth too low: {recall}"
+
+
+def test_simhash_identical_texts_same_hash(spark, sf_dir, docs):
+    sim = suite.QUERIES["dedup_simhash"](spark, sf_dir)
+    joined = (
+        docs.select("doc_id", "text")
+        .join(sim, "doc_id")
+        .groupBy("text")
+        .agg(F.countDistinct("simhash").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    assert joined.count() == 0, "same text produced different simhashes"

@@ -1,0 +1,139 @@
+"""Unit tests: dialect translation + shim-UDF semantics (SURVEY §2.8,
+§7 milestone 2) + approximate-aggregate error bounds (§7 milestone 3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from presto_on_ray_spark import suite
+from presto_on_ray_spark.dialect import translate
+from presto_on_ray_spark.functions.datetime_shim import translate_mysql_pattern
+from presto_on_ray_spark.functions.registry import register_presto_functions
+from presto_on_ray_spark.operators._util import t
+
+suite.load_all()
+
+
+# ---------------- dialect translation (pure function) ----------------
+
+
+def test_translate_function_renames():
+    assert (
+        translate("SELECT approx_distinct(x), arbitrary(y) FROM t")
+        == "SELECT approx_count_distinct(x), any_value(y) FROM t"
+    )
+    assert translate("SELECT strpos(a, 'b') FROM t") == "SELECT instr(a, 'b') FROM t"
+
+
+def test_translate_preserves_string_literals():
+    sql = "SELECT 'approx_distinct(q)' AS s, approx_distinct(x) FROM t"
+    out = translate(sql)
+    assert "'approx_distinct(q)'" in out
+    assert "approx_count_distinct(x)" in out
+
+
+def test_translate_try_cast():
+    assert translate("SELECT TRY(CAST(x AS integer))") == "SELECT try_cast(x AS integer)"
+    assert (
+        translate("SELECT TRY(CAST('1.5' AS decimal(10,2)))")
+        == "SELECT try_cast('1.5' AS decimal(10,2))"
+    )
+
+
+def test_translate_case_insensitive():
+    assert translate("SELECT APPROX_DISTINCT(x)") == "SELECT approx_count_distinct(x)"
+
+
+def test_mysql_pattern_translation():
+    assert translate_mysql_pattern("%Y-%m-%d %H:%i:%S") == "%Y-%m-%d %H:%M:%S"
+    assert translate_mysql_pattern("%M %e, %Y") == "%B %-d, %Y"
+    assert translate_mysql_pattern("100%% %T") == "100%% %H:%M:%S"
+
+
+# ---------------- shim UDFs through SQL ----------------
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_presto_functions(spark)
+
+
+def test_word_stem(spark):
+    rows = spark.sql(
+        "SELECT word_stem('running') AS a, word_stem('caresses') AS b, word_stem('ponies') AS c"
+    ).collect()[0]
+    assert rows.a == "runn"
+    assert rows.b == "caress"
+    assert rows.c == "poni"
+
+
+def test_hamming_distance(spark):
+    r = spark.sql("SELECT hamming_distance('karolin', 'kathrin') AS d").collect()[0]
+    assert r.d == 3
+
+
+def test_url_encode_decode_roundtrip(spark):
+    r = spark.sql(
+        "SELECT url_decode(url_encode('a b&c=d/é')) AS roundtrip, url_encode('a b') AS enc"
+    ).collect()[0]
+    assert r.roundtrip == "a b&c=d/é"
+    assert r.enc == "a+b"
+
+
+def test_date_parse_mysql(spark):
+    r = spark.sql(
+        "SELECT date_parse('05/03/2024 07:09', '%d/%m/%Y %H:%i') AS ts"
+    ).collect()[0]
+    assert r.ts.year == 2024 and r.ts.month == 3 and r.ts.day == 5
+    assert r.ts.hour == 7 and r.ts.minute == 9
+
+
+def test_expression_shims(spark):
+    from presto_on_ray_spark.functions.registry import (
+        array_ngrams,
+        cosine_similarity_arrays,
+        is_finite,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [2.0, 4.0], float("inf"))], ["a", "b", "x"]
+    )
+    row = df.select(
+        cosine_similarity_arrays("a", "b").alias("cos"),
+        is_finite("x").alias("fin"),
+        array_ngrams(F.array(F.lit(1), F.lit(2), F.lit(3)), 2).alias("ng"),
+    ).collect()[0]
+    assert abs(row.cos - 1.0) < 1e-12
+    assert row.fin is False
+    assert row.ng == [[1, 2], [2, 3]]
+
+
+# ---------------- approximate aggregates: bounded error ----------------
+
+
+def test_approx_distinct_error_bound(spark, sf_correct):
+    li = t(spark, sf_correct, "lineitem")
+    exact = {
+        r.l_returnflag: r.d
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("d"))
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_orders
+        for r in suite.QUERIES["agg_approx_distinct"](spark, sf_correct).collect()
+    }
+    for flag, ex in exact.items():
+        assert abs(approx[flag] - ex) / ex < 0.10, (flag, approx[flag], ex)
+
+
+def test_approx_percentile_brackets_exact(spark, sf_correct):
+    li = t(spark, sf_correct, "lineitem")
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50")
+    ).collect()[0].p50
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50")
+    ).collect()[0].p50
+    assert abs(approx - exact) / exact < 0.01

@@ -1,0 +1,97 @@
+"""Plan-shape assertions — the scale contract (SURVEY §4.2).
+
+These tests pin the physical-plan properties that matter at 100 TB:
+pushdown reaches parquet, dimension joins broadcast, top-N fuses,
+aggregation is partial before the exchange. A correctness-preserving
+change that regresses one of these fails here, not in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.plans.inspect import explain_formatted, physical_summary
+from presto_on_ray_spark import suite
+
+suite.load_all()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = suite.QUERIES["scan_project_filter"](spark, sf_dir)
+    s = physical_summary(df)
+    assert s["pushed_filters"], explain_formatted(df)
+
+
+def test_q1_partial_aggregation_and_pushdown(spark, sf_dir):
+    df = suite.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "HashAggregate" in plan
+    # partial agg before the exchange: two HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual" in plan, plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    df = suite.QUERIES["join_inner_multiway"](spark, sf_dir)
+    s = physical_summary(df)
+    assert s["broadcast_hash_join"], explain_formatted(df)
+
+
+def test_topn_fuses_take_ordered(spark, sf_dir):
+    df = suite.QUERIES["topn_global"](spark, sf_dir)
+    s = physical_summary(df)
+    assert s["take_ordered"], explain_formatted(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    # 2-column projection of an 11-column table must read 2 columns.
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = explain_formatted(li)
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema, read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_no_python_in_relational_hot_path(spark, sf_dir):
+    # Core relational queries must stay JVM-side (no Python eval nodes).
+    for name in [
+        "q1_pricing_summary",
+        "join_inner_multiway",
+        "window_ranking",
+        "topn_global",
+        "text_quality_scores",
+        "dedup_minhash_lsh",
+    ]:
+        df = suite.QUERIES[name](spark, sf_dir)
+        s = physical_summary(df)
+        assert not s["python_udf"], f"{name} fell off the JVM path"
+
+
+def test_semi_join_plan(spark, sf_dir):
+    df = suite.QUERIES["join_semi"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_window_group_limit_pushdown(spark, sf_dir):
+    # rank<=k filter should engage Spark's WindowGroupLimit optimization.
+    df = suite.QUERIES["window_top_n_per_group"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_broadcast_respected_for_small_dim_without_hint(spark, sf_dir):
+    # Even without an explicit broadcast() hint, a 5-row dim should
+    # broadcast under the engine's session defaults.
+    li = t(spark, sf_dir, "lineitem")
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    df = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+    assert physical_summary(df)["broadcast_hash_join"], explain_formatted(df)

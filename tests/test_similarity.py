@@ -1,0 +1,84 @@
+"""Similarity-search invariants: brute force is ground truth; LSH is
+measured against it (SURVEY §7 risk 6: LSH recall tuning)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from presto_on_ray_spark import suite
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.operators.similarity import cosine_q, quantized
+
+suite.load_all()
+
+
+def test_bruteforce_topk_cosine_bounds(spark, sf_dir):
+    df = suite.QUERIES["similarity_bruteforce_topk"](spark, sf_dir)
+    rows = df.collect()
+    assert rows, "no top-k results"
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+
+
+def test_bruteforce_self_similarity_is_max(spark, sf_dir):
+    """cos(v, v) == 1 must beat every cos(v, other); checked by scoring
+    a vector against itself explicitly."""
+    e = t(spark, sf_dir, "embeddings").limit(1)
+    v = e.select(quantized(F.col("embedding")).alias("q"))
+    self_cos = v.select(cosine_q(F.col("q"), F.col("q")).alias("c")).collect()[0].c
+    assert abs(self_cos - 1.0) < 1e-12
+
+
+def test_lsh_bucket_neighbors_recall(spark, sf_dir):
+    """Candidate pairs (same bucket in ANY of the 8 hash tables) should
+    capture most true top-1 neighbors. Statistical bound, loose
+    threshold."""
+    from presto_on_ray_spark.operators.similarity import lsh_table_buckets
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    buckets = lsh_table_buckets(v).cache()
+
+    # ground truth: top-1 neighbor by exact cosine for 20 query vectors
+    q = v.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine_q(F.col("qqv"), F.col("qv")).alias("cos"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    top1 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    qb = buckets.select(
+        F.col("vec_id").alias("qid"),
+        F.col("table").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
+    )
+    collide = (
+        top1.select("qid", F.col("vec_id").alias("nbr_id"))
+        .join(qb, "qid")
+        .join(
+            buckets.alias("bk"),
+            (F.col("nbr_id") == F.col("bk.vec_id"))
+            & (F.col("qtable") == F.col("bk.table"))
+            & (F.col("qbucket") == F.col("bk.bucket")),
+            "left_semi",
+        )
+        .select("qid")
+        .distinct()
+    )
+    n = top1.count()
+    hit = collide.count()
+    assert hit / n >= 0.5, f"LSH recall of top-1 too low: {hit}/{n}"
+
+
+def test_pairwise_threshold_symmetric_and_bounded(spark, sf_dir):
+    df = suite.QUERIES["similarity_pairwise_threshold"](spark, sf_dir)
+    rows = df.collect()
+    for r in rows:
+        assert r.id_a < r.id_b  # canonical ordering, no dup pairs

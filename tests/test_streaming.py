@@ -1,0 +1,46 @@
+"""Structured Streaming operators (additive vs the batch-only
+reference — SURVEY §2.9): streaming result == batch twin; session
+windows partition events."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.streaming.windows import (
+    run_stream_to_memory,
+    sessionize_events,
+    tumbling_window_counts,
+    tumbling_window_counts_batch,
+)
+
+
+def test_streaming_matches_batch_twin(spark, sf_dir):
+    stream_df = tumbling_window_counts(spark, sf_dir)
+    assert stream_df.isStreaming
+    result = run_stream_to_memory(stream_df, "tumbling_test")
+    batch = tumbling_window_counts_batch(spark, sf_dir)
+    s = {tuple(r) for r in result.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b, f"stream-vs-batch diff: {s ^ b}"
+
+
+def test_session_windows_cover_all_events(spark, sf_dir):
+    sessions = sessionize_events(spark, sf_dir)
+    total_in_sessions = sessions.agg(F.sum("n_events")).collect()[0][0]
+    total = t(spark, sf_dir, "events").count()
+    assert total_in_sessions == total
+
+
+def test_session_windows_disjoint_per_user(spark, sf_dir):
+    s = sessionize_events(spark, sf_dir).alias("s1")
+    s2 = sessionize_events(spark, sf_dir).alias("s2")
+    overlaps = (
+        s.join(
+            s2,
+            (F.col("s1.user_id") == F.col("s2.user_id"))
+            & (F.col("s1.session_start") < F.col("s2.session_start"))
+            & (F.col("s2.session_start") < F.col("s1.session_end")),
+        )
+    ).count()
+    assert overlaps == 0
