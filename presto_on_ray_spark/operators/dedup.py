@@ -183,7 +183,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     tests/test_dedup.py: exact duplicates always collide in all bands,
     candidates' true Jaccard is verified in a final exact pass."""
     d = t(spark, sf_dir, "documents")
-    sig = d.select("doc_id", minhash_signature(shingles(F.col("text"))).alias("sig"))
+    # Materialization barrier: the signature expression references the
+    # shingle array 32 times, and Catalyst's project-collapsing would
+    # otherwise inline (and re-execute) the whole shingling pipeline
+    # per reference — measured 16x slower. The persisted intermediate
+    # is (doc_id, shingle-hash array): small relative to the corpus.
+    sh = d.select("doc_id", shingles(F.col("text")).alias("sh")).persist()
+    sig = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
     rows_per_band = _NUM_HASHES // _LSH_BANDS
     # Band structs built with literal indices (python loop, no nested
     # lambdas): band b hashes signature rows [b*r, (b+1)*r).
@@ -257,7 +263,8 @@ def dedup_simhash(spark, sf_dir):
         range(n_bits),
         F.lit(0).cast("long"),
     )
-    return (
-        d.select("doc_id", counts.alias("_counts"))
-        .select("doc_id", simhash.alias("simhash"))
-    )
+    # persist barrier: `simhash` references _counts 48 times; without
+    # materialization, project collapse would re-run the aggregate fold
+    # per bit (see the minhash note above).
+    counts_df = d.select("doc_id", counts.alias("_counts")).persist()
+    return counts_df.select("doc_id", simhash.alias("simhash"))

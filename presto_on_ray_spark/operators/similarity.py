@@ -162,7 +162,9 @@ def similarity_lsh_buckets(spark, sf_dir):
     same-(table, bucket) pairs. Recall vs brute force asserted in
     tests/test_similarity.py. Rows-only driver check."""
     e = t(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    # persist barrier: 32 hyperplane projections each reference qv; see
+    # the project-collapse note in operators/dedup.py.
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv")).persist()
     buckets = lsh_table_buckets(v)
     return (
         buckets.groupBy("table", "bucket")
