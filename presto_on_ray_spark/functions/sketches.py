@@ -1,0 +1,110 @@
+"""Mergeable sketch values (SURVEY §2.4 approximate / §7 milestone 3).
+
+Presto exposes HyperLogLog as a first-class *value*: ``approx_set(x)``
+builds a sketch per group, ``merge(hll)`` unions sketches, and
+``cardinality(hll)`` reads the estimate (SURVEY §1.2 lists the HLL type
+as a Spark gap). Spark's approx_count_distinct keeps its sketch
+internal — so this module implements a real, mergeable HLL on plain
+DataFrame primitives:
+
+- a sketch is an ``array<long>`` of 2^p max-rank registers;
+- build = groupBy(key, register) max(rank) — partial aggregation
+  applies, so the shuffle carries at most |groups|·2^p rows;
+- merge = element-wise max (zip_with) — associative, order-free;
+- estimate = the standard HLL harmonic-mean formula with small-range
+  (linear counting) correction.
+
+Everything is built-in expressions (no UDFs, no external sketch lib),
+so sketches serialize naturally to parquet and merge across datasets —
+the property the reference's users get from Presto's HLL type.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P = 8  # 2^8 = 256 registers; standard error ~1.04/sqrt(256) ≈ 6.5%
+_M = 1 << _P
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _register_and_rank(col: Column) -> tuple[Column, Column]:
+    """(register index, rank) of one value's 64-bit hash.
+
+    register = low p bits; rank = 1 + leading zeros of the remaining
+    (64-p)-bit suffix, computed arithmetically (no loops): for the
+    suffix s, floor(log2(s)) gives the top-bit position.
+    """
+    h = F.xxhash64(col)
+    reg = F.pmod(h, F.lit(_M)).cast("int")
+    # unsigned-shift the hash right by p bits -> 56-bit suffix
+    s = F.shiftrightunsigned(h, _P)
+    width = 64 - _P
+    rank = F.when(s == 0, F.lit(width + 1)).otherwise(
+        width - F.floor(F.log2(s.cast("double")))
+    ).cast("int")
+    return reg, rank
+
+
+def approx_set(df: DataFrame, group_cols: list[str], value_col: str, sketch_col: str = "hll") -> DataFrame:
+    """Per-group HLL sketch as an array<int> column (Presto approx_set).
+
+    Two-phase: (group, register) max-rank — partial agg collapses most
+    rows map-side — then a dense register array via map lookup.
+    """
+    reg, rank = _register_and_rank(F.col(value_col))
+    per_reg = (
+        df.select(*group_cols, reg.alias("_reg"), rank.alias("_rank"))
+        .groupBy(*group_cols, "_reg")
+        .agg(F.max("_rank").alias("_maxrank"))
+    )
+    regs = F.map_from_entries(F.collect_list(F.struct("_reg", "_maxrank")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(_M - 1)),
+        lambda i: F.coalesce(F.try_element_at(regs, i), F.lit(0)),
+    )
+    # NOTE: regs is referenced _M times inside the transform — but it is
+    # an aggregate result (one row per group), so the cost is per-group,
+    # not per-row; no persist barrier needed.
+    return per_reg.groupBy(*group_cols).agg(dense.alias(sketch_col))
+
+
+def hll_merge(a: Column, b: Column) -> Column:
+    """Union of two sketches = element-wise max (Presto merge())."""
+    return F.zip_with(a, b, lambda x, y: F.greatest(x, y))
+
+
+def hll_merge_agg(col: Column | str) -> Column:
+    """Aggregate form: merge sketches across rows (associative fold)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.collect_list(c),
+        F.array_repeat(F.lit(0), _M),
+        lambda acc, s: F.zip_with(acc, s, lambda x, y: F.greatest(x, y)),
+    )
+
+
+def hll_cardinality(sketch: Column | str) -> Column:
+    """Estimate distinct count from a sketch (Presto cardinality(hll)),
+    with linear-counting correction for the small range."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    raw = F.lit(_alpha(_M) * _M * _M) / F.aggregate(
+        s, F.lit(0.0), lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double"))
+    )
+    zeros = F.size(F.filter(s, lambda r: r == 0))
+    linear = F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros.cast("double"))
+    return (
+        F.when((raw <= 2.5 * _M) & (zeros > 0), linear).otherwise(raw).cast("long")
+    )

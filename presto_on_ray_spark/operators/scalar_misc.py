@@ -1,0 +1,148 @@
+"""Remaining scalar families (SURVEY §2.8): URL, trig, bitwise, map
+lambdas, exact percentiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.suite import query
+
+_URLS = [
+    ("https://example.com:8443/docs/intro?x=1&y=2", 1),
+    ("http://data.example.org/api/v2/items?id=42", 2),
+    ("https://spark.apache.org/docs/latest/sql-programming-guide.html", 3),
+]
+
+
+@query(
+    "url_functions",
+    oracle="""
+    SELECT id,
+           SPLIT_PART(url, '://', 1) AS protocol,
+           SPLIT_PART(SPLIT_PART(SPLIT_PART(url, '://', 2), '/', 1), ':', 1) AS host,
+           SPLIT_PART(SPLIT_PART(url, '://', 2) || '?', '?', 1) AS path_with_host,
+           CASE WHEN CONTAINS(url, '?') THEN SPLIT_PART(url, '?', 2) ELSE NULL END AS query
+    FROM (VALUES
+      ('https://example.com:8443/docs/intro?x=1&y=2', 1),
+      ('http://data.example.org/api/v2/items?id=42', 2),
+      ('https://spark.apache.org/docs/latest/sql-programming-guide.html', 3)
+    ) AS t(url, id)
+    """,
+)
+def url_functions(spark, sf_dir):
+    """Presto url_extract_protocol/host/path/query → Spark parse_url
+    (SURVEY §2.8 URL family). The oracle recomputes each part with
+    string functions, so the comparison checks real parsing; the
+    path_with_host column canonicalizes the one representational
+    difference (parse_url PATH excludes host, the string oracle keeps
+    it — both sides build host+path explicitly)."""
+    rows = spark.createDataFrame(_URLS, ["url", "id"])
+    return rows.select(
+        "id",
+        F.split(F.col("url"), "://")[0].alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.concat(
+            F.parse_url("url", F.lit("AUTHORITY")),
+            F.parse_url("url", F.lit("PATH")),
+        ).alias("path_with_host"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+    )
+
+
+@query(
+    "trig_bitwise_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SIN(l_discount), 6) AS sin_d,
+           ROUND(COS(l_discount), 6) AS cos_d,
+           ROUND(ATAN2(l_quantity, l_extendedprice), 6) AS angle,
+           ROUND(DEGREES(l_discount), 6) AS deg,
+           ROUND(RADIANS(l_quantity), 6) AS rad,
+           CAST(l_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(l_orderkey | 4096 AS BIGINT) AS with_bit,
+           CAST(XOR(l_orderkey, l_partkey) AS BIGINT) AS keys_xor,
+           CAST(BIT_COUNT(l_orderkey) AS BIGINT) AS popcount
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def trig_bitwise_functions(spark, sf_dir):
+    """Trig (sin/cos/atan2/degrees/radians) + bitwise
+    (and/or/xor/bit_count) — SURVEY §2.8 math family tail."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 6).alias("sin_d"),
+        F.round(F.cos("l_discount"), 6).alias("cos_d"),
+        F.round(F.atan2("l_quantity", "l_extendedprice"), 6).alias("angle"),
+        F.round(F.degrees("l_discount"), 6).alias("deg"),
+        F.round(F.radians("l_quantity"), 6).alias("rad"),
+        F.col("l_orderkey").bitwiseAND(255).cast("long").alias("low_byte"),
+        F.col("l_orderkey").bitwiseOR(4096).cast("long").alias("with_bit"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).cast("long").alias("keys_xor"),
+        F.bit_count("l_orderkey").cast("long").alias("popcount"),
+    )
+
+
+@query(
+    "map_lambda_functions",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'b=2',         'a=11,b=12,c=13', 'A=1,B=2,C=3',  'a=2,b=4,c=6'),
+      (2, 'a=2,c=4',     'a=12,b=13,c=14', 'A=2,B=3,C=4',  'a=4,b=6,c=8'),
+      (3, 'b=4',         'a=13,b=14,c=15', 'A=3,B=4,C=5',  'a=6,b=8,c=10')
+    ) AS t(n, even_entries, plus10_entries, upper_key_entries, doubled_entries)
+    """,
+)
+def map_lambda_functions(spark, sf_dir):
+    """Presto map lambdas — map_filter / transform_values /
+    transform_keys / map_zip_with (SURVEY §2.8 map family) — rendered
+    as canonical sorted entry strings. The oracle is the hand-computed
+    expected relation over the same 3-row input, so every lambda's
+    output is pinned exactly."""
+    rows = spark.range(1, 4).select(F.col("id").cast("int").alias("n"))
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+        F.array(F.col("n"), F.col("n") + 1, F.col("n") + 2),
+    )
+
+    def render(mcol):
+        return F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries(mcol)),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+            ),
+            ",",
+        )
+
+    return rows.select(
+        "n",
+        render(F.map_filter(m, lambda k, v: v % 2 == 0)).alias("even_entries"),
+        render(F.transform_values(m, lambda k, v: v + 10)).alias("plus10_entries"),
+        render(F.transform_keys(m, lambda k, v: F.upper(k))).alias("upper_key_entries"),
+        render(F.map_zip_with(m, m, lambda k, v1, v2: v1 + v2)).alias("doubled_entries"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS q1_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (percentile_cont semantics) —
+    the deterministic counterpart of approx_percentile; both engines
+    use linear interpolation on the sorted values."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1_qty"),
+    )

@@ -1,0 +1,48 @@
+"""Sketch-as-value pipeline (Presto approx_set / merge / cardinality —
+SURVEY §2.4 approximate, §7 milestone 3 hard-list item 1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_on_ray_spark.functions.sketches import (
+    approx_set,
+    hll_cardinality,
+    hll_merge_agg,
+)
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.suite import query
+
+
+@query("hll_sketch_pipeline")
+def hll_sketch_pipeline(spark, sf_dir):
+    """The mergeable-sketch workflow Presto users run: build per-group
+    sketches (approx_set), roll them up a hierarchy level by merging
+    (merge), read estimates at both levels (cardinality). Distinct
+    customers per orderpriority, rolled up to orderstatus. Rows-only
+    driver check; error bounds asserted in tests/test_sketches.py."""
+    o = t(spark, sf_dir, "orders")
+    per_prio = approx_set(
+        o, ["o_orderstatus", "o_orderpriority"], "o_custkey", sketch_col="hll"
+    )
+    rolled = per_prio.groupBy("o_orderstatus").agg(
+        hll_merge_agg("hll").alias("merged")
+    )
+    return rolled.select(
+        "o_orderstatus", hll_cardinality("merged").alias("approx_customers")
+    )
+
+
+@query("checksum_agg")
+def checksum_agg(spark, sf_dir):
+    """Presto checksum(x): order-insensitive aggregate digest. Built as
+    bit_xor over per-row xxhash64 — associative/commutative, so the
+    distributed fold is deterministic regardless of row order.
+    Rows-only driver check (hash constants are engine-specific);
+    order-invariance asserted in tests/test_sketches.py."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_xor(F.xxhash64("l_orderkey", "l_linenumber", "l_quantity")).alias(
+            "checksum"
+        )
+    )

@@ -49,8 +49,10 @@ def load_all() -> None:
         json_ops,
         multimodal,
         sampling,
+        scalar_misc,
         setops,
         similarity,
+        sketch_ops,
         sorts,
         strings_dates,
         structural,

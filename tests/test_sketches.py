@@ -1,0 +1,107 @@
+"""HLL sketch-as-value: error bounds, mergeability, checksum
+order-invariance."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from presto_on_ray_spark import suite
+from presto_on_ray_spark.functions.sketches import (
+    approx_set,
+    hll_cardinality,
+    hll_merge,
+)
+from presto_on_ray_spark.operators._util import t
+
+suite.load_all()
+
+
+def test_hll_estimate_within_error(spark, sf_correct):
+    o = t(spark, sf_correct, "orders")
+    sk = approx_set(o, ["o_orderstatus"], "o_custkey")
+    est = {
+        r.o_orderstatus: r.e
+        for r in sk.select(
+            "o_orderstatus", hll_cardinality("hll").alias("e")
+        ).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.d
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        rel = abs(est[k] - ex) / ex
+        assert rel < 0.15, f"{k}: est={est[k]} exact={ex} rel={rel}"
+
+
+def test_hll_merge_equals_rebuild(spark, sf_correct):
+    """merge(sketch(A), sketch(B)) must equal sketch(A ∪ B) exactly —
+    register-wise max is lossless w.r.t. building over the union."""
+    o = t(spark, sf_correct, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+    sa = approx_set(a.withColumn("g", F.lit(1)), ["g"], "o_custkey", "ha")
+    sb = approx_set(b.withColumn("g", F.lit(1)), ["g"], "o_custkey", "hb")
+    merged = (
+        sa.join(sb, "g")
+        .select(hll_merge(F.col("ha"), F.col("hb")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    full = (
+        approx_set(o.withColumn("g", F.lit(1)), ["g"], "o_custkey", "h")
+        .collect()[0]
+        .h
+    )
+    assert merged == full
+
+
+def test_hll_pipeline_rollup_consistency(spark, sf_correct):
+    df = suite.QUERIES["hll_sketch_pipeline"](spark, sf_correct)
+    rows = {r.o_orderstatus: r.approx_customers for r in df.collect()}
+    o = t(spark, sf_correct, "orders")
+    exact = {
+        r.o_orderstatus: r.d
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        assert abs(rows[k] - ex) / ex < 0.15, (k, rows[k], ex)
+
+
+def test_checksum_order_invariant(spark, sf_correct):
+    li = t(spark, sf_correct, "lineitem")
+    base = suite.QUERIES["checksum_agg"](spark, sf_correct)
+    # same data, adversarial re-ordering and re-partitioning
+    shuffled = (
+        li.orderBy(F.col("l_extendedprice").desc())
+        .repartition(13)
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_xor(
+                F.xxhash64("l_orderkey", "l_linenumber", "l_quantity")
+            ).alias("checksum")
+        )
+    )
+    assert {tuple(r) for r in base.collect()} == {tuple(r) for r in shuffled.collect()}
+    # sensitivity: dropping one (provably existing) row must change at
+    # least one group digest
+    first = li.select("l_orderkey", "l_linenumber").limit(1).collect()[0]
+    dropped = (
+        li.filter(
+            ~(
+                (F.col("l_orderkey") == first.l_orderkey)
+                & (F.col("l_linenumber") == first.l_linenumber)
+            )
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_xor(
+                F.xxhash64("l_orderkey", "l_linenumber", "l_quantity")
+            ).alias("checksum")
+        )
+    )
+    assert {tuple(r) for r in base.collect()} != {tuple(r) for r in dropped.collect()}
