@@ -25,11 +25,17 @@ from presto_on_ray_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customer",
     "join_inner_multiway",
     "agg_grouping_sets",
     "window_ranking",
     "window_top_n_per_group",
     "topn_global",
+    "hll_sketch_pipeline",
+    "streaming_tumbling_window_batch",
     "dedup_exact_survivors",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -1,0 +1,260 @@
+"""TPC-H-shaped composite queries adapted to the fixture schema
+(FIXTURES.md). These are the realistic multi-operator compositions the
+delegated Presto engine served (SURVEY §0: "full ANSI-ish SQL") — each
+one exercises several §2 rows together: multiway joins + aggregation +
+top-N + date predicates + correlated subqueries.
+
+Adaptations from canonical TPC-H (columns absent from the fixture):
+Q4 uses shipdate-vs-orderdate lag instead of commit/receipt dates; Q12
+is replaced by Q6 (all columns present). Dates are shifted into the
+fixture's 1995–2001 range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_on_ray_spark.functions.numeric import dsum, oracle_dsum
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.suite import query
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """Q3: segment filter → 3-way join → agg → top-10 by revenue.
+    customer broadcasts; lineitem⋈orders is the only shuffle."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_check(spark, sf_dir):
+    """Q4 (adapted): correlated EXISTS → left-semi join; late-shipping
+    lag replaces the absent commit/receipt dates."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """Q5: 6-way join with the customer-nation = supplier-nation
+    co-location predicate. All dims broadcast; the join order keeps the
+    two fact tables shuffling on l_orderkey only."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum('l_extendedprice * l_discount', 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Q6: pure scan-filter-agg — every predicate pushes to parquet;
+    the canonical pushdown benchmark."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=4).alias("revenue"))
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """Q10: returned-item revenue per customer, top-20."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           {oracle_dsum('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 150
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def tpch_q18_large_volume_customer(spark, sf_dir):
+    """Q18: IN-subquery over a grouped HAVING (semi join against an
+    aggregate), then re-aggregate. The inner aggregate is tiny relative
+    to lineitem, so Spark broadcasts the semi-join side."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big_orders.withColumnRenamed("l_orderkey", "bo")),
+                F.col("l_orderkey") == F.col("bo"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )

@@ -45,6 +45,7 @@ def load_all() -> None:
         aggregates,
         dedup,
         filters,
+        grouped_pandas,
         joins,
         json_ops,
         multimodal,
@@ -52,11 +53,13 @@ def load_all() -> None:
         scalar_misc,
         setops,
         similarity,
+        skew,
         sketch_ops,
         sorts,
         strings_dates,
         structural,
         textstats,
+        tpch,
         windows,
     )
     from presto_on_ray_spark.streaming import windows as streaming_windows  # noqa: F401
