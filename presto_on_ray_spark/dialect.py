@@ -52,6 +52,10 @@ def _rewrite_code(seg: str) -> str:
         seg = re.sub(
             rf"\b{presto_name}\s*\(", f"{spark_name}(", seg, flags=re.IGNORECASE
         )
+    # CAST(x AS varchar/json) — Spark rejects length-less varchar and
+    # has no json type; both map to string.
+    seg = re.sub(r"\bAS\s+varchar\s*\)", "AS string)", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bAS\s+json\s*\)", "AS string)", seg, flags=re.IGNORECASE)
     # `IS [NOT] DISTINCT FROM` -> Spark supports it natively; no rewrite.
     return seg
 
@@ -69,6 +73,23 @@ def translate(sql: str) -> str:
     translated = re.sub(
         r"\bTRY\s*\(\s*CAST\s*\(([^()]*?)\s+AS\s+(\w+(?:\(\d+(?:,\s*\d+)?\))?)\s*\)\s*\)",
         r"try_cast(\1 AS \2)",
+        translated,
+        flags=re.IGNORECASE,
+    )
+    # Presto unit-ed datetime arithmetic: date_add('unit', n, ts) and
+    # date_diff('unit', a, b) -> Spark timestampadd/timestampdiff.
+    # Conservative: unit must be a quoted literal; the remaining args
+    # are passed through verbatim (commas inside nested parens are
+    # handled by the non-greedy tail + closing-paren anchor).
+    translated = re.sub(
+        r"\bdate_add\s*\(\s*'(\w+)'\s*,",
+        lambda m: f"timestampadd({m.group(1).upper()},",
+        translated,
+        flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bdate_diff\s*\(\s*'(\w+)'\s*,",
+        lambda m: f"timestampdiff({m.group(1).upper()},",
         translated,
         flags=re.IGNORECASE,
     )

@@ -42,7 +42,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every operator module so registrations run."""
     from presto_on_ray_spark.operators import (  # noqa: F401
+        agg_extra,
         aggregates,
+        arrays_extra,
         dedup,
         filters,
         grouped_pandas,

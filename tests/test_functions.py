@@ -137,3 +137,19 @@ def test_approx_percentile_brackets_exact(spark, sf_correct):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50")
     ).collect()[0].p50
     assert abs(approx - exact) / exact < 0.01
+
+
+def test_translate_cast_rewrites():
+    assert translate("SELECT CAST(x AS varchar) FROM t") == "SELECT CAST(x AS string) FROM t"
+    assert translate("SELECT CAST(m AS JSON)") == "SELECT CAST(m AS string)"
+
+
+def test_translate_dateadd_argorder(spark):
+    out = translate("SELECT date_add('month', 3, ts), date_diff('day', a, b)")
+    assert out == "SELECT timestampadd(MONTH, 3, ts), timestampdiff(DAY, a, b)"
+    row = spark.sql(
+        translate(
+            "SELECT date_add('day', 10, TIMESTAMP '2024-01-01 00:00:00') AS d"
+        )
+    ).collect()[0]
+    assert str(row.d) == "2024-01-11 00:00:00"

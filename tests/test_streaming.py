@@ -44,3 +44,35 @@ def test_session_windows_disjoint_per_user(spark, sf_dir):
         )
     ).count()
     assert overlaps == 0
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    from presto_on_ray_spark.streaming.stateful import (
+        running_totals_batch,
+        running_totals_stream,
+    )
+
+    sdf = running_totals_stream(spark, sf_dir)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink may hold one row per key per batch; take
+    # the last emission per key (max running_count)
+    import pyspark.sql.functions as F
+
+    got = (
+        spark.table("stateful_totals")
+        .groupBy("event_type")
+        .agg(
+            F.max("running_count").alias("running_count"),
+            F.max("running_value").alias("running_value"),
+        )
+    )
+    batch = running_totals_batch(spark, sf_dir)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
