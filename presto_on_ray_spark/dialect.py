@@ -21,9 +21,13 @@ from presto_on_ray_spark.functions.registry import PRESTO_TO_SPARK_FN
 
 # Renames that need the call-site parenthesis to avoid clobbering
 # identifiers: name( -> replacement(
+# ORDER MATTERS: date_format -> date_format_mysql must run BEFORE
+# format_datetime -> date_format, or the latter's output would be
+# re-rewritten by the former (dict insertion order is the rewrite order).
 _FN_CALL = {
-    **PRESTO_TO_SPARK_FN,
     "date_format": "date_format_mysql",  # MySQL patterns -> shim UDF
+    **PRESTO_TO_SPARK_FN,
+    "format_datetime": "date_format",  # Joda ~= Java patterns
     "normalize": "normalize_nfc",
 }
 

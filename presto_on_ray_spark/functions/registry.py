@@ -73,6 +73,11 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
     "last_day_of_month": "last_day",
     "map_from_entries": "map_from_entries",
     "multimap_from_entries": "map_from_entries",  # approximation; values grouped
+    # Joda patterns are near-identical to Java's for the common
+    # specifiers, so these are direct renames (SURVEY §2.8 date/time).
+    "parse_datetime": "to_timestamp",
+    "from_iso8601_timestamp": "to_timestamp",
+    "from_iso8601_date": "to_date",
 }
 
 # ---------------------------------------------------------------------------

@@ -126,6 +126,60 @@ def multimodal_features(spark, sf_dir):
     return feats.select("doc_id", "media_type", "n_bytes", "payload_digest")
 
 
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Resize hook — STUB (no image libs here). The deterministic fake
+    truncates/pads the byte stream to width*height bytes, preserving the
+    real signature a PIL-backed implementation would have."""
+    target = max(width * height, 1)
+    return (payload * (target // max(len(payload), 1) + 1))[:target]
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for 'video' payloads via mapInPandas: split the
+    opaque byte stream into n equal chunks (deterministic fake frames —
+    the real decoder plugs into decode_image). One output row per
+    frame, with frame index + frame digest; schema/batching/partition
+    plumbing is the real thing."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame_bytes", LongType()),
+            StructField("frame_digest", StringType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_digest": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = b[i * step : (i + 1) * step]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_digest"].append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_sample, schema=schema)
+
+
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling pipeline: synthesize payloads →
+    mapInPandas frame split → per-doc frame stats. Rows-only check;
+    determinism asserted in tests/test_multimodal.py."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    frames = sample_frames(synthesize_media(d), n_frames=4)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_bytes").alias("total_frame_bytes"),
+        F.countDistinct("frame_digest").alias("distinct_frames"),
+    )
+
+
 @query("multimodal_partition_shape")
 def multimodal_partition_shape(spark, sf_dir):
     """Batch-shape/partitioning audit for the media pipeline: rows and

@@ -51,3 +51,27 @@ def test_presto_names_resolve_through_dialect(eng):
 def test_explain_returns_formatted_plan(eng):
     text = eng.explain("SELECT count(*) FROM lineitem")
     assert "Physical Plan" in text
+
+
+def test_cluster_control_status(spark):
+    from presto_on_ray_spark.cluster import ClusterControl
+
+    ctl = ClusterControl(spark)
+    s = ctl.status()
+    assert s["n_executors"] >= 1
+    assert s["master"].startswith("local")
+    assert ctl.coordinator() == s["master"]
+    # worker verbs are documented no-ops on local masters
+    assert ctl.request_workers(2) is False
+    assert ctl.remove_workers(["1"]) is False
+
+
+def test_dialect_joda_and_iso(eng):
+    row = eng.sql(
+        """
+        SELECT format_datetime(TIMESTAMP '2024-03-05 07:09:00', 'yyyy/MM/dd') AS f,
+               from_iso8601_timestamp('2024-03-05T07:09:00') AS ts
+        """
+    ).collect()[0]
+    assert row.f == "2024/03/05"
+    assert row.ts.month == 3 and row.ts.hour == 7
