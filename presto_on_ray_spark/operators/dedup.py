@@ -154,7 +154,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
             lambda i: F.array_join(F.slice(words, i, 3), " "),
         )
     )
-    sh = d.select("doc_id", F.explode(grams).alias("sh"))
+    # persist: the self-join + sizes would otherwise re-run the
+    # shingling scan three times (a-side, b-side, sizes)
+    sh = d.select("doc_id", F.explode(grams).alias("sh")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

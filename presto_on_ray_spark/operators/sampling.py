@@ -38,3 +38,17 @@ def tablesample_aggregate_bounds(spark, sf_dir):
             "within_bounds"
         ),
     )
+
+
+@query("tablesample_system")
+def tablesample_system(spark, sf_dir):
+    """TABLESAMPLE SYSTEM(p): Presto keeps whole splits with
+    probability p. Raw partition-id sampling degenerates on low
+    partition counts (all-or-nothing), so the engine's form is bucket
+    sampling: hash rows into 32 logical splits by key and keep 8 —
+    deterministic, ~25% at any scale, and each kept bucket is a
+    co-hashed unit (the property SYSTEM sampling gives: you sample
+    storage units, not rows)."""
+    li = t(spark, sf_dir, "lineitem")
+    bucket = F.pmod(F.xxhash64("l_orderkey"), F.lit(32))
+    return li.filter(bucket < 8).select("l_orderkey", "l_linenumber")

@@ -78,3 +78,41 @@ def setop_except(spark, sf_dir):
         .distinct()
         .subtract(_supp_nations(spark, sf_dir))
     )
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag difference) — beyond Presto 0.248's
+    DISTINCT-only set ops; Spark exceptAll maps directly."""
+    return _cust_nations(spark, sf_dir).exceptAll(_supp_nations(spark, sf_dir))
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT n FROM (
+      SELECT nationkey, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT c_nationkey AS nationkey FROM customer
+      ) GROUP BY nationkey
+    )
+    """,
+)
+def setop_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag intersection, landed post-0.248 in Presto;
+    native in Spark). Self-intersection keeps every duplicate."""
+    c = _cust_nations(spark, sf_dir)
+    return (
+        c.intersectAll(c)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select("n")
+    )

@@ -160,3 +160,34 @@ def window_top_n_per_group(spark, sf_dir):
     return o.select(
         "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= 3)
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           LAST_VALUE(score IGNORE NULLS) OVER (
+             ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_seen_score
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_totalprice AS DOUBLE) END AS score
+      FROM orders WHERE o_orderkey <= 300
+    )
+    """,
+)
+def window_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS value functions (SURVEY §2.5): last non-null
+    carried forward — the standard gap-fill idiom."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    scored = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice").cast("double")).alias(
+            "score"
+        ),
+    )
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return scored.select(
+        "o_orderkey",
+        F.last("score", ignorenulls=True).over(w).alias("last_seen_score"),
+    )
