@@ -97,4 +97,23 @@ def translate(sql: str) -> str:
         translated,
         flags=re.IGNORECASE,
     )
+    # Presto UNNEST-as-join -> Spark LATERAL VIEW. Handles the common
+    # single-column forms:
+    #   CROSS JOIN UNNEST(expr) [WITH ORDINALITY] AS t(c[, ord])
+    translated = re.sub(
+        r"\bCROSS\s+JOIN\s+UNNEST\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s+WITH\s+ORDINALITY\s+AS\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",
+        # posexplode yields (pos, col); Presto ordinality is 1-based and
+        # trails the value column, so reorder/shift at use sites via the
+        # emitted aliases (pos0 exposed as <ord> - callers add +1; we
+        # emit a computed view instead to keep 1-based semantics):
+        r"LATERAL VIEW posexplode(\1) \2 AS \2_pos0, \3 LATERAL VIEW explode(array(\2_pos0 + 1)) \2_ord AS \4",
+        translated,
+        flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bCROSS\s+JOIN\s+UNNEST\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)",
+        r"LATERAL VIEW explode(\1) \2 AS \3",
+        translated,
+        flags=re.IGNORECASE,
+    )
     return translated

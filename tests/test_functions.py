@@ -153,3 +153,17 @@ def test_translate_dateadd_argorder(spark):
         )
     ).collect()[0]
     assert str(row.d) == "2024-01-11 00:00:00"
+
+
+def test_translate_unnest_forms(spark):
+    spark.sql("SELECT 1 AS id, array('a','b') AS arr").createOrReplaceTempView("_tv_unnest")
+    plain = spark.sql(
+        translate("SELECT id, w FROM _tv_unnest CROSS JOIN UNNEST(arr) AS u(w)")
+    ).collect()
+    assert [(r.id, r.w) for r in plain] == [(1, "a"), (1, "b")]
+    ordin = spark.sql(
+        translate(
+            "SELECT id, w, o FROM _tv_unnest CROSS JOIN UNNEST(arr) WITH ORDINALITY AS u(w, o)"
+        )
+    ).collect()
+    assert [(r.w, r.o) for r in ordin] == [("a", 1), ("b", 2)]

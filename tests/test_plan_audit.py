@@ -1,0 +1,60 @@
+"""Whole-suite plan audit: every registered query's physical plan is
+checked for 100 TB anti-patterns (SURVEY §4.2 / SCALING.md). This is
+the 'would this survive a 100× scale-up' gate, run over ALL queries,
+not just the hand-picked ones in test_plans.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from presto_on_ray_spark import suite
+from presto_on_ray_spark.plans.inspect import explain_formatted
+
+suite.load_all()
+
+# Python eval nodes are legitimate ONLY where the operator is defined
+# by a pandas UDF (SURVEY §2.10 / §2.11 multimodal + shims).
+PYTHON_ALLOWED = {
+    "datetime_mysql_patterns",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_partition_shape",
+    "grouped_pandas_zscore",
+    "grouped_pandas_agg",
+}
+
+# Cartesian/broadcast-nested-loop is legitimate only for deliberately
+# tiny inputs (cross-join demos, bounded pairwise similarity, query-
+# vector fan-out, non-equi theta joins).
+NESTED_LOOP_ALLOWED = {
+    "join_cross",
+    "join_non_equi",
+    "similarity_bruteforce_topk",
+    "similarity_pairwise_threshold",
+    "cast_try_cast",
+    "values_inline",
+    "readme_parity_sum",
+    "quantified_comparison",
+    "join_scalar_subquery",
+    "tpch_q18_large_volume_customer",
+}
+
+
+@pytest.mark.parametrize("name", sorted(suite.QUERIES))
+def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
+    df = suite.QUERIES[name](spark, sf_dir)
+    if df.isStreaming:
+        pytest.skip("streaming plan")
+    plan = explain_formatted(df)
+
+    if name not in PYTHON_ALLOWED:
+        assert "EvalPython" not in plan, f"{name}: Python UDF in a JVM-expressible operator"
+
+    if name not in NESTED_LOOP_ALLOWED:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+
+    # full-table scans must never read all columns unless the operator
+    # genuinely needs them: check ReadSchema is present for parquet scans
+    if "Scan parquet" in plan:
+        assert "ReadSchema" in plan
