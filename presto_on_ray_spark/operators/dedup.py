@@ -49,22 +49,31 @@ def shingles(col, n: int = 3):
 
 
 def minhash_signature(shingle_col):
-    """k-wide MinHash signature as an array<long>, built entirely from
-    higher-order functions (stays in whole-stage codegen)."""
-    def _permute(a: int, b: int):
-        # closure factory: pyspark treats extra default args on a lambda
-        # as lambda variables, so the params must be captured, not defaulted.
-        # fold the 64-bit shingle hash into [0, p) first so the multiply
-        # stays within long range (ANSI-safe).
-        return lambda h: F.pmod(
-            F.pmod(h, F.lit(_MERSENNE_P)) * a + b, F.lit(_MERSENNE_P)
-        )
+    """k-wide MinHash signature as an array<long> in ONE pass over the
+    shingles: fold with a k-wide running-min accumulator, permutation
+    constants as literal arrays. Entirely higher-order functions (stays
+    in whole-stage codegen), and k x less codegen than k separate
+    array_min(transform(...)) columns.
 
-    sig = []
-    for i in range(_NUM_HASHES):
-        a, b = _perm_params(i)
-        sig.append(F.array_min(F.transform(shingle_col, _permute(a, b))))
-    return F.array(*sig)
+    ANSI-safety: the 64-bit shingle hash is folded into [0, p) before
+    the multiply, keeping a*x within long range (overflow throws under
+    Spark 4 ANSI arithmetic).
+    """
+    a_arr = F.array(*[F.lit(_perm_params(i)[0]).cast("long") for i in range(_NUM_HASHES)])
+    b_arr = F.array(*[F.lit(_perm_params(i)[1]).cast("long") for i in range(_NUM_HASHES)])
+    return F.aggregate(
+        shingle_col,
+        F.array_repeat(F.lit(_MERSENNE_P).cast("long"), _NUM_HASHES),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(
+                a_arr,
+                b_arr,
+                lambda a, b: F.pmod(F.pmod(h, F.lit(_MERSENNE_P)) * a + b, F.lit(_MERSENNE_P)),
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
 
 
 @query(
@@ -185,13 +194,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     tests/test_dedup.py: exact duplicates always collide in all bands,
     candidates' true Jaccard is verified in a final exact pass."""
     d = t(spark, sf_dir, "documents")
-    # Materialization barrier: the signature expression references the
-    # shingle array 32 times, and Catalyst's project-collapsing would
-    # otherwise inline (and re-execute) the whole shingling pipeline
-    # per reference — measured 16x slower. The persisted intermediate
-    # is (doc_id, shingle-hash array): small relative to the corpus.
-    sh = d.select("doc_id", shingles(F.col("text")).alias("sh")).persist()
-    sig = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    # Materialization barrier: band hashing references the signature
+    # column 32 times, and Catalyst's project-collapsing would inline
+    # (and re-execute) the signature fold per reference. The persisted
+    # intermediate is (doc_id, 32 longs) — tiny relative to the corpus.
+    sig = d.select(
+        "doc_id", minhash_signature(shingles(F.col("text"))).alias("sig")
+    ).persist()
     rows_per_band = _NUM_HASHES // _LSH_BANDS
     # Band structs built with literal indices (python loop, no nested
     # lambdas): band b hashes signature rows [b*r, (b+1)*r).

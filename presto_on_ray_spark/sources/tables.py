@@ -39,11 +39,18 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Lazy; pushdown-friendly.
 
+    Pins the session timezone to UTC first: every suite query flows
+    through here, and an externally-built session (the driver's) with a
+    non-UTC zone would shift timestamp values relative to the DuckDB
+    oracle's naive timestamps.
+
     events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     rejects; read nanos as long (legacy conf — set here so any
     externally-built session works too) and surface a proper
     microsecond TimestampType column.
     """
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
