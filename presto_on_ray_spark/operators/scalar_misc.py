@@ -18,7 +18,7 @@ _URLS = [
 @query(
     "url_functions",
     oracle="""
-    SELECT id,
+    SELECT CAST(id AS BIGINT) AS id,
            SPLIT_PART(url, '://', 1) AS protocol,
            SPLIT_PART(SPLIT_PART(SPLIT_PART(url, '://', 2), '/', 1), ':', 1) AS host,
            SPLIT_PART(SPLIT_PART(url, '://', 2) || '?', '?', 1) AS path_with_host,

@@ -134,7 +134,7 @@ def array_lambdas(spark, sf_dir):
     "array_construction",
     oracle="""
     SELECT n,
-           LIST_SUM(RANGE(1, n + 1)) AS tri,
+           CAST(LIST_SUM(RANGE(1, n + 1)) AS BIGINT) AS tri,
            CAST(LEN(RANGE(1, n + 1)) AS INTEGER) AS card,
            ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, n + 1), x -> CAST(x * x AS VARCHAR)), ',') AS squares
     FROM (SELECT UNNEST(RANGE(1, 6)) AS n)

@@ -41,9 +41,9 @@ def window_ranking(spark, sf_dir):
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w_ties).alias("rnk"),
-        F.dense_rank().over(w_ties).alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
@@ -158,7 +158,7 @@ def window_top_n_per_group(spark, sf_dir):
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return o.select(
-        "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rn")
     ).filter(F.col("rn") <= 3)
 
 

@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the pure-python layers:
+dialect translation and the MySQL-pattern translator. These layers are
+string→string and easy to fuzz; the Spark layers are covered by the
+differential suite instead."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from presto_on_ray_spark.dialect import translate
+from presto_on_ray_spark.functions.datetime_shim import translate_mysql_pattern
+
+_IDENT = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True)
+_LITERAL_BODY = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126, exclude_characters="'"),
+    max_size=20,
+)
+
+
+@given(body=_LITERAL_BODY)
+@settings(max_examples=200)
+def test_string_literals_never_rewritten(body):
+    sql = f"SELECT '{body}' AS s, approx_distinct(x) FROM t"
+    out = translate(sql)
+    assert f"'{body}'" in out
+    assert "approx_count_distinct(x)" in out
+
+
+@given(ident=_IDENT)
+@settings(max_examples=200)
+def test_bare_identifiers_never_rewritten(ident):
+    # identifiers that happen to share a rename's name but are not a
+    # call site (no parenthesis) must pass through
+    sql = f"SELECT {ident}, strpos AS {ident}2 FROM cardinality"
+    out = translate(sql)
+    assert f"SELECT {ident}," in out
+    assert "strpos AS" in out  # no '(' → untouched
+    assert "FROM cardinality" in out
+
+
+@given(sql=st.text(alphabet=st.sampled_from(list("abcdefg xyz,()'*=<>.123")), max_size=60))
+@settings(max_examples=300)
+def test_translate_idempotent(sql):
+    once = translate(sql)
+    assert translate(once) == once
+
+
+# MySQL-pattern property: for any pattern built from supported
+# specifiers, strftime on a reference datetime must reproduce the
+# MySQL-documented rendering of that specifier.
+_REF_DT = datetime.datetime(2024, 3, 5, 7, 9, 8, 123456)
+_MYSQL_RENDER = {
+    "%Y": "2024", "%y": "24", "%m": "03", "%c": "3", "%d": "05", "%e": "5",
+    "%H": "07", "%k": "7", "%h": "07", "%I": "07", "%l": "7",
+    "%i": "09", "%S": "08", "%s": "08", "%f": "123456",
+    "%M": "March", "%b": "Mar", "%j": "065", "%p": "AM",
+    "%W": "Tuesday", "%a": "Tue", "%w": "2",
+    "%T": "07:09:08", "%r": "07:09:08 AM", "%%": "%",
+}
+
+
+@given(specs=st.lists(st.sampled_from(sorted(_MYSQL_RENDER)), min_size=1, max_size=8))
+@settings(max_examples=300)
+def test_mysql_pattern_renders_per_spec(specs):
+    pattern = "-".join(specs)
+    rendered = _REF_DT.strftime(translate_mysql_pattern(pattern))
+    expected = "-".join(_MYSQL_RENDER[s] for s in specs)
+    assert rendered == expected
