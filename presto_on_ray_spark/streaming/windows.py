@@ -141,3 +141,49 @@ def run_stream_to_memory(df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return df.sparkSession.table(query_name)
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on a content key under a
+    watermark — the state-bounded form of the batch dedup family
+    (operators/dedup.py). State holds one entry per key seen within the
+    watermark horizon; late duplicates beyond it are not caught, which
+    is the standard correctness/state tradeoff at unbounded scale."""
+    ev = _events_stream(spark, sf_dir)
+    return ev.withWatermark("ts", watermark).dropDuplicates(["user_id", "event_type"])
+
+
+def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded twin: first event per (user_id, event_type)."""
+    from pyspark.sql import Window
+
+    from presto_on_ray_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@query(
+    "streaming_dedup_batch",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_dedup_batch_query(spark, sf_dir):
+    """Batch twin of the streaming dropDuplicates dedup: first event per
+    (user_id, event_type). Oracle truncates ts to microseconds to match
+    Spark's parquet-nanos handling before ordering."""
+    return streaming_dedup_batch(spark, sf_dir).select(
+        "user_id", "event_type", F.col("event_id").alias("first_event_id")
+    )

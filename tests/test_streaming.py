@@ -76,3 +76,28 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     )
     batch = running_totals_batch(spark, sf_dir)
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_streaming_dedup_bounds_match_batch_keys(spark, sf_dir):
+    from presto_on_ray_spark.streaming.windows import (
+        streaming_dedup,
+        streaming_dedup_batch,
+    )
+
+    sdf = streaming_dedup(spark, sf_dir)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_dedup")
+    batch = streaming_dedup_batch(spark, sf_dir)
+    # one surviving row per key, and the same key set as the batch twin
+    gk = {(r.user_id, r.event_type) for r in got.collect()}
+    bk = {(r.user_id, r.event_type) for r in batch.collect()}
+    assert gk == bk
+    assert got.count() == len(gk)
