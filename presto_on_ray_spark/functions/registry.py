@@ -244,3 +244,21 @@ def register_presto_functions(spark: SparkSession) -> None:
 def register_function(spark: SparkSession, name: str, fn, return_type) -> None:
     """User-facing UDF registry (Engine.register_function)."""
     spark.udf.register(name, F.udf(fn, return_type))
+
+
+def register_udtfs(spark: SparkSession) -> None:
+    """Python UDTFs (SURVEY §2.10 — Spark's table-function surface,
+    richer than Presto 0.248's plugin-only story). ``split_to_rows``
+    mirrors Presto's UNNEST(split(...)) idiom as a standalone table
+    function usable in the FROM clause."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitToRows:
+        def eval(self, text: str, delim: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(delim)):
+                yield w, i + 1  # 1-based, Presto ordinality convention
+
+    spark.udtf.register("split_to_rows", SplitToRows)

@@ -49,7 +49,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     externally-built session works too) and surface a proper
     microsecond TimestampType column.
     """
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # NB: conf.get(key, default) VALIDATES the default on Spark 4 — an
+    # empty-string default throws INVALID_CONF_VALUE; use the 1-arg form.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

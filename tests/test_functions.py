@@ -167,3 +167,20 @@ def test_translate_unnest_forms(spark):
         )
     ).collect()
     assert [(r.w, r.o) for r in ordin] == [("a", 1), ("b", 2)]
+
+
+def test_python_udtf_split_to_rows(spark):
+    from presto_on_ray_spark.functions.registry import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT word, pos FROM split_to_rows('a b c', ' ')"
+    ).collect()
+    assert [(r.word, r.pos) for r in rows] == [("a", 1), ("b", 2), ("c", 3)]
+    lateral = spark.sql(
+        """
+        SELECT t.id, s.word FROM VALUES (1, 'x,y'), (2, 'z') AS t(id, txt),
+        LATERAL split_to_rows(t.txt, ',') s
+        """
+    ).collect()
+    assert sorted((r.id, r.word) for r in lateral) == [(1, "x"), (1, "y"), (2, "z")]
