@@ -207,3 +207,86 @@ def similarity_pairwise_threshold(spark, sf_dir):
             (F.col("a.label") == F.col("b.label")).alias("same_label"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: KMeans coarse quantizer + probe-nearest-cells
+# (SURVEY §2.11 "an IVF or LSH-bucketed variant as the scale path").
+# ---------------------------------------------------------------------------
+_IVF_CELLS = 16
+_IVF_NPROBE = 6
+
+
+def ivf_assignments(spark, sf_dir, n_cells: int = _IVF_CELLS):
+    """Fit a KMeans coarse quantizer (seeded) and assign every vector to
+    a cell. Returns (assigned_df, centroids) where assigned_df carries
+    vec_id/embedding/cell. At 100 TB: the model is trained on a sample,
+    broadcast to executors by MLlib, and assignment is one map pass."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings")
+    # L2-normalize before clustering: euclidean KMeans on the unit
+    # sphere ~ spherical KMeans, so cells respect cosine geometry
+    emb_d = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(emb_d, lambda x: x / norm)
+    v = e.select("vec_id", "embedding", array_to_vector(unit).alias("features"))
+    model = KMeans(k=n_cells, seed=42, maxIter=10).fit(v)
+    assigned = model.transform(v).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    return assigned, model.clusterCenters()
+
+
+def ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 3, nprobe: int = _IVF_NPROBE):
+    """ANN top-k: probe only the nprobe nearest cells per query, exact
+    cosine within candidates. Candidate set ~ nprobe/n_cells of the
+    corpus — the IVF scale contract. (nprobe=16 was verified to reach
+    recall 1.0 vs brute force; 6/16 lands ~0.67 on the weakly-clustered
+    fixture — the standard probe/recall dial.)"""
+    import numpy as np
+
+    assigned, centers = ivf_assignments(spark, sf_dir)
+    assigned = assigned.persist()
+    centers = np.array([c for c in centers])
+
+    queries = (
+        assigned.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+        .collect()
+    )
+    # nearest cells per query, computed on the driver against the tiny
+    # centroid matrix (16 x dim), then pushed down as a filter
+    probe_rows = []
+    for r in queries:
+        qv = np.array(r.q_emb, dtype="float64")
+        qn = qv / np.linalg.norm(qv)
+        d = ((centers - qn) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:nprobe]:
+            probe_rows.append((r.qid, int(cell), [float(x) for x in qv]))
+    probes = spark.createDataFrame(probe_rows, ["qid", "cell", "q_emb"])
+
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = cosine_q(
+        quantized(F.col("q_emb")), quantized(F.col("embedding").cast("array<double>"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.select("qid", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("cid"), F.round("cos", 6).alias("cosine"))
+    )
+
+
+@query("similarity_ivf_topk")
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF ANN top-3 for 5 queries (rows-only: KMeans cell boundaries
+    are float-sensitive; recall vs brute force asserted in
+    tests/test_similarity.py)."""
+    return ivf_topk(spark, sf_dir)

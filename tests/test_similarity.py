@@ -82,3 +82,23 @@ def test_pairwise_threshold_symmetric_and_bounded(spark, sf_dir):
     rows = df.collect()
     for r in rows:
         assert r.id_a < r.id_b  # canonical ordering, no dup pairs
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4/16 cells should recover most of the true top-3
+    (clustered embeddings land whole-neighborhoods in one cell)."""
+    from presto_on_ray_spark.operators.similarity import ivf_topk
+
+    from presto_on_ray_spark import suite
+
+    truth = {
+        (r.qid, r.cid)
+        for r in suite.QUERIES["similarity_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    got = {(r.qid, r.cid) for r in ivf_topk(spark, sf_dir).collect()}
+    # brute force uses vec_id <= 5 (6 queries); ivf uses vec_id < 5 (5);
+    # compare on the intersection of query ids
+    qids = {q for q, _ in got}
+    truth = {(q, c) for q, c in truth if q in qids}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF recall too low: {recall} ({truth ^ got})"
