@@ -56,6 +56,10 @@ def _rewrite_code(seg: str) -> str:
         seg = re.sub(
             rf"\b{presto_name}\s*\(", f"{spark_name}(", seg, flags=re.IGNORECASE
         )
+    # Presto double-quoted identifiers -> Spark backticks. Safe here:
+    # this code path never sees string literals (split out upstream),
+    # and in Presto double quotes are ALWAYS identifiers.
+    seg = re.sub(r'"([^"]+)"', r"`\1`", seg)
     # CAST(x AS varchar/json) — Spark rejects length-less varchar and
     # has no json type; both map to string.
     seg = re.sub(r"\bAS\s+varchar\s*\)", "AS string)", seg, flags=re.IGNORECASE)

@@ -184,3 +184,12 @@ def test_python_udtf_split_to_rows(spark):
         """
     ).collect()
     assert sorted((r.id, r.word) for r in lateral) == [(1, "x"), (1, "y"), (2, "z")]
+
+
+def test_translate_double_quoted_identifiers(spark):
+    out = translate('SELECT "weird col" FROM t')
+    assert out == "SELECT `weird col` FROM t"
+    # double quotes inside a single-quoted literal are untouched
+    assert translate("SELECT 'he said \"hi\"' AS s") == "SELECT 'he said \"hi\"' AS s"
+    spark.createDataFrame([(1,)], ["weird col"]).createOrReplaceTempView("_dq")
+    assert spark.sql(translate('SELECT "weird col" FROM _dq')).collect()[0][0] == 1

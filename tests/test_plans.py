@@ -95,3 +95,21 @@ def test_broadcast_respected_for_small_dim_without_hint(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
     )
     assert physical_summary(df)["broadcast_hash_join"], explain_formatted(df)
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE evidence: with 32 initial shuffle partitions over tiny data,
+    the executed plan must show a coalesced AQEShuffleRead — the
+    runtime re-planning SCALING.md leans on."""
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        df = (
+            t(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in executed and "coalesced" in executed, executed[:2000]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
