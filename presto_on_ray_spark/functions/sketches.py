@@ -108,3 +108,78 @@ def hll_cardinality(sketch: Column | str) -> Column:
     return (
         F.when((raw <= 2.5 * _M) & (zeros > 0), linear).otherwise(raw).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (Presto qdigest-lite): fixed-bucket histogram over a
+# declared value range. Mergeable by element-wise add (exact), quantile
+# read-out accurate to one bucket width. The full qdigest's adaptive
+# buckets are traded for pure-expression mergeability.
+# ---------------------------------------------------------------------------
+_QBUCKETS = 256
+
+
+def qsketch_agg(df: DataFrame, group_cols: list[str], value_col: str,
+                lo: float, hi: float, sketch_col: str = "qsk") -> DataFrame:
+    """Per-group quantile sketch: array<long> of _QBUCKETS counts over
+    [lo, hi). Out-of-range values clamp to the edge buckets. Built as a
+    (group, bucket) count — partial aggregation collapses map-side."""
+    v = F.col(value_col).cast("double")
+    bucket = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) / F.lit((hi - lo) / _QBUCKETS)), F.lit(0)
+        ),
+        F.lit(_QBUCKETS - 1),
+    ).cast("int")
+    per_bucket = (
+        df.select(*group_cols, bucket.alias("_b"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.count("*").alias("_n"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("_b", "_n")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(_QBUCKETS - 1)),
+        lambda i: F.coalesce(F.try_element_at(m, i), F.lit(0).cast("long")),
+    )
+    return per_bucket.groupBy(*group_cols).agg(dense.alias(sketch_col))
+
+
+def qsketch_merge(a: Column, b: Column) -> Column:
+    """Merge = element-wise add — exact and associative."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def qsketch_merge_agg(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.collect_list(c),
+        F.array_repeat(F.lit(0).cast("long"), _QBUCKETS),
+        lambda acc, s: F.zip_with(acc, s, lambda x, y: x + y),
+    )
+
+
+def qsketch_quantile(sketch: Column | str, p: float, lo: float, hi: float) -> Column:
+    """Quantile read-out: first bucket whose cumulative count reaches
+    p * total, returned as the bucket's midpoint value. Accuracy:
+    ±(hi-lo)/buckets."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    total = F.aggregate(s, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.ceil(total.cast("double") * F.lit(p)).cast("long")
+    # single fold carrying (cumulative, found_bucket)
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cum"), F.lit(-1).cast("int").alias("idx"),
+        F.lit(0).cast("int").alias("pos"),
+    )
+    walk = F.aggregate(
+        s,
+        acc0,
+        lambda acc, x: F.struct(
+            (acc["cum"] + x).alias("cum"),
+            F.when((acc["idx"] < 0) & (acc["cum"] + x >= target), acc["pos"])
+            .otherwise(acc["idx"])
+            .alias("idx"),
+            (acc["pos"] + 1).alias("pos"),
+        ),
+    )
+    width = (hi - lo) / _QBUCKETS
+    return F.lit(lo) + (walk["idx"].cast("double") + 0.5) * F.lit(width)

@@ -46,3 +46,30 @@ def checksum_agg(spark, sf_dir):
             "checksum"
         )
     )
+
+
+@query("qdigest_sketch_pipeline")
+def qdigest_sketch_pipeline(spark, sf_dir):
+    """Presto approx_percentile-as-value workflow (qdigest-lite): build
+    per-priority quantile sketches, merge to the status level, read p50
+    and p90 from the merged sketch. Rows-only driver check; bucket-width
+    accuracy and exact mergeability pinned in tests/test_sketches.py."""
+    from presto_on_ray_spark.functions.sketches import (
+        qsketch_agg,
+        qsketch_merge_agg,
+        qsketch_quantile,
+    )
+
+    lo, hi = 0.0, 600000.0
+    o = t(spark, sf_dir, "orders")
+    per_prio = qsketch_agg(
+        o, ["o_orderstatus", "o_orderpriority"], "o_totalprice", lo, hi
+    )
+    rolled = per_prio.groupBy("o_orderstatus").agg(
+        qsketch_merge_agg("qsk").alias("merged")
+    )
+    return rolled.select(
+        "o_orderstatus",
+        F.round(qsketch_quantile("merged", 0.5, lo, hi), 2).alias("p50_price"),
+        F.round(qsketch_quantile("merged", 0.9, lo, hi), 2).alias("p90_price"),
+    )

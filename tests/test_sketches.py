@@ -105,3 +105,56 @@ def test_checksum_order_invariant(spark, sf_correct):
         )
     )
     assert {tuple(r) for r in base.collect()} != {tuple(r) for r in dropped.collect()}
+
+
+def test_qsketch_quantile_within_bucket_width(spark, sf_correct):
+    import pyspark.sql.functions as F
+
+    from presto_on_ray_spark.functions.sketches import (
+        qsketch_agg,
+        qsketch_quantile,
+    )
+
+    li = t(spark, sf_correct, "lineitem")
+    lo, hi = 0.0, 110000.0
+    sk = qsketch_agg(li, ["l_linestatus"], "l_extendedprice", lo, hi)
+    est = {
+        r.l_linestatus: r.p50
+        for r in sk.select(
+            "l_linestatus", qsketch_quantile("qsk", 0.5, lo, hi).alias("p50")
+        ).collect()
+    }
+    exact = {
+        r.l_linestatus: r.p50
+        for r in li.groupBy("l_linestatus")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("p50"))
+        .collect()
+    }
+    width = (hi - lo) / 256
+    for k, ex in exact.items():
+        assert abs(est[k] - ex) <= width, (k, est[k], ex, width)
+
+
+def test_qsketch_merge_equals_rebuild(spark, sf_correct):
+    import pyspark.sql.functions as F
+
+    from presto_on_ray_spark.functions.sketches import (
+        qsketch_agg,
+        qsketch_merge,
+    )
+
+    li = t(spark, sf_correct, "lineitem")
+    lo, hi = 0.0, 110000.0
+    a = li.filter(F.col("l_orderkey") % 2 == 0).withColumn("g", F.lit(1))
+    b = li.filter(F.col("l_orderkey") % 2 == 1).withColumn("g", F.lit(1))
+    sa = qsketch_agg(a, ["g"], "l_extendedprice", lo, hi, "qa")
+    sb = qsketch_agg(b, ["g"], "l_extendedprice", lo, hi, "qb")
+    merged = (
+        sa.join(sb, "g").select(qsketch_merge(F.col("qa"), F.col("qb")).alias("m"))
+        .collect()[0].m
+    )
+    full = (
+        qsketch_agg(li.withColumn("g", F.lit(1)), ["g"], "l_extendedprice", lo, hi)
+        .collect()[0].qsk
+    )
+    assert merged == full
