@@ -29,6 +29,7 @@ _FN_CALL = {
     **PRESTO_TO_SPARK_FN,
     "format_datetime": "date_format",  # Joda ~= Java patterns
     "normalize": "normalize_nfc",
+    "row": "struct",  # ROW(1,'a') literal -> struct(1,'a')
 }
 
 _STRING_LITERAL = re.compile(r"'(?:[^']|'')*'")
@@ -98,6 +99,17 @@ def translate(sql: str) -> str:
     translated = re.sub(
         r"\bdate_diff\s*\(\s*'(\w+)'\s*,",
         lambda m: f"timestampdiff({m.group(1).upper()},",
+        translated,
+        flags=re.IGNORECASE,
+    )
+    # Presto `expr AT TIME ZONE 'tz'` -> from_utc_timestamp: correct
+    # when the session zone is UTC (the engine pins it), where both
+    # produce the wall-clock of the same instant in the target zone.
+    # (simple column references only; a parenthesized expression would
+    # need balanced-paren tracking and passes through untranslated)
+    translated = re.sub(
+        r"\b(\w+(?:\.\w+)*)\s+AT\s+TIME\s+ZONE\s+('[^']+')",
+        r"from_utc_timestamp(\1, \2)",
         translated,
         flags=re.IGNORECASE,
     )

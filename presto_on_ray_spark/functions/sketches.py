@@ -21,7 +21,6 @@ the property the reference's users get from Presto's HLL type.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

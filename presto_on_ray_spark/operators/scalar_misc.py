@@ -146,3 +146,27 @@ def agg_percentile_exact(spark, sf_dir):
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1_qty"),
     )
+
+
+@query(
+    "utf8_chr_functions",
+    oracle="""
+    SELECT n,
+           CHR(CAST(64 + n AS INTEGER)) AS letter,
+           CAST(ASCII(CHR(CAST(64 + n AS INTEGER))) AS INTEGER) AS code,
+           DECODE(ENCODE('abc' || CAST(n AS VARCHAR))) AS roundtrip,
+           CAST(OCTET_LENGTH(ENCODE('é' || CAST(n AS VARCHAR))) AS INTEGER) AS utf8_bytes
+    FROM (SELECT UNNEST(RANGE(1, 6)) AS n)
+    """,
+)
+def utf8_chr_functions(spark, sf_dir):
+    """chr / codepoint(=ascii) / to_utf8(=encode) / from_utf8(=decode)
+    (SURVEY §2.8 string tail). utf8_bytes shows the multibyte é."""
+    ns = spark.range(1, 6).select(F.col("id").alias("n"))
+    return ns.select(
+        "n",
+        F.chr(F.lit(64) + F.col("n")).alias("letter"),
+        F.ascii(F.chr(F.lit(64) + F.col("n"))).cast("int").alias("code"),
+        F.decode(F.encode(F.concat(F.lit("abc"), F.col("n").cast("string")), "utf-8"), "utf-8").alias("roundtrip"),
+        F.octet_length(F.encode(F.concat(F.lit("é"), F.col("n").cast("string")), "utf-8")).cast("int").alias("utf8_bytes"),
+    )

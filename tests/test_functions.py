@@ -193,3 +193,19 @@ def test_translate_double_quoted_identifiers(spark):
     assert translate("SELECT 'he said \"hi\"' AS s") == "SELECT 'he said \"hi\"' AS s"
     spark.createDataFrame([(1,)], ["weird col"]).createOrReplaceTempView("_dq")
     assert spark.sql(translate('SELECT "weird col" FROM _dq')).collect()[0][0] == 1
+
+
+def test_translate_at_time_zone_and_row(spark):
+    out = translate("SELECT ts AT TIME ZONE 'Asia/Tokyo', row(1, 'a') FROM t")
+    assert out == "SELECT from_utc_timestamp(ts, 'Asia/Tokyo'), struct(1, 'a') FROM t"
+    r = spark.sql(
+        translate(
+            "SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' AS timestamp) AS ts"
+        )
+    ).selectExpr("ts").collect()
+    # live check through a view column
+    spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts").createOrReplaceTempView("_tz")
+    row = spark.sql(translate("SELECT ts AT TIME ZONE 'Asia/Tokyo' AS t2 FROM _tz")).collect()[0]
+    assert str(row.t2) == "2024-01-01 09:00:00"
+    srow = spark.sql(translate("SELECT row(1, 'a') AS r")).collect()[0]
+    assert srow.r[0] == 1 and srow.r[1] == "a"
