@@ -170,3 +170,40 @@ def utf8_chr_functions(spark, sf_dir):
         F.decode(F.encode(F.concat(F.lit("abc"), F.col("n").cast("string")), "utf-8"), "utf-8").alias("roundtrip"),
         F.octet_length(F.encode(F.concat(F.lit("é"), F.col("n").cast("string")), "utf-8")).cast("int").alias("utf8_bytes"),
     )
+
+
+@query(
+    "uuid_ip_functions",
+    oracle="""
+    SELECT ip,
+           CAST(regexp_matches(ip, '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$') AS BOOLEAN) AS is_valid_v4,
+           SPLIT_PART(ip, '.', 1) AS first_octet,
+           CASE WHEN SPLIT_PART(ip, '.', 1) = '10' THEN TRUE
+                WHEN SPLIT_PART(ip, '.', 1) = '192' AND SPLIT_PART(ip, '.', 2) = '168' THEN TRUE
+                ELSE FALSE END AS is_private
+    FROM (VALUES ('10.0.0.1'), ('192.168.1.77'), ('8.8.8.8'), ('999.1.2.3'), ('not-an-ip'))
+      AS t(ip)
+    """,
+)
+def uuid_ip_functions(spark, sf_dir):
+    """ipaddress-as-string helpers (SURVEY §2.8 exotic types → string +
+    functions per §1.3 mapping): v4 validation, octet extraction,
+    RFC1918 check. uuid() itself is nondeterministic → exercised in
+    tests, not the oracle."""
+    ips = spark.createDataFrame(
+        [("10.0.0.1",), ("192.168.1.77",), ("8.8.8.8",), ("999.1.2.3",), ("not-an-ip",)],
+        ["ip"],
+    )
+    v4 = r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$"
+    return ips.select(
+        "ip",
+        F.col("ip").rlike(v4).alias("is_valid_v4"),
+        F.split_part(F.col("ip"), F.lit("."), F.lit(1)).alias("first_octet"),
+        (
+            (F.split_part(F.col("ip"), F.lit("."), F.lit(1)) == "10")
+            | (
+                (F.split_part(F.col("ip"), F.lit("."), F.lit(1)) == "192")
+                & (F.split_part(F.col("ip"), F.lit("."), F.lit(2)) == "168")
+            )
+        ).alias("is_private"),
+    )

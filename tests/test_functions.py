@@ -209,3 +209,13 @@ def test_translate_at_time_zone_and_row(spark):
     assert str(row.t2) == "2024-01-01 09:00:00"
     srow = spark.sql(translate("SELECT row(1, 'a') AS r")).collect()[0]
     assert srow.r[0] == 1 and srow.r[1] == "a"
+
+
+def test_uuid_generates_unique_valid(spark):
+    rows = spark.range(100).select(F.expr("uuid()").alias("u")).collect()
+    us = [r.u for r in rows]
+    assert len(set(us)) == 100
+    import re
+
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+    assert all(pat.match(u) for u in us)

@@ -113,3 +113,47 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
         assert "AQEShuffleRead" in executed and "coalesced" in executed, executed[:2000]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """Skew evidence (SCALING.md): a join where one key holds ~90% of
+    the probe side must trigger AQE's skew-join split (the executed SMJ
+    is marked skew=true). This is the automatic path; operators/skew.py
+    salting is the manual fallback."""
+    import pyspark.sql.functions as F
+
+    # ~300k rows on one hot key, a few rows elsewhere; force SMJ
+    hot = spark.range(300_000).select(
+        F.lit(1).alias("k"), (F.col("id") % 97).alias("payload")
+    )
+    cold = spark.range(2, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("payload")
+    )
+    left = hot.unionAll(cold)
+    right = spark.range(1, 50).select(F.col("id").alias("k"), F.lit("d").alias("v"))
+    old_thresholds = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        joined = left.join(right, "k")
+        # execute THIS df's own QueryExecution (df.rdd shares it) so the
+        # adaptive plan attached to `joined` finalizes
+        assert joined.rdd.count() == 300_000 + 48
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:2500]
+    finally:
+        for k, v in old_thresholds.items():
+            spark.conf.set(k, v)
