@@ -187,3 +187,29 @@ def streaming_dedup_batch_query(spark, sf_dir):
     return streaming_dedup_batch(spark, sf_dir).select(
         "user_id", "event_type", F.col("event_id").alias("first_event_id")
     )
+
+
+def stream_to_parquet_foreachbatch(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch sink: per-microbatch idempotent parquet writes,
+    partitioned by batch id. foreachBatch is the streaming escape hatch
+    for sinks Structured Streaming lacks natively (JDBC, MERGE targets);
+    idempotence comes from overwriting the batch's own partition, so a
+    replayed batch after failure rewrites the same files."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch={batch_id}")
+        )
+
+    ev = _events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -101,3 +101,30 @@ def test_streaming_dedup_bounds_match_batch_keys(spark, sf_dir):
     bk = {(r.user_id, r.event_type) for r in batch.collect()}
     assert gk == bk
     assert got.count() == len(gk)
+
+
+def test_foreachbatch_parquet_sink_roundtrip(spark, sf_dir, tmp_path_factory):
+    import os
+    import shutil
+
+    from presto_on_ray_spark.operators._util import t as _t
+    from presto_on_ray_spark.streaming.windows import stream_to_parquet_foreachbatch
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp_io", "febatch"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    try:
+        stream_to_parquet_foreachbatch(
+            spark, sf_dir, out_dir=f"{base}/out", checkpoint_dir=f"{base}/ckpt"
+        )
+        back = spark.read.parquet(f"{base}/out/batch=0")
+        total = _t(spark, sf_dir, "events").count()
+        assert back.count() == total
+        # every event made it through the stream exactly once
+        src_ids = {r.event_id for r in _t(spark, sf_dir, "events").select("event_id").collect()}
+        got_ids = {r.event_id for r in back.select("event_id").collect()}
+        assert got_ids == src_ids
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
