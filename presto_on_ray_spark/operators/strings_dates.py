@@ -207,3 +207,35 @@ def math_functions(spark, sf_dir):
         .cast("long")
         .alias("qty_bucket"),
     )
+
+
+@query(
+    "regex_extract_all_like_escape",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS INTEGER) AS n_a_words,
+           COALESCE(ARRAY_TO_STRING(regexp_extract_all(text, 'b[a-z]+'), ','), '') AS b_words,
+           CAST(text LIKE '%ba^_tch%' ESCAPE '^' AS BOOLEAN) AS has_literal_underscore,
+           CAST(text LIKE '%batch%' AS BOOLEAN) AS has_batch
+    FROM (SELECT doc_id, SUBSTR(text, 1, 80) AS text FROM documents WHERE doc_id <= 60) d
+    """,
+)
+def regex_extract_all_like_escape(spark, sf_dir):
+    """regexp_extract_all (SURVEY §2.8 regex) + LIKE … ESCAPE
+    (SURVEY §2.2): all-match extraction and escaped-wildcard matching."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 60)
+        .select("doc_id", F.substring("text", 1, 80).alias("text"))
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]*a[a-z]*"), 0))
+        .cast("int")
+        .alias("n_a_words"),
+        F.array_join(F.regexp_extract_all("text", F.lit("b[a-z]+"), 0), ",").alias(
+            "b_words"
+        ),
+        F.expr("text LIKE '%ba^_tch%' ESCAPE '^'").alias("has_literal_underscore"),
+        F.col("text").like("%batch%").alias("has_batch"),
+    )
