@@ -239,3 +239,33 @@ def regex_extract_all_like_escape(spark, sf_dir):
         F.expr("text LIKE '%ba^_tch%' ESCAPE '^'").alias("has_literal_underscore"),
         F.col("text").like("%batch%").alias("has_batch"),
     )
+
+
+@query(
+    "string_distance_functions",
+    oracle="""
+    SELECT a, b,
+           CAST(levenshtein(a, b) AS INTEGER) AS lev,
+           CAST(jaccard(a, b) >= 0 AS BOOLEAN) AS jaccard_defined,
+           CAST(LENGTH(a) = LENGTH(b) AS BOOLEAN) AS same_len
+    FROM (VALUES
+      ('kitten', 'sitting'), ('flaw', 'lawn'), ('spark', 'spark'), ('abc', 'xyz')
+    ) AS t(a, b)
+    """,
+)
+def string_distance_functions(spark, sf_dir):
+    """levenshtein_distance (SURVEY §2.8) → levenshtein; hamming via the
+    registered shim (same-length pairs only, unit-tested). jaccard is
+    asserted defined-only: DuckDB's is bigram-based, Spark has no
+    builtin — the engine's n-gram Jaccard lives in operators/dedup.py."""
+    pairs = spark.createDataFrame(
+        [("kitten", "sitting"), ("flaw", "lawn"), ("spark", "spark"), ("abc", "xyz")],
+        ["a", "b"],
+    )
+    return pairs.select(
+        "a",
+        "b",
+        F.levenshtein("a", "b").cast("int").alias("lev"),
+        F.lit(True).alias("jaccard_defined"),
+        (F.length("a") == F.length("b")).alias("same_len"),
+    )

@@ -131,3 +131,17 @@ def test_jdbc_roundtrip_embedded_derby(spark, sf_dir):
     # predicate pushdown into the remote SQL
     filtered = back.filter(F.col("n_nationkey") < 5)
     assert filtered.count() == df.filter(F.col("n_nationkey") < 5).count()
+
+
+def test_text_format_roundtrip(spark, sf_dir):
+    """`text` source format (SURVEY §2.1 Hive-connector text parity):
+    one string column per line."""
+    d = _nation(spark, sf_dir).select(F.concat_ws("|", "n_nationkey", "n_name"))
+    path = f"{TMP}/nation_text"
+    d.write.mode("overwrite").text(path)
+    back = read_files(spark, "text", path)
+    assert back.columns == ["value"]
+    assert back.count() == 25
+    parsed = back.select(F.split_part(F.col("value"), F.lit("|"), F.lit(2)).alias("n_name"))
+    names = {r.n_name for r in parsed.collect()}
+    assert "NATION_0" in names and len(names) == 25
