@@ -1,0 +1,70 @@
+"""End-to-end engine tour — runnable: ``python examples/demo.py``.
+
+Walks the surfaces a presto-on-ray user would recognize (SQL over a
+catalog) and the ones this engine adds (training-data pipeline ops,
+sketches, streaming), printing small result samples.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from presto_on_ray_spark import Engine, get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(app_name="presto-on-ray-spark-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark).register_tables(SF_DIR)
+
+    print("== Presto-dialect SQL (the reference's connect surface) ==")
+    eng.sql(
+        """
+        SELECT l_returnflag,
+               approx_distinct(l_orderkey) AS orders,
+               arbitrary(l_linestatus) AS a_status
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    ).show()
+
+    print("== DataFrame front door: star-schema revenue ==")
+    from presto_on_ray_spark import suite
+
+    suite.load_all()
+    suite.QUERIES["tpch_q5_local_supplier_volume"](spark, SF_DIR).show()
+
+    print("== Dedup: MinHash-LSH candidates vs exact jaccard ==")
+    suite.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).show(5)
+    print(
+        "LSH candidate pairs:",
+        suite.QUERIES["dedup_minhash_lsh"](spark, SF_DIR).count(),
+    )
+
+    print("== Similarity: brute-force top-k ==")
+    suite.QUERIES["similarity_bruteforce_topk"](spark, SF_DIR).show(6)
+
+    print("== Mergeable sketches: HLL per status ==")
+    suite.QUERIES["hll_sketch_pipeline"](spark, SF_DIR).show()
+
+    print("== Streaming: tumbling windows (availableNow -> memory) ==")
+    from presto_on_ray_spark.streaming import tumbling_window_counts
+    from presto_on_ray_spark.streaming.windows import run_stream_to_memory
+
+    run_stream_to_memory(tumbling_window_counts(spark, SF_DIR), "demo_windows").orderBy(
+        "window_start", "event_type"
+    ).show(5)
+
+    print("== Physical-plan introspection ==")
+    from presto_on_ray_spark.plans import physical_summary
+
+    print(physical_summary(suite.QUERIES["q1_pricing_summary"](spark, SF_DIR)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
