@@ -58,3 +58,14 @@ def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
     # genuinely needs them: check ReadSchema is present for parquet scans
     if "Scan parquet" in plan:
         assert "ReadSchema" in plan
+
+
+@pytest.mark.parametrize("name", sorted(suite.QUERIES))
+def test_schema_stable_across_invocations(spark, sf_dir, name):
+    """The driver requires a stable schema; two plan builds must agree
+    exactly (names, types, nullability-insensitive)."""
+    a = suite.QUERIES[name](spark, sf_dir)
+    b = suite.QUERIES[name](spark, sf_dir)
+    sa = [(f.name, f.dataType.simpleString()) for f in a.schema.fields]
+    sb = [(f.name, f.dataType.simpleString()) for f in b.schema.fields]
+    assert sa == sb

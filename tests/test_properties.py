@@ -69,3 +69,25 @@ def test_mysql_pattern_renders_per_spec(specs):
     rendered = _REF_DT.strftime(translate_mysql_pattern(pattern))
     expected = "-".join(_MYSQL_RENDER[s] for s in specs)
     assert rendered == expected
+
+
+def test_dsum_deterministic_across_partitionings(spark):
+    """The determinism contract's core claim: decimal-accumulated sums
+    are identical for any partitioning of the same multiset."""
+    import random
+
+    from presto_on_ray_spark.functions.numeric import dsum
+
+    rng = random.Random(42)
+    values = [round(rng.uniform(0, 100000), 2) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    results = set()
+    for parts in [1, 3, 7, 32]:
+        got = df.repartition(parts).agg(dsum("x").alias("s")).collect()[0].s
+        results.add(got)
+    assert len(results) == 1, results
+    # and equals the exact decimal sum computed in python
+    from decimal import Decimal
+
+    exact = float(sum(Decimal(str(v)) for v in values))
+    assert results.pop() == exact
