@@ -53,10 +53,9 @@ class ClusterControl:
         """`del_worker` equivalent. No-op (False) on local masters."""
         if self.sc.master.startswith("local"):
             return False
-        from py4j.java_collections import ListConverter
-
-        jlist = ListConverter().convert(executor_ids, self.sc._gateway._gateway_client)
-        return self.sc._jsc.sc().killExecutors(jlist)
+        # killExecutors takes a Scala Seq[String], not a java.util.List
+        jseq = self.sc._jvm.PythonUtils.toSeq(executor_ids)
+        return self.sc._jsc.sc().killExecutors(jseq)
 
     def stop(self) -> None:
         """The reference's `stop` verb (modulo its self._prof typo bug,

@@ -48,16 +48,13 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
     "from_hex": "unhex",
     "json_extract": "get_json_object",
     "json_extract_scalar": "get_json_object",
-    "json_format": "to_json",
     "json_array_length": "json_array_length",
     "regexp_like": "rlike",
     "cardinality": "size",
     "reduce": "aggregate",
-    "array_average": "array_mean",
     "is_nan": "isnan",
     "power": "pow",
     "ceiling": "ceil",
-    "truncate": "trunc",  # numeric truncate; date trunc handled by date_trunc
     "log": "log",
     "mod": "mod",
     "rand": "rand",
@@ -230,6 +227,31 @@ def register_presto_functions(spark: SparkSession) -> None:
     def normalize(s: pd.Series) -> pd.Series:
         return s.map(_normalize_nfc, na_action="ignore")
 
+    @pandas_udf("double")
+    def presto_truncate(x: pd.Series) -> pd.Series:
+        # Presto truncate(x): drop the fractional part toward zero
+        import numpy as np
+
+        return pd.Series(np.trunc(x.astype("float64")))
+
+    @pandas_udf(StringType())
+    def presto_json_format(s: pd.Series) -> pd.Series:
+        import json
+
+        def fmt(v):
+            return json.dumps(json.loads(v), separators=(",", ":"))
+
+        return s.map(fmt, na_action="ignore")
+
+    @pandas_udf("double")
+    def presto_array_average(arr: pd.Series) -> pd.Series:
+        return arr.map(
+            lambda a: (sum(a) / len(a)) if a is not None and len(a) else None
+        )
+
+    spark.udf.register("truncate", presto_truncate)
+    spark.udf.register("json_format", presto_json_format)
+    spark.udf.register("array_average", presto_array_average)
     spark.udf.register("date_format_mysql", presto_date_format)
     spark.udf.register("date_parse", presto_date_parse)
     spark.udf.register("word_stem", word_stem)

@@ -219,3 +219,17 @@ def test_uuid_generates_unique_valid(spark):
 
     pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
     assert all(pat.match(u) for u in us)
+
+
+def test_truncate_json_format_array_average_shims(spark):
+    register_presto_functions(spark)
+    r = spark.sql(
+        """
+        SELECT truncate(8.97) AS t_pos, truncate(-8.97) AS t_neg,
+               json_format('{"b": 2, "a": 1}') AS jf,
+               array_average(array(1.0D, 2.0D, 6.0D)) AS avg
+        """
+    ).collect()[0]
+    assert r.t_pos == 8.0 and r.t_neg == -8.0  # toward zero, Presto semantics
+    assert r.jf == '{"b":2,"a":1}'
+    assert abs(r.avg - 3.0) < 1e-12
