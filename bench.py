@@ -64,7 +64,9 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    import re as _re
+
+    m = _re.fullmatch(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
     print(
         json.dumps(
             {
@@ -72,7 +74,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else None,
+                "sf": float(m.group(1)) if m else None,
             }
         )
     )

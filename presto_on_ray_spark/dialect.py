@@ -118,11 +118,10 @@ def translate(sql: str) -> str:
     #   CROSS JOIN UNNEST(expr) [WITH ORDINALITY] AS t(c[, ord])
     translated = re.sub(
         r"\bCROSS\s+JOIN\s+UNNEST\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s+WITH\s+ORDINALITY\s+AS\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",
-        # posexplode yields (pos, col); Presto ordinality is 1-based and
-        # trails the value column, so reorder/shift at use sites via the
-        # emitted aliases (pos0 exposed as <ord> - callers add +1; we
-        # emit a computed view instead to keep 1-based semantics):
-        r"LATERAL VIEW posexplode(\1) \2 AS \2_pos0, \3 LATERAL VIEW explode(array(\2_pos0 + 1)) \2_ord AS \4",
+        # inline() explodes an array<struct> into named columns, so both
+        # the value and the (1-based) ordinality live under the user's
+        # table alias with no helper columns leaking into SELECT *.
+        r"LATERAL VIEW inline(transform(\1, (v, i) -> struct(v AS \3, CAST(i + 1 AS BIGINT) AS \4))) \2 AS \3, \4",
         translated,
         flags=re.IGNORECASE,
     )

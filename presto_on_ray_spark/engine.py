@@ -40,8 +40,18 @@ class Engine:
         return self
 
     def table(self, name: str) -> DataFrame:
-        if self._sf_dir is not None:
+        import os
+
+        from presto_on_ray_spark.sources.tables import TABLES
+
+        if (
+            self._sf_dir is not None
+            and name in TABLES
+            and os.path.exists(os.path.join(self._sf_dir, f"{name}.parquet"))
+        ):
             return load_table(self.spark, self._sf_dir, name)
+        # anything else (user temp views, catalog tables) resolves
+        # through the session catalog
         return self.spark.table(name)
 
     # -- SQL front door ----------------------------------------------
@@ -61,7 +71,7 @@ class Engine:
     # -- introspection ------------------------------------------------
     def explain(self, df_or_sql) -> str:
         """Formatted physical plan — the engine's perf feedback loop."""
+        from presto_on_ray_spark.plans.inspect import explain_formatted
+
         df = self.sql(df_or_sql) if isinstance(df_or_sql, str) else df_or_sql
-        return df._jdf.queryExecution().explainString(
-            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        )
+        return explain_formatted(df)

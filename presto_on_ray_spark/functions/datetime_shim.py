@@ -51,7 +51,11 @@ def translate_mysql_pattern(pattern: str) -> str:
         ch = pattern[i]
         if ch == "%" and i + 1 < len(pattern):
             spec = pattern[i : i + 2]
-            out.append(_MYSQL_TO_STRFTIME.get(spec, spec[1]))
+            if spec not in _MYSQL_TO_STRFTIME:
+                # fail loudly: silently emitting the bare letter would be
+                # exactly the wrong-answer trap this module exists to close
+                raise ValueError(f"unsupported MySQL datetime specifier {spec!r}")
+            out.append(_MYSQL_TO_STRFTIME[spec])
             i += 2
         else:
             out.append(ch)

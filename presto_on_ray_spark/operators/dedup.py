@@ -174,7 +174,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
             lambda i: F.array_join(F.slice(words, i, 3), " "),
         )
     )
-    # persisted: reused by ranking, the candidate join, and verification
+    # persisted: reused by ranking, the candidate join, and verification.
+    # (Repeated invocations do NOT leak: Spark's CacheManager dedupes by
+    # analyzed-plan equality, so an identical call reuses this entry.)
     sh = d.select("doc_id", F.explode(grams).alias("sh")).persist()
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sh")

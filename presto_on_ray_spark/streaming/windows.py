@@ -129,13 +129,17 @@ def streaming_session_windows(spark, sf_dir):
     return sessionize_events(spark, sf_dir)
 
 
-def run_stream_to_memory(df: DataFrame, query_name: str) -> DataFrame:
+def run_stream_to_memory(
+    df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DataFrame with availableNow → memory sink,
-    return the materialized result (test/demo harness)."""
+    return the materialized result (test/demo harness). Use
+    output_mode="append" for non-aggregating streams (dedup, joins) —
+    complete mode only works over streaming aggregations."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
