@@ -68,6 +68,7 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
     "week_of_year": "weekofyear",
     "yow": "yearofweek",
     "last_day_of_month": "last_day",
+    "zip": "arrays_zip",
     "map_from_entries": "map_from_entries",
     "multimap_from_entries": "map_from_entries",  # approximation; values grouped
     # Joda patterns are near-identical to Java's for the common

@@ -148,3 +148,36 @@ def lateral_subquery_sql(spark, sf_dir):
         WHERE c_custkey <= 40 AND max_price IS NOT NULL
         """
     )
+
+
+@query(
+    "date_sequence",
+    oracle="""
+    SELECT start_month,
+           ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(CAST(start_month || '-01' AS DATE),
+                                                          DATE '1997-06-01',
+                                                          INTERVAL 1 MONTH),
+                                          d -> STRFTIME(d, '%Y-%m')), ',') AS months_to_jun97,
+           CAST(LEN(GENERATE_SERIES(CAST(start_month || '-01' AS DATE),
+                                    DATE '1997-06-01', INTERVAL 1 MONTH)) AS INTEGER) AS n_months
+    FROM (VALUES ('1997-01'), ('1997-04'), ('1997-06')) AS t(start_month)
+    """,
+)
+def date_sequence(spark, sf_dir):
+    """sequence(date, date, interval) (SURVEY §2.8 array family) —
+    month series rendered as YYYY-MM strings."""
+    rows = spark.createDataFrame(
+        [("1997-01",), ("1997-04",), ("1997-06",)], ["start_month"]
+    )
+    seq = F.sequence(
+        F.to_date(F.concat(F.col("start_month"), F.lit("-01"))),
+        F.lit("1997-06-01").cast("date"),
+        F.expr("INTERVAL 1 MONTH"),
+    )
+    return rows.select(
+        "start_month",
+        F.array_join(F.transform(seq, lambda d: F.date_format(d, "yyyy-MM")), ",").alias(
+            "months_to_jun97"
+        ),
+        F.size(seq).cast("int").alias("n_months"),
+    )

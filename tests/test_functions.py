@@ -233,3 +233,34 @@ def test_truncate_json_format_array_average_shims(spark):
     assert r.t_pos == 8.0 and r.t_neg == -8.0  # toward zero, Presto semantics
     assert r.jf == '{"b":2,"a":1}'
     assert abs(r.avg - 3.0) < 1e-12
+
+
+def test_interval_types_mapping(spark):
+    """SURVEY §1.3: Presto interval year-to-month / day-to-second map to
+    Spark's YearMonthIntervalType / DayTimeIntervalType."""
+    row = spark.sql(
+        """
+        SELECT INTERVAL '2-3' YEAR TO MONTH AS ym,
+               INTERVAL '1 02:03:04' DAY TO SECOND AS dts,
+               TIMESTAMP '2024-03-01 00:00:00' - TIMESTAMP '2024-02-28 12:00:00' AS diff
+        """
+    )
+    types = {f.name: f.dataType.simpleString() for f in row.schema.fields}
+    assert types["ym"] == "interval year to month"
+    assert types["dts"] == "interval day to second"
+    assert types["diff"].startswith("interval day")
+    # collect only the day-time interval (PySpark cannot deserialize
+    # year-month interval values to Python objects yet)
+    r = row.select("dts").collect()[0]
+    assert r.dts.days == 1 and r.dts.seconds == 2 * 3600 + 3 * 60 + 4
+
+
+def test_zip_rename(spark):
+    from presto_on_ray_spark.dialect import translate
+
+    out = translate("SELECT zip(a, b) FROM t")
+    assert out == "SELECT arrays_zip(a, b) FROM t"
+    r = spark.sql(
+        translate("SELECT zip(array(1, 2), array('x', 'y')) AS z")
+    ).collect()[0]
+    assert [(e[0], e[1]) for e in r.z] == [(1, "x"), (2, "y")]
