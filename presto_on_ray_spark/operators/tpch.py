@@ -258,3 +258,120 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(25)
     )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {oracle_dsum('volume', 4)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """Q7: bilateral trade volume between two nations by year — the
+    self-join-on-dimension shape (nation appears twice with different
+    roles); both nation sides broadcast."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").withColumnRenamed("n_name", "supp_nation")
+    n2 = t(spark, sf_dir, "nation").withColumnRenamed("n_name", "cust_nation")
+    nations = ["NATION_1", "NATION_2"]
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.n_nationkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .filter(
+            F.col("supp_nation").isin(nations)
+            & F.col("cust_nation").isin(nations)
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume", scale=4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH nation_value AS (
+      SELECT p_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE n_regionkey = 2
+      GROUP BY p_partkey
+    )
+    SELECT p_partkey, value
+    FROM nation_value
+    WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) * 0.001 FROM nation_value)
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11 (adapted to the fixture's columns): per-part revenue from
+    region-2 suppliers, filtered to parts above a fraction of the
+    total — aggregate + scalar-subquery-over-the-same-aggregate shape.
+    The intermediate is computed once and reused for both the rows and
+    the threshold (cached: two consumers of one relation)."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    p = t(spark, sf_dir, "part")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_value = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(dsum(value, scale=4).alias("value"))
+        .persist()
+    )
+    threshold = (
+        nation_value.agg(
+            (F.sum(F.col("value").cast("decimal(30,4)")).cast("double") * 0.001).alias("th")
+        )
+        .collect()[0]
+        .th
+    )
+    return (
+        nation_value.filter(F.col("value") > threshold)
+        .orderBy(F.col("value").desc(), F.col("p_partkey"))
+    )
