@@ -375,3 +375,135 @@ def tpch_q11_important_stock(spark, sf_dir):
         nation_value.filter(F.col("value") > threshold)
         .orderBy(F.col("value").desc(), F.col("p_partkey"))
     )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """Q13: distribution of per-customer order counts (zero included via
+    the left join) — double aggregation."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue_share",
+    oracle="""
+    SELECT CAST(100.0 * SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END AS DECIMAL(30,4))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+           AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue_share(spark, sf_dir):
+    """Q14: conditional-aggregate ratio (promo share of monthly
+    revenue) — CASE inside SUM, single division of two decimal-exact
+    sums."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo.cast("decimal(30,4)")).cast("double")
+            / F.sum(rev.cast("decimal(30,4)")).cast("double")
+        ).alias("promo_share_pct")
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_predicates",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND l_quantity <= 25)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)
+def tpch_q19_disjunctive_predicates(spark, sf_dir):
+    """Q19: three-way disjunction of conjunctive brand/size/quantity
+    ranges — the OR-of-ANDs predicate Catalyst must keep joinable."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(5, 25))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(
+        F.count("*").alias("n"),
+        F.sum(rev.cast("decimal(30,4)")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """Q22 (adapted): above-average-balance customers with no URGENT
+    orders (scalar subquery + NOT EXISTS anti join), grouped by nation.
+    (The fixture has no fully order-less customers, so the anti join is
+    scoped to a priority class to keep the result non-degenerate.)"""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0
+          )
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
