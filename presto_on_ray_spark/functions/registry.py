@@ -70,7 +70,11 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
     "last_day_of_month": "last_day",
     "zip": "arrays_zip",
     "map_from_entries": "map_from_entries",
-    "multimap_from_entries": "map_from_entries",  # approximation; values grouped
+    # NOTE: multimap_from_entries is deliberately NOT renamed to
+    # map_from_entries — Presto keeps duplicate keys (map<K,array<V>>)
+    # while Spark's map_from_entries errors/drops on duplicates. The
+    # real shim is `multimap_from_entries` below (tier 2); SQL-level
+    # calls error loudly rather than silently changing semantics.
     # Joda patterns are near-identical to Java's for the common
     # specifiers, so these are direct renames (SURVEY §2.8 date/time).
     "parse_datetime": "to_timestamp",
@@ -123,6 +127,29 @@ def cosine_similarity_arrays(a, b):
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     return dot / (na * nb)
+
+
+def multimap_from_entries(entries):
+    """Presto multimap_from_entries(array<row(K,V)>) → map<K, array<V>>.
+
+    Duplicate keys are KEPT (their values grouped in first-appearance
+    order), matching Presto — Spark's map_from_entries would throw
+    (ANSI) or drop duplicates. Pure higher-order functions, stays in
+    codegen. Entries must be struct<key, value> (the same field shape
+    ``map_entries`` produces).
+    """
+    e = F.col(entries) if isinstance(entries, str) else entries
+    keys = F.array_distinct(F.transform(e, lambda s: s["key"]))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.transform(
+                F.filter(e, lambda s: s["key"].eqNullSafe(k)),
+                lambda s: s["value"],
+            ),
+        ),
+    )
 
 
 def array_ngrams(col, n: int):

@@ -86,12 +86,17 @@ def hll_merge(a: Column, b: Column) -> Column:
 
 
 def hll_merge_agg(col: Column | str) -> Column:
-    """Aggregate form: merge sketches across rows (associative fold)."""
+    """Aggregate form: merge sketches across rows (associative fold).
+
+    Expressed as one MAX aggregate per register (array of 2^p partial
+    aggregates), NOT collect_list-then-fold: partial (map-side)
+    aggregation applies, so the per-group state is a single sketch
+    (2^p ints) no matter how many input sketches merge — a rollup over
+    millions of partials carries one sketch per group through the
+    shuffle instead of accumulating N×2^p values in one buffer."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.aggregate(
-        F.collect_list(c),
-        F.array_repeat(F.lit(0), _M),
-        lambda acc, s: F.zip_with(acc, s, lambda x, y: F.greatest(x, y)),
+    return F.array(
+        *[F.coalesce(F.max(F.element_at(c, i + 1)), F.lit(0)) for i in range(_M)]
     )
 
 
@@ -149,11 +154,17 @@ def qsketch_merge(a: Column, b: Column) -> Column:
 
 
 def qsketch_merge_agg(col: Column | str) -> Column:
+    """Merge across rows: one SUM aggregate per bucket (same
+    partial-aggregation-friendly shape as hll_merge_agg — no
+    collect_list, per-group state is a single sketch)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.aggregate(
-        F.collect_list(c),
-        F.array_repeat(F.lit(0).cast("long"), _QBUCKETS),
-        lambda acc, s: F.zip_with(acc, s, lambda x, y: x + y),
+    return F.array(
+        *[
+            F.coalesce(F.sum(F.element_at(c, i + 1)), F.lit(0).cast("long")).cast(
+                "long"
+            )
+            for i in range(_QBUCKETS)
+        ]
     )
 
 

@@ -313,11 +313,18 @@ def agg_approx_distinct(spark, sf_dir):
 @query("agg_approx_percentile")
 def agg_approx_percentile(spark, sf_dir):
     """approx_percentile → percentile_approx (SURVEY §2.4 approximate).
-    Bounded-error; asserted against exact quantiles in tests."""
+    Bounded-error; asserted against exact quantiles in tests.
+
+    Scalar output columns only: the driver's canonicalizer hashes every
+    result frame (rows-only checks included) and cannot sort/hash
+    array-typed cells, so the multi-quantile form is projected to one
+    column per quantile rather than returned as an array."""
     li = t(spark, sf_dir, "lineitem")
+    multi = F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000)
     return li.groupBy("l_linestatus").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("p25_75"),
+        multi.getItem(0).alias("p25"),
+        multi.getItem(1).alias("p75"),
     )
 
 
@@ -330,16 +337,27 @@ def agg_approx_percentile(spark, sf_dir):
     """,
 )
 def agg_reduce_agg(spark, sf_dir):
-    """Presto reduce_agg(x, s0, merge, final) — expressed as
-    aggregate() over the collected group (exact-decimal fold so the
-    result is order-independent and matches a plain sum)."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.aggregate(
-            F.collect_list(F.col("l_quantity").cast("decimal(30,2)")),
-            F.lit(None).cast("decimal(38,2)"),
-            lambda acc, x: F.coalesce(acc, F.lit(0).cast("decimal(38,2)")) + x,
-        )
-        .cast("double")
-        .alias("folded_qty")
+    """Presto reduce_agg(x, s0, add, combine) — real two-phase fold via
+    functions.reduce_agg (mapInPandas partial states + applyInPandas
+    combine), NOT collect_list: per-group executor state is one value,
+    so the fold scales to arbitrarily large groups. Exact-decimal state
+    keeps the result order-independent (hash-equal to the oracle sum)."""
+    from decimal import Decimal
+
+    from presto_on_ray_spark.functions.reduce_agg import reduce_agg
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(30,2)").alias("l_quantity")
+    )
+    return reduce_agg(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        zero=Decimal(0),
+        add_batch=lambda s, vals: s + sum(vals.dropna(), Decimal(0)),
+        combine=lambda a, b: a + b,
+        out_col="folded_qty",
+        state_ddl="decimal(38,2)",
+        out_ddl="double",
+        finish=float,
     )

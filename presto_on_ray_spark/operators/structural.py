@@ -228,3 +228,43 @@ def array_ngrams_combinations(spark, sf_dir):
         F.size(bigrams).cast("int").alias("n_bigrams"),
         F.array_join(F.element_at(bigrams, 1), " ").alias("first_bigram"),
     )
+
+
+@query(
+    "multimap_from_entries",
+    oracle="""
+    SELECT ARRAY_TO_STRING(LIST(rk || ':' || vs ORDER BY rk), ',') AS mm
+    FROM (
+      SELECT CAST(n_regionkey AS VARCHAR) AS rk,
+             ARRAY_TO_STRING(LIST(n_name ORDER BY n_name), '|') AS vs
+      FROM nation GROUP BY n_regionkey
+    )
+    """,
+)
+def multimap_from_entries_query(spark, sf_dir):
+    """Presto multimap_from_entries(array<row(K,V)>) — duplicate keys
+    KEPT, values grouped (map<K, array<V>>). Spark's map_from_entries
+    throws on duplicates under ANSI, so this exercises the tier-2 shim
+    in functions.registry (reference delegates it to Presto's JVM
+    library; SURVEY §2.8 map family). Rendered as a sorted string so
+    the driver canonicalizer never sees a map-typed cell."""
+    from presto_on_ray_spark.functions.registry import multimap_from_entries
+
+    n = t(spark, sf_dir, "nation")
+    entries = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("n_regionkey").alias("key"), F.col("n_name").alias("value"))
+        )
+    )
+    one = n.agg(entries.alias("entries"))
+    mm = multimap_from_entries(F.col("entries"))
+    rendered = F.array_join(
+        F.transform(
+            F.sort_array(F.map_entries(mm)),
+            lambda e: F.concat(
+                e["key"].cast("string"), F.lit(":"), F.array_join(e["value"], "|")
+            ),
+        ),
+        ",",
+    )
+    return one.select(rendered.alias("mm"))

@@ -21,6 +21,30 @@ PYTHON_ALLOWED = {
     "multimodal_partition_shape",
     "grouped_pandas_zscore",
     "grouped_pandas_agg",
+    "agg_reduce_agg",  # mapInPandas partial + applyInPandas combine (reduce_agg.py)
+}
+
+# collect_list materializes a whole group in one aggregation buffer —
+# legitimate only where the collected array is small BY CONSTRUCTION
+# (bounded per-group fan-in, top-N slices, per-group register maps),
+# never as a stand-in for a distributive aggregate.
+COLLECT_LIST_ALLOWED = {
+    "agg_structural",        # array_agg demo: 3 groups, rendered sorted
+    "agg_map",               # map_agg demo: single bounded group
+    "agg_multimap",          # multimap_agg: ≤25 values per region
+    "agg_min_by_topn",       # sorted-slice top-3 per group
+    "multimap_from_entries", # 25-entry nation fixture array
+    "hll_sketch_pipeline",   # approx_set register map: ≤2^p entries/group
+    "qdigest_sketch_pipeline",  # bucket map: ≤256 entries/group
+    "agg_most_frequent",     # bounded candidate map per group
+    "agg_numeric_histogram", # ≤10 buckets
+    "checksum_agg",
+    "text_fingerprint",
+    "similarity_bruteforce_topk",   # per-query top-k slice
+    "similarity_ivf_topk",          # per-query top-k slice
+    "similarity_lsh_buckets",
+    "streaming_session_windows",
+    "window_ignore_nulls",
 }
 
 # Cartesian/broadcast-nested-loop is legitimate only for deliberately
@@ -53,6 +77,12 @@ def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
     if name not in NESTED_LOOP_ALLOWED:
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+
+    if name not in COLLECT_LIST_ALLOWED:
+        assert "collect_list" not in plan, (
+            f"{name}: collect_list outside the bounded-by-construction "
+            "allow-list (whole-group buffer does not scale)"
+        )
 
     # full-table scans must never read all columns unless the operator
     # genuinely needs them: check ReadSchema is present for parquet scans
