@@ -157,7 +157,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     2. each doc keeps only its prefix (n - ceil(t*n) + 1 rarest
        shingles) for candidate generation -- any pair with J >= t is
        guaranteed to collide on a prefix shingle;
-    3. candidates verified exactly via sorted-array intersection.
+    3. candidates verified exactly by counting co-occurring shingles
+       per candidate pair (a GROUP BY, never a whole-document array:
+       per-group state stays O(1), so the verify stage survives
+       arbitrarily long documents at 100 TB).
 
     Same relation as the naive all-co-occurring-pairs join (the oracle
     runs that form), but the join explodes only prefix shingles -- the
@@ -194,16 +197,27 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    arrays = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("sh")).alias("arr"), F.count("*").alias("n")
+    # Exact verification via co-occurrence counts: fan candidate pairs
+    # out to doc_a's shingles, keep those doc_b also has (shingle-key
+    # join), count matches per pair. Shuffle volume is bounded by
+    # |candidates| x shingles-per-doc -- the prefix filter already made
+    # |candidates| small -- and the aggregation state is one counter
+    # per pair (vs the old per-doc collect_list array).
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
     )
-    av = arrays.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na"))
-    bv = arrays.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb"))
-    c = F.size(F.array_intersect("arr_a", "arr_b"))
-    jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        cand.join(av, "doc_a")
-        .join(bv, "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= t_thresh)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

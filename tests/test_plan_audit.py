@@ -38,7 +38,6 @@ COLLECT_LIST_ALLOWED = {
     "qdigest_sketch_pipeline",  # bucket map: ≤256 entries/group
     "agg_most_frequent",     # bounded candidate map per group
     "agg_numeric_histogram", # ≤10 buckets
-    "checksum_agg",
     "text_fingerprint",
     "similarity_bruteforce_topk",   # per-query top-k slice
     "similarity_ivf_topk",          # per-query top-k slice
