@@ -91,12 +91,47 @@ def hll_merge_agg(col: Column | str) -> Column:
     Expressed as one MAX aggregate per register (array of 2^p partial
     aggregates), NOT collect_list-then-fold: partial (map-side)
     aggregation applies, so the per-group state is a single sketch
-    (2^p ints) no matter how many input sketches merge — a rollup over
-    millions of partials carries one sketch per group through the
-    shuffle instead of accumulating N×2^p values in one buffer."""
+    (2^p ints) no matter how many input sketches merge.
+
+    Plan-size tradeoff: this emits 2^p separate aggregate expressions,
+    so codegen cost scales linearly with _P — fine at p=8, hostile at
+    higher precision. For DataFrame-level rollups prefer
+    ``hll_merge_grouped`` (posexplode shape: one narrow MAX aggregate
+    regardless of register count)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array(
         *[F.coalesce(F.max(F.element_at(c, i + 1)), F.lit(0)) for i in range(_M)]
+    )
+
+
+def _densify(key_col: str, val_col: str, m: int, zero: Column) -> Column:
+    """Aggregate expression: (key, val) rows of one group → dense
+    array[m], missing keys filled with ``zero``."""
+    entries = F.map_from_entries(F.collect_list(F.struct(key_col, val_col)))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(F.try_element_at(entries, i), zero),
+    )
+
+
+def hll_merge_grouped(
+    df: DataFrame, group_cols: list[str], sketch_col: str, out_col: str = "merged"
+) -> DataFrame:
+    """Merge sketches across rows per group — the narrow-plan rollup.
+
+    posexplode each sketch to (register, rank) rows, groupBy
+    (group, register) MAX — a single aggregate expression, partial-agg
+    friendly, plan size independent of 2^p — then re-densify per group
+    (the exact shape ``approx_set`` builds with). Shuffle carries at
+    most |groups|·2^p rows after map-side combine."""
+    exploded = df.select(
+        *group_cols, F.posexplode(sketch_col).alias("_reg", "_rank")
+    )
+    per_reg = exploded.groupBy(*group_cols, "_reg").agg(
+        F.max("_rank").alias("_maxrank")
+    )
+    return per_reg.groupBy(*group_cols).agg(
+        _densify("_reg", "_maxrank", _M, F.lit(0)).alias(out_col)
     )
 
 
@@ -156,7 +191,9 @@ def qsketch_merge(a: Column, b: Column) -> Column:
 def qsketch_merge_agg(col: Column | str) -> Column:
     """Merge across rows: one SUM aggregate per bucket (same
     partial-aggregation-friendly shape as hll_merge_agg — no
-    collect_list, per-group state is a single sketch)."""
+    collect_list, per-group state is a single sketch). Same plan-size
+    caveat as hll_merge_agg: prefer ``qsketch_merge_grouped`` for
+    DataFrame-level rollups."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array(
         *[
@@ -165,6 +202,20 @@ def qsketch_merge_agg(col: Column | str) -> Column:
             )
             for i in range(_QBUCKETS)
         ]
+    )
+
+
+def qsketch_merge_grouped(
+    df: DataFrame, group_cols: list[str], sketch_col: str, out_col: str = "merged"
+) -> DataFrame:
+    """Narrow-plan quantile-sketch rollup: posexplode → one SUM
+    aggregate over (group, bucket) → densify (see hll_merge_grouped)."""
+    exploded = df.select(
+        *group_cols, F.posexplode(sketch_col).alias("_b", "_n")
+    )
+    per_bucket = exploded.groupBy(*group_cols, "_b").agg(F.sum("_n").alias("_sum"))
+    return per_bucket.groupBy(*group_cols).agg(
+        _densify("_b", "_sum", _QBUCKETS, F.lit(0).cast("long")).alias(out_col)
     )
 
 

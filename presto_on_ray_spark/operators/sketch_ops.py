@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from presto_on_ray_spark.functions.sketches import (
     approx_set,
     hll_cardinality,
-    hll_merge_agg,
+    hll_merge_grouped,
 )
 from presto_on_ray_spark.operators._util import t
 from presto_on_ray_spark.suite import query
@@ -25,9 +25,7 @@ def hll_sketch_pipeline(spark, sf_dir):
     per_prio = approx_set(
         o, ["o_orderstatus", "o_orderpriority"], "o_custkey", sketch_col="hll"
     )
-    rolled = per_prio.groupBy("o_orderstatus").agg(
-        hll_merge_agg("hll").alias("merged")
-    )
+    rolled = hll_merge_grouped(per_prio, ["o_orderstatus"], "hll")
     return rolled.select(
         "o_orderstatus", hll_cardinality("merged").alias("approx_customers")
     )
@@ -56,7 +54,7 @@ def qdigest_sketch_pipeline(spark, sf_dir):
     accuracy and exact mergeability pinned in tests/test_sketches.py."""
     from presto_on_ray_spark.functions.sketches import (
         qsketch_agg,
-        qsketch_merge_agg,
+        qsketch_merge_grouped,
         qsketch_quantile,
     )
 
@@ -65,9 +63,7 @@ def qdigest_sketch_pipeline(spark, sf_dir):
     per_prio = qsketch_agg(
         o, ["o_orderstatus", "o_orderpriority"], "o_totalprice", lo, hi
     )
-    rolled = per_prio.groupBy("o_orderstatus").agg(
-        qsketch_merge_agg("qsk").alias("merged")
-    )
+    rolled = qsketch_merge_grouped(per_prio, ["o_orderstatus"], "qsk")
     return rolled.select(
         "o_orderstatus",
         F.round(qsketch_quantile("merged", 0.5, lo, hi), 2).alias("p50_price"),
