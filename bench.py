@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from presto_on_ray_spark import suite  # noqa: E402
+from presto_on_ray_spark.caching import release_cached  # noqa: E402
 from presto_on_ray_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -61,6 +62,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - start, 3)
+        release_cached()  # no storage carried between queries
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

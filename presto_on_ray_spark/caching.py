@@ -1,0 +1,40 @@
+"""Tracked persist: every intermediate the engine pins is registered
+here so callers can release executor storage deterministically.
+
+persist() without a matching unpersist() is correct for a single run
+but pins storage memory for the lifetime of a long-lived session —
+repeated suite invocations accumulate cache entries (Spark's
+CacheManager dedupes identical plans, but distinct sf_dirs or code
+paths do not collide). The contract:
+
+- operators call ``tracked_persist(df)`` instead of ``df.persist()``;
+- whoever consumes the query's result calls ``release_cached()`` when
+  done (bench.py does so after each query; tests via fixture).
+
+``release_cached`` is safe to call at any time: unpersist(blockingized
+False) only drops cache entries, never changes results — the plan
+recomputes if re-used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for later release. Returns the same df."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every tracked DataFrame; returns how many were
+    released. Idempotent — the tracking list is drained."""
+    n = 0
+    while _TRACKED:
+        _TRACKED.pop().unpersist()
+        n += 1
+    return n

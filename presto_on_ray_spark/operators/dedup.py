@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from presto_on_ray_spark.caching import tracked_persist
 from presto_on_ray_spark.operators._util import t
 from presto_on_ray_spark.suite import query
 
@@ -180,7 +181,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # persisted: reused by ranking, the candidate join, and verification.
     # (Repeated invocations do NOT leak: Spark's CacheManager dedupes by
     # analyzed-plan equality, so an identical call reuses this entry.)
-    sh = d.select("doc_id", F.explode(grams).alias("sh")).persist()
+    sh = tracked_persist(d.select("doc_id", F.explode(grams).alias("sh")))
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
     ranked = (
@@ -236,9 +237,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     # column 32 times, and Catalyst's project-collapsing would inline
     # (and re-execute) the signature fold per reference. The persisted
     # intermediate is (doc_id, 32 longs) — tiny relative to the corpus.
-    sig = d.select(
-        "doc_id", minhash_signature(shingles(F.col("text"))).alias("sig")
-    ).persist()
+    sig = tracked_persist(
+        d.select("doc_id", minhash_signature(shingles(F.col("text"))).alias("sig"))
+    )
     rows_per_band = _NUM_HASHES // _LSH_BANDS
     # Band structs built with literal indices (python loop, no nested
     # lambdas): band b hashes signature rows [b*r, (b+1)*r).
@@ -315,5 +316,5 @@ def dedup_simhash(spark, sf_dir):
     # persist barrier: `simhash` references _counts 48 times; without
     # materialization, project collapse would re-run the aggregate fold
     # per bit (see the minhash note above).
-    counts_df = d.select("doc_id", counts.alias("_counts")).persist()
+    counts_df = tracked_persist(d.select("doc_id", counts.alias("_counts")))
     return counts_df.select("doc_id", simhash.alias("simhash"))

@@ -17,6 +17,7 @@ import functools
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from presto_on_ray_spark.caching import tracked_persist
 from presto_on_ray_spark.operators._util import t
 from presto_on_ray_spark.suite import query
 
@@ -164,12 +165,46 @@ def similarity_lsh_buckets(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     # persist barrier: 32 hyperplane projections each reference qv; see
     # the project-collapse note in operators/dedup.py.
-    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv")).persist()
+    v = tracked_persist(e.select("vec_id", quantized(F.col("embedding")).alias("qv")))
     buckets = lsh_table_buckets(v)
     return (
         buckets.groupBy("table", "bucket")
         .agg(F.count("*").alias("bucket_size"))
         .filter(F.col("bucket_size") > 1)
+    )
+
+
+# Hard cap for the exact O(n²) pairwise join: above this, the caller
+# must go through the LSH or IVF candidate path instead. 10k rows →
+# ≤50M candidate pairs, a bounded single-stage job; beyond that the
+# quadratic blowup is a scale bug, so we fail loudly rather than hang.
+PAIRWISE_MAX_ROWS = 10_000
+
+
+def pairwise_threshold(df, threshold: float = 0.8, max_rows: int = PAIRWISE_MAX_ROWS):
+    """Exact all-pairs cosine > threshold over (vec_id, label, qv) rows.
+
+    Raises ValueError if the input exceeds ``max_rows`` — the exact
+    verify stage is only for bounded candidate sets (LSH/IVF output or
+    a pre-filtered slice), never the full corpus."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"pairwise_threshold: input has {n} rows (> {max_rows}); "
+            "the exact O(n^2) join is capped — route candidates through "
+            "similarity_lsh_buckets / similarity_ivf_topk instead"
+        )
+    a = df.alias("a")
+    b = df.alias("b")
+    cos = cosine_q(F.col("a.qv"), F.col("b.qv"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos > threshold)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+        )
     )
 
 
@@ -192,21 +227,10 @@ def similarity_lsh_buckets(spark, sf_dir):
 def similarity_pairwise_threshold(spark, sf_dir):
     """All pairs above a cosine threshold (embedding-cosine near-dup
     dedup) on a bounded slice — the exact-verify stage an LSH pipeline
-    feeds into."""
+    feeds into. Input size is hard-guarded by pairwise_threshold."""
     e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 60)
     v = e.select("vec_id", "label", quantized(F.col("embedding")).alias("qv"))
-    a = v.alias("a")
-    b = v.alias("b")
-    cos = cosine_q(F.col("a.qv"), F.col("b.qv"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos > 0.8)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            (F.col("a.label") == F.col("b.label")).alias("same_label"),
-        )
-    )
+    return pairwise_threshold(v)
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +272,7 @@ def ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 3, nprobe: int = _IVF_N
     import numpy as np
 
     assigned, centers = ivf_assignments(spark, sf_dir)
-    assigned = assigned.persist()
+    assigned = tracked_persist(assigned)
     centers = np.array([c for c in centers])
 
     queries = (

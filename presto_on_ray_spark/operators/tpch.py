@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from presto_on_ray_spark.functions.numeric import dsum, oracle_dsum
+from presto_on_ray_spark.caching import tracked_persist
 from presto_on_ray_spark.operators._util import t
 from presto_on_ray_spark.suite import query
 
@@ -362,8 +363,8 @@ def tpch_q11_important_stock(spark, sf_dir):
         .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .groupBy("p_partkey")
         .agg(dsum(value, scale=4).alias("value"))
-        .persist()
     )
+    nation_value = tracked_persist(nation_value)
     threshold = (
         nation_value.agg(
             (F.sum(F.col("value").cast("decimal(30,4)")).cast("double") * 0.001).alias("th")
