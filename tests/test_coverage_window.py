@@ -1,0 +1,105 @@
+"""The curated 50-slot coverage window (suite.CURATED_50): ordering,
+family coverage, and composed-suite integrity."""
+
+from __future__ import annotations
+
+from presto_on_ray_spark import suite
+
+suite.load_all()
+
+
+def test_first_50_registrations_are_the_curated_window():
+    assert list(suite.QUERIES)[:50] == suite.CURATED_50
+    assert len(suite.CURATED_50) == 50
+    assert len(set(suite.CURATED_50)) == 50
+
+
+def test_curated_window_has_oracles_except_approximate_suites():
+    rows_only = {n for n in suite.CURATED_50 if n not in suite.ORACLES}
+    # only the by-design approximate composites lack an oracle
+    assert rows_only == {
+        "cov_sketch_rollups",
+        "cov_dedup_approx",
+        "cov_similarity_ann",
+    }
+
+
+def test_curated_window_covers_every_family():
+    """Each SURVEY §2 family row / §2.11 operator keeps ≥1 entry in the
+    driver's window — the guard against the round-1/round-2 gap where
+    73 queries had no driver evidence."""
+    window = set(suite.CURATED_50)
+    representatives = {
+        "tpch": {"q1_pricing_summary", "tpch_q3_shipping_priority"},
+        "scan_filters": {"scan_project_filter"},
+        "sampling": {"tablesample_aggregate_bounds"},
+        "cast_case_values": {"cov_scalar_fixtures"},
+        "datetime_struct_null": {"cov_scalar_orders"},
+        "math_trig_bitwise": {"cov_scalar_lineitem"},
+        "regex_hash_like": {"cov_scalar_documents"},
+        "strings": {"string_functions"},
+        "join_filtering": {"cov_join_filtering"},
+        "join_special": {"cov_join_special"},
+        "join_lateral": {"join_lateral"},
+        "join_scalar_subquery": {"join_scalar_subquery"},
+        "agg_modifiers_structural": {"cov_agg_returnflag"},
+        "agg_stats_percentiles": {"cov_agg_linestatus"},
+        "agg_tail": {"cov_agg_misc"},
+        "grouping_sets": {"agg_grouping_sets"},
+        "having": {"agg_having"},
+        "reduce_agg": {"agg_reduce_agg"},
+        "approx_sketches": {"cov_sketch_rollups"},
+        "windows_core": {"cov_windows_wide"},
+        "window_range": {"window_range_frame"},
+        "window_topn": {"window_top_n_per_group"},
+        "topn": {"topn_global"},
+        "sorts_distinct": {"cov_sorts_distinct"},
+        "setops": {"cov_setops"},
+        "arrays": {"cov_arrays_embeddings"},
+        "json": {"json_extract_ops"},
+        "streaming": {"streaming_tumbling_window_batch"},
+        "pandas_udf": {"grouped_pandas_agg"},
+        "dedup_exact": {"dedup_exact"},
+        "dedup_jaccard": {"dedup_ngram_jaccard"},
+        "dedup_approx": {"cov_dedup_approx"},
+        "similarity_exact": {"similarity_bruteforce_topk", "similarity_pairwise_threshold"},
+        "similarity_ann": {"cov_similarity_ann"},
+        "text_analysis": {"cov_text_docs", "cov_text_agg"},
+        "multimodal": {"multimodal_features"},
+    }
+    missing = {
+        family: reps for family, reps in representatives.items() if not reps & window
+    }
+    assert not missing, f"families with no driver-window representative: {missing}"
+
+
+def test_all_tpch_shapes_in_window():
+    tpch = [n for n in suite.CURATED_50 if n.startswith("tpch_") or n == "q1_pricing_summary"]
+    assert len(tpch) == 13
+
+
+def test_composed_members_still_registered_with_oracles():
+    """Composition must not replace the per-member queries — they stay
+    registered (beyond the window) under the local oracle gate."""
+    from presto_on_ray_spark.operators.coverage import (
+        _AGG_LS_MEMBERS,
+        _AGG_MISC_SPECS,
+        _AGG_RF_MEMBERS,
+        _ARRAY_MEMBERS,
+        _FIXTURE_SPECS,
+        _SCALAR_DOC_MEMBERS,
+        _SCALAR_LI_MEMBERS,
+        _SCALAR_ORD_MEMBERS,
+        _TEXT_DOC_MEMBERS,
+        _WINDOW_MEMBERS,
+    )
+
+    members = (
+        _WINDOW_MEMBERS + _AGG_RF_MEMBERS + _AGG_LS_MEMBERS + _ARRAY_MEMBERS
+        + _SCALAR_LI_MEMBERS + _SCALAR_DOC_MEMBERS + _SCALAR_ORD_MEMBERS
+        + _TEXT_DOC_MEMBERS
+        + [s[1] for s in _FIXTURE_SPECS] + [s[1] for s in _AGG_MISC_SPECS]
+    )
+    for m in members:
+        assert m in suite.QUERIES, m
+        assert m in suite.ORACLES, m

@@ -44,6 +44,12 @@ COLLECT_LIST_ALLOWED = {
     "similarity_lsh_buckets",
     "streaming_session_windows",
     "window_ignore_nulls",
+    # composed coverage suites inherit their members' bounded uses:
+    "cov_agg_misc",          # min_by slice + single-group map_agg
+    "cov_agg_returnflag",    # agg_structural collect_set render
+    "cov_scalar_fixtures",   # multimap_from_entries 25-entry fixture
+    "cov_sketch_rollups",    # HLL/qdigest register maps (≤2^p/group)
+    "cov_similarity_ann",    # ivf per-query top-k slice
 }
 
 # Cartesian/broadcast-nested-loop is legitimate only for deliberately
@@ -60,6 +66,10 @@ NESTED_LOOP_ALLOWED = {
     "quantified_comparison",
     "join_scalar_subquery",
     "tpch_q18_large_volume_customer",
+    # composed coverage suites inherit their members' bounded uses:
+    "cov_join_special",      # cross-join demo + bounded theta join
+    "cov_join_filtering",    # quantified member's scalar-agg join
+    "cov_scalar_fixtures",   # tiny VALUES members
 }
 
 
