@@ -1,0 +1,138 @@
+"""Interactive SQL REPL — the reference's ``connect`` verb.
+
+The reference manager's only query surface is an interactive Presto
+shell (reference: presto-mgr.py:268-273; demo transcript
+README.md:92-110 runs ``select * from user`` and ``select sum(income)
+from user``). This module is that surface on Spark:
+
+    python -m presto_on_ray_spark.cli --sf-dir /root/testdata/sf0.001
+
+- statements end with ``;`` (multi-line input accumulates until then);
+- Presto-dialect SQL goes through dialect.translate (Engine.sql), so
+  approx_distinct / strpos / MySQL date patterns work;
+- results render as an aligned table with a row count, like the
+  Presto CLI;
+- ``quit`` / ``exit`` / EOF leaves the shell.
+
+Scale note: the REPL collects at most --max-rows (default 100) rows to
+the driver — it is a human window onto a result, never a transfer
+path; CTAS / INSERT (sources.tables) is the bulk egress.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import IO
+
+PROMPT = "presto> "
+CONT_PROMPT = "     -> "
+
+
+def format_table(columns: list[str], rows: list[tuple]) -> str:
+    """Aligned ASCII table in the Presto CLI style."""
+    cells = [[("NULL" if v is None else str(v)) for v in row] for row in rows]
+    widths = [
+        max(len(col), *(len(r[i]) for r in cells)) if cells else len(col)
+        for i, col in enumerate(columns)
+    ]
+    header = " | ".join(col.ljust(w) for col, w in zip(columns, widths))
+    sep = "-+-".join("-" * w for w in widths)
+    lines = [" " + header, " " + sep]
+    for r in cells:
+        lines.append(" " + " | ".join(v.ljust(w) for v, w in zip(r, widths)))
+    return "\n".join(lines)
+
+
+def run_statement(engine, statement: str, out: IO[str], max_rows: int = 100) -> None:
+    df = engine.sql(statement)
+    if df is None or not df.columns:
+        print("OK", file=out)
+        return
+    rows = df.limit(max_rows + 1).collect()
+    truncated = len(rows) > max_rows
+    rows = rows[:max_rows]
+    print(format_table(df.columns, [tuple(r) for r in rows]), file=out)
+    note = f" (first {max_rows} rows)" if truncated else ""
+    print(f"({len(rows)} row{'s' if len(rows) != 1 else ''}){note}\n", file=out)
+
+
+def repl(engine, in_stream: IO[str], out: IO[str], max_rows: int = 100,
+         interactive: bool = True) -> None:
+    """Statement loop: accumulate lines until ';', execute, print."""
+    buf: list[str] = []
+    if interactive:
+        print(PROMPT, end="", file=out, flush=True)
+    for line in in_stream:
+        stripped = line.strip()
+        if not buf and stripped.lower() in ("quit", "exit", "quit;", "exit;", r"\q"):
+            break
+        buf.append(line)
+        if stripped.endswith(";"):
+            statement = "\n".join(buf).strip().rstrip(";")
+            buf = []
+            if statement:
+                try:
+                    run_statement(engine, statement, out, max_rows=max_rows)
+                except Exception as exc:  # show the error, keep the shell alive
+                    msg = str(exc).splitlines()[0] if str(exc) else repr(exc)
+                    print(f"ERROR: {msg}", file=out)
+        if interactive:
+            print(PROMPT if not buf else CONT_PROMPT, end="", file=out, flush=True)
+    if interactive:
+        print("", file=out)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m presto_on_ray_spark.cli",
+        description="Interactive Presto-dialect SQL shell on Spark "
+        "(the reference's `connect` verb).",
+    )
+    parser.add_argument(
+        "--sf-dir", default=None,
+        help="fixture directory to register as the catalog (tables "
+        "region/nation/.../embeddings)",
+    )
+    parser.add_argument("--master", default="local[*]")
+    parser.add_argument("--max-rows", type=int, default=100)
+    parser.add_argument(
+        "-e", "--execute", default=None,
+        help="run these ;-separated statements and exit (non-interactive)",
+    )
+    args = parser.parse_args(argv)
+
+    from presto_on_ray_spark.engine import Engine
+    from presto_on_ray_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="presto-on-ray-spark-cli",
+        master=args.master,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = Engine(spark)
+    if args.sf_dir:
+        engine.register_tables(args.sf_dir)
+        print(f"catalog: {args.sf_dir}", file=sys.stdout)
+
+    try:
+        if args.execute is not None:
+            import io
+
+            text = args.execute if args.execute.rstrip().endswith(";") else args.execute + ";"
+            # one statement per line so the ';'-terminated loop sees each
+            # (statement bodies with literal ';' belong in the REPL)
+            text = text.replace(";", ";\n")
+            repl(engine, io.StringIO(text), sys.stdout,
+                 max_rows=args.max_rows, interactive=False)
+        else:
+            repl(engine, sys.stdin, sys.stdout, max_rows=args.max_rows,
+                 interactive=sys.stdin.isatty())
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,53 @@
+"""The `connect` verb: REPL over Engine.sql with tabular output,
+driving the reference demo's two README queries (reference
+README.md:92-110) plus a Presto-dialect statement."""
+
+from __future__ import annotations
+
+import io
+
+from presto_on_ray_spark.cli import format_table, repl
+from presto_on_ray_spark.engine import Engine
+
+
+def test_format_table_alignment_and_nulls():
+    out = format_table(["id", "name"], [(1, "bob"), (22, None)])
+    lines = out.splitlines()
+    assert lines[0].strip().startswith("id")
+    assert "---" in lines[1]
+    assert "NULL" in lines[3]
+    # all rows padded to equal width
+    assert len({len(l) for l in lines}) == 1
+
+
+def test_repl_runs_reference_demo_queries(spark, sf_dir):
+    eng = Engine(spark).register_tables(sf_dir)
+    script = """
+CREATE OR REPLACE TEMP VIEW user AS
+SELECT * FROM VALUES (1, 'bob', 30, 100000) AS t(id, name, age, income);
+select * from user;
+select sum(income) AS total from user;
+quit
+"""
+    out = io.StringIO()
+    repl(eng, io.StringIO(script), out, interactive=False)
+    text = out.getvalue()
+    assert "bob" in text                      # README demo query 1
+    assert "100000" in text                   # README demo query 2 (sum)
+    assert "(1 row)" in text
+    assert "ERROR" not in text
+
+
+def test_repl_presto_dialect_and_error_recovery(spark, sf_dir):
+    eng = Engine(spark).register_tables(sf_dir)
+    script = """
+select approx_distinct(l_orderkey) AS d from lineitem;
+select definitely_not_a_function(1);
+select strpos('hello', 'll') AS p;
+"""
+    out = io.StringIO()
+    repl(eng, io.StringIO(script), out, interactive=False)
+    text = out.getvalue()
+    assert "d" in text and "(1 row)" in text  # dialect fn worked
+    assert "ERROR" in text                    # bad statement reported…
+    assert " p" in text and "3" in text       # …and the shell kept going
