@@ -43,6 +43,12 @@ HEADLINE = [
     "similarity_bruteforce_topk",
     "text_quality_scores",
     "text_token_count",
+    # breadth: scalar families, set ops, wide windows, dialect shim
+    "cov_scalar_lineitem",
+    "cov_scalar_documents",
+    "cov_setops",
+    "cov_windows_wide",
+    "datetime_mysql_patterns",
 ]
 
 

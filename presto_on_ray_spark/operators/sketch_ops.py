@@ -7,8 +7,7 @@ from pyspark.sql import functions as F
 
 from presto_on_ray_spark.functions.sketches import (
     approx_set,
-    hll_cardinality,
-    hll_merge_grouped,
+    hll_cardinality_grouped,
 )
 from presto_on_ray_spark.operators._util import t
 from presto_on_ray_spark.suite import query
@@ -25,9 +24,8 @@ def hll_sketch_pipeline(spark, sf_dir):
     per_prio = approx_set(
         o, ["o_orderstatus", "o_orderpriority"], "o_custkey", sketch_col="hll"
     )
-    rolled = hll_merge_grouped(per_prio, ["o_orderstatus"], "hll")
-    return rolled.select(
-        "o_orderstatus", hll_cardinality("merged").alias("approx_customers")
+    return hll_cardinality_grouped(
+        per_prio, ["o_orderstatus"], "hll", out_col="approx_customers"
     )
 
 
