@@ -1,0 +1,451 @@
+"""TPC-H shape completion: the nine shapes not in operators/tpch.py
+(Q2, Q8, Q9, Q12, Q15, Q16, Q17, Q20, Q21) — with these the engine
+covers all 22 TPC-H query shapes, so every composite pattern the
+delegated Presto engine served (SURVEY §0 "full ANSI-ish SQL") has a
+runnable, oracle-checked counterpart.
+
+Fixture adaptations (columns absent from the reduced schema,
+FIXTURES.md): partsupp does not exist — the supply relation is derived
+as DISTINCT (l_partkey, l_suppkey) from lineitem, min-cost becomes
+min-acctbal (raw doubles: exact cross-engine equality), availqty
+thresholds become shipped-volume shares; commit/receipt dates do not
+exist — "late" is l_shipdate > o_orderdate + 90 days; shipmode does
+not exist — Q12's two-class split keys on o_orderpriority. Every
+adaptation preserves the SHAPE (correlated scalar subqueries,
+view-with-max, nested IN/EXISTS/NOT EXISTS, CASE-inside-aggregate)
+— that is what the engine must plan well at 100 TB.
+
+Correlated-subquery shapes run through spark.sql so Catalyst's
+decorrelation engages (the same rewrite Presto 0.248 applies); the
+join-pipeline shapes use the DataFrame API with broadcast dims.
+Determinism: money sums accumulate in DECIMAL (functions.numeric), so
+thresholds and equality predicates derived from them are exact in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_on_ray_spark.functions.numeric import dsum, oracle_dsum
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.suite import query
+
+
+def _views(spark, sf_dir, *names):
+    for n in names:
+        t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM part
+    JOIN supplies ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size = 15 AND n_regionkey = 1
+      AND s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM supplies sp2
+        JOIN supplier s2 ON s2.s_suppkey = sp2.l_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        WHERE sp2.l_partkey = p_partkey AND n2.n_regionkey = 1
+      )
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: correlated scalar MIN subquery over a multiway dim
+    join (min supplycost → min acctbal; partsupp → lineitem-derived
+    supply pairs). Catalyst decorrelates the subquery into an
+    aggregate + join — the plan shape that scales, vs a per-row loop."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return spark.sql(
+        """
+        WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+        FROM part
+        JOIN supplies ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_size = 15 AND n_regionkey = 1
+          AND s_acctbal = (
+            SELECT MIN(s2.s_acctbal)
+            FROM supplies sp2
+            JOIN supplier s2 ON s2.s_suppkey = sp2.l_suppkey
+            JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+            WHERE sp2.l_partkey = p_partkey AND n2.n_regionkey = 1
+          )
+        ORDER BY s_acctbal DESC, s_name, p_partkey
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {oracle_dsum('nation_volume', 4)} / {oracle_dsum('volume', 4)} AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             CASE WHEN n2.n_name = 'NATION_3'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS nation_volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE n1.n_regionkey = 2 AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8 shape: CASE inside aggregate over a 7-table star join —
+    one nation's share of regional volume per year. Dims broadcast;
+    the fact-to-fact lineitem⋈orders shuffle is the floor. The share
+    is a ratio of two decimal-exact sums → one IEEE division."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31 00:00:00")
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2).alias("n1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_volume = F.when(F.col("n2.n_name") == "NATION_3", volume).otherwise(0.0)
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            nation_volume.alias("nation_volume"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (dsum("nation_volume", scale=4) / dsum("volume", scale=4)).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, o_year, {oracle_dsum('amount', 4)} AS sum_profit
+    FROM (
+      SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%1%'
+    ) profit
+    GROUP BY n_name, o_year
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """Q9 shape: profit per (nation, year) over a 5-table join with a
+    computed per-row amount (supplycost → 50% of retailprice, the
+    partsupp-free stand-in). Name-pattern filter pushes to the part
+    scan; dims broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
+    n = t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount", scale=4).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_shipping(spark, sf_dir):
+    """Q12 shape: two conditional counts split by order priority over a
+    late-shipment join (shipmode → l_linestatus, receipt-vs-commit
+    lateness → shipdate 60 days past the order date). The date
+    predicates push to the lineitem scan."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15 shape: revenue view + scalar MAX subquery selecting the top
+    supplier(s). Decimal-exact revenue makes the equality predicate
+    deterministic across engines; the view computes once (Spark reuses
+    the subplan via the CTE)."""
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "tpch_q16_supplier_relationship",
+    oracle="""
+    WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM supplies JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_relationship(spark, sf_dir):
+    """Q16 shape: supplier counts per part attribute class with a NOT IN
+    exclusion subquery (complaints → negative account balance;
+    partsupp → lineitem-derived supply pairs). Spark plans the NOT IN
+    as a null-aware anti join."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM supplies JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(l2.l_quantity))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """Q17 shape: correlated per-part average-quantity threshold
+    (container filter → brand only). The threshold is a decimal-exact
+    average so the < predicate can't flip on merge-order ulps;
+    Catalyst decorrelates into an aggregate + join on l_partkey."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(l2.l_quantity))
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "tpch_q20_excess_volume_suppliers",
+    oracle=f"""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM (
+        SELECT l_suppkey, l_partkey,
+               {oracle_dsum('l_quantity')} AS supp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        GROUP BY l_suppkey, l_partkey
+      ) per_supp
+      WHERE supp_qty > 0.3 * (
+        SELECT {oracle_dsum('l2.l_quantity')}
+        FROM lineitem l2
+        WHERE l2.l_partkey = per_supp.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      )
+    )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_excess_volume_suppliers(spark, sf_dir):
+    """Q20 shape: nested IN subqueries with a correlated volume-share
+    threshold (availqty vs shipped volume → supplier ships >30% of a
+    promo part's annual volume). Decimal sums keep the > threshold
+    exact; Catalyst rewrites the IN chains to semi joins."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM (
+            SELECT l_suppkey, l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS supp_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+            GROUP BY l_suppkey, l_partkey
+          ) per_supp
+          WHERE supp_qty > 0.3 * (
+            SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+            FROM lineitem l2
+            WHERE l2.l_partkey = per_supp.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          )
+        )
+        ORDER BY s_name
+        """
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS BOOLEAN) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM l l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE l1.late
+      AND n_regionkey = 2
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """Q21 shape: EXISTS + NOT EXISTS against the same derived relation
+    — suppliers who were the ONLY late shipper on a multi-supplier
+    finished order (receipt-vs-commit lateness → shipdate 90 days past
+    the order date). Both correlated branches decorrelate to
+    aggregated semi/anti joins on l_orderkey."""
+    _views(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    return spark.sql(
+        """
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM l l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE l1.late
+          AND n_regionkey = 2
+          AND EXISTS (SELECT 1 FROM l l2
+                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+        """
+    )

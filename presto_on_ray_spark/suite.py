@@ -136,6 +136,7 @@ def load_all() -> None:
         structural,
         textstats,
         tpch,
+        tpch_full,
         windows,
     )
     from presto_on_ray_spark.streaming import windows as streaming_windows  # noqa: F401
