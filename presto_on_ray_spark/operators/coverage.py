@@ -42,6 +42,7 @@ from presto_on_ray_spark.operators import (  # noqa: F401
     strings_dates,
     structural,
     textstats,
+    tpch_full,
     windows as win,
 )
 from presto_on_ray_spark.suite import ORACLES, QUERIES, query
@@ -520,6 +521,85 @@ def cov_scalar_fixtures(spark, sf_dir):
     for src, member, _key_sql, cols in _FIXTURE_SPECS:
         df = QUERIES[member](spark, sf_dir)
         parts.append(_stack_frame(df, src, _FIXTURE_SPARK_KEYS[src](), cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# adapted TPC-H shapes (operators/tpch_full.py) — typed union so the
+# nine non-window shapes also carry driver evidence; doubles stay
+# doubles (no string casts) to keep the representation exact.
+# ---------------------------------------------------------------------------
+
+# (src, member, key_sql, v1_sql, v2_sql) — key renders to VARCHAR,
+# values to DOUBLE, on both sides.
+_TPCH_ADAPTED_SPECS = [
+    ("q2", "tpch_q2_min_cost_supplier",
+     "s_name || '|' || CAST(p_partkey AS VARCHAR)", "s_acctbal", None),
+    ("q8", "tpch_q8_market_share", "CAST(o_year AS VARCHAR)", "mkt_share", None),
+    ("q9", "tpch_q9_product_profit",
+     "nation || '|' || CAST(o_year AS VARCHAR)", "sum_profit", None),
+    ("q12", "tpch_q12_priority_shipping",
+     "ship_class", "high_line_count", "low_line_count"),
+    ("q15", "tpch_q15_top_supplier", "s_name", "total_revenue", None),
+    ("q16", "tpch_q16_supplier_relationship",
+     "p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR)",
+     "supplier_cnt", None),
+    ("q17", "tpch_q17_small_quantity_revenue", "'q17'", "avg_yearly", None),
+    ("q20", "tpch_q20_excess_volume_suppliers", "s_name", "s_acctbal", None),
+    ("q21", "tpch_q21_waiting_suppliers", "s_name", "numwait", None),
+]
+
+_TPCH_ADAPTED_SPARK = {
+    "q2": lambda: (F.concat("s_name", F.lit("|"), F.col("p_partkey").cast("string")),
+                   F.col("s_acctbal"), None),
+    "q8": lambda: (F.col("o_year").cast("string"), F.col("mkt_share"), None),
+    "q9": lambda: (F.concat("nation", F.lit("|"), F.col("o_year").cast("string")),
+                   F.col("sum_profit"), None),
+    "q12": lambda: (F.col("ship_class"), F.col("high_line_count"),
+                    F.col("low_line_count")),
+    "q15": lambda: (F.col("s_name"), F.col("total_revenue"), None),
+    "q16": lambda: (F.concat("p_brand", F.lit("|"), "p_type", F.lit("|"),
+                             F.col("p_size").cast("string")),
+                    F.col("supplier_cnt"), None),
+    "q17": lambda: (F.lit("q17"), F.col("avg_yearly"), None),
+    "q20": lambda: (F.col("s_name"), F.col("s_acctbal"), None),
+    "q21": lambda: (F.col("s_name"), F.col("numwait"), None),
+}
+
+
+def _tpch_adapted_oracle() -> str:
+    sels = []
+    for src, member, key_sql, v1, v2 in _TPCH_ADAPTED_SPECS:
+        v2_sql = f"CAST({v2} AS DOUBLE)" if v2 else "CAST(NULL AS DOUBLE)"
+        sels.append(
+            f"SELECT '{src}' AS src, CAST({key_sql} AS VARCHAR) AS k, "
+            f"CAST({v1} AS DOUBLE) AS v1, {v2_sql} AS v2 FROM ({_o(member)})"
+        )
+    return " UNION ALL ".join(sels)
+
+
+@query("cov_tpch_adapted", oracle=_tpch_adapted_oracle())
+def cov_tpch_adapted(spark, sf_dir):
+    """The nine adapted TPC-H shapes (Q2,8,9,12,15,16,17,20,21 —
+    operators/tpch_full.py) in one tagged relation, completing driver
+    evidence for all 22 TPC-H patterns. Keys render to string, measure
+    columns stay double (decimal-exact upstream), so the union is
+    representation-safe."""
+    parts = []
+    for src, member, _k, _v1, _v2 in _TPCH_ADAPTED_SPECS:
+        k, v1, v2 = _TPCH_ADAPTED_SPARK[src]()
+        df = QUERIES[member](spark, sf_dir)
+        parts.append(
+            df.select(
+                F.lit(src).alias("src"),
+                k.cast("string").alias("k"),
+                v1.cast("double").alias("v1"),
+                (v2 if v2 is not None else F.lit(None)).cast("double").alias("v2"),
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

@@ -62,8 +62,8 @@ CURATED_50: list[str] = [
     "tpch_q18_large_volume_customer",
     "tpch_q19_disjunctive_predicates",
     "tpch_q22_global_sales_opportunity",
+    "cov_tpch_adapted",          # Q2,8,9,12,15,16,17,20,21 → all 22 shapes
     # §2.1/§2.2 scans, predicates, sampling
-    "scan_project_filter",
     "tablesample_aggregate_bounds",
     "cov_scalar_fixtures",       # VALUES/CAST/CASE/chr/url/ip/map-lambda/ordinality/multimap
     "cov_scalar_orders",         # datetime family, row.field, NULL semantics

@@ -31,7 +31,11 @@ def test_curated_window_covers_every_family():
     window = set(suite.CURATED_50)
     representatives = {
         "tpch": {"q1_pricing_summary", "tpch_q3_shipping_priority"},
-        "scan_filters": {"scan_project_filter"},
+        "tpch_adapted_shapes": {"cov_tpch_adapted"},
+        # row 17's predicates are driver-covered via cov_scalar_orders'
+        # predicate_null_semantics member; scan_project_filter stays
+        # under the local oracle gate
+        "scan_filters": {"cov_scalar_orders"},
         "sampling": {"tablesample_aggregate_bounds"},
         "cast_case_values": {"cov_scalar_fixtures"},
         "datetime_struct_null": {"cov_scalar_orders"},
