@@ -137,6 +137,12 @@ def multimap_from_entries(entries):
     (ANSI) or drop duplicates. Pure higher-order functions, stays in
     codegen. Entries must be struct<key, value> (the same field shape
     ``map_entries`` produces).
+
+    Cost: O(distinct_keys × entries) per row — the filter re-scans the
+    entries array once per distinct key. Fine for the map-literal
+    sizes this function exists for (Presto maps are small row values);
+    for large grouped collections use groupBy + collect_list, which is
+    the relational form of the same operation.
     """
     e = F.col(entries) if isinstance(entries, str) else entries
     keys = F.array_distinct(F.transform(e, lambda s: s["key"]))
