@@ -172,10 +172,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     t_thresh = 0.6
     d = t(spark, sf_dir, "documents")
     words = F.split("text", " ")
+    # shingles carried as xxhash64 i64, not strings: every downstream
+    # join/groupBy shuffles 8-byte keys instead of ~20-byte text.
+    # Set semantics are unchanged barring a 64-bit collision (~1e-10 at
+    # fixture scale, and any collision would be data-, not engine-,
+    # dependent); the prefix guarantee needs only SOME consistent
+    # global shingle order, which (df, hash) provides.
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-            lambda i: F.array_join(F.slice(words, i, 3), " "),
+            lambda i: F.xxhash64(F.array_join(F.slice(words, i, 3), " ")),
         )
     )
     # persisted: reused by ranking, the candidate join, and verification.
