@@ -233,6 +233,44 @@ def similarity_pairwise_threshold(spark, sf_dir):
     return pairwise_threshold(v)
 
 
+@query("dedup_embedding_neardup")
+def dedup_embedding_neardup(spark, sf_dir):
+    """End-to-end embedding-cosine near-dup pipeline (SURVEY §2.11):
+    hyperplane-LSH candidate generation → exact cosine verify over the
+    candidates only — the composition the LSH path exists for. At
+    100 TB: candidates form per (table, bucket), so the verify join is
+    linear in |candidates|, never the O(n²) all-pairs form (the
+    bounded all-pairs stage stays behind pairwise_threshold's guard).
+    Rows-only driver check (bucket boundaries are engine-internal);
+    precision is exact by construction and recall vs the brute-force
+    relation is asserted in tests/test_similarity.py."""
+    e = t(spark, sf_dir, "embeddings")
+    v = tracked_persist(
+        e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    )
+    buckets = lsh_table_buckets(v)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"))
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"))
+    cos = cosine_q(F.col("qa"), F.col("qb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cos > 0.9)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: KMeans coarse quantizer + probe-nearest-cells
 # (SURVEY §2.11 "an IVF or LSH-bucketed variant as the scale path").

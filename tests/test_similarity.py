@@ -102,3 +102,46 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     truth = {(q, c) for q, c in truth if q in qids}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.6, f"IVF recall too low: {recall} ({truth ^ got})"
+
+
+def test_embedding_neardup_precision_and_recall(spark, sf_dir):
+    """dedup_embedding_neardup: every emitted pair truly exceeds the
+    cosine threshold (precision exact by construction), and recall vs
+    the brute-force all-pairs relation is high on the fixture."""
+    from pyspark.sql import functions as F
+
+    from presto_on_ray_spark import suite
+    from presto_on_ray_spark.caching import release_cached
+    from presto_on_ray_spark.operators.similarity import cosine_q, quantized
+
+    suite.load_all()
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in suite.QUERIES["dedup_embedding_neardup"](spark, sf_dir).collect()
+    }
+    release_cached()
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_q(F.col("a.qv"), F.col("b.qv"))
+    truth = {
+        (r.id_a, r.id_b): r.cosine
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos > 0.9)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .collect()
+    }
+
+    # precision: emitted pairs are a subset of the true relation with
+    # identical cosines
+    for pair, c in got.items():
+        assert pair in truth and truth[pair] == c
+    # recall: multi-table LSH must recover most true near-dup pairs
+    if truth:
+        recall = len(got) / len(truth)
+        assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} true pairs"
