@@ -42,6 +42,13 @@ for name in [
     "datetime_mysql_patterns",   # pandas UDF registration
     "grouped_pandas_zscore",     # applyInPandas
     "dedup_minhash_lsh",         # persist barriers
+    # composed coverage suites in the driver window (multi-member:
+    # any session sensitivity in a member surfaces here first)
+    "cov_scalar_orders",
+    "cov_scalar_fixtures",
+    "cov_windows_wide",
+    "cov_sketch_rollups",
+    "cov_tpch_adapted",
 ]:
     out[name] = qs[name](spark, "/root/testdata/sf0.001").count()
 
@@ -65,6 +72,11 @@ def test_entry_and_sensitive_queries_on_default_session():
     out = json.loads(line[0][len("RESULT:") :])
     assert out["entry_rows"] > 0 and out["entry_cols"] == 10
     assert out["datetime_functions"] == 301
+    assert out["cov_scalar_orders"] > 0
+    assert out["cov_scalar_fixtures"] > 0
+    assert out["cov_windows_wide"] > 0
+    assert out["cov_sketch_rollups"] > 0
+    assert out["cov_tpch_adapted"] > 0
     assert out["json_extract_ops"] == 201
     assert out["datetime_mysql_patterns"] == 101
     assert out["grouped_pandas_zscore"] > 0
