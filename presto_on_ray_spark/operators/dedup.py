@@ -62,15 +62,19 @@ def minhash_signature(shingle_col):
     """
     a_arr = F.array(*[F.lit(_perm_params(i)[0]).cast("long") for i in range(_NUM_HASHES)])
     b_arr = F.array(*[F.lit(_perm_params(i)[1]).cast("long") for i in range(_NUM_HASHES)])
+    # fold the 64-bit hash into [0, p) ONCE per shingle, outside the
+    # k-lane zip — a*(h mod p) mod p == a*h mod p, so signatures are
+    # identical while the inner loop does one pmod per lane, not two.
+    reduced = F.transform(shingle_col, lambda h: F.pmod(h, F.lit(_MERSENNE_P)))
     return F.aggregate(
-        shingle_col,
+        reduced,
         F.array_repeat(F.lit(_MERSENNE_P).cast("long"), _NUM_HASHES),
         lambda acc, h: F.zip_with(
             acc,
             F.zip_with(
                 a_arr,
                 b_arr,
-                lambda a, b: F.pmod(F.pmod(h, F.lit(_MERSENNE_P)) * a + b, F.lit(_MERSENNE_P)),
+                lambda a, b: F.pmod(h * a + b, F.lit(_MERSENNE_P)),
             ),
             lambda x, y: F.least(x, y),
         ),
