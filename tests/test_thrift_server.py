@@ -1,0 +1,64 @@
+"""Over-the-wire `connect`: HiveThriftServer2 + the bundled beeline
+JDBC client, driving the reference demo's queries through a real
+client-server round trip. Runs in a subprocess because the
+single-session conf is static (must be set at session build)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = r"""
+import subprocess, sys, time
+sys.path.insert(0, %(repo)r)
+from presto_on_ray_spark.engine import Engine
+from presto_on_ray_spark.session import get_spark
+from presto_on_ray_spark.thrift_server import (
+    beeline_argv, start_thrift_server, thrift_server_conf,
+)
+
+PORT = 10431
+spark = get_spark(
+    master="local[4]", shuffle_partitions=4,
+    extra_conf={"spark.ui.showConsoleProgress": "false",
+                **thrift_server_conf(PORT)},
+)
+spark.sparkContext.setLogLevel("ERROR")
+eng = Engine(spark).register_tables(%(sf)r)
+# the reference demo's inline user table (reference README.md:93-96)
+spark.sql(
+    "CREATE OR REPLACE TEMP VIEW user AS "
+    "SELECT * FROM VALUES (1, 'bob', 30, 100000) AS t(id, name, age, income)"
+)
+start_thrift_server(spark)
+time.sleep(3)
+
+def run(sql):
+    p = subprocess.run(beeline_argv(PORT, sql), capture_output=True,
+                       text=True, timeout=120)
+    return p.returncode, p.stdout
+
+rc1, out1 = run("select * from user")
+rc2, out2 = run("select sum(income) AS total_income from user")
+rc3, out3 = run("select count(*) AS n from lineitem")
+print("RESULT1:", rc1, "bob" in out1 and "100000" in out1)
+print("RESULT2:", rc2, "100000" in out2)
+print("RESULT3:", rc3, any("6000" in l for l in out3.splitlines()))
+spark.stop()
+"""
+
+
+def test_beeline_round_trip_runs_reference_demo():
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         _SCRIPT % {"repo": REPO, "sf": "/root/testdata/sf0.001"}],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = {l.split(":")[0]: l for l in proc.stdout.splitlines() if l.startswith("RESULT")}
+    assert lines["RESULT1"].endswith("0 True"), lines
+    assert lines["RESULT2"].endswith("0 True"), lines
+    assert lines["RESULT3"].endswith("0 True"), lines
