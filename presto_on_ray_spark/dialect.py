@@ -85,6 +85,21 @@ def translate(sql: str) -> str:
         translated,
         flags=re.IGNORECASE,
     )
+    # Presto split(string, delimiter[, limit]) splits on a LITERAL
+    # delimiter; Spark's split takes a Java regex. When the delimiter
+    # is a string literal, wrap it in \Q...\E so metacharacters
+    # ('|', '.', ...) split literally. Non-literal delimiters pass
+    # through with regex semantics (documented delta; a delimiter
+    # containing the two-char sequence \E is out of scope).
+    translated = re.sub(
+        r"\bsplit\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*?)\s*,\s*('(?:[^']|'')*')\s*([,)])",
+        lambda m: f"split({m.group(1)}, concat('\\\\Q', {m.group(2)}, '\\\\E'){m.group(3)}",
+        translated,
+        flags=re.IGNORECASE,
+    )
+    # Presto regexp_split(string, pattern) == Spark split — renamed
+    # here, after the literal-delimiter rewrite above.
+    translated = re.sub(r"\bregexp_split\s*\(", "split(", translated, flags=re.IGNORECASE)
     # Presto unit-ed datetime arithmetic: date_add('unit', n, ts) and
     # date_diff('unit', a, b) -> Spark timestampadd/timestampdiff.
     # Conservative: unit must be a quoted literal; the remaining args

@@ -80,6 +80,19 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
     "parse_datetime": "to_timestamp",
     "from_iso8601_timestamp": "to_timestamp",
     "from_iso8601_date": "to_date",
+    # Presto 0.248's split_to_map(str, entryDelim, kvDelim) has the
+    # same argument order as Spark's str_to_map.
+    "split_to_map": "str_to_map",
+    # Presto repeat(x, n) builds an ARRAY (it has no string repeat);
+    # Presto contains(arr, x) is array membership. Both names collide
+    # with Spark string functions, so the faithful rename is explicit.
+    "repeat": "array_repeat",
+    "contains": "array_contains",
+    "now": "current_timestamp",
+    "format": "format_string",
+    # NOTE: regexp_split -> split is handled in dialect.translate AFTER
+    # the literal-delimiter split() rewrite, so regex patterns are
+    # never \Q...\E-quoted by mistake.
 }
 
 # ---------------------------------------------------------------------------
@@ -155,6 +168,33 @@ def multimap_from_entries(entries):
                 lambda s: s["value"],
             ),
         ),
+    )
+
+
+def to_iso8601(col):
+    """Presto to_iso8601(timestamp) → ISO-8601 text (UTC session)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+
+def json_array_get(col, index: int):
+    """Presto json_array_get(json, i): i-th element of a JSON array
+    (0-based, matching Presto). Index must be a Python int —
+    get_json_object paths are compile-time literals; for a dynamic
+    index parse with from_json and use element_at."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, f"$[{int(index)}]")
+
+
+def json_size(col, path: str = "$"):
+    """Presto json_size(json, path): number of members of the object or
+    array at path (scalar → 0). Composition of Spark JSON builtins."""
+    c = F.col(col) if isinstance(col, str) else col
+    node = F.get_json_object(c, path)
+    arr_len = F.json_array_length(node)
+    obj_len = F.size(F.json_object_keys(node))
+    return F.when(arr_len.isNotNull(), arr_len).otherwise(
+        F.when(obj_len >= 0, obj_len).otherwise(F.lit(0))
     )
 
 

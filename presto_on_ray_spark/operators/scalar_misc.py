@@ -207,3 +207,40 @@ def uuid_ip_functions(spark, sf_dir):
             )
         ).alias("is_private"),
     )
+
+
+@query(
+    "scalar_presto_tail",
+    oracle="""
+    SELECT p_partkey,
+           CAST(LEN(STRING_SPLIT(p_brand || '|' || p_type, '|')) AS INTEGER) AS n_parts,
+           STRING_SPLIT(p_brand || '|' || p_type, '|')[1] AS first_part,
+           CAST(LIST_CONTAINS(LIST_TRANSFORM(RANGE(1, 4), i -> p_size), p_size) AS BOOLEAN) AS has_size,
+           PRINTF('%s/%d', p_brand, p_size) AS fmt,
+           CAST(p_size AS VARCHAR) AS size_str
+    FROM part WHERE p_partkey <= 100
+    """,
+)
+def scalar_presto_tail(spark, sf_dir):
+    """Presto-dialect tail through the FULL translation path
+    (dialect.translate → Spark SQL): literal-delimiter split on '|'
+    (n_parts == 2 proves the \\Q...\\E quoting — a regex split on '|'
+    would explode every character), cardinality, array repeat/contains
+    renames, format → format_string, split_to_map → str_to_map with
+    map subscript. SURVEY §2.8 dialect fidelity."""
+    from presto_on_ray_spark.dialect import translate
+
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        translate(
+            """
+            SELECT p_partkey,
+                   cardinality(split(p_brand || '|' || p_type, '|')) AS n_parts,
+                   element_at(split(p_brand || '|' || p_type, '|'), 1) AS first_part,
+                   contains(repeat(p_size, 3), p_size) AS has_size,
+                   format('%s/%d', p_brand, p_size) AS fmt,
+                   split_to_map(concat('brand=', p_brand, ',size=', CAST(p_size AS varchar)), ',', '=')['size'] AS size_str
+            FROM part WHERE p_partkey <= 100
+            """
+        )
+    )

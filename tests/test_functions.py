@@ -264,3 +264,50 @@ def test_zip_rename(spark):
         translate("SELECT zip(array(1, 2), array('x', 'y')) AS z")
     ).collect()[0]
     assert [(e[0], e[1]) for e in r.z] == [(1, "x"), (2, "y")]
+
+
+def test_translate_split_literal_quoting():
+    from presto_on_ray_spark.dialect import translate
+
+    out = translate("SELECT split(x, '|') FROM t")
+    assert "concat('\\\\Q', '|', '\\\\E')" in out
+    # 3-arg form keeps the limit
+    assert translate("SELECT split(x, '.', 3) FROM t").count("concat") == 1
+    # regexp_split keeps regex semantics (no quoting)
+    assert translate("SELECT regexp_split(x, '[0-9]+') FROM t") == "SELECT split(x, '[0-9]+') FROM t"
+
+
+def test_presto_tail_renames(spark):
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT split('a|b|c', '|') AS parts, repeat(7, 3) AS arr, "
+        "contains(array(1, 5), 5) AS has5, format('%s-%d', 'x', 42) AS fmt, "
+        "split_to_map('k1=1,k2=2', ',', '=')['k2'] AS v2, now() IS NOT NULL AS has_now"
+    ).collect()[0]
+    assert row.parts == ["a", "b", "c"]
+    assert row.arr == [7, 7, 7]
+    assert row.has5 is True and row.fmt == "x-42" and row.v2 == "2" and row.has_now
+
+
+def test_iso8601_and_json_helpers(spark):
+    from pyspark.sql import functions as F
+
+    from presto_on_ray_spark.functions.registry import (
+        json_array_get,
+        json_size,
+        to_iso8601,
+    )
+
+    df = spark.createDataFrame(
+        [('{"a":[1,2,3],"b":{"c":1,"d":2}}', "2024-01-02 03:04:05.678")], ["j", "t"]
+    )
+    row = df.select(
+        json_array_get(F.get_json_object("j", "$.a"), 1).alias("el"),
+        json_size("j", "$.a").alias("asz"),
+        json_size("j", "$.b").alias("osz"),
+        to_iso8601(F.col("t").cast("timestamp")).alias("iso"),
+    ).collect()[0]
+    assert row.el == "2" and row.asz == 3 and row.osz == 2
+    assert row.iso == "2024-01-02T03:04:05.678Z"
