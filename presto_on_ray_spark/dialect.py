@@ -100,6 +100,19 @@ def translate(sql: str) -> str:
     # Presto regexp_split(string, pattern) == Spark split — renamed
     # here, after the literal-delimiter rewrite above.
     translated = re.sub(r"\bregexp_split\s*\(", "split(", translated, flags=re.IGNORECASE)
+    # Presto named bitwise functions -> Spark operators. Conservative:
+    # only simple (paren-free) arguments are rewritten; nested calls
+    # pass through and fail loudly as unknown functions.
+    for fn, op in (("bitwise_and", "&"), ("bitwise_or", "|"), ("bitwise_xor", "^")):
+        translated = re.sub(
+            rf"\b{fn}\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+            rf"(\1 {op} \2)",
+            translated,
+            flags=re.IGNORECASE,
+        )
+    translated = re.sub(
+        r"\bbitwise_not\s*\(\s*([^,()]+?)\s*\)", r"(~\1)", translated, flags=re.IGNORECASE
+    )
     # Presto unit-ed datetime arithmetic: date_add('unit', n, ts) and
     # date_diff('unit', a, b) -> Spark timestampadd/timestampdiff.
     # Conservative: unit must be a quoted literal; the remaining args

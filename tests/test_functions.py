@@ -311,3 +311,14 @@ def test_iso8601_and_json_helpers(spark):
     ).collect()[0]
     assert row.el == "2" and row.asz == 3 and row.osz == 2
     assert row.iso == "2024-01-02T03:04:05.678Z"
+
+
+def test_translate_named_bitwise(spark):
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT bitwise_and(12, 10) AS a, bitwise_or(12, 10) AS o, "
+        "bitwise_xor(12, 10) AS x, bitwise_not(0) AS n"
+    ).collect()[0]
+    assert (row.a, row.o, row.x, row.n) == (8, 14, 6, -1)
