@@ -328,3 +328,107 @@ def dedup_simhash(spark, sf_dir):
     # per bit (see the minhash note above).
     counts_df = tracked_persist(d.select("doc_id", counts.alias("_counts")))
     return counts_df.select("doc_id", simhash.alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components over an undirected pair list → (node,
+    component_id) with component_id = min node id in the component.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; convergence in
+    O(component diameter) rounds (near-dup clusters are tiny — a
+    handful of rounds). Each round is pure DataFrame ops (join +
+    groupBy min); ``localCheckpoint`` truncates the lineage so the
+    plan stays bounded regardless of iteration count (on a cluster,
+    prefer ``checkpoint`` with a durable dir). The driver-side loop is
+    orchestration only — per-round state never leaves the executors
+    except the single convergence scalar (sum of labels, which
+    decreases monotonically until fixpoint).
+
+    This is the stage that completes a dedup pipeline at 100 TB:
+    candidate pairs (MinHash-LSH / ngram-Jaccard) → clusters → one
+    keeper per cluster.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = sym.distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component_id"))
+
+
+@query(
+    "dedup_neardup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 2, 0) + 1),
+               i -> STRING_SPLIT(text,' ')[i] || ' ' || STRING_SPLIT(text,' ')[i+1] || ' ' || STRING_SPLIT(text,' ')[i+2]
+             ))) AS sh
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT a, a FROM edges
+      UNION
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component_id,
+           CAST(node = MIN(lbl) AS BOOLEAN) AS is_keeper
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_neardup_clusters(spark, sf_dir):
+    """Near-dup clustering (SURVEY §2.11): ngram-Jaccard pairs →
+    connected components → deterministic keeper (min doc_id per
+    cluster). The oracle computes the same components via a recursive
+    transitive-closure CTE — exact agreement pins both the pair
+    relation and the clustering."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        (F.col("node") == F.col("component_id")).alias("is_keeper"),
+    )
