@@ -432,3 +432,19 @@ def dedup_neardup_clusters(spark, sf_dir):
         "component_id",
         (F.col("node") == F.col("component_id")).alias("is_keeper"),
     )
+
+
+@query("dedup_minhash_clusters")
+def dedup_minhash_clusters(spark, sf_dir):
+    """The full 100 TB dedup path end-to-end: MinHash-LSH candidate
+    pairs → connected components → deterministic keeper per cluster.
+    Rows-only driver check (LSH candidates are engine-internal);
+    tests/test_dedup.py asserts exact duplicates always land in one
+    cluster and keepers are cluster minima."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        (F.col("node") == F.col("component_id")).alias("is_keeper"),
+    )

@@ -80,3 +80,49 @@ def test_simhash_identical_texts_same_hash(spark, sf_dir, docs):
         .filter(F.col("k") > 1)
     )
     assert joined.count() == 0, "same text produced different simhashes"
+
+
+def test_minhash_clusters_group_exact_duplicates(spark, sf_correct):
+    """Every candidate-connected pair shares a cluster (transitive
+    propagation), keepers are cluster minima, and any exact duplicates
+    present land in one cluster (they collide in all LSH bands)."""
+    from pyspark.sql import functions as F
+
+    from presto_on_ray_spark.caching import release_cached
+    from presto_on_ray_spark.operators.dedup import (
+        dedup_minhash_clusters,
+        dedup_minhash_lsh,
+    )
+
+    pairs = [(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_correct).collect()]
+    clusters = {
+        r.doc_id: (r.component_id, r.is_keeper)
+        for r in dedup_minhash_clusters(spark, sf_correct).collect()
+    }
+    release_cached()
+    assert pairs, "fixture should produce LSH candidate pairs"
+
+    # connectivity: both endpoints of every candidate pair share a component
+    for a, b in pairs:
+        assert clusters[a][0] == clusters[b][0], (a, b)
+
+    # keeper = min doc in its component, exactly one per component
+    by_comp = {}
+    for doc, (comp, _) in clusters.items():
+        by_comp.setdefault(comp, []).append(doc)
+    for comp, members in by_comp.items():
+        assert comp == min(members)
+        for doc in members:
+            assert clusters[doc][1] == (doc == comp)
+
+    # exact duplicates (when the fixture has them) always cluster together
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    dup_groups = (
+        docs.groupBy(F.md5("text").alias("d"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    for g in dup_groups:
+        comps = {clusters[i][0] for i in g.ids if i in clusters}
+        assert len(comps) <= 1, f"exact dups split across clusters: {g.ids}"
