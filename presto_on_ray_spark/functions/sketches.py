@@ -272,3 +272,90 @@ def qsketch_quantile(sketch: Column | str, p: float, lo: float, hi: float) -> Co
     )
     width = (hi - lo) / _QBUCKETS
     return F.lit(lo) + (walk["idx"].cast("double") + 0.5) * F.lit(width)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive quantile sketch (DDSketch-style log buckets): the qdigest
+# upgrade for when fixed-range buckets aren't enough. Bucket index =
+# ceil(log_gamma(v)) gives a RELATIVE-error guarantee of (gamma-1)/
+# (gamma+1) per quantile with no declared [lo, hi) — magnitudes from
+# 1e-9 to 1e9 land in distinct buckets automatically. The sketch is a
+# SPARSE map<int,long> (only occupied buckets), merge = bucket-wise
+# add (exact, associative), and the build is the same narrow
+# (group, bucket) count shape as qsketch_agg — partial aggregation
+# collapses map-side, per-group state is bounded by occupied buckets.
+# Scope: values <= 0 clamp into a reserved underflow bucket
+# (documented; Presto's qdigest on doubles has the same sign split).
+# ---------------------------------------------------------------------------
+_DD_GAMMA = 1.02  # relative error (γ-1)/(γ+1) ≈ 0.99%
+_DD_MIN_BUCKET = -(1 << 20)  # reserved underflow index for v <= 0
+
+
+def _dd_bucket(v: Column) -> Column:
+    ln_gamma = float(__import__("math").log(_DD_GAMMA))
+    return (
+        F.when(v <= 0, F.lit(_DD_MIN_BUCKET))
+        .otherwise(F.ceil(F.log(v.cast("double")) / F.lit(ln_gamma)))
+        .cast("int")
+    )
+
+
+def ddsketch_agg(
+    df: DataFrame, group_cols: list[str], value_col: str, sketch_col: str = "dds"
+) -> DataFrame:
+    """Per-group adaptive quantile sketch as a sparse map<int,long>."""
+    b = _dd_bucket(F.col(value_col))
+    per_bucket = (
+        df.select(*group_cols, b.alias("_b"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.count("*").alias("_n"))
+    )
+    return per_bucket.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("_b", "_n")))
+        ).alias(sketch_col)
+    )
+
+
+def ddsketch_merge_grouped(
+    df: DataFrame, group_cols: list[str], sketch_col: str, out_col: str = "merged"
+) -> DataFrame:
+    """Merge sketches per group: explode to (bucket, count) rows, SUM —
+    exact and associative, same narrow plan as qsketch_merge_grouped."""
+    exploded = df.select(*group_cols, F.explode(sketch_col).alias("_b", "_n"))
+    per_bucket = exploded.groupBy(*group_cols, "_b").agg(F.sum("_n").alias("_sum"))
+    return per_bucket.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("_b", "_sum")))
+        ).alias(out_col)
+    )
+
+
+def ddsketch_quantile(sketch: Column | str, p: float) -> Column:
+    """Quantile read-out: walk the sorted (bucket, count) entries to the
+    p-th rank; return the bucket's log-midpoint 2*γ^b/(γ+1), which is
+    within (γ-1)/(γ+1) relative error of the true quantile."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    entries = F.sort_array(F.map_entries(s))
+    total = F.aggregate(
+        entries, F.lit(0).cast("long"), lambda acc, e: acc + e["value"]
+    )
+    target = F.ceil(total.cast("double") * F.lit(p)).cast("long")
+    walk = F.aggregate(
+        entries,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("int").alias("idx"),
+        ),
+        lambda acc, e: F.struct(
+            (acc["cum"] + e["value"]).alias("cum"),
+            F.when(
+                acc["idx"].isNull() & (acc["cum"] + e["value"] >= target), e["key"]
+            )
+            .otherwise(acc["idx"])
+            .alias("idx"),
+        ),
+    )
+    idx = walk["idx"]
+    mid = F.lit(2.0) * F.pow(F.lit(_DD_GAMMA), idx.cast("double")) / F.lit(_DD_GAMMA + 1.0)
+    return F.when(idx == _DD_MIN_BUCKET, F.lit(0.0)).otherwise(mid)

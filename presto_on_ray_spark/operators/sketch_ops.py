@@ -67,3 +67,29 @@ def qdigest_sketch_pipeline(spark, sf_dir):
         F.round(qsketch_quantile("merged", 0.5, lo, hi), 2).alias("p50_price"),
         F.round(qsketch_quantile("merged", 0.9, lo, hi), 2).alias("p90_price"),
     )
+
+
+@query("ddsketch_pipeline")
+def ddsketch_pipeline(spark, sf_dir):
+    """Adaptive quantile sketch workflow (DDSketch-style log buckets —
+    the qdigest fidelity upgrade): build per-priority sketches, merge
+    to the status level, read p50/p90/p99 with a ~1% RELATIVE error
+    guarantee and no declared value range. Rows-only driver check;
+    error bounds + exact mergeability in tests/test_sketches.py."""
+    from presto_on_ray_spark.functions.sketches import (
+        ddsketch_agg,
+        ddsketch_merge_grouped,
+        ddsketch_quantile,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    per_prio = ddsketch_agg(
+        o, ["o_orderstatus", "o_orderpriority"], "o_totalprice"
+    )
+    rolled = ddsketch_merge_grouped(per_prio, ["o_orderstatus"], "dds")
+    return rolled.select(
+        "o_orderstatus",
+        F.round(ddsketch_quantile("merged", 0.5), 2).alias("p50_price"),
+        F.round(ddsketch_quantile("merged", 0.9), 2).alias("p90_price"),
+        F.round(ddsketch_quantile("merged", 0.99), 2).alias("p99_price"),
+    )

@@ -36,6 +36,7 @@ COLLECT_LIST_ALLOWED = {
     "multimap_from_entries", # 25-entry nation fixture array
     "hll_sketch_pipeline",   # approx_set register map: ≤2^p entries/group
     "qdigest_sketch_pipeline",  # bucket map: ≤256 entries/group
+    "ddsketch_pipeline",     # sparse log-bucket map: ≤ occupied buckets/group
     "agg_most_frequent",     # bounded candidate map per group
     "agg_numeric_histogram", # ≤10 buckets
     "text_fingerprint",

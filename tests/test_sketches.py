@@ -158,3 +158,63 @@ def test_qsketch_merge_equals_rebuild(spark, sf_correct):
         .collect()[0].qsk
     )
     assert merged == full
+
+
+def test_ddsketch_relative_error_bound(spark, sf_correct):
+    """Adaptive log-bucket quantiles land within the (γ-1)/(γ+1)≈1%
+    relative-error guarantee of the exact per-group percentiles."""
+    from pyspark.sql import functions as F
+
+    from presto_on_ray_spark.operators._util import t as load
+
+    from presto_on_ray_spark.functions.sketches import (
+        ddsketch_agg,
+        ddsketch_quantile,
+    )
+
+    o = load(spark, sf_correct, "orders")
+    sk = ddsketch_agg(o, ["o_orderstatus"], "o_totalprice")
+    approx = {
+        r.o_orderstatus: (r.p50, r.p90)
+        for r in sk.select(
+            "o_orderstatus",
+            ddsketch_quantile("dds", 0.5).alias("p50"),
+            ddsketch_quantile("dds", 0.9).alias("p90"),
+        ).collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.p50, r.p90)
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    for k, (a50, a90) in approx.items():
+        e50, e90 = exact[k]
+        assert abs(a50 - e50) / e50 < 0.015, (k, a50, e50)
+        assert abs(a90 - e90) / e90 < 0.015, (k, a90, e90)
+
+
+def test_ddsketch_merge_is_exact(spark, sf_correct):
+    """Merging per-priority sketches equals building one sketch over
+    the union — bucket counts add exactly."""
+    from presto_on_ray_spark.operators._util import t as load
+
+    from presto_on_ray_spark.functions.sketches import (
+        ddsketch_agg,
+        ddsketch_merge_grouped,
+    )
+
+    o = load(spark, sf_correct, "orders")
+    per_prio = ddsketch_agg(o, ["o_orderstatus", "o_orderpriority"], "o_totalprice")
+    merged = {
+        r.o_orderstatus: dict(r.merged)
+        for r in ddsketch_merge_grouped(per_prio, ["o_orderstatus"], "dds").collect()
+    }
+    direct = {
+        r.o_orderstatus: dict(r.dds)
+        for r in ddsketch_agg(o, ["o_orderstatus"], "o_totalprice").collect()
+    }
+    assert merged == direct
