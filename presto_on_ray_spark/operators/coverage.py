@@ -41,6 +41,7 @@ from presto_on_ray_spark.operators import (  # noqa: F401
     sorts,
     strings_dates,
     structural,
+    temporal,
     textstats,
     tpch_full,
     windows as win,
@@ -261,11 +262,15 @@ def cov_join_filtering(spark, sf_dir):
     UNION ALL
     SELECT 'non_equi', CAST(p_partkey AS VARCHAR), n_cheaper_suppliers
     FROM ({_o('join_non_equi')})
+    UNION ALL
+    SELECT 'asof', CAST(event_id AS VARCHAR), gap_us
+    FROM ({_o('join_asof')})
     """,
 )
 def cov_join_special(spark, sf_dir):
-    """§2.3 CROSS (cartesian over dims) + theta/non-equi joins, tagged
-    (members: join_cross, join_non_equi)."""
+    """§2.3 CROSS (cartesian over dims) + theta/non-equi joins + the
+    as-of join (union+window form, operators/temporal.py), tagged
+    (members: join_cross, join_non_equi, join_asof)."""
     cross = QUERIES["join_cross"](spark, sf_dir).select(
         F.lit("cross").alias("src"),
         F.concat("r_name", F.lit("|"), "status").alias("k"),
@@ -276,7 +281,12 @@ def cov_join_special(spark, sf_dir):
         F.col("p_partkey").cast("string").alias("k"),
         F.col("n_cheaper_suppliers").alias("n"),
     )
-    return cross.unionAll(non_equi)
+    asof = QUERIES["join_asof"](spark, sf_dir).select(
+        F.lit("asof").alias("src"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("gap_us").alias("n"),
+    )
+    return cross.unionAll(non_equi).unionAll(asof)
 
 
 @query(

@@ -134,6 +134,7 @@ def load_all() -> None:
         sorts,
         strings_dates,
         structural,
+        temporal,
         textstats,
         tpch,
         tpch_full,
