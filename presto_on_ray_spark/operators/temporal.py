@@ -217,3 +217,61 @@ def rollup_hypertable(spark, sf_dir):
             (F.col("dv").cast("double") / F.col("n_hours")).alias("avg_hourly_value"),
         )
     )
+
+
+# Microseconds of inactivity that closes a session (30 minutes).
+SESSION_GAP_US = 1_800_000_000
+
+
+@query(
+    "sessionize_batch",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM e
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM s GROUP BY 1, 2
+    """,
+)
+def sessionize_batch(spark, sf_dir):
+    """Gap-based sessionization, batch form with an EXACT oracle: mark
+    a session boundary where the same-user gap exceeds 30 minutes
+    (lag), number sessions with a running sum, aggregate per session.
+    Semantically the twin of session_window/streaming sessionization
+    (streaming/windows.py:83) — but lag+cumsum is plain SQL, so this
+    query gives the session family a value-hash-checked row (DuckDB has
+    no session_window). Single hash shuffle on user_id feeds both
+    window passes AND the final (user_id, session_idx) aggregation —
+    the aggregation key is a superset of the partitioning."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_s", F.when(gap > SESSION_GAP_US, 1).otherwise(0)
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_idx", F.sum("new_s").over(run).cast("long"))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("total_value"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )

@@ -123,3 +123,58 @@ def text_fingerprint(spark, sf_dir):
             "fingerprint"
         ),
     )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      WHERE LENGTH(term) > 0 GROUP BY 1, 2
+    ), docfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / docfreq.df), 4) AS score
+      FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score FROM (
+      SELECT scored.*, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored
+    ) ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Corpus TF-IDF, top-3 terms per document. Shape at scale: the
+    doc-frequency relation is vocabulary-sized (small), so it
+    broadcasts; the per-(doc,term) tf relation never re-shuffles after
+    its first groupBy. Scores are ranked on ROUND(·,4) with a term
+    tie-break so both engines order identically (ln() can differ in the
+    last ulp between libm and the JVM)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()  # one scalar, driver-side (bounded)
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(docfreq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score")
+    )

@@ -125,6 +125,7 @@ def load_all() -> None:
         joins,
         json_ops,
         multimodal,
+        reshape,
         sampling,
         scalar_misc,
         setops,
