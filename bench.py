@@ -49,6 +49,12 @@ HEADLINE = [
     "cov_setops",
     "cov_windows_wide",
     "datetime_mysql_patterns",
+    # temporal + reshape + tfidf (round 3 additions)
+    "join_asof",
+    "sessionize_batch",
+    "rollup_hypertable",
+    "text_tfidf_topk",
+    "pivot_event_counts",
 ]
 
 

@@ -34,9 +34,11 @@ from presto_on_ray_spark.operators import (  # noqa: F401
     dedup,
     filters,
     joins,
+    reshape,
     scalar_misc,
     setops,
     similarity,
+    skew,
     sketch_ops,
     sorts,
     strings_dates,
@@ -46,6 +48,7 @@ from presto_on_ray_spark.operators import (  # noqa: F401
     tpch_full,
     windows as win,
 )
+from presto_on_ray_spark.streaming import windows as streaming_win  # noqa: F401
 from presto_on_ray_spark.suite import ORACLES, QUERIES, query
 
 
@@ -290,6 +293,160 @@ def cov_join_special(spark, sf_dir):
 
 
 @query(
+    "cov_join_subquery",
+    oracle=f"""
+    SELECT 'lateral' AS src,
+           CAST(c_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR) AS k,
+           CAST(o_totalprice AS DOUBLE) AS v
+    FROM ({_o('join_lateral')})
+    UNION ALL
+    SELECT 'scalar_subq', CAST(o_orderkey AS VARCHAR), CAST(o_totalprice AS DOUBLE)
+    FROM ({_o('join_scalar_subquery')})
+    """,
+)
+def cov_join_subquery(spark, sf_dir):
+    """§2.3 correlated/scalar subquery joins tagged into one relation:
+    CROSS JOIN LATERAL (top-2 per customer, window form) + scalar
+    subquery comparison (members: join_lateral,
+    join_scalar_subquery)."""
+    lat = QUERIES["join_lateral"](spark, sf_dir).select(
+        F.lit("lateral").alias("src"),
+        F.concat(
+            F.col("c_custkey").cast("string"), F.lit(":"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("k"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    sub = QUERIES["join_scalar_subquery"](spark, sf_dir).select(
+        F.lit("scalar_subq").alias("src"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    return lat.unionAll(sub)
+
+
+@query(
+    "cov_temporal_reshape",
+    oracle=f"""
+    SELECT 'sessionize' AS src,
+           CAST(user_id AS VARCHAR) || ':' || CAST(session_idx AS VARCHAR) AS k,
+           CAST(n_events AS DOUBLE) AS v1, CAST(total_value AS DOUBLE) AS v2,
+           CAST(duration_us AS DOUBLE) AS v3
+    FROM ({_o('sessionize_batch')})
+    UNION ALL
+    SELECT 'hypertable',
+           CAST(epoch_us(day_bucket) AS VARCHAR) || '|' || event_type,
+           CAST(n_events AS DOUBLE), CAST(total_value AS DOUBLE),
+           CAST(avg_hourly_value AS DOUBLE)
+    FROM ({_o('rollup_hypertable')})
+    UNION ALL
+    SELECT 'unpivot', CAST(user_id AS VARCHAR) || '|' || event_type,
+           CAST(n AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_o('unpivot_long_form')})
+    UNION ALL
+    SELECT 'tfidf', CAST(doc_id AS VARCHAR) || ':' || term,
+           CAST(tf AS DOUBLE), CAST(score AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_o('text_tfidf_topk')})
+    """,
+)
+def cov_temporal_reshape(spark, sf_dir):
+    """Round-3 temporal + reshape + corpus-stats families in one tagged
+    relation: gap sessionization (exact lag+cumsum form), hypertable
+    cascade rollup (daily-from-hourly, decimal-exact), PIVOT→UNPIVOT
+    round trip, corpus TF-IDF top-3 terms (members: sessionize_batch,
+    rollup_hypertable, unpivot_long_form, text_tfidf_topk). Keys render
+    to string (timestamps via epoch micros — no engine-specific
+    timestamp formatting), measures stay double."""
+    v_null = F.lit(None).cast("double")
+    sess = QUERIES["sessionize_batch"](spark, sf_dir).select(
+        F.lit("sessionize").alias("src"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"),
+            F.col("session_idx").cast("string"),
+        ).alias("k"),
+        F.col("n_events").cast("double").alias("v1"),
+        F.col("total_value").cast("double").alias("v2"),
+        F.col("duration_us").cast("double").alias("v3"),
+    )
+    hyp = QUERIES["rollup_hypertable"](spark, sf_dir).select(
+        F.lit("hypertable").alias("src"),
+        F.concat(
+            F.unix_micros("day_bucket").cast("string"), F.lit("|"),
+            F.col("event_type"),
+        ).alias("k"),
+        F.col("n_events").cast("double").alias("v1"),
+        F.col("total_value").cast("double").alias("v2"),
+        F.col("avg_hourly_value").cast("double").alias("v3"),
+    )
+    unp = QUERIES["unpivot_long_form"](spark, sf_dir).select(
+        F.lit("unpivot").alias("src"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("|"), F.col("event_type")
+        ).alias("k"),
+        F.col("n").cast("double").alias("v1"),
+        v_null.alias("v2"), v_null.alias("v3"),
+    )
+    tfidf = QUERIES["text_tfidf_topk"](spark, sf_dir).select(
+        F.lit("tfidf").alias("src"),
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("term")
+        ).alias("k"),
+        F.col("tf").cast("double").alias("v1"),
+        F.col("score").cast("double").alias("v2"),
+        v_null.alias("v3"),
+    )
+    return sess.unionAll(hyp).unionAll(unp).unionAll(tfidf)
+
+
+@query(
+    "cov_pipeline_scale",
+    oracle=f"""
+    SELECT 'neardup_cc' AS src, CAST(doc_id AS VARCHAR) AS k,
+           CAST(component_id AS DOUBLE) AS v1,
+           CAST(CAST(is_keeper AS INTEGER) AS DOUBLE) AS v2
+    FROM ({_o('dedup_neardup_clusters')})
+    UNION ALL
+    SELECT 'skew_salted', o_orderpriority, CAST(n AS DOUBLE), CAST(total AS DOUBLE)
+    FROM ({_o('skew_salted_join')})
+    UNION ALL
+    SELECT 'interval_join',
+           CAST(purchase_id AS VARCHAR) || ':' || CAST(click_id AS VARCHAR),
+           CAST(p_user AS DOUBLE), CAST(amount AS DOUBLE)
+    FROM ({_o('stream_interval_join_batch')})
+    """,
+)
+def cov_pipeline_scale(spark, sf_dir):
+    """Scale-pattern operators in one tagged relation: near-dup
+    connected-components clustering (iterative min-label propagation vs
+    DuckDB recursive CTE), salt-spread skew join (same relation as the
+    plain join — salting must not change results), and the
+    stream-interval-join batch twin (members: dedup_neardup_clusters,
+    skew_salted_join, stream_interval_join_batch)."""
+    cc = QUERIES["dedup_neardup_clusters"](spark, sf_dir).select(
+        F.lit("neardup_cc").alias("src"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("component_id").cast("double").alias("v1"),
+        F.col("is_keeper").cast("int").cast("double").alias("v2"),
+    )
+    sk = QUERIES["skew_salted_join"](spark, sf_dir).select(
+        F.lit("skew_salted").alias("src"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("n").cast("double").alias("v1"),
+        F.col("total").cast("double").alias("v2"),
+    )
+    ij = QUERIES["stream_interval_join_batch"](spark, sf_dir).select(
+        F.lit("interval_join").alias("src"),
+        F.concat(
+            F.col("purchase_id").cast("string"), F.lit(":"),
+            F.col("click_id").cast("string"),
+        ).alias("k"),
+        F.col("p_user").cast("double").alias("v1"),
+        F.col("amount").cast("double").alias("v2"),
+    )
+    return cc.unionAll(sk).unionAll(ij)
+
+
+@query(
     "cov_sorts_distinct",
     oracle=f"""
     SELECT 'sort_nulls' AS src, o_orderkey AS k, CAST(NULL AS VARCHAR) AS s,
@@ -413,8 +570,15 @@ def cov_sketch_rollups(spark, sf_dir):
     design — sketch estimates are engine-specific; error bounds are
     asserted in tests/test_sketches.py and test_properties.py).
     Members: hll_sketch_pipeline, qdigest_sketch_pipeline,
-    checksum_agg, agg_approx_distinct, agg_approx_percentile."""
+    ddsketch_pipeline, checksum_agg, agg_approx_distinct,
+    agg_approx_percentile."""
     v_null = F.lit(None).cast("double")
+
+    dd = QUERIES["ddsketch_pipeline"](spark, sf_dir).select(
+        F.lit("ddsketch").alias("src"), F.col("o_orderstatus").alias("k"),
+        F.col("p50_price").alias("v1"), F.col("p90_price").alias("v2"),
+        F.col("p99_price").alias("v3"),
+    )
 
     hll = QUERIES["hll_sketch_pipeline"](spark, sf_dir).select(
         F.lit("hll").alias("src"), F.col("o_orderstatus").alias("k"),
@@ -439,7 +603,7 @@ def cov_sketch_rollups(spark, sf_dir):
         F.col("p50").cast("double").alias("v1"), F.col("p25").cast("double").alias("v2"),
         F.col("p75").cast("double").alias("v3"),
     )
-    return hll.unionAll(qd).unionAll(ck).unionAll(ad).unionAll(ap)
+    return hll.unionAll(qd).unionAll(dd).unionAll(ck).unionAll(ad).unionAll(ap)
 
 
 @query("cov_dedup_approx")
@@ -447,7 +611,8 @@ def cov_dedup_approx(spark, sf_dir):
     """§2.11 approximate dedup tiers tagged together (rows-only by
     design — candidate pairs / fingerprints are engine-internal;
     recall + Hamming invariants live in tests/test_dedup.py).
-    Members: dedup_minhash_lsh, dedup_simhash."""
+    Members: dedup_minhash_lsh, dedup_simhash, dedup_minhash_clusters,
+    dedup_embedding_neardup."""
     mh = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
         F.lit("minhash_lsh").alias("src"), F.col("doc_a").cast("long").alias("a"),
         F.col("doc_b").cast("long").alias("b"),
@@ -456,7 +621,15 @@ def cov_dedup_approx(spark, sf_dir):
         F.lit("simhash").alias("src"), F.col("doc_id").cast("long").alias("a"),
         F.col("simhash").alias("b"),
     )
-    return mh.unionAll(sh)
+    mc = QUERIES["dedup_minhash_clusters"](spark, sf_dir).select(
+        F.lit("minhash_cc").alias("src"), F.col("doc_id").cast("long").alias("a"),
+        F.col("component_id").cast("long").alias("b"),
+    )
+    en = QUERIES["dedup_embedding_neardup"](spark, sf_dir).select(
+        F.lit("embedding").alias("src"), F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+    )
+    return mh.unionAll(sh).unionAll(mc).unionAll(en)
 
 
 @query("cov_similarity_ann")
@@ -497,6 +670,10 @@ _FIXTURE_SPECS = [
     ("ord", "unnest_with_ordinality", "CAST(doc_id AS VARCHAR) || ':' || CAST(ord AS VARCHAR)",
      ["word"]),
     ("multimap", "multimap_from_entries", "'0'", ["mm"]),
+    ("strfn", "string_functions", "p_partkey",
+     ["name_len", "brand_upper", "type_lower", "name_prefix", "type_snake",
+      "brand_rev", "brand_trim", "size_padded", "brand_num", "first_a",
+      "brand_type"]),
 ]
 
 # lazy factories: Column objects need an active SparkSession
@@ -514,6 +691,7 @@ _FIXTURE_SPARK_KEYS = {
         F.col("doc_id").cast("string"), F.lit(":"), F.col("ord").cast("string")
     ),
     "multimap": lambda: F.lit("0"),
+    "strfn": lambda: F.col("p_partkey"),
 }
 
 

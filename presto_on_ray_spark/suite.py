@@ -69,12 +69,10 @@ CURATED_50: list[str] = [
     "cov_scalar_orders",         # datetime family, row.field, NULL semantics
     "cov_scalar_lineitem",       # math/trig/bitwise
     "cov_scalar_documents",      # regex, hash/binary, LIKE ESCAPE
-    "string_functions",
     # §2.3 joins
     "cov_join_filtering",        # semi/anti/not-in/quantified/full-outer
-    "cov_join_special",          # cross, non-equi
-    "join_lateral",
-    "join_scalar_subquery",
+    "cov_join_special",          # cross, non-equi, as-of
+    "cov_join_subquery",         # lateral top-n, scalar subquery
     # §2.4 aggregation
     "cov_agg_returnflag",        # DISTINCT+FILTER modifiers, array_agg
     "cov_agg_linestatus",        # statistical, exact percentiles
@@ -97,6 +95,9 @@ CURATED_50: list[str] = [
     # §2.9 / §2.10
     "streaming_tumbling_window_batch",
     "grouped_pandas_agg",
+    # round-3 extensions: temporal / reshape / corpus stats + scale patterns
+    "cov_temporal_reshape",      # sessionize, hypertable rollup, unpivot, tfidf
+    "cov_pipeline_scale",        # neardup clusters, salted skew join, interval join
     # §2.11 pipeline operators
     "dedup_exact",
     "dedup_ngram_jaccard",

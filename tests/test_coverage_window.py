@@ -41,11 +41,14 @@ def test_curated_window_covers_every_family():
         "datetime_struct_null": {"cov_scalar_orders"},
         "math_trig_bitwise": {"cov_scalar_lineitem"},
         "regex_hash_like": {"cov_scalar_documents"},
-        "strings": {"string_functions"},
+        "strings": {"cov_scalar_fixtures"},
         "join_filtering": {"cov_join_filtering"},
         "join_special": {"cov_join_special"},
-        "join_lateral": {"join_lateral"},
-        "join_scalar_subquery": {"join_scalar_subquery"},
+        "join_lateral": {"cov_join_subquery"},
+        "join_scalar_subquery": {"cov_join_subquery"},
+        "join_asof": {"cov_join_special"},
+        "temporal_reshape": {"cov_temporal_reshape"},
+        "pipeline_scale": {"cov_pipeline_scale"},
         "agg_modifiers_structural": {"cov_agg_returnflag"},
         "agg_stats_percentiles": {"cov_agg_linestatus"},
         "agg_tail": {"cov_agg_misc"},
