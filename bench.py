@@ -55,6 +55,11 @@ HEADLINE = [
     "rollup_hypertable",
     "text_tfidf_topk",
     "pivot_event_counts",
+    # analytics tail + training prep (round 3, second pass)
+    "agg_regression",
+    "recursive_cte_hierarchy",
+    "sequence_packing",
+    "pii_redact",
 ]
 
 

@@ -39,6 +39,10 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
     "approx_distinct": "approx_count_distinct",
     "approx_percentile": "percentile_approx",
     "arbitrary": "any_value",
+    # aggregate tail (SURVEY §2.4): Presto names -> Spark natives
+    "bitwise_and_agg": "bit_and",
+    "bitwise_or_agg": "bit_or",
+    "every": "bool_and",
     "strpos": "instr",
     "codepoint": "ascii",  # exact for BMP code points
     "levenshtein_distance": "levenshtein",

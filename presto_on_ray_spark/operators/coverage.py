@@ -31,9 +31,11 @@ from pyspark.sql import functions as F
 from presto_on_ray_spark.operators import (  # noqa: F401
     agg_extra,
     aggregates,
+    analytics_tail,
     dedup,
     filters,
     joins,
+    pipeline_prep,
     reshape,
     scalar_misc,
     setops,
@@ -413,15 +415,39 @@ def cov_temporal_reshape(spark, sf_dir):
            CAST(purchase_id AS VARCHAR) || ':' || CAST(click_id AS VARCHAR),
            CAST(p_user AS DOUBLE), CAST(amount AS DOUBLE)
     FROM ({_o('stream_interval_join_batch')})
+    UNION ALL
+    SELECT 'recursive', CAST(doc_id AS VARCHAR),
+           CAST(depth_to_root AS DOUBLE), CAST(n_ancestors AS DOUBLE)
+    FROM ({_o('recursive_cte_hierarchy')})
+    UNION ALL
+    SELECT 'split', split, CAST(n_docs AS DOUBLE), CAST(total_chars AS DOUBLE)
+    FROM ({_o('split_train_test')})
+    UNION ALL
+    SELECT 'packing', lang || ':' || CAST(doc_id AS VARCHAR),
+           CAST("offset" AS DOUBLE), CAST(last_chunk AS DOUBLE)
+    FROM ({_o('sequence_packing')})
+    UNION ALL
+    SELECT 'sample', source || ':' || CAST(doc_id AS VARCHAR),
+           CAST(rn AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_o('stratified_sample_exact')})
+    UNION ALL
+    SELECT 'pii', CAST(doc_id AS VARCHAR),
+           CAST(n_emails AS DOUBLE), CAST(n_phones AS DOUBLE)
+    FROM ({_o('pii_redact')})
     """,
 )
 def cov_pipeline_scale(spark, sf_dir):
     """Scale-pattern operators in one tagged relation: near-dup
     connected-components clustering (iterative min-label propagation vs
     DuckDB recursive CTE), salt-spread skew join (same relation as the
-    plain join — salting must not change results), and the
-    stream-interval-join batch twin (members: dedup_neardup_clusters,
-    skew_salted_join, stream_interval_join_batch)."""
+    plain join — salting must not change results), the
+    stream-interval-join batch twin, the WITH RECURSIVE ancestor
+    closure, and the training-prep family — deterministic hash split,
+    concat-and-chunk sequence packing, exact stratified sample, PII
+    redaction counts (members: dedup_neardup_clusters,
+    skew_salted_join, stream_interval_join_batch,
+    recursive_cte_hierarchy, split_train_test, sequence_packing,
+    stratified_sample_exact, pii_redact)."""
     cc = QUERIES["dedup_neardup_clusters"](spark, sf_dir).select(
         F.lit("neardup_cc").alias("src"),
         F.col("doc_id").cast("string").alias("k"),
@@ -443,7 +469,39 @@ def cov_pipeline_scale(spark, sf_dir):
         F.col("p_user").cast("double").alias("v1"),
         F.col("amount").cast("double").alias("v2"),
     )
-    return cc.unionAll(sk).unionAll(ij)
+    rec = QUERIES["recursive_cte_hierarchy"](spark, sf_dir).select(
+        F.lit("recursive").alias("src"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("depth_to_root").cast("double").alias("v1"),
+        F.col("n_ancestors").cast("double").alias("v2"),
+    )
+    spl = QUERIES["split_train_test"](spark, sf_dir).select(
+        F.lit("split").alias("src"), F.col("split").alias("k"),
+        F.col("n_docs").cast("double").alias("v1"),
+        F.col("total_chars").cast("double").alias("v2"),
+    )
+    pack = QUERIES["sequence_packing"](spark, sf_dir).select(
+        F.lit("packing").alias("src"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string")).alias("k"),
+        F.col("offset").cast("double").alias("v1"),
+        F.col("last_chunk").cast("double").alias("v2"),
+    )
+    samp = QUERIES["stratified_sample_exact"](spark, sf_dir).select(
+        F.lit("sample").alias("src"),
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string")).alias("k"),
+        F.col("rn").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    pii = QUERIES["pii_redact"](spark, sf_dir).select(
+        F.lit("pii").alias("src"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_emails").cast("double").alias("v1"),
+        F.col("n_phones").cast("double").alias("v2"),
+    )
+    return (
+        cc.unionAll(sk).unionAll(ij).unionAll(rec)
+        .unionAll(spl).unionAll(pack).unionAll(samp).unionAll(pii)
+    )
 
 
 @query(

@@ -1,0 +1,234 @@
+"""Training-data preparation operators: deterministic splits,
+stratified sampling, sequence packing, PII redaction.
+
+The reference stack's purpose is large-scale SQL over training corpora
+(reference README.md:7-12 positions it as an analytics layer); these
+are the four prep operations every LLM data pipeline runs downstream
+of dedup/quality filtering (SURVEY §2.11 extensions):
+
+- **split_train_test** — assign every document to train/val/test by a
+  DETERMINISTIC multiplicative hash of its id (Knuth 2654435761 mix,
+  high bits). Never ``rand()``: retried tasks and re-runs must land
+  each doc in the same split, and the split must be reproducible
+  across engines. Pure arithmetic in the BIGINT-safe range, so DuckDB
+  computes bit-identical buckets.
+- **stratified_sample_exact** — exactly k docs per stratum, chosen by
+  the same hash order (row_number ≤ k per stratum). Per-stratum
+  shuffle + bounded window slice; Spark plans the rank filter as
+  WindowGroupLimit, so no stratum ever materializes fully.
+- **sequence_packing** — concat-and-chunk packing (the GPT-style
+  pretraining layout): within each language, documents are laid
+  head-to-tail by a running token offset and sliced into fixed
+  ``PACK_CAPACITY``-token chunks; each doc reports the chunk span it
+  lands in. One window partition per language — at 100 TB the pack
+  group would be (language, shard) so no partition exceeds executor
+  memory; the arithmetic is identical.
+- **pii_redact** — regex redaction of emails/phones with match
+  accounting. Patterns stay inside the Java∩RE2 common dialect
+  (SURVEY §7 risk 3) so both engines agree; the corpus text carries a
+  synthetic contact line (deterministic per doc) so the redaction path
+  is actually exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.suite import query
+
+# Knuth multiplicative hash: id · 2654435761 mod 2³²; ids ≤ ~2³⁰ keep
+# the product < 2⁶³ (no BIGINT overflow on either engine — both run
+# ANSI/checked arithmetic). Bucket = high bits (· 100 / 2³²).
+_MIX = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+def _bucket_sql(id_expr: str) -> str:
+    return f"(({id_expr} * {_MIX}) % {_MOD}) * 100 // {_MOD}"
+
+
+def _bucket_col(c):
+    return ((c * F.lit(_MIX)) % F.lit(_MOD)) * 100 / F.lit(_MOD)
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, n_chars, {_bucket_sql('doc_id')} AS bucket FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1
+    """,
+)
+def split_train_test(spark, sf_dir):
+    """80/10/10 deterministic hash split of the corpus. The bucket is a
+    pure function of doc_id — stable under retries, re-runs, engine
+    swaps, and repartitioning (the properties rand()-based splits
+    lack). Narrow projection + one aggregation; no shuffle before the
+    final (3-row) groupBy."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.floor(_bucket_col(F.col("doc_id"))).cast("long")
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_SAMPLE_K = 5
+
+
+@query(
+    "stratified_sample_exact",
+    oracle=f"""
+    SELECT source, doc_id, rn FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ({_bucket_sql('doc_id')}), doc_id) AS rn
+      FROM documents
+    ) ranked WHERE rn <= {_SAMPLE_K}
+    """,
+)
+def stratified_sample_exact(spark, sf_dir):
+    """Exactly {k} documents per source stratum, picked by deterministic
+    hash order (pseudo-random but reproducible; doc_id tie-break makes
+    the pick unique). The rank-filter plans as a per-partition top-k
+    (WindowGroupLimit) — each stratum streams, never materializes."""
+    d = t(spark, sf_dir, "documents")
+    order_key = F.floor(_bucket_col(F.col("doc_id"))).cast("long")
+    w = Window.partitionBy("source").orderBy(order_key, "doc_id")
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SAMPLE_K)
+    )
+
+
+PACK_CAPACITY = 512  # tokens per packed training sequence
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    ), laid AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, off AS offset,
+           off // {PACK_CAPACITY} AS first_chunk,
+           (off + n_tokens - 1) // {PACK_CAPACITY} AS last_chunk,
+           (off + n_tokens - 1) // {PACK_CAPACITY} - off // {PACK_CAPACITY} + 1
+             AS n_chunks
+    FROM laid
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per language, lay documents
+    head-to-tail (whitespace-token running offset, doc_id order) and
+    slice into {cap}-token chunks; report each doc's chunk span. The
+    whole layout is one window prefix-sum + arithmetic — no shuffle
+    beyond the per-language partition, and chunk ids are pure functions
+    of the offsets (reproducible across engines and re-runs)."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).alias("n_tokens")
+    toks = d.select("doc_id", "lang", n_tokens)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laid = toks.withColumn("offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    cap = F.lit(PACK_CAPACITY)
+    first = F.floor(F.col("offset") / cap).cast("long")
+    last = F.floor((F.col("offset") + F.col("n_tokens") - 1) / cap).cast("long")
+    return laid.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "offset",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    )
+
+
+# Java ∩ RE2 patterns (no backrefs, no lookaround).
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LENGTH(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(LENGTH(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER)
+             AS n_phones,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM aug
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII scrub with match accounting: append a deterministic synthetic
+    contact line per document (the corpus itself is synthetic and
+    PII-free), then count and redact email/phone matches. Pure
+    JVM-side regex — a narrow map over the scan, embarrassingly
+    parallel; the patterns sit in the Java∩RE2 common subset so DuckDB
+    and Spark agree byte-for-byte."""
+    d = t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )

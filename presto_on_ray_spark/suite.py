@@ -118,6 +118,7 @@ def load_all() -> None:
     from presto_on_ray_spark.operators import (  # noqa: F401
         agg_extra,
         aggregates,
+        analytics_tail,
         arrays_extra,
         coverage,
         dedup,
@@ -126,6 +127,7 @@ def load_all() -> None:
         joins,
         json_ops,
         multimodal,
+        pipeline_prep,
         reshape,
         sampling,
         scalar_misc,

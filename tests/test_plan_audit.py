@@ -46,6 +46,7 @@ COLLECT_LIST_ALLOWED = {
     "streaming_session_windows",
     "window_ignore_nulls",
     # composed coverage suites inherit their members' bounded uses:
+    "agg_map_union",         # map re-assembly: ≤ distinct keys per group (maps.py)
     "cov_agg_misc",          # min_by slice + single-group map_agg
     "cov_agg_returnflag",    # agg_structural collect_set render
     "cov_scalar_fixtures",   # multimap_from_entries 25-entry fixture
