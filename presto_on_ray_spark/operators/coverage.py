@@ -434,6 +434,14 @@ def cov_temporal_reshape(spark, sf_dir):
     SELECT 'pii', CAST(doc_id AS VARCHAR),
            CAST(n_emails AS DOUBLE), CAST(n_phones AS DOUBLE)
     FROM ({_o('pii_redact')})
+    UNION ALL
+    SELECT 'decontaminate', CAST(train_doc_id AS VARCHAR),
+           CAST(n_shared_shingles AS DOUBLE), CAST(n_eval_docs_hit AS DOUBLE)
+    FROM ({_o('decontaminate_train_eval')})
+    UNION ALL
+    SELECT 'repetition', CAST(doc_id AS VARCHAR),
+           CAST(n_trigrams AS DOUBLE), CAST(rep_ratio AS DOUBLE)
+    FROM ({_o('text_repetition')})
     """,
 )
 def cov_pipeline_scale(spark, sf_dir):
@@ -444,10 +452,11 @@ def cov_pipeline_scale(spark, sf_dir):
     stream-interval-join batch twin, the WITH RECURSIVE ancestor
     closure, and the training-prep family — deterministic hash split,
     concat-and-chunk sequence packing, exact stratified sample, PII
-    redaction counts (members: dedup_neardup_clusters,
-    skew_salted_join, stream_interval_join_batch,
-    recursive_cte_hierarchy, split_train_test, sequence_packing,
-    stratified_sample_exact, pii_redact)."""
+    redaction counts, benchmark decontamination, repetition scoring
+    (members: dedup_neardup_clusters, skew_salted_join,
+    stream_interval_join_batch, recursive_cte_hierarchy,
+    split_train_test, sequence_packing, stratified_sample_exact,
+    pii_redact, decontaminate_train_eval, text_repetition)."""
     cc = QUERIES["dedup_neardup_clusters"](spark, sf_dir).select(
         F.lit("neardup_cc").alias("src"),
         F.col("doc_id").cast("string").alias("k"),
@@ -498,9 +507,22 @@ def cov_pipeline_scale(spark, sf_dir):
         F.col("n_emails").cast("double").alias("v1"),
         F.col("n_phones").cast("double").alias("v2"),
     )
+    dec = QUERIES["decontaminate_train_eval"](spark, sf_dir).select(
+        F.lit("decontaminate").alias("src"),
+        F.col("train_doc_id").cast("string").alias("k"),
+        F.col("n_shared_shingles").cast("double").alias("v1"),
+        F.col("n_eval_docs_hit").cast("double").alias("v2"),
+    )
+    rep = QUERIES["text_repetition"](spark, sf_dir).select(
+        F.lit("repetition").alias("src"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_trigrams").cast("double").alias("v1"),
+        F.col("rep_ratio").cast("double").alias("v2"),
+    )
     return (
         cc.unionAll(sk).unionAll(ij).unionAll(rec)
         .unionAll(spl).unionAll(pack).unionAll(samp).unionAll(pii)
+        .unionAll(dec).unionAll(rep)
     )
 
 

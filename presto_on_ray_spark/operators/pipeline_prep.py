@@ -232,3 +232,119 @@ def pii_redact(spark, sf_dir):
             "[PHONE]",
         ).alias("redacted"),
     )
+
+
+_DECON_N = 8  # contamination n-gram width (rare enough to be meaningful)
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB n-gram list over STRING_SPLIT(text,' ') (same construction
+    as the dedup oracles)."""
+    terms = " || ' ' || ".join(f"STRING_SPLIT(text,' ')[i+{j}]" for j in range(n))
+    return (
+        f"LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - {n - 1}, 0) + 1), i -> {terms}))"
+    )
+
+
+@query(
+    "decontaminate_train_eval",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, {_bucket_sql('doc_id')} AS bucket FROM documents
+    ),
+    train_sh AS (
+      SELECT doc_id, UNNEST({_gram_sql(_DECON_N)}) AS sh
+      FROM b WHERE bucket < 80
+    ),
+    eval_sh AS (
+      SELECT doc_id, UNNEST({_gram_sql(_DECON_N)}) AS sh
+      FROM b WHERE bucket >= 90
+    )
+    SELECT t.doc_id AS train_doc_id,
+           COUNT(DISTINCT t.sh) AS n_shared_shingles,
+           COUNT(DISTINCT e.doc_id) AS n_eval_docs_hit
+    FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_train_eval(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    {n}-word shingle with the held-out eval split (the standard
+    n-gram-overlap contamination check). Composes the deterministic
+    hash split with the dedup shingle machinery: both sides explode
+    DISTINCT hashed shingles (dedup.shingles — xxhash64 i64s, so the
+    equi-join shuffles 8-byte keys, never strings; at corpus scale the
+    10% eval side broadcasts). 8-gram rarity keeps the join skew-free
+    where stop-word 3-grams would hot-spot. Counts match the string
+    oracle because xxhash64 collisions are vanishing at fixture scale
+    (same contract as dedup_ngram_jaccard)."""
+    from presto_on_ray_spark.operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents")
+    bucket = F.floor(_bucket_col(F.col("doc_id"))).cast("long")
+    base = d.select("doc_id", "text", bucket.alias("bucket")).filter(
+        F.size(F.split("text", " ")) >= _DECON_N
+    )
+    grams = shingles(F.col("text"), n=_DECON_N)
+    train = (
+        base.filter(F.col("bucket") < 80)
+        .select("doc_id", F.explode(grams).alias("sh"))
+    )
+    eval_ = (
+        base.filter(F.col("bucket") >= 90)
+        .select(F.col("doc_id").alias("eval_doc_id"), F.explode(grams).alias("sh"))
+    )
+    return (
+        train.join(eval_, "sh")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(
+            F.count_distinct("sh").alias("n_shared_shingles"),
+            F.count_distinct("eval_doc_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             GREATEST(LEN(STRING_SPLIT(text,' ')) - 2, 0) AS n_trigrams,
+             LEN({_gram_sql(3)}) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, n_trigrams, n_distinct,
+           CASE WHEN n_trigrams > 0
+                THEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams, 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM g
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition score (Gopher-style quality signal):
+    fraction of word trigrams that are repeats of an earlier trigram in
+    the same document. Pure higher-order-function pipeline — the
+    trigram array, its distinct form, and the ratio are all computed
+    inside one projection (no explode, no shuffle, no UDF): the
+    embarrassingly-parallel shape a 100 TB quality pass needs."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tri = F.greatest(F.size(words) - 2, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, 3), " "),
+    )
+    n_distinct = F.when(n_tri > 0, F.size(F.array_distinct(grams))).otherwise(0)
+    return d.select(
+        "doc_id",
+        n_tri.cast("long").alias("n_trigrams"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.when(
+            n_tri > 0,
+            F.round(
+                F.lit(1.0) - n_distinct.cast("double") / n_tri.cast("double"), 6
+            ),
+        )
+        .otherwise(0.0)
+        .alias("rep_ratio"),
+    )
