@@ -39,6 +39,7 @@ HEADLINE = [
     "streaming_tumbling_window_batch",
     "dedup_exact_survivors",
     "dedup_ngram_jaccard",
+    "dedup_neardup_clusters",
     "dedup_minhash_lsh",
     "similarity_bruteforce_topk",
     "text_quality_scores",

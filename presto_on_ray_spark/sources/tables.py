@@ -44,10 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     non-UTC zone would shift timestamp values relative to the DuckDB
     oracle's naive timestamps.
 
-    events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read nanos as long (legacy conf — set here so any
-    externally-built session works too) and surface a proper
-    microsecond TimestampType column.
+    events.parquet has shipped with two physical types for ``ts`` across
+    testdata generations: TIMESTAMP(NANOS) (which Spark's parquet reader
+    only accepts via the nanosAsLong legacy conf, yielding a bigint) and
+    plain TIMESTAMP(MICROS)/NTZ.  Branch on the dtype the reader actually
+    produced — a scan layer must not assume a physical type the file no
+    longer has — and surface a session-TZ TimestampType column either way.
     """
     # NB: conf.get(key, default) VALIDATES the default on Spark 4 — an
     # empty-string default throws INVALID_CONF_VALUE; use the 1-arg form.
@@ -58,8 +60,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         from pyspark.sql import functions as F
 
-        # integer DIV keeps full precision (nanos exceed double's 2^53).
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # Legacy nanos-as-long file: integer DIV keeps full precision
+            # (nanos exceed double's 2^53).
+            return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if ts_type != "timestamp":
+            # timestamp_ntz (or anything else time-like): pin to the
+            # session-TZ timestamp the oracles expect.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

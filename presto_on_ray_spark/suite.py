@@ -100,7 +100,11 @@ CURATED_50: list[str] = [
     "cov_pipeline_scale",        # neardup clusters, salted skew join, interval join
     # §2.11 pipeline operators
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # flagship 100 TB dedup story: pairs → connected components → keeper.
+    # Its input stage IS the ngram-jaccard pair generator, so that family
+    # stays exercised transitively (dedup_ngram_jaccard remains under the
+    # local oracle gate).
+    "dedup_neardup_clusters",
     "cov_dedup_approx",          # minhash LSH, simhash
     "similarity_bruteforce_topk",
     "similarity_pairwise_threshold",

@@ -67,7 +67,10 @@ def test_curated_window_covers_every_family():
         "streaming": {"streaming_tumbling_window_batch"},
         "pandas_udf": {"grouped_pandas_agg"},
         "dedup_exact": {"dedup_exact"},
-        "dedup_jaccard": {"dedup_ngram_jaccard"},
+        # the clustering row's input stage IS the ngram-jaccard pair
+        # generator, so the jaccard family is driver-covered through it
+        # (dedup_ngram_jaccard itself stays under the local oracle gate)
+        "dedup_jaccard": {"dedup_neardup_clusters", "dedup_ngram_jaccard"},
         "dedup_approx": {"cov_dedup_approx"},
         "similarity_exact": {"similarity_bruteforce_topk", "similarity_pairwise_threshold"},
         "similarity_ann": {"cov_similarity_ann"},

