@@ -25,15 +25,23 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch read — the standard pattern for replaying files as a stream)."""
     from presto_on_ray_spark.sources.tables import load_table
 
-    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: long
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf + UTC TZ
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file streams take a directory; glob down to the one fixture file
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # Mirror load_table's dtype branch: the fixture's ts physical type has
+    # shipped as both TIMESTAMP(NANOS) (bigint under nanosAsLong) and
+    # TIMESTAMP(MICROS)/NTZ across testdata generations.
+    ts_type = dict(stream.dtypes).get("ts", "")
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_type != "timestamp":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_window_counts(
