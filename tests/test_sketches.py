@@ -218,3 +218,33 @@ def test_ddsketch_merge_is_exact(spark, sf_correct):
         for r in ddsketch_agg(o, ["o_orderstatus"], "o_totalprice").collect()
     }
     assert merged == direct
+
+
+def test_hll_sparse_pipeline_matches_dense_path(spark, sf_correct):
+    """hll_pipeline_sparse must be bit-identical to the dense
+    approx_set -> merge -> cardinality composition (absent sparse
+    registers are algebraically rank-0)."""
+    from presto_on_ray_spark.functions.sketches import (
+        approx_set,
+        hll_cardinality_grouped,
+        hll_pipeline_sparse,
+    )
+
+    o = t(spark, sf_correct, "orders")
+    sparse = {
+        r.o_orderstatus: r.e
+        for r in hll_pipeline_sparse(
+            o, ["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
+            "o_custkey", out_col="e",
+        ).collect()
+    }
+    per_prio = approx_set(
+        o, ["o_orderstatus", "o_orderpriority"], "o_custkey", sketch_col="hll"
+    )
+    dense = {
+        r.o_orderstatus: r.e
+        for r in hll_cardinality_grouped(
+            per_prio, ["o_orderstatus"], "hll", out_col="e"
+        ).collect()
+    }
+    assert sparse == dense
