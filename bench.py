@@ -61,6 +61,11 @@ HEADLINE = [
     "recursive_cte_hierarchy",
     "sequence_packing",
     "pii_redact",
+    # incremental / CDC family (round 4)
+    "merge_upsert",
+    "scd2_history",
+    "cdc_latest_state",
+    "text_lm_score",
 ]
 
 

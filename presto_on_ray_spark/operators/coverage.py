@@ -37,6 +37,7 @@ from presto_on_ray_spark.operators import (  # noqa: F401
     joins,
     pipeline_prep,
     reshape,
+    incremental,
     scalar_misc,
     setops,
     similarity,
@@ -905,3 +906,74 @@ def cov_agg_misc(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# incremental / CDC family (round 4): MERGE upsert, SCD2 history,
+# changelog compaction, unigram LM quality score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cov_incremental",
+    oracle=f"""
+    SELECT 'merge' AS src,
+           CAST(c_custkey AS VARCHAR) || ':' || action AS k,
+           c_acctbal AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM ({_o('merge_upsert')})
+    UNION ALL
+    SELECT 'scd2',
+           CAST(user_id AS VARCHAR) || ':' || CAST(version AS VARCHAR)
+             || ':' || state,
+           CAST(epoch_us(valid_from) AS DOUBLE),
+           CAST(COALESCE(epoch_us(valid_to), -1) AS DOUBLE)
+    FROM ({_o('scd2_history')})
+    UNION ALL
+    SELECT 'cdc_latest',
+           CAST(user_id AS VARCHAR) || ':' || latest_state,
+           CAST(epoch_us(latest_ts) AS DOUBLE), latest_value
+    FROM ({_o('cdc_latest_state')})
+    UNION ALL
+    SELECT 'lm_score', CAST(doc_id AS VARCHAR),
+           CAST(n_tokens AS DOUBLE), cross_entropy
+    FROM ({_o('text_lm_score')})
+    """,
+)
+def cov_incremental(spark, sf_dir):
+    """Incremental-pipeline family stacked to (src, k, v1, v2): MERGE
+    upsert via one full-outer join, Type-2 SCD history build, changelog
+    latest-state compaction, and the unigram LM cross-entropy quality
+    score. Members: merge_upsert, scd2_history, cdc_latest_state,
+    text_lm_score."""
+    mg = QUERIES["merge_upsert"](spark, sf_dir).select(
+        F.lit("merge").alias("src"),
+        F.concat(
+            F.col("c_custkey").cast("string"), F.lit(":"), F.col("action")
+        ).alias("k"),
+        F.col("c_acctbal").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    sc = QUERIES["scd2_history"](spark, sf_dir).select(
+        F.lit("scd2").alias("src"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"),
+            F.col("version").cast("string"), F.lit(":"), F.col("state"),
+        ).alias("k"),
+        F.unix_micros("valid_from").cast("double").alias("v1"),
+        F.coalesce(F.unix_micros("valid_to"), F.lit(-1)).cast("double").alias("v2"),
+    )
+    cl = QUERIES["cdc_latest_state"](spark, sf_dir).select(
+        F.lit("cdc_latest").alias("src"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.col("latest_state")
+        ).alias("k"),
+        F.unix_micros("latest_ts").cast("double").alias("v1"),
+        F.col("latest_value").alias("v2"),
+    )
+    lm = QUERIES["text_lm_score"](spark, sf_dir).select(
+        F.lit("lm_score").alias("src"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_tokens").cast("double").alias("v1"),
+        F.col("cross_entropy").alias("v2"),
+    )
+    return mg.unionAll(sc).unionAll(cl).unionAll(lm)

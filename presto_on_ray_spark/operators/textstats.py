@@ -178,3 +178,58 @@ def text_tfidf_topk(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "score")
     )
+
+
+@query(
+    "text_lm_score",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ) x WHERE LENGTH(term) > 0
+    ), unigram AS (
+      SELECT term, COUNT(*) AS cnt FROM terms GROUP BY 1
+    ), tot AS (SELECT COUNT(*) AS n FROM terms),
+    scored AS (
+      SELECT t.doc_id,
+             ROUND(LN(CAST(u.cnt AS DOUBLE) / tot.n), 4) AS lp
+      FROM terms t JOIN unigram u USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(-(CAST(SUM(CAST(lp AS DECIMAL(20,4))) AS DOUBLE)) / COUNT(*), 4)
+             AS cross_entropy
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark, sf_dir):
+    """Unigram language-model quality score: per-document cross-entropy
+    under the corpus's own unigram distribution (the classic cheap
+    perplexity filter — documents full of corpus-rare tokens score
+    high, boilerplate scores low).
+
+    Shape at scale: the unigram table is vocabulary-sized, so it
+    broadcasts; the token relation shuffles once for the count and once
+    for the per-doc mean. Per-token log-probs are rounded to 4 places
+    and decimal-summed so the distributed mean is order-independent and
+    hash-identical to the single-threaded oracle."""
+    d = t(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    total = terms.count()  # one scalar, driver-side (bounded)
+    unigram = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    scored = terms.join(F.broadcast(unigram), "term").select(
+        "doc_id",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.lit(float(total))), 4
+        ).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            -(F.sum(F.col("lp").cast("decimal(20,4)")).cast("double"))
+            / F.count("*"),
+            4,
+        ).alias("cross_entropy"),
+    )

@@ -78,7 +78,10 @@ CURATED_50: list[str] = [
     "cov_agg_linestatus",        # statistical, exact percentiles
     "cov_agg_misc",              # min_by top-n, map_agg, heavy hitters
     "agg_grouping_sets",
-    "agg_having",
+    # HAVING's driver representative is tpch_q11_important_stock
+    # (threshold over the group's own aggregate); agg_having stays under
+    # the local oracle gate. Slot reused for the round-4 CDC family.
+    "cov_incremental",      # merge upsert, SCD2, changelog compact, LM score
     "agg_reduce_agg",
     "cov_sketch_rollups",        # approx_distinct/percentile, HLL, qdigest, checksum
     # §2.5 windows
@@ -128,6 +131,7 @@ def load_all() -> None:
         dedup,
         filters,
         grouped_pandas,
+        incremental,
         joins,
         json_ops,
         multimodal,

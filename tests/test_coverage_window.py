@@ -53,7 +53,10 @@ def test_curated_window_covers_every_family():
         "agg_stats_percentiles": {"cov_agg_linestatus"},
         "agg_tail": {"cov_agg_misc"},
         "grouping_sets": {"agg_grouping_sets"},
-        "having": {"agg_having"},
+        # Q11's threshold-over-own-aggregate IS the HAVING shape;
+        # agg_having itself stays under the local oracle gate
+        "having": {"agg_having", "tpch_q11_important_stock"},
+        "incremental_cdc": {"cov_incremental"},
         "reduce_agg": {"agg_reduce_agg"},
         "approx_sketches": {"cov_sketch_rollups"},
         "windows_core": {"cov_windows_wide"},
