@@ -55,7 +55,8 @@ WITH target AS (
   SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
 ), source AS (
   SELECT o_custkey AS c_custkey, {oracle_dsum('o_totalprice')} AS delta
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  GROUP BY o_custkey
 )
 SELECT COALESCE(tg.c_custkey, s.c_custkey) AS c_custkey,
        CASE WHEN tg.c_custkey IS NOT NULL THEN tg.c_name
@@ -76,15 +77,18 @@ FROM target tg FULL OUTER JOIN source s ON tg.c_custkey = s.c_custkey
 def merge_upsert(spark, sf_dir):
     """MERGE INTO as one full-outer join: target = customers whose key
     is not divisible by 3 (so ~1/3 of order keys arrive as inserts),
-    source = per-customer order-value deltas. The delta aggregate is
-    decimal-exact; the single double addition on matched rows is the
+    source = per-customer deltas from RECENT orders only (customers
+    with no recent orders pass through as 'keep'). The delta aggregate
+    is decimal-exact; the single double addition on matched rows is the
     same two operands on both engines."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     target = c.filter(F.col("c_custkey") % 3 != 0).select(
         "c_custkey", "c_name", "c_acctbal"
     )
-    source = o.groupBy(F.col("o_custkey").alias("s_custkey")).agg(
+    source = o.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).groupBy(F.col("o_custkey").alias("s_custkey")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double").alias("delta")
     )
     j = target.join(

@@ -275,3 +275,56 @@ def sessionize_batch(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("total_value"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
+
+
+# Hour-boundary split for the incremental-refresh demo: rows before the
+# split play the already-materialized tier, rows at/after it the delta.
+ROLLUP_REFRESH_SPLIT = "2024-01-15 00:00:00"
+
+
+@query(
+    "rollup_incremental_refresh",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS hour_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view refresh: merge an existing hourly
+    rollup with partial aggregates over only the NEW rows, instead of
+    recomputing from raw. The oracle is the full recompute — exact
+    agreement (decimal partials are associative) IS the correctness
+    proof of the refresh algebra.
+
+    Shape at scale: the delta scan reads only the new partition(s); the
+    merge is a groupBy over two rollup-sized inputs, never over raw
+    history. At 100 TB with daily deltas this is the difference between
+    re-reading 100 TB and reading one day's slice plus a rollup whose
+    size is |hours × event_types|."""
+    split = F.lit(ROLLUP_REFRESH_SPLIT).cast("timestamp")
+    ev = t(spark, sf_dir, "events")
+
+    def partials(df):
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)")).alias("hv"),
+        )
+
+    base = partials(ev.filter(F.col("ts") < split))     # the stored MV
+    delta = partials(ev.filter(F.col("ts") >= split))   # the new slice
+    return (
+        base.unionByName(delta)
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("hv").alias("hv"))
+        .select(
+            "hour_bucket",
+            "event_type",
+            "n_events",
+            F.col("hv").cast("double").alias("total_value"),
+        )
+    )
