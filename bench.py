@@ -66,6 +66,8 @@ HEADLINE = [
     "scd2_history",
     "cdc_latest_state",
     "text_lm_score",
+    "rollup_incremental_refresh",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -32,6 +32,7 @@ from presto_on_ray_spark.operators import (  # noqa: F401
     agg_extra,
     aggregates,
     analytics_tail,
+    curation,
     dedup,
     filters,
     joins,
@@ -623,12 +624,17 @@ def cov_setops(spark, sf_dir):
     UNION ALL
     SELECT 'token_count', source, whitespace_tokens, bpe_ish_tokens, char4_token_estimate
     FROM ({_o('text_token_count')})
+    UNION ALL
+    SELECT 'curation', verdict, COUNT(*),
+           CAST(SUM(n_words) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_o('corpus_curation_pipeline')}) GROUP BY verdict
     """,
 )
 def cov_text_agg(spark, sf_dir):
-    """§2.11 corpus-level text analysis: language-ID confusion counts +
-    three-way token accounting (members: text_lang_id,
-    text_token_count)."""
+    """§2.11 corpus-level text analysis: language-ID confusion counts,
+    three-way token accounting, and curation-pipeline drop-rate
+    accounting per rule (members: text_lang_id, text_token_count,
+    corpus_curation_pipeline)."""
     lang = QUERIES["text_lang_id"](spark, sf_dir).select(
         F.lit("lang_id").alias("src"), F.col("predicted_lang").alias("k"),
         F.col("n").cast("long").alias("c1"), F.col("n_match").cast("long").alias("c2"),
@@ -639,7 +645,17 @@ def cov_text_agg(spark, sf_dir):
         F.col("whitespace_tokens").alias("c1"), F.col("bpe_ish_tokens").alias("c2"),
         F.col("char4_token_estimate").alias("c3"),
     )
-    return lang.unionAll(tok)
+    cur = (
+        QUERIES["corpus_curation_pipeline"](spark, sf_dir)
+        .groupBy("verdict")
+        .agg(F.count("*").alias("c1"), F.sum("n_words").alias("c2"))
+        .select(
+            F.lit("curation").alias("src"), F.col("verdict").alias("k"),
+            "c1", F.col("c2").cast("long").alias("c2"),
+            F.lit(None).cast("long").alias("c3"),
+        )
+    )
+    return lang.unionAll(tok).unionAll(cur)
 
 
 # rows-only unions: members are approximate/engine-specific by design,

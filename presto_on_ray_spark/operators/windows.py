@@ -255,3 +255,38 @@ def window_range_interval(spark, sf_dir):
         FROM events
         """
     )
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE)
+             AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark, sf_dir):
+    """Time-interval RANGE frame (SURVEY §2.5): per user, how many
+    events and how much value in the trailing hour at each event.
+    RANGE frames include ts-peers by definition, so the result is
+    deterministic without an explicit tie-break; the decimal SUM keeps
+    the frame total order-independent. The frame is evaluated in one
+    pass over each partition's sorted run — same single Exchange as any
+    other window over (user_id, ts)."""
+    e = t(spark, sf_dir, "events")
+    over = (
+        "(PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return e.selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        f"COUNT(*) OVER {over} AS n_last_hour",
+        f"CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER {over} AS DOUBLE)"
+        " AS sum_last_hour",
+    )

@@ -128,6 +128,7 @@ def load_all() -> None:
         analytics_tail,
         arrays_extra,
         coverage,
+        curation,
         dedup,
         filters,
         grouped_pandas,
