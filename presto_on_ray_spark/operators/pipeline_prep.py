@@ -330,10 +330,15 @@ def text_repetition(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_tri = F.greatest(F.size(words) - 2, F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, 3), " "),
-    )
+    # words bound as a lambda variable so split runs once per row, not
+    # once per trigram index (see dedup.shingles).
+    grams = F.flatten(F.transform(
+        F.array(words),
+        lambda ws: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(ws, i, 3), " "),
+        ),
+    ))
     n_distinct = F.when(n_tri > 0, F.size(F.array_distinct(grams))).otherwise(0)
     return d.select(
         "doc_id",
