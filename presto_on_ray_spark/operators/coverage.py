@@ -444,6 +444,14 @@ def cov_temporal_reshape(spark, sf_dir):
     SELECT 'repetition', CAST(doc_id AS VARCHAR),
            CAST(n_trigrams AS DOUBLE), CAST(rep_ratio AS DOUBLE)
     FROM ({_o('text_repetition')})
+    UNION ALL
+    SELECT 'weighted_sample', lang || ':' || CAST(doc_id AS VARCHAR),
+           CAST(rn AS DOUBLE), sample_key
+    FROM ({_o('weighted_sample_exact')})
+    UNION ALL
+    SELECT 'winsorize', CAST(event_id AS VARCHAR),
+           clipped, CAST(CAST(was_clipped AS INTEGER) AS DOUBLE)
+    FROM ({_o('winsorize_clip')})
     """,
 )
 def cov_pipeline_scale(spark, sf_dir):
@@ -455,10 +463,12 @@ def cov_pipeline_scale(spark, sf_dir):
     closure, and the training-prep family — deterministic hash split,
     concat-and-chunk sequence packing, exact stratified sample, PII
     redaction counts, benchmark decontamination, repetition scoring
+    weighted A-Res sampling, and percentile winsorization
     (members: dedup_neardup_clusters, skew_salted_join,
     stream_interval_join_batch, recursive_cte_hierarchy,
     split_train_test, sequence_packing, stratified_sample_exact,
-    pii_redact, decontaminate_train_eval, text_repetition)."""
+    pii_redact, decontaminate_train_eval, text_repetition,
+    weighted_sample_exact, winsorize_clip)."""
     cc = QUERIES["dedup_neardup_clusters"](spark, sf_dir).select(
         F.lit("neardup_cc").alias("src"),
         F.col("doc_id").cast("string").alias("k"),
@@ -521,10 +531,22 @@ def cov_pipeline_scale(spark, sf_dir):
         F.col("n_trigrams").cast("double").alias("v1"),
         F.col("rep_ratio").cast("double").alias("v2"),
     )
+    ws = QUERIES["weighted_sample_exact"](spark, sf_dir).select(
+        F.lit("weighted_sample").alias("src"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string")).alias("k"),
+        F.col("rn").cast("double").alias("v1"),
+        F.col("sample_key").alias("v2"),
+    )
+    wz = QUERIES["winsorize_clip"](spark, sf_dir).select(
+        F.lit("winsorize").alias("src"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("clipped").alias("v1"),
+        F.col("was_clipped").cast("int").cast("double").alias("v2"),
+    )
     return (
         cc.unionAll(sk).unionAll(ij).unionAll(rec)
         .unionAll(spl).unionAll(pack).unionAll(samp).unionAll(pii)
-        .unionAll(dec).unionAll(rep)
+        .unionAll(dec).unionAll(rep).unionAll(ws).unionAll(wz)
     )
 
 

@@ -353,3 +353,92 @@ def text_repetition(spark, sf_dir):
         .otherwise(0.0)
         .alias("rep_ratio"),
     )
+
+
+_WEIGHTED_K = 20
+
+
+@query(
+    "weighted_sample_exact",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars AS weight,
+             ROUND(LN((((doc_id * {_MIX}) % {_MOD}) + 0.5) / {_MOD})
+                   / n_chars, 9) AS sample_key
+      FROM documents
+    )
+    SELECT lang, doc_id, weight, sample_key, rn FROM (
+      SELECT keyed.*, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS rn
+      FROM keyed
+    ) ranked WHERE rn <= {_WEIGHTED_K}
+    """,
+)
+def weighted_sample_exact(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-Res in the
+    log domain): each doc gets key = ln(u)/w for a hash-derived uniform
+    u and weight w (n_chars); the top-k keys per language are the
+    weighted sample. A pure function of (doc_id, weight) — reproducible
+    across retries, engines, and repartitioning, unlike rand()-based
+    weighted sampling. The rank filter plans as WindowGroupLimit, so
+    per-partition state is k rows; keys are ranked on ROUND(·,9) with a
+    doc_id tie-break so both engines order identically."""
+    d = t(spark, sf_dir, "documents")
+    u = (((F.col("doc_id") * F.lit(_MIX)) % F.lit(_MOD)) + 0.5) / F.lit(_MOD)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    keyed = d.select(
+        "lang", "doc_id", F.col("n_chars").alias("weight"), key.alias("sample_key")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("sample_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _WEIGHTED_K)
+    )
+
+
+@query(
+    "winsorize_clip",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 4) AS lo,
+             ROUND(quantile_cont(value, 0.95), 4) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value < b.lo THEN b.lo
+                WHEN e.value > b.hi THEN b.hi
+                ELSE e.value END AS clipped,
+           e.value < b.lo OR e.value > b.hi AS was_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    """,
+)
+def winsorize_clip(spark, sf_dir):
+    """Winsorization: clip each event's value to its type's exact
+    [p05, p95] band — the standard outlier treatment before a numeric
+    feature feeds training. Exact interpolated percentiles (both
+    engines use the same (1-f)·a + f·b rule over the sorted run),
+    rounded to 4 places before clipping so the keep/clip decision is
+    bit-stable. The bounds relation is |event_types| rows — broadcast
+    to the clip join; one shuffle total (the percentile groupBy)."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("hi"),
+    )
+    clipped = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        clipped.alias("clipped"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )
