@@ -307,3 +307,82 @@ def stream_interval_join_batch(spark, sf_dir):
     return stream_stream_join_batch(spark, sf_dir).select(
         "purchase_id", "click_id", "p_user", F.col("amount").cast("double").alias("amount")
     )
+
+
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, with its same-user
+    clicks from the preceding hour or NULL click columns if none arrive
+    before the watermark closes the window. Outer stream-stream joins
+    require BOTH watermarks and the time-range condition (Spark can
+    only emit the null row once the state store knows no match can
+    still arrive) — state stays bounded by the watermark+range horizon
+    exactly as in the inner form."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts", "amount")
+
+
+@query(
+    "stream_interval_left_join_batch",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS p_user, CAST(p.value AS DOUBLE) AS amount
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_left_join_batch(spark, sf_dir):
+    """Batch twin of stream_stream_left_join: purchases keep a NULL
+    click when no same-user click lands in the preceding hour."""
+    from presto_on_ray_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "purchase_id", "click_id", "p_user",
+        F.col("amount").cast("double").alias("amount"),
+    )

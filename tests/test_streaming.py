@@ -150,3 +150,63 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     expected = {tuple(r) for r in stream_stream_join_batch(spark, sf_dir).collect()}
     assert got == expected
     assert len(expected) > 0  # the fixture must actually exercise the join
+
+
+def test_stream_stream_left_join_matches_batch(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: every unmatched purchase must
+    surface with null click columns once the watermark closes past its
+    horizon — matching the batch left join exactly. A far-future
+    sentinel event (an event_type neither side selects) is appended to
+    a temp copy of the fixture so the final watermark advances past ALL
+    real rows; without it, Structured Streaming correctly withholds the
+    null rows still inside the closing horizon."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from presto_on_ray_spark.streaming.windows import (
+        stream_stream_left_join,
+    )
+    from presto_on_ray_spark import suite
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    max_ts = max(src.column("ts").to_pylist())
+    import datetime
+
+    # One sentinel per side, typed so it passes each side's event_type
+    # filter (a filter ahead of withWatermark would hide any other type
+    # from watermark tracking); user_id=-1 matches nothing, and the
+    # purchase sentinel is excluded from the comparison by id.
+    far = max_ts + datetime.timedelta(days=30)
+    sentinel = pa.table({
+        "event_id": [10**9, 10**9 + 1],
+        "ts": pa.array([far, far], type=src.schema.field("ts").type),
+        "user_id": [-1, -1],
+        "event_type": ["click", "purchase"],
+        "value": [0.0, 0.0],
+        "props": ["{}", "{}"],
+    }).select(src.schema.names).cast(src.schema)
+    pq.write_table(pa.concat_tables([src, sentinel]), str(tmp_path / "events.parquet"))
+
+    sdf = stream_stream_left_join(spark, str(tmp_path))
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ss_left_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"], r["p_user"], r["amount"])
+        for r in spark.table("ss_left_join").collect()
+        if r["purchase_id"] < 10**9
+    }
+    expected = {
+        tuple(r)
+        for r in suite.QUERIES["stream_interval_left_join_batch"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the fixture must exercise BOTH matched and null-click rows
+    assert any(c is not None for (_, c, _, _) in expected)
+    assert any(c is None for (_, c, _, _) in expected)
