@@ -59,6 +59,18 @@ def main() -> None:
         "window_start", "event_type"
     ).show(5)
 
+    print("== CDC: MERGE upsert action accounting ==")
+    from pyspark.sql import functions as F
+
+    suite.QUERIES["merge_upsert"](spark, SF_DIR).groupBy("action").agg(
+        F.count("*").alias("n")
+    ).orderBy("action").show()
+
+    print("== Corpus curation: keep/drop verdicts per rule ==")
+    suite.QUERIES["corpus_curation_pipeline"](spark, SF_DIR).groupBy(
+        "verdict"
+    ).count().orderBy("verdict").show()
+
     print("== Physical-plan introspection ==")
     from presto_on_ray_spark.plans import physical_summary
 
