@@ -2,12 +2,19 @@
 binary columns + typed metadata, processed via Arrow-batched
 mapInPandas.
 
-The decode step is STUBBED (no image/audio libs in this container):
-``decode_image`` raises NotImplementedError unless a real decoder is
-importable, and the pipeline's default feature extractor is a
-clearly-marked deterministic fake. The Spark-side plumbing — schema,
-binary payload handling, batch iteration, partitioning — is real and
-tested; swapping the fake for PIL/librosa is a one-function change.
+Two tiers:
+
+- **Real decode** (``multimodal_decode_features``): actual 24-bit BMP
+  and 16-bit PCM WAV payloads, encoded and then decoded by independent
+  struct/wave parsers inside mapInPandas; the decoded brightness/RMS
+  features are exact-matched against a DuckDB oracle that recomputes
+  them from first principles. This is a genuine binary decode path —
+  no image/audio *libraries* needed, just the binary formats.
+- **Library-gated decode** (``decode_image``): the hook for formats
+  that need PIL/librosa (jpeg/png/mp3) — raises NotImplementedError in
+  this container; the surrounding pipeline (``multimodal_features``)
+  runs a clearly-marked deterministic digest fake so the Arrow
+  plumbing stays exercised.
 """
 
 from __future__ import annotations
@@ -191,4 +198,242 @@ def multimodal_partition_shape(spark, sf_dir):
     return media.groupBy("media_type").agg(
         F.count("*").alias("n_items"),
         F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path (round 4): formats the standard library can encode AND
+# decode — 24-bit BMP (struct-parsed) and 16-bit PCM WAV (wave module).
+# The encoder and decoder are independent code paths over the actual byte
+# formats, and the decoded features are verified against a DuckDB oracle
+# that recomputes them from first principles — so this is a genuine
+# binary-decode pipeline, not a digest fake. decode_image() above remains
+# the hook for libraries this container lacks (jpeg/png via PIL).
+# ---------------------------------------------------------------------------
+
+import io  # noqa: E402
+import struct  # noqa: E402
+import wave  # noqa: E402
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_samples", LongType()),
+        # exact integer accumulators; the float feature math (mean
+        # brightness, RMS) happens in Spark expressions so rounding is
+        # engine-comparable
+        StructField("pixel_sum", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sample_sumsq", LongType()),
+    ]
+)
+
+_WAV_RATE = 8000
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 16, 6 + doc_id % 12
+
+
+def _wav_len(doc_id: int) -> int:
+    return 64 + doc_id % 64
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """Encode a real 24-bit BMP: grayscale pixel (doc_id + x + y) % 256,
+    bottom-up rows padded to 4 bytes — the actual on-disk format."""
+    w, h = _bmp_dims(doc_id)
+    row_pad = (4 - (w * 3) % 4) % 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # BMP stores rows bottom-up
+        for x in range(w):
+            p = (doc_id + x + y) % 256
+            rows += bytes((p, p, p))  # B, G, R
+        rows += b"\x00" * row_pad
+    pixel_bytes = bytes(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_bytes), 0, 0, 54)
+    return header + info + pixel_bytes
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the BMP byte format: header offsets, dims, bottom-up padded
+    rows → (width, height, pixel_sum, n_pixels). Independent of the
+    encoder (reads offsets from the header it finds)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    row_stride = (w * 3 + 3) // 4 * 4
+    total = 0
+    for y in range(abs(h)):
+        base = offset + y * row_stride
+        for x in range(w):
+            total += payload[base + x * 3]  # blue channel (grayscale)
+    return w, abs(h), total, w * abs(h)
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """Encode a real RIFF/WAVE file (wave module): 16-bit PCM mono,
+    sample_i = ((doc_id*7 + i*13) % 2048) - 1024."""
+    n = _wav_len(doc_id)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(_WAV_RATE)
+        wv.writeframes(
+            b"".join(
+                struct.pack("<h", ((doc_id * 7 + i * 13) % 2048) - 1024)
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int]:
+    """Parse the RIFF/WAVE container → (n_samples, sum of squares)."""
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        n = wv.getnframes()
+        raw = wv.readframes(n)
+    samples = struct.unpack(f"<{n}h", raw)
+    return n, sum(s * s for s in samples)
+
+
+def synthesize_decodable_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas encoder: real BMP payloads for even ids, real WAV for
+    odd — actual binary formats, byte-for-byte parseable by any BMP/WAV
+    reader."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "payload": []}
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                out["doc_id"].append(doc_id)
+                if doc_id % 2 == 0:
+                    out["media_type"].append("image")
+                    out["payload"].append(_bmp_bytes(doc_id))
+                else:
+                    out["media_type"].append("audio")
+                    out["payload"].append(_wav_bytes(doc_id))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(_synth, schema=schema)
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL decoder: struct-parse BMPs, wave-parse WAVs,
+    emitting exact integer accumulators (float feature math stays in
+    Spark expressions so rounding semantics are engine-comparable)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "media_type", "width", "height",
+                "n_samples", "pixel_sum", "n_pixels", "sample_sumsq",
+            )}
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                rows["doc_id"].append(int(doc_id))
+                rows["media_type"].append(mtype)
+                if mtype == "image":
+                    w, h, psum, npix = _decode_bmp(b)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pixel_sum"].append(psum)
+                    rows["n_pixels"].append(npix)
+                    rows["n_samples"].append(None)
+                    rows["sample_sumsq"].append(None)
+                else:
+                    n, sumsq = _decode_wav(b)
+                    rows["n_samples"].append(n)
+                    rows["sample_sumsq"].append(sumsq)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["pixel_sum"].append(None)
+                    rows["n_pixels"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 100),
+    img AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 6 + doc_id % 12 AS h
+      FROM ids WHERE doc_id % 2 = 0
+    ),
+    img_feat AS (
+      SELECT i.doc_id, 'image' AS media_type,
+             i.w AS width, i.h AS height, CAST(NULL AS BIGINT) AS n_samples,
+             ROUND(CAST((SELECT SUM((i.doc_id + x.range + y.range) % 256)
+                         FROM range(0, 32) x, range(0, 32) y
+                         WHERE x.range < i.w AND y.range < i.h) AS DOUBLE)
+                   / (i.w * i.h), 4) AS brightness,
+             CAST(NULL AS DOUBLE) AS rms
+      FROM img i
+    ),
+    aud AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n FROM ids WHERE doc_id % 2 = 1
+    ),
+    aud_feat AS (
+      SELECT a.doc_id, 'audio' AS media_type,
+             CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+             a.n AS n_samples,
+             CAST(NULL AS DOUBLE) AS brightness,
+             ROUND(SQRT(CAST((SELECT SUM(POW(((a.doc_id * 7 + i.range * 13) % 2048) - 1024, 2))
+                              FROM range(0, 128) i WHERE i.range < a.n)
+                             AS DOUBLE) / a.n), 4) AS rms
+      FROM aud a
+    )
+    SELECT * FROM img_feat UNION ALL SELECT * FROM aud_feat
+    """,
+)
+def multimodal_decode_features(spark, sf_dir):
+    """REAL binary decode pipeline: encode actual BMP/WAV payloads →
+    Arrow-batched mapInPandas decode (independent struct/wave parsers)
+    → brightness (mean pixel) and RMS features. The DuckDB oracle
+    recomputes both features from first principles over generated
+    pixel/sample grids, so an exact match certifies the whole
+    encode→bytes→decode→feature path cross-engine. The float math
+    (divide, sqrt, round) runs in Spark expressions over the decoder's
+    exact integer accumulators — IEEE-identical on both engines."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    decoded = decode_media_features(
+        synthesize_decodable_media(d)
+    )
+    brightness = F.round(
+        F.col("pixel_sum").cast("double") / F.col("n_pixels"), 4
+    )
+    rms = F.round(
+        F.sqrt(F.col("sample_sumsq").cast("double") / F.col("n_samples")), 4
+    )
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_samples",
+        brightness.alias("brightness"),
+        rms.alias("rms"),
     )

@@ -57,3 +57,52 @@ def test_resize_stub_shape():
     out = resize_image_stub(b"abcdef", 4, 3)
     assert len(out) == 12
     assert resize_image_stub(b"x", 2, 2) == b"xxxx"
+
+
+def test_bmp_roundtrip_decodes_what_was_encoded():
+    """The struct-parsing decoder must recover dims and pixel sum from
+    the encoder's actual BMP bytes (header offsets honored, bottom-up
+    padded rows)."""
+    from presto_on_ray_spark.operators.multimodal import (
+        _bmp_bytes,
+        _bmp_dims,
+        _decode_bmp,
+    )
+
+    for doc_id in (0, 2, 14, 88, 100):
+        w_exp, h_exp = _bmp_dims(doc_id)
+        w, h, psum, npix = _decode_bmp(_bmp_bytes(doc_id))
+        assert (w, h, npix) == (w_exp, h_exp, w_exp * h_exp)
+        expected_sum = sum(
+            (doc_id + x + y) % 256 for x in range(w_exp) for y in range(h_exp)
+        )
+        assert psum == expected_sum
+
+
+def test_wav_roundtrip_decodes_what_was_encoded():
+    from presto_on_ray_spark.operators.multimodal import (
+        _decode_wav,
+        _wav_bytes,
+        _wav_len,
+    )
+
+    for doc_id in (1, 3, 77, 99):
+        n_exp = _wav_len(doc_id)
+        n, sumsq = _decode_wav(_wav_bytes(doc_id))
+        assert n == n_exp
+        assert sumsq == sum(
+            (((doc_id * 7 + i * 13) % 2048) - 1024) ** 2 for i in range(n_exp)
+        )
+
+
+def test_decode_pipeline_runs_on_spark(spark, sf_dir):
+    from presto_on_ray_spark import suite
+
+    res = suite.QUERIES["multimodal_decode_features"](spark, sf_dir)
+    rows = res.collect()
+    assert len(rows) > 0
+    imgs = [r for r in rows if r["media_type"] == "image"]
+    auds = [r for r in rows if r["media_type"] == "audio"]
+    assert imgs and auds
+    assert all(0 <= r["brightness"] <= 255 for r in imgs)
+    assert all(r["rms"] > 0 for r in auds)
