@@ -114,7 +114,10 @@ CURATED_50: list[str] = [
     "cov_similarity_ann",        # hyperplane LSH, IVF
     "cov_text_docs",             # quality scores, fingerprint
     "cov_text_agg",              # lang-ID, token counting
-    "multimodal_features",
+    # the REAL binary-decode pipeline (BMP/WAV struct parsing, features
+    # oracle-verified from first principles); the digest-fake plumbing
+    # variant multimodal_features stays under the local oracle gate.
+    "multimodal_decode_features",
 ]
 
 

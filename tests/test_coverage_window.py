@@ -78,7 +78,7 @@ def test_curated_window_covers_every_family():
         "similarity_exact": {"similarity_bruteforce_topk", "similarity_pairwise_threshold"},
         "similarity_ann": {"cov_similarity_ann"},
         "text_analysis": {"cov_text_docs", "cov_text_agg"},
-        "multimodal": {"multimodal_features"},
+        "multimodal": {"multimodal_decode_features", "multimodal_features"},
     }
     missing = {
         family: reps for family, reps in representatives.items() if not reps & window
