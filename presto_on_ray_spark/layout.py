@@ -1,0 +1,82 @@
+"""Data layout for scan-efficient storage: range-clustered writes.
+
+At 100 TB the cheapest query is the one that never reads the bytes:
+parquet readers prune row groups and files whose min/max statistics
+exclude the predicate. That only works if the writer CLUSTERS rows so
+each file covers a narrow key range — a shuffled write scatters every
+key across every file and the stats prune nothing.
+
+``write_clustered`` is the Spark-first form of the layout pass
+(z-order-lite): a range repartition on the leading cluster keys puts
+each key range in one output task, and a within-partition sort packs
+row groups into monotone runs — so both file-level and row-group-level
+min/max become selective. For multi-dimensional locality beyond the
+leading key, interleave a computed key (e.g. hour-bucket × type) as
+the first cluster column.
+
+Companion to ``sources/tables.py`` (bucketed writes co-locate JOIN
+keys; clustered writes co-locate RANGE predicates — different tools
+for different reads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` range-clustered on ``cluster_cols``: each output
+    file covers a contiguous key range (repartitionByRange), rows
+    inside a file are sorted (sortWithinPartitions) so row-group
+    min/max stats are tight. ``num_files`` bounds output file count —
+    at scale pick ~(data size / 512 MB)."""
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
+def clustering_stats(path: str, column: str) -> dict:
+    """Measure how selective the layout is for ``column``: read every
+    parquet row group's min/max (footers only — no data pages) and
+    report the average fraction of the global value span each row
+    group covers. 1.0 = useless stats (every group spans everything);
+    near 0 = perfectly clustered."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    mins: list = []
+    maxs: list = []
+    spans: list[tuple] = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    st = col.statistics
+                    spans.append((st.min, st.max))
+                    mins.append(st.min)
+                    maxs.append(st.max)
+    if not spans:
+        return {"row_groups": 0, "avg_span_fraction": 1.0}
+    lo, hi = min(mins), max(maxs)
+    width = (hi - lo) if hi != lo else 1
+    frac = sum((b - a) / width if hi != lo else 1.0 for a, b in spans) / len(spans)
+    return {
+        "row_groups": len(spans),
+        "global_min": lo,
+        "global_max": hi,
+        "avg_span_fraction": frac,
+    }
