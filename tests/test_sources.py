@@ -183,3 +183,52 @@ def test_events_ts_loads_as_timestamp_for_both_physical_types(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp", (label, df.dtypes)
         [row] = df.collect()
         assert row["ts"] == instant, (label, row["ts"])
+
+
+def test_federated_join_jdbc_with_parquet(spark, sf_dir):
+    """The reference's actual use case is SQL federation (a MySQL
+    catalog queried next to warehouse data): join a JDBC-resident
+    dimension with a parquet fact in ONE query and check both the
+    result and the plan — a JDBCRelation scan feeding a broadcast join
+    against the parquet scan, with the dimension filter pushed to the
+    remote database."""
+    import pyspark.sql.functions as F
+
+    from presto_on_ray_spark.sources.tables import load_table, read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{TMP}/derbydb_fed;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation = load_table(spark, sf_dir, "nation").withColumn(
+        "n_nationkey", F.col("n_nationkey").cast("int")
+    )
+    write_jdbc(nation, url, "nation_dim", mode="overwrite", properties=props)
+
+    dim = read_jdbc(spark, url, "nation_dim", properties=props).filter(
+        F.col("n_regionkey") == 1
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    fed = (
+        cust.join(
+            F.broadcast(dim), cust["c_nationkey"] == dim["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    plan = fed._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the dimension predicate reaches the remote scan, not a local filter
+    assert "PushedFilters" in plan and "N_REGIONKEY" in plan.upper(), plan
+
+    local_dim = nation.filter(F.col("n_regionkey") == 1)
+    expected = {
+        (r["n_name"], r["n_customers"])
+        for r in cust.join(
+            local_dim, cust["c_nationkey"] == local_dim["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .collect()
+    }
+    assert {(r["n_name"], r["n_customers"]) for r in fed.collect()} == expected
+    assert expected  # region 1 must actually have customers in the fixture
