@@ -352,3 +352,41 @@ def similarity_ivf_topk(spark, sf_dir):
     are float-sensitive; recall vs brute force asserted in
     tests/test_similarity.py)."""
     return ivf_topk(spark, sf_dir)
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, ord - 1 AS dim, COUNT(*) AS n_vectors,
+           ROUND(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))
+                 / (1000.0 * COUNT(*)), 6) AS centroid
+    FROM (
+      SELECT label,
+             UNNEST(embedding) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS ord
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Exact per-label centroids — the training step of every IVF /
+    cluster-assign pipeline, as one distributive aggregation: posexplode
+    to (label, dim, component), quantize components to integers (the
+    module's ×1000 convention, exact on both engines), integer-sum, one
+    float division at the end. Shuffle carries (label, dim) partial
+    sums only — at 100 TB with d dims and k labels the aggregate state
+    is k·d longs regardless of corpus size, and partial (map-side)
+    aggregation collapses everything before the exchange."""
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 1000, 0).cast("long").alias("q"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum("q") / (F.lit(1000.0) * F.count("*")), 6).alias("centroid"),
+    )
