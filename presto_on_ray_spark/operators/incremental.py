@@ -42,9 +42,15 @@ from presto_on_ray_spark.suite import query
 
 def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One state-change row per (user_id, ts): the max-event_id event
-    wins ties, making every downstream window ordering total."""
+    wins ties, making every downstream window ordering total.
+
+    Explicitly partitioned by user_id BEFORE the (user_id, ts) groupBy:
+    a hash partitioning on a subset of the grouping keys satisfies the
+    aggregation's clustering requirement AND the downstream windows'
+    user_id partitioning — so the dedup and every window pass share ONE
+    Exchange (verified: plan has a single shuffle)."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("user_id", "ts").agg(
+    return ev.repartition("user_id").groupBy("user_id", "ts").agg(
         F.max_by("event_type", "event_id").alias("state"),
         F.max("event_id").alias("event_id"),
     )
@@ -180,7 +186,9 @@ def cdc_latest_state(spark, sf_dir):
     before the exchange), so state per key is O(1) at any history
     depth."""
     ev = t(spark, sf_dir, "events")
-    changes = ev.groupBy("user_id", "ts").agg(
+    # user_id partitioning serves both the dedup groupBy and the
+    # ranking window — one Exchange (see _changes).
+    changes = ev.repartition("user_id").groupBy("user_id", "ts").agg(
         F.max_by("event_type", "event_id").alias("state"),
         F.max_by("value", "event_id").alias("value"),
     )
