@@ -386,3 +386,80 @@ def stream_interval_left_join_batch(spark, sf_dir):
         "purchase_id", "click_id", "p_user",
         F.col("amount").cast("double").alias("amount"),
     )
+
+
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join: purchases x same-user clicks in
+    the preceding hour, null-padded on BOTH sides once the watermark
+    passes each row's horizon — the same bounded-state contract as the
+    left-outer form, applied symmetrically."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select("purchase_id", "click_id", "p_user", "c_user", "p_ts", "c_ts", "amount")
+
+
+@query(
+    "stream_interval_full_join_batch",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS p_user, c.user_id AS c_user,
+           CAST(p.value AS DOUBLE) AS amount
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_full_join_batch(spark, sf_dir):
+    """Batch twin of stream_stream_full_join: unmatched purchases AND
+    unmatched clicks both surface null-padded."""
+    from presto_on_ray_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        "purchase_id", "click_id", "p_user", "c_user",
+        F.col("amount").cast("double").alias("amount"),
+    )

@@ -210,3 +210,60 @@ def test_stream_stream_left_join_matches_batch(spark, sf_dir, tmp_path):
     # the fixture must exercise BOTH matched and null-click rows
     assert any(c is not None for (_, c, _, _) in expected)
     assert any(c is None for (_, c, _, _) in expected)
+
+
+def test_stream_stream_full_join_matches_batch(spark, sf_dir, tmp_path):
+    """Full-outer stream-stream join drained with availableNow + the
+    same watermark sentinels: both unmatched purchases and unmatched
+    clicks must null-pad, matching the batch full join."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from presto_on_ray_spark import suite
+    from presto_on_ray_spark.streaming.windows import stream_stream_full_join
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    max_ts = max(src.column("ts").to_pylist())
+    far = max_ts + datetime.timedelta(days=30)
+    sentinel = pa.table({
+        "event_id": [10**9, 10**9 + 1],
+        "ts": pa.array([far, far], type=src.schema.field("ts").type),
+        "user_id": [-1, -1],
+        "event_type": ["click", "purchase"],
+        "value": [0.0, 0.0],
+        "props": ["{}", "{}"],
+    }).select(src.schema.names).cast(src.schema)
+    pq.write_table(pa.concat_tables([src, sentinel]), str(tmp_path / "events.parquet"))
+
+    sdf = stream_stream_full_join(spark, str(tmp_path))
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ss_full_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def key(r):
+        return (r["purchase_id"], r["click_id"], r["p_user"], r["c_user"], r["amount"])
+
+    sentinel_ids = {10**9, 10**9 + 1}
+    got = {
+        key(r)
+        for r in spark.table("ss_full_join").collect()
+        if (r["purchase_id"] not in sentinel_ids)
+        and (r["click_id"] not in sentinel_ids)
+    }
+    expected = {
+        key(r)
+        for r in suite.QUERIES["stream_interval_full_join_batch"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # all three row classes must occur: matched, purchase-only, click-only
+    assert any(p is not None and c is not None for (p, c, _, _, _) in expected)
+    assert any(c is None for (_, c, _, _, _) in expected)
+    assert any(p is None for (p, _, _, _, _) in expected)
