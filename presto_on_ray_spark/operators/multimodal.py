@@ -10,8 +10,12 @@ Two tiers:
   features are exact-matched against a DuckDB oracle that recomputes
   them from first principles. This is a genuine binary decode path —
   no image/audio *libraries* needed, just the binary formats.
+- **Real compressed decode** (``multimodal_png_decode``): actual PNG
+  files (zlib-deflated IDAT, varied per-row filter types) decoded by a
+  full five-filter unfiltering parser with CRC validation — still pure
+  stdlib.
 - **Library-gated decode** (``decode_image``): the hook for formats
-  that need PIL/librosa (jpeg/png/mp3) — raises NotImplementedError in
+  that need PIL/librosa (jpeg/mp3) — raises NotImplementedError in
   this container; the surrounding pipeline (``multimodal_features``)
   runs a clearly-marked deterministic digest fake so the Arrow
   plumbing stays exercised.
@@ -436,4 +440,180 @@ def multimodal_decode_features(spark, sf_dir):
         "n_samples",
         brightness.alias("brightness"),
         rms.alias("rms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PNG (round 4, second pass): a real COMPRESSED image format, still pure
+# stdlib — zlib inflate + per-scanline unfiltering. The encoder varies
+# the filter type per row (None/Sub/Up) so the decoder's unfiltering
+# logic is genuinely exercised; the decoder implements all five PNG
+# filters and validates chunk CRCs.
+# ---------------------------------------------------------------------------
+
+import zlib  # noqa: E402
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return 5 + doc_id % 9, 4 + doc_id % 7
+
+
+def _png_pixel(doc_id: int, x: int, y: int) -> int:
+    return (doc_id * 3 + 5 * x + 11 * y) % 256
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(doc_id: int) -> bytes:
+    """Encode a real grayscale 8-bit PNG. Rows cycle filter types
+    (0=None, 1=Sub, 2=Up) so decoding requires real unfiltering."""
+    w, h = _png_dims(doc_id)
+    raw = bytearray()
+    prev = [0] * w
+    for y in range(h):
+        row = [_png_pixel(doc_id, x, y) for x in range(w)]
+        ftype = y % 3
+        raw.append(ftype)
+        if ftype == 0:
+            raw += bytes(row)
+        elif ftype == 1:  # Sub: delta vs left
+            raw += bytes((row[x] - (row[x - 1] if x else 0)) % 256 for x in range(w))
+        else:  # Up: delta vs row above
+            raw += bytes((row[x] - prev[x]) % 256 for x in range(w))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse chunks (CRC-checked), inflate IDAT, unfilter scanlines
+    (all five PNG filter types) → (w, h, pixel_sum, n_pixels).
+    Grayscale 8-bit only — the format this pipeline writes."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    h = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", body, 0)
+            if depth != 8 or ctype != 0:
+                raise ValueError("only 8-bit grayscale supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    total = 0
+    prev = [0] * w
+    off = 0
+    for _y in range(h):
+        ftype = raw[off]
+        line = list(raw[off + 1 : off + 1 + w])
+        off += 1 + w
+        out = [0] * w
+        for x in range(w):
+            a = out[x - 1] if x else 0  # left (already unfiltered)
+            b = prev[x]                 # up
+            c = prev[x - 1] if x else 0  # up-left
+            if ftype == 0:
+                v = line[x]
+            elif ftype == 1:
+                v = line[x] + a
+            elif ftype == 2:
+                v = line[x] + b
+            elif ftype == 3:
+                v = line[x] + (a + b) // 2
+            elif ftype == 4:
+                v = line[x] + _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad filter {ftype}")
+            out[x] = v % 256
+        total += sum(out)
+        prev = out
+    return w, h, total, w * h
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id <= 100),
+    dims AS (
+      SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 7 AS h FROM ids
+    )
+    SELECT d.doc_id, d.w AS width, d.h AS height,
+           ROUND(CAST((SELECT SUM((d.doc_id * 3 + 5 * x.range + 11 * y.range) % 256)
+                       FROM range(0, 16) x, range(0, 16) y
+                       WHERE x.range < d.w AND y.range < d.h) AS DOUBLE)
+                 / (d.w * d.h), 4) AS brightness
+    FROM dims d
+    """,
+)
+def multimodal_png_decode(spark, sf_dir):
+    """Compressed-image decode pipeline: encode real PNGs (zlib-deflated
+    IDAT, per-row filter types cycling None/Sub/Up), decode them with a
+    full five-filter unfiltering parser inside mapInPandas, and
+    exact-match the mean brightness against a first-principles oracle.
+    With BMP (uncompressed) and WAV (audio) this completes the
+    stdlib-decodable multimodal tier; jpeg stays behind the PIL-gated
+    decode_image hook."""
+    png_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("pixel_sum", LongType()),
+            StructField("n_pixels", LongType()),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "pixel_sum", "n_pixels")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, psum, npix = _decode_png(_png_bytes(doc_id))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(psum)
+                rows["n_pixels"].append(npix)
+            yield pd.DataFrame(rows)
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    decoded = d.select("doc_id").mapInPandas(_run, schema=png_schema)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("pixel_sum").cast("double") / F.col("n_pixels"), 4).alias(
+            "brightness"
+        ),
     )

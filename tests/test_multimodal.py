@@ -106,3 +106,74 @@ def test_decode_pipeline_runs_on_spark(spark, sf_dir):
     assert imgs and auds
     assert all(0 <= r["brightness"] <= 255 for r in imgs)
     assert all(r["rms"] > 0 for r in auds)
+
+
+def test_png_roundtrip_all_encoder_filters():
+    """Decoder must unfilter the None/Sub/Up rows the encoder emits and
+    reproduce the exact pixel sum."""
+    from presto_on_ray_spark.operators.multimodal import (
+        _decode_png,
+        _png_bytes,
+        _png_dims,
+        _png_pixel,
+    )
+
+    for doc_id in (0, 1, 7, 42, 100):
+        w_exp, h_exp = _png_dims(doc_id)
+        w, h, psum, npix = _decode_png(_png_bytes(doc_id))
+        assert (w, h, npix) == (w_exp, h_exp, w_exp * h_exp)
+        assert psum == sum(
+            _png_pixel(doc_id, x, y) for x in range(w_exp) for y in range(h_exp)
+        )
+
+
+def test_png_decoder_handles_average_and_paeth_filters():
+    """Filters 3 (Average) and 4 (Paeth) aren't produced by our encoder;
+    build a PNG with them by hand and check the decoder unfilters both."""
+    import struct
+    import zlib
+
+    from presto_on_ray_spark.operators.multimodal import _paeth, _decode_png, _png_chunk
+
+    w, h = 4, 3
+    rows = [[10, 20, 30, 40], [15, 25, 35, 45], [50, 60, 70, 80]]
+    raw = bytearray()
+    prev = [0] * w
+    for y, row in enumerate(rows):
+        if y == 0:
+            raw.append(0)
+            raw += bytes(row)
+        elif y == 1:  # Average
+            raw.append(3)
+            raw += bytes(
+                (row[x] - ((row[x - 1] if x else 0) + prev[x]) // 2) % 256
+                for x in range(w)
+            )
+        else:  # Paeth
+            raw.append(4)
+            raw += bytes(
+                (row[x] - _paeth(row[x - 1] if x else 0, prev[x],
+                                 prev[x - 1] if x else 0)) % 256
+                for x in range(w)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = _decode_png(payload)
+    assert got == (w, h, sum(sum(r) for r in rows), w * h)
+
+
+def test_png_decoder_rejects_corrupt_crc():
+    import pytest
+
+    from presto_on_ray_spark.operators.multimodal import _decode_png, _png_bytes
+
+    payload = bytearray(_png_bytes(5))
+    payload[20] ^= 0xFF  # flip a bit inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(payload))

@@ -20,6 +20,7 @@ PYTHON_ALLOWED = {
     "multimodal_frame_sample",
     "multimodal_partition_shape",
     "multimodal_decode_features",  # real BMP/WAV decode is per-payload Python by design
+    "multimodal_png_decode",       # real PNG inflate+unfilter, same tier
     "grouped_pandas_zscore",
     "grouped_pandas_agg",
     "agg_reduce_agg",  # mapInPandas partial + applyInPandas combine (reduce_agg.py)
