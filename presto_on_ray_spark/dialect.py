@@ -69,12 +69,196 @@ def _rewrite_code(seg: str) -> str:
     return seg
 
 
+def _rewrite_array_literals(sql: str) -> str:
+    """Presto ``ARRAY[...]`` constructor -> Spark ``array(...)``.
+
+    Bracket-matched with a scanner (regex can't pair nested brackets):
+    each '[' is classified as array-literal (preceded by the ARRAY
+    keyword) or subscript, and only array-literal ']'s become ')'.
+    String literals are skipped via the same splitter as every other
+    rewrite, with bracket state carried across literal spans (brackets
+    may legally contain literals: ARRAY['a','b'])."""
+    out: list[str] = []
+    stack: list[bool] = []  # True = array literal bracket
+    kw = re.compile(r"\bARRAY\s*$", re.IGNORECASE)
+    for is_literal, seg in _split_literals(sql):
+        if is_literal:
+            out.append(seg)
+            continue
+        buf: list[str] = []
+        for ch in seg:
+            if ch == "[":
+                text = "".join(buf)
+                if kw.search(text):
+                    # drop the ARRAY keyword, open a paren
+                    buf = [text[: kw.search(text).start()], "array("]
+                    stack.append(True)
+                else:
+                    buf.append("[")
+                    stack.append(False)
+            elif ch == "]" and stack:
+                buf.append(")" if stack.pop() else "]")
+            else:
+                buf.append(ch)
+        out.append("".join(buf))
+    return "".join(out)
+
+
+def _subscript_base_start(sql: str, end: int) -> int | None:
+    """Backward-scan the expression base ending at ``end`` (exclusive):
+    a balanced ``...)`` call (plus its function-name identifier), a
+    quoted identifier, or an identifier chain. Returns the start index,
+    or None if the preceding token can't be a subscriptable base."""
+    i = end - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i < 0:
+        return None
+    if sql[i] == ")":
+        depth = 0
+        while i >= 0:
+            if sql[i] == ")":
+                depth += 1
+            elif sql[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if depth != 0:
+            return None
+        j = i - 1
+        while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+            j -= 1
+        return j + 1  # includes the call's function name (may be empty)
+    if sql[i] in "`\"":
+        quote = sql[i]
+        j = i - 1
+        while j >= 0 and sql[j] != quote:
+            j -= 1
+        return j if j >= 0 else None
+    if sql[i].isalnum() or sql[i] in "_\x00":
+        j = i
+        while j >= 0 and (sql[j].isalnum() or sql[j] in "_.\x00"):
+            j -= 1
+        return j + 1
+    return None
+
+
+def _rewrite_subscripts(sql: str) -> str:
+    """Presto ``x[i]`` subscripts -> ``element_at(x, i)``.
+
+    Presto subscripts arrays 1-based and looks maps up by key —
+    exactly Spark's element_at semantics for both types — while
+    Spark's own ``[]`` is 0-based on arrays: passing subscripts
+    through unchanged would be silently off by one. Runs after the
+    ARRAY-literal rewrite (every remaining bracket is a subscript).
+    Innermost-first scan with balanced backward base extraction, so
+    chains (``a[1][2]``), call bases (``split(s, ' ')[1]``), and nested
+    subscript keys (``a[b[1]]``) all rewrite at any depth. Under the
+    engine's default ANSI mode element_at even matches Presto's
+    out-of-range ERROR behavior (try_element_at is the NULL form)."""
+    # Shield string literals behind bracket-free placeholders so the
+    # scanner can treat the text as pure code (a subscript key may BE a
+    # literal: m['key']), then restore them.
+    literals: list[str] = []
+    parts: list[str] = []
+    for is_literal, seg in _split_literals(sql):
+        if is_literal:
+            parts.append(f"\x00{len(literals)}\x00")
+            literals.append(seg)
+        else:
+            parts.append(seg)
+    sql = "".join(parts)
+    while True:
+        close = sql.find("]")
+        if close < 0:
+            break
+        open_ = sql.rfind("[", 0, close)
+        if open_ < 0:
+            break  # stray ']' — leave the rest untouched
+        base_start = _subscript_base_start(sql, open_)
+        if base_start is None:
+            # not a subscriptable base (shouldn't happen in valid
+            # Presto SQL after the ARRAY pass) — leave verbatim by
+            # masking this pair so the scan can proceed.
+            sql = sql[:open_] + "\x01" + sql[open_ + 1 : close] + "\x02" + sql[close + 1 :]
+            continue
+        base = sql[base_start:open_].strip()
+        content = sql[open_ + 1 : close].strip()
+        sql = (
+            sql[:base_start]
+            + f"element_at({base}, {content})"
+            + sql[close + 1 :]
+        )
+    sql = sql.replace("\x01", "[").replace("\x02", "]")
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], sql)
+
+
 def translate(sql: str) -> str:
     """Translate a Presto-dialect SQL string into Spark SQL."""
+    sql = _rewrite_array_literals(sql)
+    sql = _rewrite_subscripts(sql)
     out: list[str] = []
     for is_literal, seg in _split_literals(sql):
         out.append(seg if is_literal else _rewrite_code(seg))
     translated = "".join(out)
+    # Presto MAP(ARRAY[...], ARRAY[...]) (now array(...)) builds a map
+    # from a key array + value array -> Spark map_from_arrays. (Spark's
+    # own MAP(k1, v1, ...) form is untouched — it never starts with an
+    # array( argument.)
+    translated = re.sub(
+        r"\bMAP\s*\(\s*(?=array\s*\()", "map_from_arrays(", translated,
+        flags=re.IGNORECASE,
+    )
+    # Binary/utf8 + base-conversion + float-classification spellings
+    # (conservative: simple paren-free arguments, like the bitwise
+    # rewrites below; nested calls error loudly as unknown functions).
+    translated = re.sub(
+        r"\bto_utf8\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*?)\s*\)", r"encode(\1, 'utf-8')",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bfrom_utf8\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*?)\s*\)", r"decode(\1, 'utf-8')",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bto_base\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+        r"lower(conv(\1, 10, \2))", translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bfrom_base\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+        r"CAST(conv(\1, \2, 10) AS BIGINT)", translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bis_finite\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*?)\s*\)",
+        r"(abs(\1) < CAST('Infinity' AS DOUBLE))", translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bis_infinite\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*?)\s*\)",
+        r"(abs(\1) = CAST('Infinity' AS DOUBLE))", translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\binfinity\s*\(\s*\)", "CAST('Infinity' AS DOUBLE)", translated,
+        flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bnan\s*\(\s*\)", "CAST('NaN' AS DOUBLE)", translated, flags=re.IGNORECASE
+    )
+    # Presto bit_count(x, 64) over the full long range == Spark's 1-arg
+    # bit_count; narrower widths pass through and error loudly.
+    translated = re.sub(
+        r"\bbit_count\s*\(\s*([^,()]+?)\s*,\s*64\s*\)", r"bit_count(\1)",
+        translated, flags=re.IGNORECASE,
+    )
+    # Presto strrpos(s, sub): 1-based position of the LAST occurrence
+    # (0 if absent) — expressed via reversed instr so it stays inside
+    # whole-stage codegen. Simple arguments only (they are repeated).
+    translated = re.sub(
+        r"\bstrrpos\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+        r"(CASE WHEN instr(reverse(\1), reverse(\2)) = 0 THEN 0"
+        r" ELSE length(\1) - length(\2) - instr(reverse(\1), reverse(\2)) + 2 END)",
+        translated, flags=re.IGNORECASE,
+    )
     # TRY(CAST(expr AS type)) -> try_cast(expr AS type); applied on the
     # joined text because the cast argument may be a string literal.
     # Other TRY() uses pass through and error loudly rather than

@@ -322,3 +322,44 @@ def test_translate_named_bitwise(spark):
         "bitwise_xor(12, 10) AS x, bitwise_not(0) AS n"
     ).collect()[0]
     assert (row.a, row.o, row.x, row.n) == (8, 14, 6, -1)
+
+
+def test_dialect_array_literals_and_subscripts(spark):
+    """Round-4 dialect: Presto ARRAY[...] literals, 1-based subscripts
+    via element_at, MAP(ARRAY.., ARRAY..), and the scalar spellings
+    to_utf8/from_utf8/to_base/from_base/is_finite/strrpos."""
+    from presto_on_ray_spark.dialect import translate
+
+    cases = [
+        ("SELECT ARRAY[1,2,3][2] AS r", 2),
+        ("SELECT ARRAY[10,20][1] AS r", 10),
+        ("SELECT split('a b c', ' ')[2] AS r", "b"),
+        ("SELECT MAP(ARRAY['k1','k2'], ARRAY[1,2])['k2'] AS r", 2),
+        ("SELECT ARRAY[ARRAY[1,2],ARRAY[3,4]][2][1] AS r", 3),
+        ("SELECT transform(ARRAY[1,2,3], x -> x * 10)[3] AS r", 30),
+        ("SELECT cardinality(ARRAY[1,2,3]) AS r", 3),
+        ("SELECT strrpos('ababa', 'ab') AS r", 3),
+        ("SELECT strrpos('ababa', 'z') AS r", 0),
+        ("SELECT from_utf8(to_utf8('héllo')) AS r", "héllo"),
+        ("SELECT to_base(255, 16) AS r", "ff"),
+        ("SELECT from_base('ff', 16) AS r", 255),
+        ("SELECT is_finite(1.5) AS r", True),
+        ("SELECT is_finite(infinity()) AS r", False),
+        ("SELECT is_infinite(infinity()) AS r", True),
+        ("SELECT is_nan(nan()) AS r", True),
+        ("SELECT bit_count(9, 64) AS r", 2),
+        ("SELECT 'keep [1] inside' AS r", "keep [1] inside"),
+    ]
+    for sql, want in cases:
+        got = spark.sql(translate(sql)).collect()[0]["r"]
+        assert got == want, (sql, got, want)
+
+
+def test_dialect_subscript_matches_presto_error_semantics(spark):
+    """ANSI mode: out-of-range subscript errors (as Presto does)."""
+    import pytest
+
+    from presto_on_ray_spark.dialect import translate
+
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX|out of bounds"):
+        spark.sql(translate("SELECT ARRAY[1,2][5] AS r")).collect()
