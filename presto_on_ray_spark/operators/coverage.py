@@ -680,14 +680,73 @@ def cov_text_agg(spark, sf_dir):
     return lang.unionAll(tok).unionAll(cur)
 
 
+@query(
+    "cov_sketch_exact",
+    oracle=f"""
+    SELECT 'checksum' AS src, l_returnflag AS k, checksum AS c1,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM ({_o('checksum_portable')})
+    UNION ALL
+    SELECT 'qdigest', o_orderstatus, CAST(NULL AS BIGINT), p50_price, p90_price
+    FROM ({_o('qdigest_sketch_pipeline')})
+    UNION ALL
+    SELECT 'hll', o_orderstatus, approx_customers,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_o('hll_portable_distinct')})
+    UNION ALL
+    SELECT 'exact_pct', o_orderstatus, CAST(NULL AS BIGINT),
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4),
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4)
+    FROM orders GROUP BY 2
+    """,
+)
+def cov_sketch_exact(spark, sf_dir):
+    """§2.4 approximate family, hash-verified (the oracle-bearing window
+    row for sketches): order-insensitive checksum (portable 60-bit
+    digest, bit_xor fold), the qdigest-lite build→merge→quantile
+    pipeline (deterministic bucket walk), the portable-hash HLL
+    approx_distinct (registers + raw estimate exactly reproduced by the
+    oracle), and exact interpolated percentiles as the ground-truth tier
+    approx_percentile trades against. The engine-specific xxhash64
+    estimates (hll_sketch_pipeline, ddsketch) stay under the local
+    pinned-estimate tests in tests/test_sketches.py and the rows-only
+    composite cov_sketch_rollups. Members: checksum_portable,
+    qdigest_sketch_pipeline, hll_portable_distinct."""
+    v_null = F.lit(None).cast("double")
+    c_null = F.lit(None).cast("long")
+    ck = QUERIES["checksum_portable"](spark, sf_dir).select(
+        F.lit("checksum").alias("src"), F.col("l_returnflag").alias("k"),
+        F.col("checksum").alias("c1"), v_null.alias("v1"), v_null.alias("v2"),
+    )
+    qd = QUERIES["qdigest_sketch_pipeline"](spark, sf_dir).select(
+        F.lit("qdigest").alias("src"), F.col("o_orderstatus").alias("k"),
+        c_null.alias("c1"), F.col("p50_price").alias("v1"), F.col("p90_price").alias("v2"),
+    )
+    hl = QUERIES["hll_portable_distinct"](spark, sf_dir).select(
+        F.lit("hll").alias("src"), F.col("o_orderstatus").alias("k"),
+        F.col("approx_customers").alias("c1"), v_null.alias("v1"), v_null.alias("v2"),
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ep = o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("v1"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("v2"),
+    ).select(
+        F.lit("exact_pct").alias("src"), F.col("o_orderstatus").alias("k"),
+        c_null.alias("c1"), "v1", "v2",
+    )
+    return ck.unionAll(qd).unionAll(hl).unionAll(ep)
+
+
 # rows-only unions: members are approximate/engine-specific by design,
 # so the composed query registers without an oracle (driver rows-only).
 
 @query("cov_sketch_rollups")
 def cov_sketch_rollups(spark, sf_dir):
-    """§2.4 approximate family in one tagged relation (rows-only by
-    design — sketch estimates are engine-specific; error bounds are
-    asserted in tests/test_sketches.py and test_properties.py).
+    """§2.4 engine-hash sketch estimates in one tagged relation
+    (rows-only under the LOCAL gate since r5 — the driver-window
+    sketch row is the hash-verified cov_sketch_exact; these xxhash64-
+    based estimates are engine-specific, with error bounds asserted in
+    tests/test_sketches.py and test_properties.py).
     Members: hll_sketch_pipeline, qdigest_sketch_pipeline,
     ddsketch_pipeline, checksum_agg, agg_approx_distinct,
     agg_approx_percentile."""
@@ -727,9 +786,11 @@ def cov_sketch_rollups(spark, sf_dir):
 
 @query("cov_dedup_approx")
 def cov_dedup_approx(spark, sf_dir):
-    """§2.11 approximate dedup tiers tagged together (rows-only by
-    design — candidate pairs / fingerprints are engine-internal;
-    recall + Hamming invariants live in tests/test_dedup.py).
+    """§2.11 approximate dedup INTERNALS tagged together (rows-only
+    under the LOCAL gate since r5 — the driver-window LSH row is the
+    hash-verified dedup_lsh_keepers; raw candidate pairs / fingerprints
+    are engine-internal, with recall + Hamming invariants in
+    tests/test_dedup.py).
     Members: dedup_minhash_lsh, dedup_simhash, dedup_minhash_clusters,
     dedup_embedding_neardup."""
     mh = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
@@ -753,9 +814,11 @@ def cov_dedup_approx(spark, sf_dir):
 
 @query("cov_similarity_ann")
 def cov_similarity_ann(spark, sf_dir):
-    """§2.11 ANN scale paths tagged together (rows-only by design —
-    bucket boundaries / KMeans cells are float-sensitive; recall vs
-    brute force asserted in tests/test_similarity.py).
+    """§2.11 ANN scale-path INTERNALS tagged together (rows-only under
+    the LOCAL gate since r5 — the driver-window ANN row is the
+    hash-verified similarity_ivf_exact; bucket boundaries / KMeans
+    cells at nprobe<cells are float-sensitive, with recall vs brute
+    force asserted in tests/test_similarity.py).
     Members: similarity_lsh_buckets, similarity_ivf_topk."""
     lsh = QUERIES["similarity_lsh_buckets"](spark, sf_dir).select(
         F.lit("lsh").alias("src"), F.col("table").cast("long").alias("a"),

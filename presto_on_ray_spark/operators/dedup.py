@@ -405,9 +405,11 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     return labels.select("node", F.col("label").alias("component_id"))
 
 
-@query(
-    "dedup_neardup_clusters",
-    oracle="""
+# Exact near-dup keeper oracle: 3-gram Jaccard >= 0.6 pairs, transitive
+# closure via recursive CTE, keeper = min doc_id per component. Shared by
+# dedup_neardup_clusters (ngram-prefix-filter path) and dedup_lsh_keepers
+# (MinHash-LSH path): two independent algorithms pinned to one relation.
+_KEEPER_CC_ORACLE = """
     WITH RECURSIVE
     sh AS (
       SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
@@ -441,8 +443,10 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     SELECT node AS doc_id, MIN(lbl) AS component_id,
            CAST(node = MIN(lbl) AS BOOLEAN) AS is_keeper
     FROM reach GROUP BY node
-    """,
-)
+"""
+
+
+@query("dedup_neardup_clusters", oracle=_KEEPER_CC_ORACLE)
 def dedup_neardup_clusters(spark, sf_dir):
     """Near-dup clustering (SURVEY §2.11): ngram-Jaccard pairs →
     connected components → deterministic keeper (min doc_id per
@@ -451,6 +455,63 @@ def dedup_neardup_clusters(spark, sf_dir):
     relation and the clustering."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        (F.col("node") == F.col("component_id")).alias("is_keeper"),
+    )
+
+
+def verify_jaccard(cand: DataFrame, sh: DataFrame, t_thresh: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the shingle
+    relation ``sh`` (doc_id, sh): count co-occurring shingles per pair
+    (O(1) aggregation state — never a per-document array), join sizes,
+    keep pairs with true Jaccard >= t. The standard verify stage every
+    LSH candidate generator feeds into; shuffle volume is bounded by
+    |candidates| x shingles-per-doc."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= t_thresh)
+        .select("doc_a", "doc_b")
+    )
+
+
+@query("dedup_lsh_keepers", oracle=_KEEPER_CC_ORACLE)
+def dedup_lsh_keepers(spark, sf_dir):
+    """The 100 TB dedup pipeline end-to-end, hash-verified: MinHash-LSH
+    candidate pairs (banded buckets — never all-pairs) → exact-Jaccard
+    verify over candidates only → connected components → deterministic
+    keeper (min doc_id per cluster).
+
+    Exactness argument: the verify stage recomputes TRUE Jaccard, so
+    precision is exact by construction; the banding (8 bands x 4 rows)
+    has measured recall 1.0 vs the exact >= 0.6 pair relation on every
+    fixture SF (pinned by tests/test_dedup.py::
+    test_lsh_candidates_cover_all_true_pairs — the precondition for
+    this oracle), so the output equals the exact keeper set computed by
+    the recursive-CTE oracle. Same relation as dedup_neardup_clusters
+    via a completely independent candidate path."""
+    t_thresh = 0.6
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    # same persisted shingle relation shape as dedup_ngram_jaccard; the
+    # CacheManager dedupes by analyzed-plan equality across invocations
+    sh = tracked_persist(d.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh")))
+    verified = verify_jaccard(cand, sh, t_thresh)
+    comp = connected_components(verified)
     return comp.select(
         F.col("node").alias("doc_id"),
         "component_id",

@@ -355,6 +355,47 @@ def similarity_ivf_topk(spark, sf_dir):
 
 
 @query(
+    "similarity_ivf_exact",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+      SELECT vec_id AS cid, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT qid, cid,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qv) + 1), i -> qv[i] * cv[i])) AS DOUBLE)
+               / (SQRT(CAST(LIST_SUM(LIST_TRANSFORM(qv, x -> x * x)) AS DOUBLE))
+                  * SQRT(CAST(LIST_SUM(LIST_TRANSFORM(cv, x -> x * x)) AS DOUBLE))) AS cos
+      FROM q CROSS JOIN c
+      WHERE qid <> cid
+    )
+    SELECT qid, cid, ROUND(cos, 6) AS cosine
+    FROM (SELECT qid, cid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM scored)
+    WHERE rn <= 4
+    """,
+)
+def similarity_ivf_exact(spark, sf_dir):
+    """IVF ANN at the exhaustive-probe setting, hash-verified: the full
+    IVF machinery (KMeans coarse quantizer, cell assignment, probe-cell
+    broadcast join, per-query window top-k) run with nprobe = n_cells,
+    where the candidate set covers every cell — so the output IS the
+    exact cosine top-k, which the oracle recomputes by brute force
+    (quantized-i64 dot products, unique cid tie-break). This pins the
+    IVF *pipeline* exactly; the probe/recall dial at nprobe < n_cells
+    is exercised by similarity_ivf_topk (rows-only) and the recall test
+    in tests/test_similarity.py. At 100 TB the same plan shape holds:
+    assignment is one map pass, probes broadcast, candidates never
+    leave their cells until the k-row-per-query rank output."""
+    return ivf_topk(spark, sf_dir, n_queries=8, k=4, nprobe=_IVF_CELLS)
+
+
+@query(
     "embedding_centroids",
     oracle="""
     SELECT label, ord - 1 AS dim, COUNT(*) AS n_vectors,

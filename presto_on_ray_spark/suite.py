@@ -83,7 +83,11 @@ CURATED_50: list[str] = [
     # the local oracle gate. Slot reused for the round-4 CDC family.
     "cov_incremental",      # merge upsert, SCD2, changelog compact, LM score
     "agg_reduce_agg",
-    "cov_sketch_rollups",        # approx_distinct/percentile, HLL, qdigest, checksum
+    # sketch family's oracle-bearing row (r5): portable checksum, the
+    # deterministic qdigest pipeline, portable-hash HLL, exact
+    # percentiles — all hash-verified. The engine-hash estimates stay
+    # registered as cov_sketch_rollups under the local rows-only gate.
+    "cov_sketch_exact",
     # §2.5 windows
     "cov_windows_wide",          # ranking, value fns, ROWS frames
     "window_range_frame",
@@ -108,10 +112,17 @@ CURATED_50: list[str] = [
     # stays exercised transitively (dedup_ngram_jaccard remains under the
     # local oracle gate).
     "dedup_neardup_clusters",
-    "cov_dedup_approx",          # minhash LSH, simhash
+    # the MinHash-LSH path's oracle-bearing row (r5): LSH candidates →
+    # exact-Jaccard verify → CC → keepers, equal to the exact keeper
+    # relation (banding recall 1.0 pinned by test). The internals
+    # composite cov_dedup_approx stays under the local rows-only gate.
+    "dedup_lsh_keepers",
     "similarity_bruteforce_topk",
     "similarity_pairwise_threshold",
-    "cov_similarity_ann",        # hyperplane LSH, IVF
+    # IVF at the exhaustive-probe setting (r5): output == exact cosine
+    # top-k, oracle-verified; nprobe<cells dial + hyperplane LSH stay
+    # registered (cov_similarity_ann) under the local rows-only gate.
+    "similarity_ivf_exact",
     "cov_text_docs",             # quality scores, fingerprint
     "cov_text_agg",              # lang-ID, token counting
     # the REAL binary-decode pipeline (BMP/WAV struct parsing, features

@@ -14,14 +14,14 @@ def test_first_50_registrations_are_the_curated_window():
     assert len(set(suite.CURATED_50)) == 50
 
 
-def test_curated_window_has_oracles_except_approximate_suites():
+def test_curated_window_is_fully_oracle_bearing():
+    """Since r5 every driver-window row carries a DuckDB oracle — the
+    approximate families are represented by hash-verifiable variants
+    (cov_sketch_exact, dedup_lsh_keepers, similarity_ivf_exact); the
+    engine-hash internals stay registered under the local rows-only
+    gate."""
     rows_only = {n for n in suite.CURATED_50 if n not in suite.ORACLES}
-    # only the by-design approximate composites lack an oracle
-    assert rows_only == {
-        "cov_sketch_rollups",
-        "cov_dedup_approx",
-        "cov_similarity_ann",
-    }
+    assert rows_only == set()
 
 
 def test_curated_window_covers_every_family():
@@ -58,7 +58,7 @@ def test_curated_window_covers_every_family():
         "having": {"agg_having", "tpch_q11_important_stock"},
         "incremental_cdc": {"cov_incremental"},
         "reduce_agg": {"agg_reduce_agg"},
-        "approx_sketches": {"cov_sketch_rollups"},
+        "approx_sketches": {"cov_sketch_exact", "cov_sketch_rollups"},
         "windows_core": {"cov_windows_wide"},
         "window_range": {"window_range_frame"},
         "window_topn": {"window_top_n_per_group"},
@@ -74,9 +74,9 @@ def test_curated_window_covers_every_family():
         # generator, so the jaccard family is driver-covered through it
         # (dedup_ngram_jaccard itself stays under the local oracle gate)
         "dedup_jaccard": {"dedup_neardup_clusters", "dedup_ngram_jaccard"},
-        "dedup_approx": {"cov_dedup_approx"},
+        "dedup_approx": {"dedup_lsh_keepers", "cov_dedup_approx"},
         "similarity_exact": {"similarity_bruteforce_topk", "similarity_pairwise_threshold"},
-        "similarity_ann": {"cov_similarity_ann"},
+        "similarity_ann": {"similarity_ivf_exact", "cov_similarity_ann"},
         "text_analysis": {"cov_text_docs", "cov_text_agg"},
         "multimodal": {"multimodal_decode_features", "multimodal_features"},
     }

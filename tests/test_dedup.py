@@ -126,3 +126,36 @@ def test_minhash_clusters_group_exact_duplicates(spark, sf_correct):
     for g in dup_groups:
         comps = {clusters[i][0] for i in g.ids if i in clusters}
         assert len(comps) <= 1, f"exact dups split across clusters: {g.ids}"
+
+
+def test_lsh_candidates_cover_all_true_pairs(spark, sf_dir):
+    """The oracle precondition for dedup_lsh_keepers: the 8x4 banding's
+    candidate set must contain EVERY exact-Jaccard >= 0.6 pair, so that
+    LSH-candidates -> exact-verify -> CC equals the exact keeper
+    relation. (If a fixture or banding change ever breaks this, the
+    dedup_lsh_keepers oracle would go red — this test localizes it.)"""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in suite.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in suite.QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    missed = exact - cand
+    assert not missed, f"LSH banding missed true pairs: {sorted(missed)[:10]}"
+
+
+def test_lsh_keepers_equal_exact_keepers(spark, sf_dir):
+    """dedup_lsh_keepers (MinHash-LSH path) and dedup_neardup_clusters
+    (prefix-filtered ngram path) must produce the identical keeper
+    relation — two independent algorithms, one answer."""
+    lsh = {
+        (r.doc_id, r.component_id, r.is_keeper)
+        for r in suite.QUERIES["dedup_lsh_keepers"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_id, r.component_id, r.is_keeper)
+        for r in suite.QUERIES["dedup_neardup_clusters"](spark, sf_dir).collect()
+    }
+    assert lsh == exact

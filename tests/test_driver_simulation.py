@@ -47,7 +47,7 @@ for name in [
     "cov_scalar_orders",
     "cov_scalar_fixtures",
     "cov_windows_wide",
-    "cov_sketch_rollups",
+    "cov_sketch_exact",
     "cov_tpch_adapted",
 ]:
     out[name] = qs[name](spark, "/root/testdata/sf0.001").count()
@@ -75,7 +75,7 @@ def test_entry_and_sensitive_queries_on_default_session():
     assert out["cov_scalar_orders"] > 0
     assert out["cov_scalar_fixtures"] > 0
     assert out["cov_windows_wide"] > 0
-    assert out["cov_sketch_rollups"] > 0
+    assert out["cov_sketch_exact"] > 0
     assert out["cov_tpch_adapted"] > 0
     assert out["json_extract_ops"] == 201
     assert out["datetime_mysql_patterns"] == 101

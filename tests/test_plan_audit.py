@@ -53,7 +53,9 @@ COLLECT_LIST_ALLOWED = {
     "cov_agg_returnflag",    # agg_structural collect_set render
     "cov_scalar_fixtures",   # multimap_from_entries 25-entry fixture
     "cov_sketch_rollups",    # HLL/qdigest register maps (≤2^p/group)
+    "cov_sketch_exact",      # qdigest member's bucket map (≤256/group)
     "cov_similarity_ann",    # ivf per-query top-k slice
+    "similarity_ivf_exact",  # per-query top-k slice
 }
 
 # Cartesian/broadcast-nested-loop is legitimate only for deliberately
