@@ -144,6 +144,28 @@ def _subscript_base_start(sql: str, end: int) -> int | None:
     return None
 
 
+def _shield_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace every string literal with a quote/paren/comma-free
+    placeholder (``\\x00N\\x00``) so rewrites can treat the whole text
+    as code: function-argument patterns still match (the placeholder is
+    an atom), but literal CONTENT can never be rewritten. Restore with
+    ``_restore_literals`` — the module invariant that only the r4 tail
+    rewrites violated (ADVICE r4: nan() etc. rewrote inside literals)."""
+    literals: list[str] = []
+    parts: list[str] = []
+    for is_literal, seg in _split_literals(sql):
+        if is_literal:
+            parts.append(f"\x00{len(literals)}\x00")
+            literals.append(seg)
+        else:
+            parts.append(seg)
+    return "".join(parts), literals
+
+
+def _restore_literals(sql: str, literals: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], sql)
+
+
 def _rewrite_subscripts(sql: str) -> str:
     """Presto ``x[i]`` subscripts -> ``element_at(x, i)``.
 
@@ -195,13 +217,18 @@ def _rewrite_subscripts(sql: str) -> str:
 
 
 def translate(sql: str) -> str:
-    """Translate a Presto-dialect SQL string into Spark SQL."""
+    """Translate a Presto-dialect SQL string into Spark SQL.
+
+    Every rewrite below runs over literal-shielded text (string
+    literals swapped for placeholder atoms), so no substitution can
+    ever touch the inside of a literal while argument patterns still
+    match literal arguments like ``to_utf8('x')``. Rewrites that need
+    a literal's CONTENT (date_add/date_diff units, AT TIME ZONE, the
+    split delimiter) match the placeholder and look the literal up."""
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_subscripts(sql)
-    out: list[str] = []
-    for is_literal, seg in _split_literals(sql):
-        out.append(seg if is_literal else _rewrite_code(seg))
-    translated = "".join(out)
+    translated, _lits = _shield_literals(sql)
+    translated = _rewrite_code(translated)
     # Presto MAP(ARRAY[...], ARRAY[...]) (now array(...)) builds a map
     # from a key array + value array -> Spark map_from_arrays. (Spark's
     # own MAP(k1, v1, ...) form is untouched — it never starts with an
@@ -221,13 +248,22 @@ def translate(sql: str) -> str:
         r"\bfrom_utf8\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*?)\s*\)", r"decode(\1, 'utf-8')",
         translated, flags=re.IGNORECASE,
     )
+    # Presto to_base/from_base are SIGNED; Spark conv() treats negative
+    # inputs as unsigned 64-bit, so the sign is split out explicitly
+    # (ADVICE r4). LONG_MIN negation is out of scope (errors loudly
+    # under ANSI rather than silently diverging).
     translated = re.sub(
         r"\bto_base\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
-        r"lower(conv(\1, 10, \2))", translated, flags=re.IGNORECASE,
+        r"(CASE WHEN \1 < 0 THEN '-' || lower(conv(-(\1), 10, \2))"
+        r" ELSE lower(conv(\1, 10, \2)) END)",
+        translated, flags=re.IGNORECASE,
     )
     translated = re.sub(
         r"\bfrom_base\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
-        r"CAST(conv(\1, \2, 10) AS BIGINT)", translated, flags=re.IGNORECASE,
+        r"(CASE WHEN substr(\1, 1, 1) = '-'"
+        r" THEN -CAST(conv(substr(\1, 2), \2, 10) AS BIGINT)"
+        r" ELSE CAST(conv(\1, \2, 10) AS BIGINT) END)",
+        translated, flags=re.IGNORECASE,
     )
     translated = re.sub(
         r"\bis_finite\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*?)\s*\)",
@@ -259,8 +295,8 @@ def translate(sql: str) -> str:
         r" ELSE length(\1) - length(\2) - instr(reverse(\1), reverse(\2)) + 2 END)",
         translated, flags=re.IGNORECASE,
     )
-    # TRY(CAST(expr AS type)) -> try_cast(expr AS type); applied on the
-    # joined text because the cast argument may be a string literal.
+    # TRY(CAST(expr AS type)) -> try_cast(expr AS type); literal cast
+    # arguments are placeholder atoms here, matched by [^()].
     # Other TRY() uses pass through and error loudly rather than
     # silently changing semantics.
     translated = re.sub(
@@ -276,7 +312,7 @@ def translate(sql: str) -> str:
     # through with regex semantics (documented delta; a delimiter
     # containing the two-char sequence \E is out of scope).
     translated = re.sub(
-        r"\bsplit\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*?)\s*,\s*('(?:[^']|'')*')\s*([,)])",
+        r"\bsplit\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*?)\s*,\s*(\x00\d+\x00)\s*([,)])",
         lambda m: f"split({m.group(1)}, concat('\\\\Q', {m.group(2)}, '\\\\E'){m.group(3)}",
         translated,
         flags=re.IGNORECASE,
@@ -302,15 +338,26 @@ def translate(sql: str) -> str:
     # Conservative: unit must be a quoted literal; the remaining args
     # are passed through verbatim (commas inside nested parens are
     # handled by the non-greedy tail + closing-paren anchor).
+    def _unit_rewrite(spark_fn: str):
+        # the unit is a shielded literal: match its placeholder, look
+        # the literal up, and only rewrite single-word units
+        def repl(m: re.Match) -> str:
+            lit = _lits[int(m.group(1))]
+            if re.fullmatch(r"'\w+'", lit):
+                return f"{spark_fn}({lit[1:-1].upper()},"
+            return m.group(0)
+
+        return repl
+
     translated = re.sub(
-        r"\bdate_add\s*\(\s*'(\w+)'\s*,",
-        lambda m: f"timestampadd({m.group(1).upper()},",
+        r"\bdate_add\s*\(\s*\x00(\d+)\x00\s*,",
+        _unit_rewrite("timestampadd"),
         translated,
         flags=re.IGNORECASE,
     )
     translated = re.sub(
-        r"\bdate_diff\s*\(\s*'(\w+)'\s*,",
-        lambda m: f"timestampdiff({m.group(1).upper()},",
+        r"\bdate_diff\s*\(\s*\x00(\d+)\x00\s*,",
+        _unit_rewrite("timestampdiff"),
         translated,
         flags=re.IGNORECASE,
     )
@@ -320,7 +367,7 @@ def translate(sql: str) -> str:
     # (simple column references only; a parenthesized expression would
     # need balanced-paren tracking and passes through untranslated)
     translated = re.sub(
-        r"\b(\w+(?:\.\w+)*)\s+AT\s+TIME\s+ZONE\s+('[^']+')",
+        r"\b(\w+(?:\.\w+)*)\s+AT\s+TIME\s+ZONE\s+(\x00\d+\x00)",
         r"from_utc_timestamp(\1, \2)",
         translated,
         flags=re.IGNORECASE,
@@ -343,4 +390,4 @@ def translate(sql: str) -> str:
         translated,
         flags=re.IGNORECASE,
     )
-    return translated
+    return _restore_literals(translated, _lits)

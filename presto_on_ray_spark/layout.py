@@ -45,12 +45,36 @@ def write_clustered(
     )
 
 
+def _stat_ordinal(v):
+    """Map a parquet statistics value onto the number line so spans can
+    be compared: numerics pass through, date/datetime use their ordinal
+    / epoch position. Strings and binary have no meaningful numeric
+    span — callers get a loud ValueError (documented numeric-ish-only
+    contract) instead of a TypeError from blind subtraction."""
+    import datetime
+
+    if isinstance(v, bool) or not isinstance(
+        v, (int, float, datetime.date, datetime.datetime)
+    ):
+        raise ValueError(
+            f"clustering_stats: column statistics of type {type(v).__name__} "
+            "have no numeric span; supported types are int/float/date/timestamp"
+        )
+    if isinstance(v, datetime.datetime):
+        return v.timestamp()
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    return v
+
+
 def clustering_stats(path: str, column: str) -> dict:
     """Measure how selective the layout is for ``column``: read every
     parquet row group's min/max (footers only — no data pages) and
     report the average fraction of the global value span each row
     group covers. 1.0 = useless stats (every group spans everything);
-    near 0 = perfectly clustered."""
+    near 0 = perfectly clustered. Recurses into partitioned layouts
+    (``**/*.parquet``); numeric/date/timestamp columns only (see
+    _stat_ordinal)."""
     import glob
     import os
 
@@ -59,16 +83,17 @@ def clustering_stats(path: str, column: str) -> dict:
     mins: list = []
     maxs: list = []
     spans: list[tuple] = []
-    for f in glob.glob(os.path.join(path, "*.parquet")):
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         meta = pq.ParquetFile(f).metadata
         for rg in range(meta.num_row_groups):
             for ci in range(meta.num_columns):
                 col = meta.row_group(rg).column(ci)
                 if col.path_in_schema == column and col.statistics is not None:
                     st = col.statistics
-                    spans.append((st.min, st.max))
-                    mins.append(st.min)
-                    maxs.append(st.max)
+                    a, b = _stat_ordinal(st.min), _stat_ordinal(st.max)
+                    spans.append((a, b))
+                    mins.append(a)
+                    maxs.append(b)
     if not spans:
         return {"row_groups": 0, "avg_span_fraction": 1.0}
     lo, hi = min(mins), max(maxs)

@@ -210,19 +210,30 @@ def text_lm_score(spark, sf_dir):
 
     Shape at scale: the unigram table is vocabulary-sized, so it
     broadcasts; the token relation shuffles once for the count and once
-    for the per-doc mean. Per-token log-probs are rounded to 4 places
-    and decimal-summed so the distributed mean is order-independent and
+    for the per-doc mean. The corpus token total is folded INTO the
+    plan (an unpartitioned window sum over the vocabulary-sized unigram
+    aggregate — bounded, and it keeps the whole query lazy; ADVICE r4
+    flagged the old eager terms.count() as a repeated full-scan driver
+    action). Per-token log-probs are rounded to 4 places and
+    decimal-summed so the distributed mean is order-independent and
     hash-identical to the single-threaded oracle."""
+    from pyspark.sql import Window
+
     d = t(spark, sf_dir, "documents")
     terms = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.length("term") > 0)
-    total = terms.count()  # one scalar, driver-side (bounded)
-    unigram = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    # total tokens = sum of unigram counts: computed over the bounded
+    # vocab aggregate, never a second scan of the token relation
+    unigram = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_tot", F.sum("cnt").over(Window.partitionBy()))
+    )
     scored = terms.join(F.broadcast(unigram), "term").select(
         "doc_id",
         F.round(
-            F.log(F.col("cnt").cast("double") / F.lit(float(total))), 4
+            F.log(F.col("cnt").cast("double") / F.col("_tot").cast("double")), 4
         ).alias("lp"),
     )
     return scored.groupBy("doc_id").agg(

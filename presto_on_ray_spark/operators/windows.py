@@ -220,43 +220,9 @@ def window_ignore_nulls(spark, sf_dir):
     )
 
 
-@query(
-    "window_range_interval",
-    oracle="""
-    SELECT event_id, user_id,
-           COUNT(*) OVER (
-             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
-             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-           ) AS n_last_hour,
-           CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (
-             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
-             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS value_last_hour
-    FROM events
-    """,
-)
-def window_range_interval(spark, sf_dir):
-    """Time-interval RANGE frame (SURVEY §2.5): per-user sliding
-    1-hour counts/sums ordered by event time — the SQL-form window
-    (DataFrame rangeBetween is numeric-only; interval frames are a SQL
-    surface in both engines)."""
-    t(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        """
-        SELECT event_id, user_id,
-               COUNT(*) OVER (
-                 PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-               ) AS n_last_hour,
-               CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (
-                 PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS value_last_hour
-        FROM events
-        """
-    )
-
-
+# (An earlier temp-view-based window_range_interval definition was
+# removed in r5: query() registers unconditionally, so the later
+# definition below always owned the name — ADVICE r4.)
 @query(
     "window_range_interval",
     oracle="""

@@ -349,6 +349,13 @@ def test_dialect_array_literals_and_subscripts(spark):
         ("SELECT is_nan(nan()) AS r", True),
         ("SELECT bit_count(9, 64) AS r", 2),
         ("SELECT 'keep [1] inside' AS r", "keep [1] inside"),
+        # signed base conversion (ADVICE r4: conv() is unsigned)
+        ("SELECT to_base(-255, 16) AS r", "-ff"),
+        ("SELECT from_base('-ff', 16) AS r", -255),
+        # scalar-spelling rewrites must never fire inside literals
+        ("SELECT 'call nan() now' AS r", "call nan() now"),
+        ("SELECT 'to_base(1,2) infinity()' AS r", "to_base(1,2) infinity()"),
+        ("SELECT concat('is_finite(', 'x)') AS r", "is_finite(x)"),
     ]
     for sql, want in cases:
         got = spark.sql(translate(sql)).collect()[0]["r"]
@@ -363,3 +370,19 @@ def test_dialect_subscript_matches_presto_error_semantics(spark):
 
     with pytest.raises(Exception, match="INVALID_ARRAY_INDEX|out of bounds"):
         spark.sql(translate("SELECT ARRAY[1,2][5] AS r")).collect()
+
+
+def test_register_function_arrow_batched(spark):
+    """The user-facing UDF hook registers scalar fns as pandas_udfs
+    (per-batch boundary crossing; no row-at-a-time F.udf in the
+    engine)."""
+    from presto_on_ray_spark.functions.registry import register_function
+
+    register_function(
+        spark, "cube_it", lambda x: None if x is None else x**3, "bigint"
+    )
+    rows = spark.sql(
+        "SELECT cube_it(id) AS c FROM range(4) ORDER BY id"
+    ).collect()
+    assert [r.c for r in rows] == [0, 1, 8, 27]
+    assert spark.sql("SELECT cube_it(CAST(NULL AS BIGINT)) AS c").collect()[0].c is None
