@@ -90,6 +90,27 @@ def main() -> None:
         release_cached()  # no storage carried between queries
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # Storage-layout pair (SCALING.md §"Storage layout"): identical
+    # predicate over naive vs range-clustered parquet of the events
+    # table; the stderr line records footer-measured row-group skipping.
+    import tempfile
+
+    from presto_on_ray_spark.layout import layout_scan_demo
+
+    with tempfile.TemporaryDirectory(prefix="layout_bench_") as tmp:
+        demo = layout_scan_demo(spark, sf_dir, tmp)
+    timings["layout_scan_naive"] = demo["scan_naive_sec"]
+    timings["layout_scan_clustered"] = demo["scan_clustered_sec"]
+    print(
+        f"# layout: clustered {demo['scan_clustered_sec']}s vs naive "
+        f"{demo['scan_naive_sec']}s; row groups pruned "
+        f"{demo['pruning_clustered']['row_groups_pruned']}/"
+        f"{demo['pruning_clustered']['row_groups']} clustered vs "
+        f"{demo['pruning_naive']['row_groups_pruned']}/"
+        f"{demo['pruning_naive']['row_groups']} naive",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     import re as _re
 

@@ -67,6 +67,79 @@ def _stat_ordinal(v):
     return v
 
 
+def pruning_stats(path: str, column: str, lo, hi) -> dict:
+    """How many row groups a ``column BETWEEN lo AND hi`` predicate can
+    skip on footer statistics alone — the exact check Spark's parquet
+    reader performs per row group when filter pushdown is on. Counts
+    are measured from the real footers (no data pages read), so this is
+    the layout's scan-cost contract, not an estimate."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = pruned = 0
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    total += 1
+                    a = _stat_ordinal(col.statistics.min)
+                    b = _stat_ordinal(col.statistics.max)
+                    if b < lo or a > hi:
+                        pruned += 1
+    return {"row_groups": total, "row_groups_pruned": pruned}
+
+
+def layout_scan_demo(spark, sf_dir: str, base_dir: str, num_files: int = 8) -> dict:
+    """The end-to-end layout story, measured: write the events table
+    twice — naive (round-robin shuffle: every file spans the whole time
+    range) and range-clustered on event time — then run the SAME
+    trailing-5%-of-time-range predicate over both and report scan
+    seconds plus footer-measured row groups skipped.
+
+    This is the benchable half of the 100 TB storage story (bench keys
+    ``layout_scan_naive`` / ``layout_scan_clustered``); the other half
+    — bucketBy removing the fact-to-fact join Exchange — is plan-pinned
+    in tests/test_bucketing.py. See SCALING.md §"Storage layout"."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from presto_on_ray_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    naive = os.path.join(base_dir, "events_naive")
+    clustered = os.path.join(base_dir, "events_clustered")
+    ev.repartition(num_files).write.mode("overwrite").parquet(naive)
+    write_clustered(ev, clustered, ["ts_us"], num_files=num_files)
+
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    cut = hi - (hi - lo) // 20  # trailing 5% of the time range
+
+    def timed_scan(path: str) -> tuple[float, int]:
+        df = spark.read.parquet(path).filter(F.col("ts_us") >= cut)
+        start = time.perf_counter()
+        n = df.count()
+        return time.perf_counter() - start, n
+
+    t_naive, n_naive = timed_scan(naive)
+    t_clustered, n_clustered = timed_scan(clustered)
+    assert n_naive == n_clustered  # same relation, different layout
+    return {
+        "scan_naive_sec": round(t_naive, 3),
+        "scan_clustered_sec": round(t_clustered, 3),
+        "rows_selected": n_clustered,
+        "pruning_naive": pruning_stats(naive, "ts_us", cut, hi),
+        "pruning_clustered": pruning_stats(clustered, "ts_us", cut, hi),
+    }
+
+
 def clustering_stats(path: str, column: str) -> dict:
     """Measure how selective the layout is for ``column``: read every
     parquet row group's min/max (footers only — no data pages) and

@@ -47,3 +47,17 @@ def test_clustered_read_prunes_files_in_plan(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "LessThanOrEqual" in plan
     assert back.count() == ev.filter(F.col("ts_us") <= cut).count()
+
+
+def test_layout_scan_demo_skips_row_groups(spark, sf_dir, tmp_path):
+    """The benched layout pair (bench.py layout_scan_* keys): the same
+    trailing-time-range predicate must be able to skip most clustered
+    row groups on footer stats and none of the naive ones."""
+    from presto_on_ray_spark.layout import layout_scan_demo
+
+    demo = layout_scan_demo(spark, sf_dir, str(tmp_path), num_files=4)
+    cl, nv = demo["pruning_clustered"], demo["pruning_naive"]
+    assert cl["row_groups_pruned"] > 0
+    assert cl["row_groups_pruned"] >= cl["row_groups"] // 2
+    assert nv["row_groups_pruned"] == 0
+    assert demo["rows_selected"] > 0
