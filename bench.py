@@ -68,6 +68,10 @@ HEADLINE = [
     "text_lm_score",
     "rollup_incremental_refresh",
     "corpus_curation_pipeline",
+    # round-5 oracle-bearing approximations
+    "cov_sketch_exact",
+    "dedup_lsh_keepers",
+    "similarity_ivf_exact",
 ]
 
 

@@ -55,9 +55,29 @@ class Engine:
         return self.spark.table(name)
 
     # -- SQL front door ----------------------------------------------
-    def sql(self, text: str) -> DataFrame:
-        """Run Presto-dialect SQL (translated) on Spark."""
-        return self.spark.sql(dialect.translate(text))
+    def sql(
+        self,
+        text: str,
+        *,
+        max_input_bytes: int | None = None,
+        pool: str | None = None,
+    ) -> DataFrame:
+        """Run Presto-dialect SQL (translated) on Spark.
+
+        ``max_input_bytes`` applies admission control (the engine's
+        rendering of the reference's query.max-memory caps,
+        presto-mgr.py:18-22 — rejects before execution when Catalyst's
+        input estimate exceeds the budget); ``pool`` tags this thread's
+        actions with a FAIR scheduler pool for per-query isolation.
+        See resource_pools.py."""
+        df = self.spark.sql(dialect.translate(text))
+        if max_input_bytes is not None:
+            from presto_on_ray_spark.resource_pools import admit_or_raise
+
+            admit_or_raise(df, max_input_bytes)
+        if pool is not None:
+            self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+        return df
 
     def spark_sql(self, text: str) -> DataFrame:
         """Run native Spark SQL untranslated."""

@@ -91,3 +91,57 @@ def test_dsum_deterministic_across_partitionings(spark):
 
     exact = float(sum(Decimal(str(v)) for v in values))
     assert results.pop() == exact
+
+
+def test_minhash_lsh_banding_s_curve(spark):
+    """The 8x4 banding's S-curve, measured on synthetic pairs with
+    CONTROLLED true Jaccard: candidate probability must be >= 0.95 at
+    s = 0.8 (high-similarity pairs almost never slip past the bands —
+    the property the dedup_lsh_keepers oracle leans on) and <= 0.30 at
+    s = 0.3 (low-similarity pairs rarely waste verify work; theory:
+    1-(1-s^4)^8 = 0.985 and 0.063 respectively). Deterministic seed —
+    this is a measured bound, not a flaky sample."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from presto_on_ray_spark.operators.dedup import (
+        _LSH_BANDS,
+        _NUM_HASHES,
+        minhash_signature,
+    )
+
+    rng = random.Random(20250813)
+    k = 60          # shingles per document
+    n_pairs = 60    # pairs per similarity level
+    rows = []
+    for s_idx, s in enumerate([0.3, 0.8]):
+        c = round(2 * k * s / (1 + s))  # overlap giving Jaccard ~= s
+        for p in range(n_pairs):
+            pool = [rng.getrandbits(60) for _ in range(2 * k - c)]
+            shared = pool[:c]
+            only_a = pool[c : c + (k - c)]
+            only_b = pool[c + (k - c) :]
+            pid = s_idx * 10_000 + p
+            rows.append((pid, "a", shared + only_a))
+            rows.append((pid, "b", shared + only_b))
+    df = spark.createDataFrame(rows, ["pid", "side", "shingles"])
+    sigs = {
+        (r.pid, r.side): r.sig
+        for r in df.select(
+            "pid", "side", minhash_signature(F.col("shingles")).alias("sig")
+        ).collect()
+    }
+
+    rpb = _NUM_HASHES // _LSH_BANDS
+    def collides(pid):
+        a, b = sigs[(pid, "a")], sigs[(pid, "b")]
+        return any(
+            a[i * rpb : (i + 1) * rpb] == b[i * rpb : (i + 1) * rpb]
+            for i in range(_LSH_BANDS)
+        )
+
+    rate_low = sum(collides(p) for p in range(n_pairs)) / n_pairs
+    rate_high = sum(collides(10_000 + p) for p in range(n_pairs)) / n_pairs
+    assert rate_high >= 0.95, f"recall at s=0.8 too low: {rate_high}"
+    assert rate_low <= 0.30, f"candidate rate at s=0.3 too high: {rate_low}"

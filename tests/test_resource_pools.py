@@ -1,0 +1,98 @@
+"""Per-query resource governance (SURVEY §2.0 row 8 — the reference's
+query.max-memory config surface, presto-mgr.py:18-22): FAIR pool
+isolation + input-size admission control."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.resource_pools import (
+    QueryAdmissionError,
+    admit_or_raise,
+    estimated_input_bytes,
+    query_pool,
+)
+
+
+def test_admission_rejects_oversized_query(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    est = estimated_input_bytes(big)
+    assert est > 0
+    # a cap below the estimate must reject BEFORE execution
+    with pytest.raises(QueryAdmissionError, match="admission"):
+        admit_or_raise(big, max_input_bytes=est // 2)
+    # an adequate cap admits and the query still runs
+    assert admit_or_raise(big, max_input_bytes=est * 2).count() > 0
+
+
+def test_admission_estimate_shrinks_with_column_pruning(spark, sf_dir):
+    """The estimate is plan-aware: a two-column projection must admit
+    under a cap that the full-width scan exceeds (column pruning is
+    visible in the optimized plan's statistics)."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag", "l_linestatus").agg(
+        *[F.max(c).alias(f"m_{c}") for c in li.columns]
+    )
+    narrow = li.select("l_returnflag").groupBy("l_returnflag").count()
+    assert estimated_input_bytes(narrow) < estimated_input_bytes(wide)
+
+
+def test_query_pool_sets_and_restores_local_property(spark, sf_dir):
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("spark.scheduler.pool") is None
+    with query_pool(spark, "etl-heavy"):
+        assert sc.getLocalProperty("spark.scheduler.pool") == "etl-heavy"
+        # actions inside the scope run normally
+        assert t(spark, sf_dir, "region").count() > 0
+    assert sc.getLocalProperty("spark.scheduler.pool") is None
+
+
+def test_fair_pools_isolate_concurrent_queries(spark, sf_dir):
+    """Two queries driven from separate threads in separate pools both
+    make progress under FAIR scheduling (the isolation contract; with
+    the default FIFO a long scan can head-of-line-block short ones)."""
+    import threading
+
+    results: dict[str, int] = {}
+
+    def run(name: str, frac: float):
+        with query_pool(spark, name):
+            li = t(spark, sf_dir, "lineitem").sample(frac, seed=1)
+            results[name] = li.groupBy("l_returnflag").count().count()
+
+    threads = [
+        threading.Thread(target=run, args=("heavy", 0.9)),
+        threading.Thread(target=run, args=("interactive", 0.1)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert set(results) == {"heavy", "interactive"}
+    assert all(v > 0 for v in results.values())
+
+
+def test_engine_sql_admission_and_pool(spark, sf_dir):
+    """The Engine front door exposes both governance halves."""
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark).register_tables(sf_dir)
+    with pytest.raises(QueryAdmissionError):
+        eng.sql(
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1",
+            max_input_bytes=1,
+        )
+    df = eng.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1",
+        max_input_bytes=1 << 40,
+        pool="interactive",
+    )
+    assert df.count() > 0
+    assert (
+        spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        == "interactive"
+    )
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
