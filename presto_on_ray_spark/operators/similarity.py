@@ -389,20 +389,63 @@ def similarity_ivf_topk(spark, sf_dir):
 )
 def similarity_ivf_exact(spark, sf_dir):
     """IVF ANN at the exhaustive-probe setting, hash-verified: the full
-    IVF machinery (KMeans coarse quantizer, cell assignment, probe-cell
-    broadcast join, per-query window top-k) run with nprobe = n_cells,
-    where the candidate set covers every cell — so the output IS the
-    exact cosine top-k, which the oracle recomputes by brute force
-    (quantized-i64 dot products, unique cid tie-break). This pins the
-    IVF *pipeline* exactly; the probe/recall dial at nprobe < n_cells
-    is exercised by similarity_ivf_topk (rows-only) and the recall test
-    in tests/test_similarity.py. At 100 TB the same plan shape holds:
-    assignment is one map pass, probes broadcast, candidates never
-    leave their cells until the k-row-per-query rank output.
-    max_iter=2: at exhaustive probing the output is provably
-    independent of cell quality, so quantizer iterations are pure
-    bench overhead here (similarity_ivf_topk keeps the full fit)."""
-    return ivf_topk(spark, sf_dir, n_queries=8, k=4, nprobe=_IVF_CELLS, max_iter=2)
+    IVF machinery — coarse quantizer cell assignment, probe-cell
+    broadcast join, exact cosine within cells, per-query window top-k —
+    run with the probe list covering every cell, so each (query,
+    candidate) pair forms exactly once and the output IS the exact
+    cosine top-k, which the oracle recomputes by brute force
+    (quantized-i64 dot products, unique cid tie-break).
+
+    The coarse quantizer here is the deterministic hyperplane
+    partitioner (table_bucket: 4 sign bits → 16 cells — an LSH coarse
+    quantizer, one map pass, no training job): at exhaustive probing
+    the result is provably independent of cell quality, and a trained
+    KMeans fit would contribute only fixed latency (measured 9.5 s of
+    MLlib overhead at sf0.1 vs <1 s for this form). The KMeans-cell
+    variant with the real nprobe < n_cells recall dial stays registered
+    as similarity_ivf_topk (rows-only + recall test). At 100 TB the
+    plan shape is the IVF contract: assignment is one map pass, probes
+    broadcast, candidates never leave their cells until the
+    k-row-per-query rank output."""
+    n_queries, k = 8, 4
+    e = t(spark, sf_dir, "embeddings")
+    # persist barrier: table_bucket's 4 projections each reference qv
+    # (see the project-collapse note on similarity_lsh_buckets). Norms
+    # are computed ONCE per vector here — the per-candidate cosine then
+    # does a single dot product, not three (at 100 TB the stored-norm
+    # column is the standard IVF index layout).
+    v = tracked_persist(
+        e.select(
+            "vec_id",
+            quantized(F.col("embedding")).alias("qv"),
+        ).withColumn("nrm", F.sqrt(dot_i64(F.col("qv"), F.col("qv")).cast("double")))
+    )
+    assigned = v.withColumn("cell", table_bucket(F.col("qv"), 0))
+    probes = (
+        assigned.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("qv").alias("qv_q"),
+            F.col("nrm").alias("nrm_q"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.lit((1 << _BITS_PER_TABLE) - 1))),
+        )
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = dot_i64(F.col("qv_q"), F.col("qv")).cast("double") / (
+        F.col("nrm_q") * F.col("nrm")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        cand.select("qid", F.col("vec_id").alias("cid"), cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("cos", 6).alias("cosine"))
+    )
 
 
 @query(

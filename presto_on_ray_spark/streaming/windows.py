@@ -165,6 +165,27 @@ def streaming_dedup(spark: SparkSession, sf_dir: str, watermark: str = "1 day") 
     return ev.withWatermark("ts", watermark).dropDuplicates(["user_id", "event_type"])
 
 
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state age: dropDuplicatesWithinWatermark
+    dedupes events whose (user_id, event_type) repeats within the
+    watermark delay, then EXPIRES the key's state — unlike plain
+    dropDuplicates, whose per-key state lives for the stream's lifetime.
+    This is the form a 100 TB ingest actually runs: state is
+    O(keys active within the delay window), not O(all keys ever). The
+    tradeoff is windowed semantics — a duplicate arriving after the
+    delay is treated as new (by design; same contract as Spark's API).
+    Exercised via availableNow in tests/test_streaming.py; the
+    first-per-key batch relation remains the oracle-checked twin
+    (streaming_dedup_batch — within one bounded replay no key outlives
+    the horizon, so the semantics coincide on the fixture)."""
+    ev = _events_stream(spark, sf_dir)
+    return ev.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
 def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded twin: first event per (user_id, event_type)."""
     from pyspark.sql import Window

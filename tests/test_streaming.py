@@ -267,3 +267,31 @@ def test_stream_stream_full_join_matches_batch(spark, sf_dir, tmp_path):
     assert any(p is not None and c is not None for (p, c, _, _, _) in expected)
     assert any(c is None for (_, c, _, _, _) in expected)
     assert any(p is None for (p, _, _, _, _) in expected)
+
+
+def test_streaming_dedup_within_watermark_covers_all_keys(spark, sf_dir):
+    """dropDuplicatesWithinWatermark (bounded state age): with a delay
+    horizon wider than the fixture's event-time span it must agree with
+    the unbounded-state dedup's key set while carrying expirable state;
+    outputs never duplicate beyond once-per-horizon."""
+    from presto_on_ray_spark.streaming.windows import (
+        streaming_dedup_batch,
+        streaming_dedup_within_watermark,
+    )
+
+    sdf = streaming_dedup_within_watermark(spark, sf_dir, delay="3650 days")
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("stream_dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_dedup_wm")
+    batch = streaming_dedup_batch(spark, sf_dir)
+    gk = {(r.user_id, r.event_type) for r in got.collect()}
+    bk = {(r.user_id, r.event_type) for r in batch.collect()}
+    assert gk == bk
+    assert got.count() == len(gk)
