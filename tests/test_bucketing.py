@@ -68,3 +68,70 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS o_bkt")
+
+
+def test_bucketed_join_shuffle_bytes_measured(spark, sf_dir):
+    """ROADMAP item 6: the co-located join's win in NUMBERS — executed
+    SQL metrics must show zero shuffle bytes written feeding the
+    bucketed join, vs megabyte-scale shuffle for the plain parquet
+    join of the same relation."""
+
+    def shuffle_bytes(df) -> int:
+        # AQE off for the measurement: the executed plan is then the
+        # plain tree whose ShuffleExchangeExec nodes carry the
+        # "shuffle bytes written" SQL metric directly
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+        total = 0
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            if "Exchange" in node.nodeName():
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    # metric map key, e.g. "shuffleBytesWritten"
+                    if "ytesWritten" in kv._1():
+                        total += kv._2().value()
+            for i in range(node.children().length()):
+                stack.append(node.children().apply(i))
+        return total
+
+    spark.sql("DROP TABLE IF EXISTS li_bkt2")
+    spark.sql("DROP TABLE IF EXISTS o_bkt2")
+    t(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").option("path", f"{WAREHOUSE}/li_bkt2").saveAsTable("li_bkt2")
+    t(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").option("path", f"{WAREHOUSE}/o_bkt2").saveAsTable("o_bkt2")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def join_of(li, o):
+            return (
+                li.join(o, li["l_orderkey"] == o["o_orderkey"])
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n"))
+            )
+
+        plain = join_of(
+            t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+        )
+        bucketed = join_of(spark.table("li_bkt2"), spark.table("o_bkt2"))
+        plain_bytes = shuffle_bytes(plain)
+        bucketed_bytes = shuffle_bytes(bucketed)
+        # plain: both sides shuffle on the join key (~40 KB even at
+        # sf0.001); bucketed: only the final tiny agg exchange
+        assert plain_bytes > 10_000, plain_bytes
+        assert bucketed_bytes < plain_bytes / 10, (plain_bytes, bucketed_bytes)
+        print(
+            f"\n# shuffle bytes written: plain={plain_bytes} "
+            f"bucketed={bucketed_bytes}"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_bkt2")
+        spark.sql("DROP TABLE IF EXISTS o_bkt2")

@@ -49,6 +49,8 @@ for name in [
     "cov_windows_wide",
     "cov_sketch_exact",
     "cov_tpch_adapted",
+    "dedup_lsh_keepers",
+    "similarity_ivf_exact",
 ]:
     out[name] = qs[name](spark, "/root/testdata/sf0.001").count()
 
@@ -76,6 +78,8 @@ def test_entry_and_sensitive_queries_on_default_session():
     assert out["cov_scalar_fixtures"] > 0
     assert out["cov_windows_wide"] > 0
     assert out["cov_sketch_exact"] > 0
+    assert out["dedup_lsh_keepers"] > 0
+    assert out["similarity_ivf_exact"] > 0
     assert out["cov_tpch_adapted"] > 0
     assert out["json_extract_ops"] == 201
     assert out["datetime_mysql_patterns"] == 101
