@@ -1,0 +1,94 @@
+"""TIMESTAMP WITH TIME ZONE (SURVEY §1.3 — a Presto type Spark lacks).
+
+Presto 0.248 exposes `timestamp with time zone` as a first-class type:
+an INSTANT plus a TIME ZONE ID, where comparisons/ordering use the
+instant and field extraction (hour/day/...) uses the zone's wall clock
+(the type users hit through the reference's MySQL catalog and the
+`AT TIME ZONE` operator). Spark has no such type — its TIMESTAMP is a
+session-zone instant — so prior rounds documented the gap. This module
+closes the functional surface with the standard Spark rendering:
+
+    struct<instant: timestamp, tz: string>
+
+- ``with_timezone(wall, tz)``  — Presto with_timezone(): interpret a
+  wall-clock timestamp in ``tz`` → tz-typed value (instant + zone).
+- ``at_timezone(v, tz)``       — Presto AT TIME ZONE on a tz value:
+  same instant, new display zone.
+- ``localize(v)``              — the wall clock in the value's zone
+  (what Presto renders / extracts fields from).
+- ``tz_hour/tz_day/tz_date(v)``— field extraction under the zone.
+- ``to_unixtime(v)``           — double epoch seconds of the instant
+  (zone-independent, like Presto).
+- instants order/compare naturally: compare ``v.instant``.
+
+All pure built-in expressions (from_utc_timestamp/to_utc_timestamp are
+codegen'd JVM intrinsics with full IANA DST rules), so the type works
+in joins, windows, aggregations, and parquet round-trips like any
+struct. Caveat (documented, inherent to every SQL engine): the
+wall→instant direction (``with_timezone``) is ambiguous inside DST
+transitions; Spark resolves gaps/overlaps like java.time (earlier
+offset), which may differ from another engine's choice — the oracle
+suite therefore pins fixed-offset zones for that direction and covers
+DST zones in the instant→wall direction, which is always well-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TZ_SCHEMA = "struct<instant: timestamp, tz: string>"
+
+
+def _tzc(tz: Column | str) -> Column:
+    return F.lit(tz) if isinstance(tz, str) else tz
+
+
+def with_timezone(wall: Column, tz: Column | str) -> Column:
+    """Interpret a wall-clock timestamp in ``tz`` (Presto
+    with_timezone(timestamp, zone) → timestamp with time zone)."""
+    z = _tzc(tz)
+    return F.struct(
+        F.to_utc_timestamp(wall, z).alias("instant"), z.alias("tz")
+    )
+
+
+def from_instant(instant: Column, tz: Column | str) -> Column:
+    """Attach a display zone to an already-UTC instant (the cast a
+    UTC-pinned engine does when reading plain timestamps)."""
+    return F.struct(instant.alias("instant"), _tzc(tz).alias("tz"))
+
+
+def at_timezone(v: Column, tz: Column | str) -> Column:
+    """Same instant, new zone (Presto `AT TIME ZONE` on a tz value)."""
+    return F.struct(v["instant"].alias("instant"), _tzc(tz).alias("tz"))
+
+
+def localize(v: Column) -> Column:
+    """Wall-clock timestamp in the value's own zone."""
+    return F.from_utc_timestamp(v["instant"], v["tz"])
+
+
+def tz_hour(v: Column) -> Column:
+    return F.hour(localize(v))
+
+
+def tz_day(v: Column) -> Column:
+    return F.dayofmonth(localize(v))
+
+
+def tz_date(v: Column) -> Column:
+    return F.to_date(localize(v))
+
+
+def to_unixtime(v: Column) -> Column:
+    """Double epoch seconds of the instant (zone-independent)."""
+    return (F.unix_micros(v["instant"]).cast("double") / F.lit(1000000.0))
+
+
+def format_tz(v: Column, pattern: str = "yyyy-MM-dd HH:mm:ss") -> Column:
+    """Presto-style rendering: wall clock in the value's zone plus the
+    zone id."""
+    return F.concat(
+        F.date_format(localize(v), pattern), F.lit(" "), v["tz"]
+    )

@@ -165,6 +165,7 @@ def load_all() -> None:
         textstats,
         tpch,
         tpch_full,
+        tztime,
         windows,
     )
     from presto_on_ray_spark.streaming import windows as streaming_windows  # noqa: F401
