@@ -353,6 +353,12 @@ def register_presto_functions(spark: SparkSession) -> None:
     )
     spark.udf.register("hmac_sha256", pandas_udf(_hmac_sha256_series, "binary"))
 
+    from presto_on_ray_spark.functions.statistical import (
+        register_statistical_functions,
+    )
+
+    register_statistical_functions(spark)
+
 
 def register_function(spark: SparkSession, name: str, fn, return_type) -> None:
     """User-facing UDF registry (Engine.register_function): accepts a

@@ -86,6 +86,25 @@ def to_unixtime(v: Column) -> Column:
     return (F.unix_micros(v["instant"]).cast("double") / F.lit(1000000.0))
 
 
+def timezone_hour(v: Column) -> Column:
+    """Presto timezone_hour(tstz): hour part of the zone's UTC offset
+    at the value's instant (DST-aware; e.g. -5 or -4 for New York)."""
+    offset_s = (
+        F.unix_micros(localize(v)) - F.unix_micros(v["instant"])
+    ) / 1_000_000
+    # integer division truncating toward zero, matching Presto's sign
+    return (offset_s / 3600).cast("int")
+
+
+def timezone_minute(v: Column) -> Column:
+    """Presto timezone_minute(tstz): minute part of the UTC offset
+    (signed like the hour; e.g. +5:30 → 30, -9:30 → -30)."""
+    offset_s = (
+        F.unix_micros(localize(v)) - F.unix_micros(v["instant"])
+    ) / 1_000_000
+    return ((offset_s - (offset_s / 3600).cast("int") * 3600) / 60).cast("int")
+
+
 def format_tz(v: Column, pattern: str = "yyyy-MM-dd HH:mm:ss") -> Column:
     """Presto-style rendering: wall clock in the value's zone plus the
     zone id."""

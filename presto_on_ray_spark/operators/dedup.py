@@ -377,25 +377,24 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    edges = sym.distinct().localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
-    )
+    edges = sym.distinct()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # Self-loop edges fold the "own label" term into the neighbor
+    # aggregation, so each round is ONE join + ONE min-groupBy (the r4
+    # form re-joined the result back onto labels — a second join and
+    # coalesce per round, pure overhead since min(self ∪ neighbors)
+    # says the same thing).
+    eplus = edges.unionAll(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
     prev_sum = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
         labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
+            eplus.join(labels, eplus.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]

@@ -244,3 +244,58 @@ def scalar_presto_tail(spark, sf_dir):
             """
         )
     )
+
+
+@query(
+    "statistical_functions",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 50 + 1 AS DOUBLE) / 100.0 AS p,
+             1.96 * 1.96 AS z2,
+             RADIANS(CAST(o_orderkey % 180 - 90 AS DOUBLE)) AS la1,
+             RADIANS(CAST(o_orderkey % 360 - 180 AS DOUBLE)) AS lo1,
+             RADIANS(CAST(o_custkey % 180 - 90 AS DOUBLE)) AS la2,
+             RADIANS(CAST(o_custkey % 360 - 180 AS DOUBLE)) AS lo2,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders WHERE o_orderkey <= 200
+    )
+    SELECT o_orderkey,
+           CAST(isoyear(d) AS INTEGER) AS yow,
+           ROUND((p + z2 / (2 * 100.0)
+                  - 1.96 * SQRT((p * (1 - p) + z2 / (4 * 100.0)) / 100.0))
+                 / (1 + z2 / 100.0), 6) AS wilson_lower,
+           ROUND((p + z2 / (2 * 100.0)
+                  + 1.96 * SQRT((p * (1 - p) + z2 / (4 * 100.0)) / 100.0))
+                 / (1 + z2 / 100.0), 6) AS wilson_upper,
+           ROUND(12742.02 * ASIN(LEAST(SQRT(
+               POW(SIN((la2 - la1) / 2), 2)
+               + COS(la1) * COS(la2) * POW(SIN((lo2 - lo1) / 2), 2)), 1.0)), 4)
+             AS gcd_km
+    FROM base
+    """,
+)
+def statistical_functions(spark, sf_dir):
+    """§2.8 math-tail members Presto 0.248 carries beyond direct Spark
+    renames: ISO week-year (year_of_week), Wilson score interval
+    bounds, and great_circle_distance — all pure expressions
+    (functions/statistical.py). Coordinates/counts are synthesized from
+    the keys so the oracle reproduces the exact same arithmetic. The
+    normal-distribution pair (normal_cdf / inverse_normal_cdf — no
+    closed form in either engine's SQL) and parse_duration are pinned
+    against stdlib references in tests/test_statistical.py instead."""
+    from presto_on_ray_spark.functions import statistical as S
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    lat1 = (F.col("o_orderkey") % 180 - 90).cast("double")
+    lon1 = (F.col("o_orderkey") % 360 - 180).cast("double")
+    lat2 = (F.col("o_custkey") % 180 - 90).cast("double")
+    lon2 = (F.col("o_custkey") % 360 - 180).cast("double")
+    s = (F.col("o_orderkey") % 50 + 1).cast("double")
+    return o.select(
+        "o_orderkey",
+        S.year_of_week(F.col("o_orderdate")).alias("yow"),
+        F.round(S.wilson_interval_lower(s, F.lit(100.0), F.lit(1.96)), 6).alias("wilson_lower"),
+        F.round(S.wilson_interval_upper(s, F.lit(100.0), F.lit(1.96)), 6).alias("wilson_upper"),
+        F.round(S.great_circle_distance(lat1, lon1, lat2, lon2), 4).alias("gcd_km"),
+    )
