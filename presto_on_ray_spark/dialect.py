@@ -286,6 +286,45 @@ def translate(sql: str) -> str:
         r"\bbit_count\s*\(\s*([^,()]+?)\s*,\s*64\s*\)", r"bit_count(\1)",
         translated, flags=re.IGNORECASE,
     )
+    # Statistical/date tail (functions/statistical.py documents the
+    # semantics; these rewrites inline the same expressions so the SQL
+    # surface matches the Python helpers). Conservative simple-arg
+    # patterns, like the bitwise rewrites below.
+    translated = re.sub(
+        r"\bmillisecond\s*\(\s*([^,()]+?)\s*\)",
+        r"CAST(pmod(unix_micros(\1), 1000000) / 1000 AS INT)",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\b(?:year_of_week|yow)\s*\(\s*([^,()]+?)\s*\)",
+        # ISO week-year = year of the Thursday of the value's ISO week
+        r"year(date_add(to_date(\1), CAST(4 - (pmod(dayofweek(to_date(\1)) + 5, 7) + 1) AS INT)))",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        # Presto day_of_week/dow is ISO Mon=1..Sun=7; Spark's dayofweek
+        # is Sun=1 — a rename would be silently off by one
+        r"\b(?:day_of_week|dow)\s*\(\s*([^,()]+?)\s*\)",
+        r"(pmod(dayofweek(\1) + 5, 7) + 1)",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bgreat_circle_distance\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*,\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+        r"(12742.02 * asin(least(sqrt("
+        r"pow(sin((radians(\3) - radians(\1)) / 2), 2)"
+        r" + cos(radians(\1)) * cos(radians(\3))"
+        r" * pow(sin((radians(\4) - radians(\2)) / 2), 2)), 1.0)))",
+        translated, flags=re.IGNORECASE,
+    )
+    for fn, sign in (("wilson_interval_lower", "-"), ("wilson_interval_upper", "+")):
+        translated = re.sub(
+            rf"\b{fn}\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+            r"((CAST(\1 AS DOUBLE) / \2 + \3 * \3 / (2 * \2) "
+            + sign
+            + r" \3 * sqrt((CAST(\1 AS DOUBLE) / \2 * (1 - CAST(\1 AS DOUBLE) / \2)"
+            r" + \3 * \3 / (4 * \2)) / \2)) / (1 + \3 * \3 / \2))",
+            translated, flags=re.IGNORECASE,
+        )
     # Presto strrpos(s, sub): 1-based position of the LAST occurrence
     # (0 if absent) — expressed via reversed instr so it stays inside
     # whole-stage codegen. Simple arguments only (they are repeated).

@@ -65,12 +65,16 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
     "random": "rand",
     "to_unixtime": "unix_timestamp",
     "from_unixtime": "from_unixtime",
-    "day_of_week": "dayofweek",
+    # NOTE: day_of_week/dow and year_of_week/yow are NOT simple
+    # renames: Presto's day_of_week is ISO (Mon=1..Sun=7) while
+    # Spark's dayofweek is Sun=1..Sat=7, and Spark has no yearofweek
+    # function. Both are inlined as expressions in dialect.translate
+    # (r5 — the old yow→yearofweek entry produced an unresolved
+    # function, and day_of_week→dayofweek was silently off by one).
     "day_of_month": "dayofmonth",
     "day_of_year": "dayofyear",
     "week": "weekofyear",
     "week_of_year": "weekofyear",
-    "yow": "yearofweek",
     "last_day_of_month": "last_day",
     "zip": "arrays_zip",
     "map_from_entries": "map_from_entries",

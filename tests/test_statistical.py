@@ -110,3 +110,32 @@ def test_millisecond_and_tz_offsets(spark):
     assert row.ms == 123
     assert (row.ny_h, row.ny_m) == (-4, 0)  # EDT in July
     assert (row.k_h, row.k_m) == (5, 30)
+
+
+def test_statistical_dialect_spellings(spark):
+    """The SQL surface matches the Python helpers (dialect inlining)."""
+    from presto_on_ray_spark.dialect import translate
+
+    row = spark.sql(translate(
+        "SELECT year_of_week(DATE '2021-01-01') AS yw, yow(DATE '2021-01-04') AS yw2, "
+        "millisecond(TIMESTAMP '2024-07-15 10:00:30.123') AS ms, "
+        "great_circle_distance(52.52, 13.405, 48.8566, 2.3522) AS km, "
+        "wilson_interval_lower(20, 100.0, 1.96) AS lo, "
+        "wilson_interval_upper(20, 100.0, 1.96) AS hi"
+    )).collect()[0]
+    assert row.yw == 2020 and row.yw2 == 2021
+    assert row.ms == 123
+    assert 870 < row.km < 890
+    assert row.lo < 0.2 < row.hi
+
+
+def test_day_of_week_iso_semantics(spark):
+    """Presto day_of_week is ISO Mon=1..Sun=7 (the r5 fix: the old
+    rename to Spark's dayofweek was Sun=1 — off by one)."""
+    from presto_on_ray_spark.dialect import translate
+
+    # 2024-07-15 is a Monday, 2024-07-21 a Sunday
+    row = spark.sql(translate(
+        "SELECT day_of_week(DATE '2024-07-15') AS mon, dow(DATE '2024-07-21') AS sun"
+    )).collect()[0]
+    assert (row.mon, row.sun) == (1, 7)
