@@ -136,3 +136,48 @@ def recursive_cte_hierarchy(spark, sf_dir):
     DuckDB runs the same recursion (// for DIV)."""
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_RECURSIVE_SPARK)
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT o_orderstatus, c,
+             SUM(c) OVER (PARTITION BY o_orderstatus) AS s
+      FROM c
+    )
+    SELECT o_orderstatus,
+           ROUND(CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) / s) * LOG2(CAST(s AS DOUBLE) / c), 6)
+                               AS DECIMAL(20,6))) AS DOUBLE), 6) AS entropy_bits,
+           COUNT(*) AS n_outcomes
+    FROM t GROUP BY 1
+    """,
+)
+def agg_entropy(spark, sf_dir):
+    """Presto entropy(c) (SURVEY §2.4 tail): Shannon entropy in bits of
+    the per-status order-priority distribution, from grouped counts —
+    -Σ p·log2 p expressed as Σ (c/S)·log2(S/c). Determinism contract:
+    each term is rounded to 6 dp and accumulated as DECIMAL (exact,
+    order-free), so the distributed sum hash-matches the oracle — the
+    same pattern as text_lm_score's log-prob sum. Scale shape: counts
+    are a partial-agg groupBy; S is a window over the (bounded)
+    per-group outcome set; one more tiny groupBy reads the result."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("o_orderstatus")
+    tt = c.withColumn("s", F.sum("c").over(w))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("s"))
+        * F.log2(F.col("s").cast("double") / F.col("c")),
+        6,
+    ).cast("decimal(20,6)")
+    return tt.groupBy("o_orderstatus").agg(
+        F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"),
+        F.count("*").alias("n_outcomes"),
+    )
