@@ -44,8 +44,15 @@ def format_table(columns: list[str], rows: list[tuple]) -> str:
     return "\n".join(lines)
 
 
-def run_statement(engine, statement: str, out: IO[str], max_rows: int = 100) -> None:
-    df = engine.sql(statement)
+def run_statement(
+    engine,
+    statement: str,
+    out: IO[str],
+    max_rows: int = 100,
+    max_input_bytes: int | None = None,
+    pool: str | None = None,
+) -> None:
+    df = engine.sql(statement, max_input_bytes=max_input_bytes, pool=pool)
     if df is None or not df.columns:
         print("OK", file=out)
         return
@@ -58,7 +65,8 @@ def run_statement(engine, statement: str, out: IO[str], max_rows: int = 100) -> 
 
 
 def repl(engine, in_stream: IO[str], out: IO[str], max_rows: int = 100,
-         interactive: bool = True) -> None:
+         interactive: bool = True, max_input_bytes: int | None = None,
+         pool: str | None = None) -> None:
     """Statement loop: accumulate lines until ';', execute, print."""
     buf: list[str] = []
     if interactive:
@@ -73,7 +81,8 @@ def repl(engine, in_stream: IO[str], out: IO[str], max_rows: int = 100,
             buf = []
             if statement:
                 try:
-                    run_statement(engine, statement, out, max_rows=max_rows)
+                    run_statement(engine, statement, out, max_rows=max_rows,
+                                  max_input_bytes=max_input_bytes, pool=pool)
                 except Exception as exc:  # show the error, keep the shell alive
                     msg = str(exc).splitlines()[0] if str(exc) else repr(exc)
                     print(f"ERROR: {msg}", file=out)
@@ -100,6 +109,17 @@ def main(argv: list[str] | None = None) -> int:
         "-e", "--execute", default=None,
         help="run these ;-separated statements and exit (non-interactive)",
     )
+    parser.add_argument(
+        "--max-query-bytes", type=int, default=None,
+        help="admission control: reject statements whose estimated "
+        "input exceeds this many bytes (the reference's "
+        "query.max-memory analogue; see resource_pools.py)",
+    )
+    parser.add_argument(
+        "--pool", default=None,
+        help="FAIR scheduler pool for this shell's statements "
+        "(per-query isolation; enable FAIR mode via session conf)",
+    )
     args = parser.parse_args(argv)
 
     from presto_on_ray_spark.engine import Engine
@@ -125,10 +145,12 @@ def main(argv: list[str] | None = None) -> int:
             # (statement bodies with literal ';' belong in the REPL)
             text = text.replace(";", ";\n")
             repl(engine, io.StringIO(text), sys.stdout,
-                 max_rows=args.max_rows, interactive=False)
+                 max_rows=args.max_rows, interactive=False,
+                 max_input_bytes=args.max_query_bytes, pool=args.pool)
         else:
             repl(engine, sys.stdin, sys.stdout, max_rows=args.max_rows,
-                 interactive=sys.stdin.isatty())
+                 interactive=sys.stdin.isatty(),
+                 max_input_bytes=args.max_query_bytes, pool=args.pool)
     finally:
         spark.stop()
     return 0

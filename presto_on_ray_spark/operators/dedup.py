@@ -377,7 +377,10 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    edges = sym.distinct()
+    # checkpoint the edge set FIRST: everything below (nodes, self-loop
+    # union, initial labels) derives from it, so the upstream pair-
+    # generation DAG executes exactly once regardless of fan-out
+    edges = sym.distinct().localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     # Self-loop edges fold the "own label" term into the neighbor
     # aggregation, so each round is ONE join + ONE min-groupBy (the r4

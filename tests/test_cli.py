@@ -51,3 +51,27 @@ select strpos('hello', 'll') AS p;
     assert "d" in text and "(1 row)" in text  # dialect fn worked
     assert "ERROR" in text                    # bad statement reported…
     assert " p" in text and "3" in text       # …and the shell kept going
+
+
+def test_repl_admission_control_and_pool(spark, sf_dir):
+    """--max-query-bytes / --pool plumbed through the shell: an
+    oversized statement is rejected with the admission error, the
+    shell survives, and admitted statements run in the named pool."""
+    eng = Engine(spark).register_tables(sf_dir)
+    script = """
+select l_returnflag, count(*) AS n from lineitem group by 1;
+"""
+    out = io.StringIO()
+    repl(eng, io.StringIO(script), out, interactive=False, max_input_bytes=1)
+    assert "ERROR" in out.getvalue()
+    assert "admission" in out.getvalue()
+
+    out2 = io.StringIO()
+    repl(eng, io.StringIO(script), out2, interactive=False,
+         max_input_bytes=1 << 40, pool="repl-pool")
+    assert "rows)" in out2.getvalue() and "ERROR" not in out2.getvalue()
+    assert (
+        spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        == "repl-pool"
+    )
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
