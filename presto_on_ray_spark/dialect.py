@@ -286,6 +286,20 @@ def translate(sql: str) -> str:
         r"\bbit_count\s*\(\s*([^,()]+?)\s*,\s*64\s*\)", r"bit_count(\1)",
         translated, flags=re.IGNORECASE,
     )
+    # Presto's one-arg sha digests return VARBINARY; Spark's two-arg
+    # sha2 returns hex text, so wrap with unhex — then the Presto idiom
+    # to_hex(sha256(x)) composes correctly. (sha1/md5 are native Spark
+    # names returning hex text — that delta is documented rather than
+    # rewritten, since changing them would surprise Spark-SQL users of
+    # the same session.)
+    translated = re.sub(
+        r"\bsha256\s*\(\s*([^()]*(?:\([^()]*\)[^()]*)*)\)", r"unhex(sha2(\1, 256))",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bsha512\s*\(\s*([^()]*(?:\([^()]*\)[^()]*)*)\)", r"unhex(sha2(\1, 512))",
+        translated, flags=re.IGNORECASE,
+    )
     # Statistical/date tail (functions/statistical.py documents the
     # semantics; these rewrites inline the same expressions so the SQL
     # surface matches the Python helpers). Conservative simple-arg

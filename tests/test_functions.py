@@ -386,3 +386,20 @@ def test_register_function_arrow_batched(spark):
     ).collect()
     assert [r.c for r in rows] == [0, 1, 8, 27]
     assert spark.sql("SELECT cube_it(CAST(NULL AS BIGINT)) AS c").collect()[0].c is None
+
+
+def test_dialect_sha_family(spark):
+    from presto_on_ray_spark.dialect import translate
+
+    row = spark.sql(translate(
+        "SELECT to_hex(sha256(to_utf8('abc'))) AS h256, "
+        "to_hex(sha512(to_utf8('abc'))) AS h512, "
+        "sha1(to_utf8('abc')) AS h1, 'sha256(x)' AS lit"
+    )).collect()[0]
+    import hashlib
+    # Presto semantics: sha256/sha512 are VARBINARY, composed with
+    # to_hex; sha1 stays Spark's hex-text native (documented delta)
+    assert row.h256 == hashlib.sha256(b"abc").hexdigest().upper()
+    assert row.h512 == hashlib.sha512(b"abc").hexdigest().upper()
+    assert row.h1 == hashlib.sha1(b"abc").hexdigest()
+    assert row.lit == "sha256(x)"
