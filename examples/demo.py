@@ -71,6 +71,25 @@ def main() -> None:
         "verdict"
     ).count().orderBy("verdict").show()
 
+    print("== Per-query governance (r5): admission control + pools ==")
+    from presto_on_ray_spark.resource_pools import QueryAdmissionError
+
+    try:
+        eng.sql("SELECT COUNT(*) AS n FROM lineitem", max_input_bytes=1)
+    except QueryAdmissionError as exc:
+        print("rejected as expected:", str(exc)[:80], "...")
+    eng.sql(
+        "SELECT COUNT(*) AS n FROM lineitem",
+        max_input_bytes=1 << 40,
+        pool="demo-pool",
+    ).show()
+
+    print("== timestamp with time zone (r5): AT TIME ZONE on a struct ==")
+    suite.QUERIES["tz_type_functions"](spark, SF_DIR).show(3)
+
+    print("== Hash-verified sketches (r5): portable checksum + HLL ==")
+    suite.QUERIES["cov_sketch_exact"](spark, SF_DIR).orderBy("src", "k").show(12)
+
     print("== Physical-plan introspection ==")
     from presto_on_ray_spark.plans import physical_summary
 
