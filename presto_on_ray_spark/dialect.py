@@ -425,8 +425,18 @@ def translate(sql: str) -> str:
         translated,
         flags=re.IGNORECASE,
     )
-    # Presto UNNEST-as-join -> Spark LATERAL VIEW. Handles the common
-    # single-column forms:
+    # Presto UNNEST-as-join -> Spark LATERAL VIEW. The TWO-array zip
+    # form first (more specific; the single-column pattern would
+    # otherwise swallow the comma): UNNEST(a, b) AS t(c1, c2) zips
+    # positionally, padding the shorter array with NULLs — exactly
+    # arrays_zip + inline.
+    translated = re.sub(
+        r"\bCROSS\s+JOIN\s+UNNEST\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*)\s*,\s*([^,()]+(?:\([^()]*\)[^,()]*)*)\s*\)\s+AS\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",
+        r"LATERAL VIEW inline(arrays_zip(\1, \2)) \3 AS \4, \5",
+        translated,
+        flags=re.IGNORECASE,
+    )
+    # Single-column forms:
     #   CROSS JOIN UNNEST(expr) [WITH ORDINALITY] AS t(c[, ord])
     translated = re.sub(
         r"\bCROSS\s+JOIN\s+UNNEST\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s+WITH\s+ORDINALITY\s+AS\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",

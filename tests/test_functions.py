@@ -403,3 +403,17 @@ def test_dialect_sha_family(spark):
     assert row.h512 == hashlib.sha512(b"abc").hexdigest().upper()
     assert row.h1 == hashlib.sha1(b"abc").hexdigest()
     assert row.lit == "sha256(x)"
+
+
+def test_translate_unnest_two_arrays(spark):
+    """Presto UNNEST(a, b) zips positionally, NULL-padding the shorter
+    array — the arrays_zip + inline rewrite."""
+    from presto_on_ray_spark.dialect import translate
+
+    spark.sql(
+        "SELECT 1 AS id, array(1,2,3) AS a, array('x','y') AS b"
+    ).createOrReplaceTempView("_tv_unnest2")
+    rows = spark.sql(translate(
+        "SELECT id, n, s FROM _tv_unnest2 CROSS JOIN UNNEST(a, b) AS u(n, s)"
+    )).collect()
+    assert [(r.n, r.s) for r in rows] == [(1, "x"), (2, "y"), (3, None)]
