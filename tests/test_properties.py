@@ -145,3 +145,56 @@ def test_minhash_lsh_banding_s_curve(spark):
     rate_high = sum(collides(10_000 + p) for p in range(n_pairs)) / n_pairs
     assert rate_high >= 0.95, f"recall at s=0.8 too low: {rate_high}"
     assert rate_low <= 0.30, f"candidate rate at s=0.3 too high: {rate_low}"
+
+
+def test_connected_components_matches_union_find(spark):
+    """connected_components (distributed min-label propagation) vs a
+    reference union-find on deterministic random graphs — components
+    and min-id labels must agree exactly, including star/chain/cycle
+    shapes longer than one propagation hop."""
+    import random
+
+    from presto_on_ray_spark.operators.dedup import connected_components
+
+    rng = random.Random(99)
+    edges = set()
+    # three chains (long diameter), one star, one cycle, random extras
+    base = 0
+    for length in (9, 5, 7):
+        for i in range(length):
+            edges.add((base + i, base + i + 1))
+        base += length + 10
+    hub = base + 50
+    for i in range(6):
+        edges.add((hub, hub + 1 + i))
+    cyc = hub + 100
+    for i in range(5):
+        edges.add((cyc + i, cyc + (i + 1) % 5))
+    for _ in range(30):
+        a, b = rng.randrange(0, 400), rng.randrange(0, 400)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for n in parent:
+        expected[n] = find(n)
+
+    df = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+    got = {
+        r.node: r.component_id
+        for r in connected_components(df, max_iterations=50).collect()
+    }
+    assert got == expected
