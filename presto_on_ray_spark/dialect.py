@@ -300,6 +300,27 @@ def translate(sql: str) -> str:
         r"\bsha512\s*\(\s*([^()]*(?:\([^()]*\)[^()]*)*)\)", r"unhex(sha2(\1, 512))",
         translated, flags=re.IGNORECASE,
     )
+    # Presto set_union(arr) aggregate: union of all input arrays,
+    # rendered deterministically (sorted — Presto leaves order
+    # undefined). set_agg is a rename (collect_set) in _FN_CALL.
+    translated = re.sub(
+        r"\bset_union\s*\(\s*([^()]*(?:\([^()]*\)[^()]*)*)\)",
+        r"array_sort(array_distinct(flatten(collect_list(\1))))",
+        translated, flags=re.IGNORECASE,
+    )
+    # Presto to_milliseconds(interval day to second) -> bigint ms. The
+    # argument is cast to the widest day-time interval first: Spark
+    # types single-unit literals narrowly (INTERVAL MINUTE) and refuses
+    # to extract fields outside the declared range.
+    _itv = r"CAST(\1 AS INTERVAL DAY TO SECOND)"
+    translated = re.sub(
+        r"\bto_milliseconds\s*\(\s*([^()]*(?:\([^()]*\)[^()]*)*)\)",
+        rf"CAST((extract(DAY FROM {_itv}) * 86400000"
+        rf" + extract(HOUR FROM {_itv}) * 3600000"
+        rf" + extract(MINUTE FROM {_itv}) * 60000"
+        rf" + extract(SECOND FROM {_itv}) * 1000) AS BIGINT)",
+        translated, flags=re.IGNORECASE,
+    )
     # Statistical/date tail (functions/statistical.py documents the
     # semantics; these rewrites inline the same expressions so the SQL
     # surface matches the Python helpers). Conservative simple-arg

@@ -98,6 +98,10 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
     "contains": "array_contains",
     "now": "current_timestamp",
     "format": "format_string",
+    # Presto set_agg(x): array of distinct values (order undefined there;
+    # collect_set matches — sort for a deterministic rendering).
+    # set_union is a rewrite in dialect.translate (needs composition).
+    "set_agg": "collect_set",
     # NOTE: regexp_split -> split is handled in dialect.translate AFTER
     # the literal-delimiter split() rewrite, so regex patterns are
     # never \Q...\E-quoted by mistake.
@@ -176,6 +180,85 @@ def multimap_from_entries(entries):
                 lambda s: s["value"],
             ),
         ),
+    )
+
+
+def split_to_multimap(col, entry_delim, kv_delim):
+    """Presto split_to_multimap(s, entryDelim, kvDelim) →
+    map<string, array<string>>: duplicate keys KEEP every value
+    (split_to_map would error). Pure higher-order functions over the
+    entry array — stays JVM-side; the O(distinct_keys × entries)
+    re-scan note on multimap_from_entries applies."""
+    c = F.col(col) if isinstance(col, str) else col
+    ed = F.lit(entry_delim) if isinstance(entry_delim, str) else entry_delim
+    kd = F.lit(kv_delim) if isinstance(kv_delim, str) else kv_delim
+    entries = F.split(c, F.concat(F.lit("\\Q"), ed, F.lit("\\E")))
+    pairs = F.transform(
+        entries,
+        lambda e: F.struct(
+            F.split_part(e, kd, F.lit(1)).alias("key"),
+            F.split_part(e, kd, F.lit(2)).alias("value"),
+        ),
+    )
+    return multimap_from_entries(pairs)
+
+
+def dot_product_maps(m1, m2):
+    """Sparse-vector dot product over map<K, double> (the Presto
+    cosine_similarity representation): Σ_k m1[k]·m2[k] over m1's keys,
+    missing keys contribute 0. Pure HOFs (try_element_at is the
+    NULL-on-absent lookup under ANSI mode)."""
+    a = F.col(m1) if isinstance(m1, str) else m1
+    b = F.col(m2) if isinstance(m2, str) else m2
+    return F.aggregate(
+        F.map_keys(a),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.element_at(a, k) * F.coalesce(F.try_element_at(b, k), F.lit(0.0)),
+    )
+
+
+def cosine_similarity_maps(m1, m2):
+    """Presto cosine_similarity(map<varchar,double>, map<varchar,double>)."""
+    a = F.col(m1) if isinstance(m1, str) else m1
+    b = F.col(m2) if isinstance(m2, str) else m2
+    norm = lambda m: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.map_values(m), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    return dot_product_maps(a, b) / (norm(a) * norm(b))
+
+
+def to_base64url(col):
+    """Presto to_base64url: RFC-4648 URL-safe alphabet ('+/' → '-_');
+    pure expression over Spark's base64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(F.base64(c), "+/", "-_")
+
+
+def from_base64url(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unbase64(F.translate(c, "-_", "+/"))
+
+
+def to_big_endian_32(col):
+    """Presto to_big_endian_32(int) → 4-byte big-endian binary. Pure
+    expression: the two's-complement low 32 bits rendered via hex/unhex
+    (JVM-side — the 64-bit variant predates this and rides a pandas
+    UDF; both satisfy the same round-trip tests)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unhex(F.lpad(F.hex(c.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))), 8, "0"))
+
+
+def from_big_endian_32(col):
+    """Presto from_big_endian_32(varbinary) → int (signed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    unsigned = F.conv(F.hex(c), 16, 10).cast("long")
+    return (
+        F.when(unsigned >= F.lit(1 << 31), unsigned - F.lit(1 << 32))
+        .otherwise(unsigned)
+        .cast("int")
     )
 
 
@@ -265,19 +348,64 @@ def _to_big_endian_64_series(x: "pd.Series") -> "pd.Series":
     return x.map(lambda v: struct.pack(">q", int(v)), na_action="ignore")
 
 
-def _hmac_sha256_series(data: "pd.Series", key: "pd.Series") -> "pd.Series":
-    import numpy as np
+def _hmac_series_fn(digest):
+    """Series-level HMAC for a given hashlib constructor (the whole
+    Presto hmac_* family shares this shape)."""
 
-    return pd.Series(
-        [
-            None
-            if d is None or k is None
-            else hmac_mod.new(k, d, hashlib.sha256).digest()
-            for d, k in zip(data, key)
-        ],
-        dtype=object,
-        index=data.index,
-    ) if len(data) else pd.Series(np.empty(0, dtype=object))
+    def _series(data: "pd.Series", key: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        return pd.Series(
+            [
+                None if d is None or k is None else hmac_mod.new(k, d, digest).digest()
+                for d, k in zip(data, key)
+            ],
+            dtype=object,
+            index=data.index,
+        ) if len(data) else pd.Series(np.empty(0, dtype=object))
+
+    return _series
+
+
+_hmac_sha256_series = _hmac_series_fn(hashlib.sha256)
+
+
+def _ieee754_series_fn(fmt: str, decode: bool):
+    """to/from_ieee754_{32,64}: struct pack/unpack over Arrow batches.
+    fmt '>d'/' >f' big-endian per Presto; decode=True is binary→float."""
+
+    def _series(s: "pd.Series") -> "pd.Series":
+        if decode:
+            return s.map(lambda b: struct.unpack(fmt, bytes(b))[0], na_action="ignore")
+        return s.map(lambda v: struct.pack(fmt, float(v)), na_action="ignore")
+
+    return _series
+
+
+_HRS_UNITS = (
+    (604800, "week"),
+    (86400, "day"),
+    (3600, "hour"),
+    (60, "minute"),
+    (1, "second"),
+)
+
+
+def _human_readable_seconds_one(v) -> str | None:
+    """Presto human_readable_seconds(double): round to whole seconds,
+    render nonzero week/day/hour/minute/second units, singular/plural,
+    comma-joined; 0 → '0 seconds'."""
+    if v is None or pd.isna(v):
+        return None
+    remaining = int(round(float(v)))
+    sign = "-" if remaining < 0 else ""
+    remaining = abs(remaining)
+    parts: list[str] = []
+    for size, name in _HRS_UNITS:
+        n, remaining = divmod(remaining, size)
+        if n:
+            parts.append(f"{n} {name}{'s' if n != 1 else ''}")
+    return sign + (", ".join(parts) if parts else "0 seconds")
 
 
 def register_presto_functions(spark: SparkSession) -> None:
@@ -356,12 +484,96 @@ def register_presto_functions(spark: SparkSession) -> None:
         "to_big_endian_64", pandas_udf(_to_big_endian_64_series, "binary")
     )
     spark.udf.register("hmac_sha256", pandas_udf(_hmac_sha256_series, "binary"))
+    # the rest of the Presto hmac_* / ieee754 binary family (same
+    # Arrow-batched tier; r5 tail)
+    spark.udf.register("hmac_sha1", pandas_udf(_hmac_series_fn(hashlib.sha1), "binary"))
+    spark.udf.register(
+        "hmac_sha512", pandas_udf(_hmac_series_fn(hashlib.sha512), "binary")
+    )
+    spark.udf.register("hmac_md5", pandas_udf(_hmac_series_fn(hashlib.md5), "binary"))
+    spark.udf.register(
+        "to_ieee754_64", pandas_udf(_ieee754_series_fn(">d", False), "binary")
+    )
+    spark.udf.register(
+        "from_ieee754_64", pandas_udf(_ieee754_series_fn(">d", True), "double")
+    )
+    spark.udf.register(
+        "to_ieee754_32", pandas_udf(_ieee754_series_fn(">f", False), "binary")
+    )
+    spark.udf.register(
+        "from_ieee754_32", pandas_udf(_ieee754_series_fn(">f", True), "float")
+    )
+    spark.udf.register(
+        "human_readable_seconds",
+        pandas_udf(
+            lambda s: s.map(_human_readable_seconds_one), "string"
+        ),
+    )
 
     from presto_on_ray_spark.functions.statistical import (
         register_statistical_functions,
     )
 
     register_statistical_functions(spark)
+
+    from presto_on_ray_spark.functions.distributions import (
+        register_distribution_functions,
+    )
+
+    register_distribution_functions(spark)
+    register_sql_macros(spark)
+
+
+# SQL scalar functions (CREATE TEMPORARY FUNCTION ... RETURN expr):
+# Presto names whose bodies are pure Spark expressions — Catalyst
+# inlines the body at the call site, so these stay in whole-stage
+# codegen with zero Python crossing (the preferred tier for anything
+# expressible; pandas UDFs above are only for genuinely procedural
+# tails like struct.pack / hmac).
+_SQL_MACROS: list[str] = [
+    """to_base64url(b BINARY) RETURNS STRING
+       RETURN translate(base64(b), '+/', '-_')""",
+    """from_base64url(s STRING) RETURNS BINARY
+       RETURN unbase64(translate(s, '-_', '+/'))""",
+    """to_big_endian_32(x INT) RETURNS BINARY
+       RETURN unhex(lpad(hex(CAST(x AS BIGINT) & 4294967295), 8, '0'))""",
+    """from_big_endian_32(b BINARY) RETURNS INT
+       RETURN CAST(CASE WHEN CAST(conv(hex(b), 16, 10) AS BIGINT) >= 2147483648
+                        THEN CAST(conv(hex(b), 16, 10) AS BIGINT) - 4294967296
+                        ELSE CAST(conv(hex(b), 16, 10) AS BIGINT) END AS INT)""",
+    """cauchy_cdf(median DOUBLE, scale DOUBLE, v DOUBLE) RETURNS DOUBLE
+       RETURN 0.5 + atan((v - median) / scale) / pi()""",
+    """inverse_cauchy_cdf(median DOUBLE, scale DOUBLE, p DOUBLE) RETURNS DOUBLE
+       RETURN median + scale * tan(pi() * (p - 0.5))""",
+    """weibull_cdf(a DOUBLE, b DOUBLE, v DOUBLE) RETURNS DOUBLE
+       RETURN CASE WHEN v <= 0 THEN 0.0 ELSE 1.0 - exp(-pow(v / b, a)) END""",
+    """inverse_weibull_cdf(a DOUBLE, b DOUBLE, p DOUBLE) RETURNS DOUBLE
+       RETURN b * pow(-ln(1.0 - p), 1.0 / a)""",
+    """cosine_similarity(m1 MAP<STRING, DOUBLE>, m2 MAP<STRING, DOUBLE>) RETURNS DOUBLE
+       RETURN aggregate(map_keys(m1), CAST(0.0 AS DOUBLE),
+                        (acc, k) -> acc + element_at(m1, k) * coalesce(try_element_at(m2, k), 0.0))
+              / (sqrt(aggregate(map_values(m1), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))
+                 * sqrt(aggregate(map_values(m2), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)))""",
+    """split_to_multimap(s STRING, ed STRING, kd STRING)
+       RETURNS MAP<STRING, ARRAY<STRING>>
+       RETURN map_from_arrays(
+         array_distinct(transform(split(s, concat('\\\\Q', ed, '\\\\E')),
+                                  e -> split_part(e, kd, 1))),
+         transform(
+           array_distinct(transform(split(s, concat('\\\\Q', ed, '\\\\E')),
+                                    e -> split_part(e, kd, 1))),
+           k -> transform(
+             filter(split(s, concat('\\\\Q', ed, '\\\\E')),
+                    e -> split_part(e, kd, 1) = k),
+             e -> split_part(e, kd, 2))))""",
+]
+
+
+def register_sql_macros(spark: SparkSession) -> None:
+    """Register the expression-bodied Presto names as Spark SQL scalar
+    functions (inlined by Catalyst — JVM-side, codegen'd)."""
+    for body in _SQL_MACROS:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {body}")
 
 
 def register_function(spark: SparkSession, name: str, fn, return_type) -> None:
