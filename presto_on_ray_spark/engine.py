@@ -15,6 +15,8 @@ Both front doors converge on one Catalyst logical plan (SURVEY §3.3).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from presto_on_ray_spark import dialect
@@ -26,11 +28,60 @@ from presto_on_ray_spark.session import apply_session_defaults
 from presto_on_ray_spark.sources.tables import load_table, register_tables
 
 
+# Presto prepared-statement surface (public Presto 0.248 SQL:
+# PREPARE / EXECUTE [USING ...] / DEALLOCATE PREPARE / DESCRIBE
+# INPUT|OUTPUT — the statements presto-cli itself issues). The
+# reference's shell (presto-mgr.py:268-273) exposes them implicitly by
+# delegating to that CLI; here they are handled at the engine front
+# door before dialect translation.
+_PREPARE_RE = re.compile(r"^\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$", re.IGNORECASE | re.DOTALL)
+_EXECUTE_RE = re.compile(r"^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?\s*$", re.IGNORECASE | re.DOTALL)
+_DEALLOC_RE = re.compile(r"^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$", re.IGNORECASE)
+_DESC_INPUT_RE = re.compile(r"^\s*DESCRIBE\s+INPUT\s+(\w+)\s*$", re.IGNORECASE)
+_DESC_OUTPUT_RE = re.compile(r"^\s*DESCRIBE\s+OUTPUT\s+(\w+)\s*$", re.IGNORECASE)
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    """Split a USING argument list on commas outside parens (string
+    literals are already shielded to comma-free placeholders)."""
+    parts, depth, buf = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _substitute_placeholders(statement: str, args: list[str]) -> str:
+    """Replace positional ``?`` placeholders (outside string literals)
+    with the given SQL literal texts, in order. Errors loudly on an
+    arity mismatch — Presto does too."""
+    shielded, lits = dialect._shield_literals(statement)
+    n = shielded.count("?")
+    if n != len(args):
+        raise ValueError(
+            f"prepared statement has {n} parameter(s) but {len(args)} "
+            "value(s) were supplied in USING"
+        )
+    for a in args:
+        shielded = shielded.replace("?", a, 1)
+    return dialect._restore_literals(shielded, lits)
+
+
 class Engine:
     def __init__(self, spark: SparkSession):
         self.spark = apply_session_defaults(spark)
         register_presto_functions(spark)
         self._sf_dir: str | None = None
+        self._prepared: dict[str, str] = {}
 
     # -- catalog ------------------------------------------------------
     def register_tables(self, sf_dir: str, names: list[str] | None = None) -> "Engine":
@@ -69,7 +120,16 @@ class Engine:
         presto-mgr.py:18-22 — rejects before execution when Catalyst's
         input estimate exceeds the budget); ``pool`` tags this thread's
         actions with a FAIR scheduler pool for per-query isolation.
-        See resource_pools.py."""
+        See resource_pools.py.
+
+        Prepared-statement statements (PREPARE / EXECUTE [USING] /
+        DEALLOCATE PREPARE / DESCRIBE INPUT|OUTPUT) are handled here;
+        PREPARE and DEALLOCATE return None (the REPL prints OK)."""
+        handled = self._prepared_statement(text)
+        if handled is not NotImplemented:
+            if handled is None or isinstance(handled, DataFrame):
+                return handled
+            text = handled  # EXECUTE: fall through with substituted SQL
         df = self.spark.sql(dialect.translate(text))
         if max_input_bytes is not None:
             from presto_on_ray_spark.resource_pools import admit_or_raise
@@ -82,6 +142,51 @@ class Engine:
     def spark_sql(self, text: str) -> DataFrame:
         """Run native Spark SQL untranslated."""
         return self.spark.sql(text)
+
+    # -- prepared statements (Presto PREPARE/EXECUTE surface) ---------
+    def _prepared_statement(self, text: str):
+        """Dispatch PREPARE-family statements. Returns NotImplemented
+        when ``text`` is not one of them (caller runs it normally), a
+        substituted SQL string for EXECUTE, a DataFrame for DESCRIBE,
+        or None for PREPARE / DEALLOCATE."""
+        if m := _PREPARE_RE.match(text):
+            self._prepared[m.group(1).lower()] = m.group(2).strip()
+            return None
+        if m := _DEALLOC_RE.match(text):
+            self._prepared.pop(m.group(1).lower(), None)
+            return None
+        if m := _EXECUTE_RE.match(text):
+            stmt = self._lookup_prepared(m.group(1))
+            if m.group(2) is None:
+                return _substitute_placeholders(stmt, [])  # arity check
+            shielded, lits = dialect._shield_literals(m.group(2))
+            args = [
+                dialect._restore_literals(a, lits)
+                for a in _split_top_level_commas(shielded)
+            ]
+            return _substitute_placeholders(stmt, args)
+        if m := _DESC_INPUT_RE.match(text):
+            stmt = self._lookup_prepared(m.group(1))
+            shielded, _ = dialect._shield_literals(stmt)
+            # Presto reports an inferred type per placeholder; without
+            # full type inference every position is `unknown` (the
+            # value Presto itself uses for undeterminable parameters).
+            rows = [(i + 1, "unknown") for i in range(shielded.count("?"))]
+            return self.spark.createDataFrame(rows or [], "position INT, type STRING")
+        if m := _DESC_OUTPUT_RE.match(text):
+            stmt = self._lookup_prepared(m.group(1))
+            shielded, lits = dialect._shield_literals(stmt)
+            analyzed = dialect._restore_literals(shielded.replace("?", "NULL"), lits)
+            schema = self.spark.sql(dialect.translate(analyzed)).schema
+            rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+            return self.spark.createDataFrame(rows, "column_name STRING, type STRING")
+        return NotImplemented
+
+    def _lookup_prepared(self, name: str) -> str:
+        stmt = self._prepared.get(name.lower())
+        if stmt is None:
+            raise ValueError(f"prepared statement not found: {name}")
+        return stmt
 
     # -- extensibility (SURVEY §2.10) --------------------------------
     def register_function(self, name: str, fn, return_type) -> "Engine":

@@ -391,6 +391,12 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     ).localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+
+    # One hop per materialization round. (A two-hop-per-round variant
+    # was measured at sf0.1 and is SLOWER here: near-dup clusters have
+    # tiny diameter, so single-hop converges in ~2 rounds and the
+    # batched second join is pure overhead. Batching would win only on
+    # high-diameter graphs — not this workload.)
     prev_sum = None
     for _ in range(max_iterations):
         labels = (
