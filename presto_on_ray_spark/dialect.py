@@ -457,6 +457,16 @@ def translate(sql: str) -> str:
         translated,
         flags=re.IGNORECASE,
     )
+    # Map form: UNNEST(m) AS t(k, v) — ONE top-level argument (no
+    # top-level comma, so the two-array zip above can never have
+    # matched) with TWO column aliases. Presto iterates map entries;
+    # Spark's explode on a map yields exactly (key, value) rows.
+    translated = re.sub(
+        r"\bCROSS\s+JOIN\s+UNNEST\s*\(\s*((?:[^,()]|\([^()]*\))+)\s*\)\s+AS\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",
+        r"LATERAL VIEW explode(\1) \2 AS \3, \4",
+        translated,
+        flags=re.IGNORECASE,
+    )
     # Single-column forms:
     #   CROSS JOIN UNNEST(expr) [WITH ORDINALITY] AS t(c[, ord])
     translated = re.sub(

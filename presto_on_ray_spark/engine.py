@@ -40,6 +40,28 @@ _DEALLOC_RE = re.compile(r"^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$", re.IGNORECASE)
 _DESC_INPUT_RE = re.compile(r"^\s*DESCRIBE\s+INPUT\s+(\w+)\s*$", re.IGNORECASE)
 _DESC_OUTPUT_RE = re.compile(r"^\s*DESCRIBE\s+OUTPUT\s+(\w+)\s*$", re.IGNORECASE)
 
+# Presto session-property statements (SET/RESET/SHOW SESSION). The ONE
+# property the reference's manager actually configures is the per-query
+# memory cap (presto-mgr.py:18-22 writes query.max-memory[-per-node]);
+# here SET SESSION query_max_memory applies the engine's admission-
+# control rendering of that cap (resource_pools.admit_or_raise) to
+# every subsequent Engine.sql call.
+_SET_SESSION_RE = re.compile(
+    r"^\s*SET\s+SESSION\s+([\w.\-]+)\s*=\s*(.+?)\s*$", re.IGNORECASE | re.DOTALL
+)
+_RESET_SESSION_RE = re.compile(r"^\s*RESET\s+SESSION\s+([\w.\-]+)\s*$", re.IGNORECASE)
+_SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*$", re.IGNORECASE)
+
+_SIZE_RE = re.compile(r"^\s*([0-9.]+)\s*([KMGT]?B)\s*$", re.IGNORECASE)
+_SIZE_FACTORS = {"B": 1, "KB": 1 << 10, "MB": 1 << 20, "GB": 1 << 30, "TB": 1 << 40}
+
+
+def _parse_size_bytes(text: str) -> int:
+    m = _SIZE_RE.match(text)
+    if not m:
+        raise ValueError(f"invalid size literal: {text!r} (expected e.g. '1GB')")
+    return int(float(m.group(1)) * _SIZE_FACTORS[m.group(2).upper()])
+
 
 def _split_top_level_commas(text: str) -> list[str]:
     """Split a USING argument list on commas outside parens (string
@@ -82,6 +104,9 @@ class Engine:
         register_presto_functions(spark)
         self._sf_dir: str | None = None
         self._prepared: dict[str, str] = {}
+        self._session_props: dict[str, str] = {}
+        self._admission_bytes: int | None = None
+        self._pool: str | None = None
 
     # -- catalog ------------------------------------------------------
     def register_tables(self, sf_dir: str, names: list[str] | None = None) -> "Engine":
@@ -125,23 +150,59 @@ class Engine:
         Prepared-statement statements (PREPARE / EXECUTE [USING] /
         DEALLOCATE PREPARE / DESCRIBE INPUT|OUTPUT) are handled here;
         PREPARE and DEALLOCATE return None (the REPL prints OK)."""
-        handled = self._prepared_statement(text)
+        handled = self._session_statement(text)
+        if handled is NotImplemented:
+            handled = self._prepared_statement(text)
         if handled is not NotImplemented:
             if handled is None or isinstance(handled, DataFrame):
                 return handled
             text = handled  # EXECUTE: fall through with substituted SQL
         df = self.spark.sql(dialect.translate(text))
-        if max_input_bytes is not None:
+        cap = max_input_bytes if max_input_bytes is not None else self._admission_bytes
+        if cap is not None:
             from presto_on_ray_spark.resource_pools import admit_or_raise
 
-            admit_or_raise(df, max_input_bytes)
-        if pool is not None:
-            self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+            admit_or_raise(df, cap)
+        effective_pool = pool if pool is not None else self._pool
+        if effective_pool is not None:
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", effective_pool
+            )
         return df
 
     def spark_sql(self, text: str) -> DataFrame:
         """Run native Spark SQL untranslated."""
         return self.spark.sql(text)
+
+    # -- session properties (Presto SET/RESET/SHOW SESSION) -----------
+    def _session_statement(self, text: str):
+        """Handle SET/RESET/SHOW SESSION. The recognized properties map
+        onto the engine's governance knobs; unknown ones are stored and
+        echoed by SHOW SESSION (Presto accepts catalog-defined
+        properties the same way). Returns NotImplemented when ``text``
+        is not a session statement."""
+        if m := _SET_SESSION_RE.match(text):
+            key = m.group(1).lower().replace("-", "_").replace(".", "_")
+            raw = m.group(2).strip().rstrip(";").strip()
+            value = raw[1:-1] if len(raw) >= 2 and raw[0] == raw[-1] == "'" else raw
+            if key in ("query_max_memory", "query_max_memory_per_node"):
+                self._admission_bytes = _parse_size_bytes(value)
+            elif key == "scheduler_pool":
+                self._pool = value or None
+            self._session_props[key] = value
+            return None
+        if m := _RESET_SESSION_RE.match(text):
+            key = m.group(1).lower().replace("-", "_").replace(".", "_")
+            self._session_props.pop(key, None)
+            if key in ("query_max_memory", "query_max_memory_per_node"):
+                self._admission_bytes = None
+            elif key == "scheduler_pool":
+                self._pool = None
+            return None
+        if _SHOW_SESSION_RE.match(text):
+            rows = sorted(self._session_props.items())
+            return self.spark.createDataFrame(rows or [], "name STRING, value STRING")
+        return NotImplemented
 
     # -- prepared statements (Presto PREPARE/EXECUTE surface) ---------
     def _prepared_statement(self, text: str):

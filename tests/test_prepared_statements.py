@@ -88,6 +88,34 @@ def test_prepared_statements_through_repl(engine):
     assert "(1 row)" in text  # the EXECUTE result
 
 
+def test_set_session_query_max_memory_applies_admission(engine):
+    from presto_on_ray_spark.resource_pools import QueryAdmissionError
+
+    assert engine.sql("SET SESSION query_max_memory = '1B'") is None
+    with pytest.raises(QueryAdmissionError):
+        engine.sql("SELECT count(*) AS n FROM lineitem").collect()
+    # SHOW SESSION echoes it; RESET restores normal service
+    props = {r.name: r.value for r in engine.sql("SHOW SESSION").collect()}
+    assert props["query_max_memory"] == "1B"
+    assert engine.sql("RESET SESSION query_max_memory") is None
+    assert engine.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n > 0
+
+
+def test_set_session_unknown_property_is_stored_not_fatal(engine):
+    engine.sql("SET SESSION some_catalog_prop = 'x'")
+    props = {r.name: r.value for r in engine.sql("SHOW SESSION").collect()}
+    assert props["some_catalog_prop"] == "x"
+    engine.sql("RESET SESSION some_catalog_prop")
+
+
+def test_unnest_map_two_column_form(engine):
+    rows = engine.sql(
+        "SELECT t.k, t.v FROM (SELECT MAP(ARRAY['a','b'], ARRAY[1,2]) AS m) s "
+        "CROSS JOIN UNNEST(m) AS t(k, v) ORDER BY t.k"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [("a", 1), ("b", 2)]
+
+
 def test_prepared_dialect_translation_still_applies(engine):
     # the stored statement is Presto dialect; EXECUTE must run it
     # through the same translation path as a direct engine.sql
