@@ -379,6 +379,29 @@ def translate(sql: str) -> str:
         translated,
         flags=re.IGNORECASE,
     )
+    # TRY over single binary arithmetic / subscript — Spark's try_*
+    # builtins give the exact NULL-on-error semantics when the operands
+    # are atoms (identifiers / literals), which is the overwhelmingly
+    # common Presto idiom (TRY(a / b), TRY(arr[i])). Composite operands
+    # keep passing through to the loud-error fallback below: a try_*
+    # rewrite there would catch only the OUTERMOST operation while
+    # Presto's TRY guards the whole tree.
+    _atom = r"[\w.\x00]+"
+    for op, fn in (("/", "try_divide"), ("\\+", "try_add"), ("-", "try_subtract"), ("\\*", "try_multiply")):
+        translated = re.sub(
+            rf"\bTRY\s*\(\s*({_atom})\s*{op}\s*({_atom})\s*\)",
+            rf"{fn}(\1, \2)",
+            translated,
+            flags=re.IGNORECASE,
+        )
+    # subscripts were rewritten to element_at upstream; TRY around one
+    # is Spark's try_element_at (NULL instead of ANSI out-of-range error)
+    translated = re.sub(
+        r"\bTRY\s*\(\s*element_at\s*\(((?:[^()]|\([^()]*\))*)\)\s*\)",
+        r"try_element_at(\1)",
+        translated,
+        flags=re.IGNORECASE,
+    )
     # Presto split(string, delimiter[, limit]) splits on a LITERAL
     # delimiter; Spark's split takes a Java regex. When the delimiter
     # is a string literal, wrap it in \Q...\E so metacharacters

@@ -41,6 +41,30 @@ def test_translate_try_cast():
     )
 
 
+def test_translate_try_arithmetic_and_subscript():
+    assert translate("SELECT TRY(a / b)") == "SELECT try_divide(a, b)"
+    assert translate("SELECT TRY(x + 1)") == "SELECT try_add(x, 1)"
+    assert translate("SELECT TRY(x - y)") == "SELECT try_subtract(x, y)"
+    assert translate("SELECT TRY(x * y)") == "SELECT try_multiply(x, y)"
+    # subscripts become element_at first, then TRY lifts to the
+    # NULL-on-out-of-range variant
+    assert translate("SELECT TRY(arr[5])") == "SELECT try_element_at(arr, 5)"
+    # composite operands pass through (loud error beats a TRY that
+    # guards only the outermost op)
+    assert "TRY(" in translate("SELECT TRY(f(a) / g(b))")
+
+
+def test_try_arithmetic_returns_null_on_error(spark):
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT TRY(1 / 0) AS d, TRY(9223372036854775807 + 1) AS o, "
+        "TRY(ARRAY[1,2][5]) AS s"
+    ).collect()[0]
+    assert row.d is None and row.o is None and row.s is None
+
+
 def test_translate_case_insensitive():
     assert translate("SELECT APPROX_DISTINCT(x)") == "SELECT approx_count_distinct(x)"
 
