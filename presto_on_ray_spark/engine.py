@@ -52,6 +52,21 @@ _SET_SESSION_RE = re.compile(
 _RESET_SESSION_RE = re.compile(r"^\s*RESET\s+SESSION\s+([\w.\-]+)\s*$", re.IGNORECASE)
 _SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*$", re.IGNORECASE)
 
+# Presto introspection statements (public presto-cli surface, same
+# provenance as the prepared-statement family above):
+#   EXPLAIN [(TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO)] stmt
+#   EXPLAIN ANALYZE [VERBOSE] stmt
+#   SHOW STATS FOR table | (query)
+#   ANALYZE table
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\s+(?:\(\s*([^)]*)\)\s+)?(?:(ANALYZE)\s+(?:VERBOSE\s+)?)?(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_STATS_RE = re.compile(
+    r"^\s*SHOW\s+STATS\s+FOR\s+(.+?)\s*$", re.IGNORECASE | re.DOTALL
+)
+_ANALYZE_RE = re.compile(r"^\s*ANALYZE\s+([\w.]+)\s*$", re.IGNORECASE)
+
 _SIZE_RE = re.compile(r"^\s*([0-9.]+)\s*([KMGT]?B)\s*$", re.IGNORECASE)
 _SIZE_FACTORS = {"B": 1, "KB": 1 << 10, "MB": 1 << 20, "GB": 1 << 30, "TB": 1 << 40}
 
@@ -107,6 +122,7 @@ class Engine:
         self._session_props: dict[str, str] = {}
         self._admission_bytes: int | None = None
         self._pool: str | None = None
+        self._table_stats: dict[str, list[tuple]] = {}
 
     # -- catalog ------------------------------------------------------
     def register_tables(self, sf_dir: str, names: list[str] | None = None) -> "Engine":
@@ -150,7 +166,9 @@ class Engine:
         Prepared-statement statements (PREPARE / EXECUTE [USING] /
         DEALLOCATE PREPARE / DESCRIBE INPUT|OUTPUT) are handled here;
         PREPARE and DEALLOCATE return None (the REPL prints OK)."""
-        handled = self._session_statement(text)
+        handled = self._introspection_statement(text)
+        if handled is NotImplemented:
+            handled = self._session_statement(text)
         if handled is NotImplemented:
             handled = self._prepared_statement(text)
         if handled is not NotImplemented:
@@ -173,6 +191,87 @@ class Engine:
     def spark_sql(self, text: str) -> DataFrame:
         """Run native Spark SQL untranslated."""
         return self.spark.sql(text)
+
+    # -- introspection (Presto EXPLAIN / SHOW STATS / ANALYZE) ---------
+    def _introspection_statement(self, text: str):
+        """Handle the Presto introspection statements (EXPLAIN family,
+        SHOW STATS FOR, ANALYZE). Returns NotImplemented when ``text``
+        is none of them.
+
+        EXPLAIN output is one row in a ``Query Plan`` varchar column —
+        Presto's exact shape. SHOW STATS returns Presto's seven-column
+        stats relation (stats.py); ANALYZE computes and caches those
+        stats (one aggregate scan) and returns the analyzed row count.
+        """
+        from presto_on_ray_spark import stats as _stats
+
+        if m := _ANALYZE_RE.match(text):
+            name = m.group(1)
+            rows = _stats.table_stats(self.table(name))
+            self._table_stats[name.lower()] = rows
+            n = rows[-1][4]  # summary row carries row_count
+            return self.spark.createDataFrame([(float(n),)], "rows DOUBLE")
+        if m := _SHOW_STATS_RE.match(text):
+            target = m.group(1).strip()
+            if target.startswith("("):
+                df = self.sql(target.strip("()"))
+                return _stats.show_stats(self.spark, df)
+            cached = self._table_stats.get(target.lower())
+            if cached is not None:
+                return _stats.stats_df(self.spark, cached)
+            return _stats.show_stats(self.spark, self.table(target))
+        if m := _EXPLAIN_RE.match(text):
+            options, analyze, inner = m.groups()
+            inner = inner.strip()
+            opts = {}
+            for part in (options or "").split(","):
+                kv = part.strip().split(None, 1)
+                if len(kv) == 2:
+                    opts[kv[0].upper()] = kv[1].strip().upper()
+            df = self.sql(inner)
+            if df is None:
+                raise ValueError("EXPLAIN requires a query statement")
+            return self._render_explain(df, opts.get("TYPE", "DISTRIBUTED"),
+                                        analyze is not None)
+        return NotImplemented
+
+    def _render_explain(self, df: DataFrame, etype: str, analyze: bool) -> DataFrame:
+        from presto_on_ray_spark.plans.inspect import explain_formatted
+
+        qe = df._jdf.queryExecution()
+        if analyze:
+            import time as _time
+
+            start = _time.perf_counter()
+            n = df.count()
+            elapsed = _time.perf_counter() - start
+            plan = (
+                f"Queried {n} rows in {elapsed:.3f}s\n\n" + explain_formatted(df)
+            )
+        elif etype == "VALIDATE":
+            # analysis already succeeded in self.sql(); mirror Presto's
+            # single-row boolean result
+            return self.spark.createDataFrame([(True,)], "Valid BOOLEAN")
+        elif etype == "IO":
+            # input locations, one per distinct parent directory — the
+            # engine's rendering of Presto's IO plan (input tables)
+            import os as _os
+
+            # part files fold into their dataset directory; single-file
+            # locations are reported as-is. Bounded: distinct dataset
+            # locations, never the raw file list.
+            dirs = sorted({
+                _os.path.dirname(f) if _os.path.basename(f).startswith("part-") else f
+                for f in df.inputFiles()
+            })
+            return self.spark.createDataFrame(
+                [(d,) for d in dirs] or [], "input_location STRING"
+            )
+        elif etype == "LOGICAL":
+            plan = qe.optimizedPlan().toString()
+        else:  # DISTRIBUTED (Presto's physical plan) — the default
+            plan = explain_formatted(df)
+        return self.spark.createDataFrame([(plan,)], "`Query Plan` STRING")
 
     # -- session properties (Presto SET/RESET/SHOW SESSION) -----------
     def _session_statement(self, text: str):

@@ -1,0 +1,112 @@
+"""Presto introspection statements: EXPLAIN family, SHOW STATS FOR,
+ANALYZE (engine.py / stats.py).
+
+Provenance: these are presto-cli statements the reference exposes by
+delegating its `connect` verb to that CLI (reference:
+presto-mgr.py:268-273); output shapes mirror Presto 0.248's
+(single-column `Query Plan` for EXPLAIN, the seven-column stats
+relation for SHOW STATS).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from presto_on_ray_spark.engine import Engine
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark).register_tables(SF)
+
+
+def test_explain_default_is_physical_plan(eng):
+    df = eng.sql("EXPLAIN SELECT count(*) FROM orders")
+    assert df.columns == ["Query Plan"]
+    plan = df.collect()[0][0]
+    assert "Physical Plan" in plan or "AdaptiveSparkPlan" in plan
+    assert "HashAggregate" in plan
+
+
+def test_explain_logical(eng):
+    plan = eng.sql("EXPLAIN (TYPE LOGICAL) SELECT o_custkey FROM orders").collect()[0][0]
+    assert "Relation" in plan or "Aggregate" in plan or "Project" in plan
+
+
+def test_explain_validate(eng):
+    df = eng.sql("EXPLAIN (TYPE VALIDATE) SELECT 1")
+    assert df.collect()[0][0] is True
+    with pytest.raises(Exception):
+        eng.sql("EXPLAIN (TYPE VALIDATE) SELECT no_such_col FROM orders").collect()
+
+
+def test_explain_io_lists_input_locations(eng):
+    rows = eng.sql("EXPLAIN (TYPE IO) SELECT * FROM lineitem").collect()
+    assert any("lineitem.parquet" in r[0] for r in rows)
+
+
+def test_explain_analyze_reports_rows(eng):
+    plan = eng.sql("EXPLAIN ANALYZE SELECT count(*) AS n FROM nation").collect()[0][0]
+    assert plan.startswith("Queried 1 rows")
+
+
+def test_explain_translates_presto_dialect(eng):
+    # strpos is Presto spelling — proves EXPLAIN goes through dialect
+    plan = eng.sql(
+        "EXPLAIN SELECT strpos(o_orderstatus, 'O') FROM orders"
+    ).collect()[0][0]
+    assert "Physical Plan" in plan or "AdaptiveSparkPlan" in plan
+
+
+def test_show_stats_schema_and_values(eng):
+    df = eng.sql("SHOW STATS FOR nation")
+    assert df.columns == [
+        "column_name", "data_size", "distinct_values_count",
+        "nulls_fraction", "row_count", "low_value", "high_value",
+    ]
+    rows = {r["column_name"]: r for r in df.collect()}
+    # oracle: exact facts from DuckDB on the same parquet
+    con = duckdb.connect()
+    n, ndv, lo, hi = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT n_nationkey), MIN(n_nationkey), "
+        f"MAX(n_nationkey) FROM read_parquet('{SF}/nation.parquet')"
+    ).fetchone()
+    summary = rows[None]
+    assert summary["row_count"] == float(n)
+    key = rows["n_nationkey"]
+    assert key["low_value"] == str(lo) and key["high_value"] == str(hi)
+    assert key["nulls_fraction"] == 0.0
+    # HLL++ estimate — Presto's stats are estimates too; pin to the
+    # default 5% relative standard deviation (plus slack for tiny n)
+    assert abs(key["distinct_values_count"] - ndv) <= max(2, 0.1 * ndv)
+    # varchar column carries a data size, fixed-width does not
+    assert rows["n_name"]["data_size"] is not None and rows["n_name"]["data_size"] > 0
+    assert key["data_size"] is None
+
+
+def test_show_stats_for_query(eng):
+    df = eng.sql("SHOW STATS FOR (SELECT o_orderkey FROM orders WHERE o_orderkey <= 10)")
+    rows = {r["column_name"]: r for r in df.collect()}
+    assert rows[None]["row_count"] >= 1
+    assert float(rows["o_orderkey"]["high_value"]) <= 10
+
+
+def test_analyze_caches_and_returns_rowcount(eng):
+    n = eng.sql("ANALYZE region").collect()[0][0]
+    assert n == 5.0
+    # SHOW STATS now serves the cached relation (no recompute path —
+    # same rows object wrapped)
+    assert "region" in eng._table_stats
+    df = eng.sql("SHOW STATS FOR region")
+    got = {r["column_name"] for r in df.collect()}
+    assert {"r_regionkey", "r_name", None} <= got
+
+
+def test_stats_complex_columns_null(eng):
+    df = eng.sql("SHOW STATS FOR embeddings")
+    rows = {r["column_name"]: r for r in df.collect()}
+    emb = rows["embedding"]
+    assert emb["distinct_values_count"] is None and emb["nulls_fraction"] is None
