@@ -67,6 +67,14 @@ _SHOW_STATS_RE = re.compile(
 )
 _ANALYZE_RE = re.compile(r"^\s*ANALYZE\s+([\w.]+)\s*$", re.IGNORECASE)
 
+# Presto namespace statements: the reference's CLI connects with
+# `--catalog mysql --schema test` (reference: presto-mgr.py:268-273,
+# README.md:90) and Presto then resolves `user`, `test.user` and
+# `mysql.test.user` to the same table. Temp views are single-part, so
+# the engine tracks attached (catalog, schema) prefixes and strips
+# them from qualified names before translation.
+_USE_RE = re.compile(r"^\s*USE\s+(\w+)(?:\.(\w+))?\s*$", re.IGNORECASE)
+
 _SIZE_RE = re.compile(r"^\s*([0-9.]+)\s*([KMGT]?B)\s*$", re.IGNORECASE)
 _SIZE_FACTORS = {"B": 1, "KB": 1 << 10, "MB": 1 << 20, "GB": 1 << 30, "TB": 1 << 40}
 
@@ -123,13 +131,61 @@ class Engine:
         self._admission_bytes: int | None = None
         self._pool: str | None = None
         self._table_stats: dict[str, list[tuple]] = {}
+        # attached Presto-style namespaces: {catalog: {schema, ...}}
+        self._catalogs: dict[str, set[str]] = {}
+        self._current_schema: tuple[str, str] | None = None
 
     # -- catalog ------------------------------------------------------
-    def register_tables(self, sf_dir: str, names: list[str] | None = None) -> "Engine":
-        """Attach the fixture parquet catalog as temp views."""
+    def register_tables(
+        self,
+        sf_dir: str,
+        names: list[str] | None = None,
+        catalog: str = "parquet",
+        schema: str = "default",
+    ) -> "Engine":
+        """Attach the fixture parquet catalog as temp views, reachable
+        both bare and as ``catalog.schema.table`` (attach_catalog)."""
         register_tables(self.spark, sf_dir, names)
         self._sf_dir = sf_dir
+        return self.attach_catalog(catalog, schema)
+
+    def attach_catalog(self, catalog: str, schema: str = "default") -> "Engine":
+        """Attach a Presto-style catalog.schema namespace over the
+        registered views, so queries may write ``catalog.schema.table``
+        (and, once USE selects the namespace, ``schema.table``) exactly
+        as against the reference's `--catalog mysql --schema test`
+        session (reference: README.md:90-102). The first attach becomes
+        the current namespace."""
+        self._catalogs.setdefault(catalog.lower(), set()).add(schema.lower())
+        if self._current_schema is None:
+            self._current_schema = (catalog.lower(), schema.lower())
         return self
+
+    def _strip_namespace(self, sql_text: str) -> str:
+        """Rewrite attached ``catalog.schema.table`` (and current-
+        namespace ``schema.table``) references to the bare view name,
+        outside string literals. Two-part names are only stripped when
+        the trailing identifier is a registered table, so struct-field
+        access through a like-named alias is never touched."""
+        if not self._catalogs:
+            return sql_text
+        shielded, lits = dialect._shield_literals(sql_text)
+        for cat, schemas in self._catalogs.items():
+            for sch in schemas:
+                pat = re.compile(
+                    rf"(?i)\b{re.escape(cat)}\.{re.escape(sch)}\.(\w+)"
+                )
+                shielded = pat.sub(r"\1", shielded)
+        if self._current_schema is not None:
+            _, sch = self._current_schema
+            pat = re.compile(rf"(?i)\b{re.escape(sch)}\.(\w+)")
+            shielded = pat.sub(
+                lambda m: m.group(1)
+                if self.spark.catalog.tableExists(m.group(1))
+                else m.group(0),
+                shielded,
+            )
+        return dialect._restore_literals(shielded, lits)
 
     def table(self, name: str) -> DataFrame:
         import os
@@ -175,7 +231,7 @@ class Engine:
             if handled is None or isinstance(handled, DataFrame):
                 return handled
             text = handled  # EXECUTE: fall through with substituted SQL
-        df = self.spark.sql(dialect.translate(text))
+        df = self.spark.sql(dialect.translate(self._strip_namespace(text)))
         cap = max_input_bytes if max_input_bytes is not None else self._admission_bytes
         if cap is not None:
             from presto_on_ray_spark.resource_pools import admit_or_raise
@@ -301,6 +357,22 @@ class Engine:
         if _SHOW_SESSION_RE.match(text):
             rows = sorted(self._session_props.items())
             return self.spark.createDataFrame(rows or [], "name STRING, value STRING")
+        if m := _USE_RE.match(text):
+            first, second = m.group(1).lower(), m.group(2)
+            if second is not None:
+                if second.lower() in self._catalogs.get(first, set()):
+                    self._current_schema = (first, second.lower())
+                    return None
+                raise ValueError(
+                    f"Schema '{first}.{second}' is not attached "
+                    "(Engine.attach_catalog)"
+                )
+            # one-part USE: a schema of some attached catalog wins;
+            # otherwise fall through to Spark's own USE <database>
+            for cat, schemas in self._catalogs.items():
+                if first in schemas:
+                    self._current_schema = (cat, first)
+                    return None
         return NotImplemented
 
     # -- prepared statements (Presto PREPARE/EXECUTE surface) ---------
