@@ -360,6 +360,136 @@ def translate(sql: str) -> str:
             r" + \3 * \3 / (4 * \2)) / \2)) / (1 + \3 * \3 / \2))",
             translated, flags=re.IGNORECASE,
         )
+    # Presto ngrams(array, n) -> array of n-element windows. Spark has
+    # no builtin; the HOF composition is exact (n > size yields the
+    # whole array as its one gram, matching Presto).
+    # argument pattern tolerating two paren-nesting levels (enough for
+    # e.g. array(struct(...), ...) from a rewritten ARRAY[ROW(...)])
+    _arg = r"(?:[^,()]|\((?:[^()]|\([^()]*\))*\))+?"
+    translated = re.sub(
+        rf"\bngrams\s*\(\s*({_arg})\s*,\s*([^,()]+?)\s*\)",
+        r"transform(sequence(1, greatest(size(\1) - (\2) + 1, 1)),"
+        r" ngram_i -> slice(\1, ngram_i, \2))",
+        translated, flags=re.IGNORECASE,
+    )
+    # Presto multimap_from_entries(array<row(k,v)>) -> map<k, array<v>>
+    # keeping duplicate keys (Spark's map_from_entries would error).
+    # First-occurrence key order, matching Presto. ROW literals type as
+    # struct(col1, col2) — the overwhelmingly common SQL idiom; other
+    # field names error loudly.
+    translated = re.sub(
+        rf"\bmultimap_from_entries\s*\(\s*({_arg})\s*\)",
+        r"map_from_arrays("
+        r"array_distinct(transform(\1, mme_s -> mme_s.col1)),"
+        r" transform(array_distinct(transform(\1, mme_s -> mme_s.col1)),"
+        r" mme_k -> transform(filter(\1, mme_s -> mme_s.col1 = mme_k),"
+        r" mme_s -> mme_s.col2)))",
+        translated, flags=re.IGNORECASE,
+    )
+    # Presto truncate(x, n): truncate toward zero at n decimal digits
+    # (the 1-arg form is a plain rename elsewhere).
+    translated = re.sub(
+        r"\btruncate\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+        r"(sign(\1) * floor(abs(\1) * power(10, \2)) / power(10, \2))",
+        translated, flags=re.IGNORECASE,
+    )
+    # Presto to_iso8601: date -> 'yyyy-MM-dd', timestamp -> ISO 'T' form.
+    # typeof() is per-row evaluable, so one expression covers both
+    # overloads.
+    translated = re.sub(
+        r"\bto_iso8601\s*\(\s*([^,()]+?)\s*\)",
+        r"(CASE WHEN typeof(\1) = 'date' THEN date_format(\1, 'yyyy-MM-dd')"
+        r" ELSE date_format(\1, 'yyyy-MM-dd''T''HH:mm:ss.SSS') END)",
+        translated, flags=re.IGNORECASE,
+    )
+    # Bare niladic keywords Spark only accepts with parens.
+    translated = re.sub(
+        r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()", translated,
+        flags=re.IGNORECASE,
+    )
+    # Presto JSON type is rendered as string (SURVEY §1.3), so
+    # json_parse/json_format are identities over valid JSON text.
+    # (parse before format so json_format(json_parse(x)) unwraps
+    # inside-out within one translate pass)
+    translated = re.sub(
+        rf"\bjson_parse\s*\(\s*({_arg})\s*\)", r"(\1)",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\bjson_format\s*\(\s*({_arg})\s*\)", r"(\1)",
+        translated, flags=re.IGNORECASE,
+    )
+    # json_size(json, path): member count of the object/array at path,
+    # 0 for a scalar, NULL for no match — composed from Spark's JSON
+    # builtins over the same extracted fragment.
+    translated = re.sub(
+        rf"\bjson_size\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"(CASE WHEN get_json_object(\1, \2) IS NULL THEN NULL"
+        r" ELSE coalesce(json_array_length(get_json_object(\1, \2)),"
+        r" size(json_object_keys(get_json_object(\1, \2))), 0) END)",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\bis_json_scalar\s*\(\s*({_arg})\s*\)",
+        r"(json_array_length(\1) IS NULL AND json_object_keys(\1) IS NULL"
+        r" AND get_json_object(\1, '$') IS NOT NULL)",
+        translated, flags=re.IGNORECASE,
+    )
+    # json_array_contains(json, value): scalars compare through their
+    # canonical string forms (JSON numbers/booleans parse to the same
+    # text that CAST produces).
+    translated = re.sub(
+        rf"\bjson_array_contains\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"array_contains(from_json(\1, 'array<string>'), CAST(\2 AS STRING))",
+        translated, flags=re.IGNORECASE,
+    )
+    # Presto regexp_extract[_all] default to group 0 (the whole match);
+    # Spark defaults to group 1 and errors when the pattern has no
+    # group — make the Presto default explicit. The 3-arg forms match
+    # Spark exactly and pass through (the second arg pattern excludes
+    # top-level commas, so they can't match here).
+    translated = re.sub(
+        rf"\bregexp_extract(_all)?\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"regexp_extract\1(\2, \3, 0)",
+        translated, flags=re.IGNORECASE,
+    )
+    # Presto URL functions -> Spark parse_url parts.
+    for presto_fn, part in (
+        ("url_extract_protocol", "PROTOCOL"),
+        ("url_extract_host", "HOST"),
+        ("url_extract_path", "PATH"),
+        ("url_extract_query", "QUERY"),
+        ("url_extract_fragment", "REF"),
+    ):
+        translated = re.sub(
+            rf"\b{presto_fn}\s*\(\s*({_arg})\s*\)",
+            rf"parse_url(\1, '{part}')",
+            translated, flags=re.IGNORECASE,
+        )
+    translated = re.sub(
+        rf"\burl_extract_parameter\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"parse_url(\1, 'QUERY', \2)",
+        translated, flags=re.IGNORECASE,
+    )
+    # port is absent from parse_url's part list: take it off AUTHORITY;
+    # NULL (not error) when the URL carries no explicit port.
+    translated = re.sub(
+        rf"\burl_extract_port\s*\(\s*({_arg})\s*\)",
+        r"CAST(nullif(regexp_extract(parse_url(\1, 'AUTHORITY'),"
+        r" ':([0-9]+)$', 1), '') AS BIGINT)",
+        translated, flags=re.IGNORECASE,
+    )
+    # 0.248's 3-arg bit shifts carry an explicit width; the 64-bit form
+    # is Spark's long shift (narrower widths error loudly, like
+    # bit_count above).
+    translated = re.sub(
+        r"\bbitwise_shift_left\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*,\s*64\s*\)",
+        r"shiftleft(\1, \2)", translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bbitwise_logical_shift_right\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*,\s*64\s*\)",
+        r"shiftrightunsigned(\1, \2)", translated, flags=re.IGNORECASE,
+    )
     # Presto strrpos(s, sub): 1-based position of the LAST occurrence
     # (0 if absent) — expressed via reversed instr so it stays inside
     # whole-stage codegen. Simple arguments only (they are repeated).

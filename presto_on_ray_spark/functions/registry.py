@@ -44,7 +44,13 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
     "bitwise_or_agg": "bit_or",
     "every": "bool_and",
     "strpos": "instr",
+    "index": "instr",  # Presto alias of strpos
     "codepoint": "ascii",  # exact for BMP code points
+    # 2-arg shift spellings; the 0.248 3-arg forms (explicit bit width)
+    # are rewritten in dialect.translate for the 64-bit width only.
+    "bitwise_arithmetic_shift_right": "shiftright",
+    "bitwise_left_shift": "shiftleft",
+    "bitwise_right_shift": "shiftright",
     "levenshtein_distance": "levenshtein",
     "to_base64": "base64",
     "from_base64": "unbase64",
