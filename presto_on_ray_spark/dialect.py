@@ -228,6 +228,19 @@ def translate(sql: str) -> str:
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_subscripts(sql)
     translated, _lits = _shield_literals(sql)
+    # Presto qdigest/tdigest build→[merge→]read compositions -> Spark's
+    # percentile_approx over the same input. MUST run before
+    # _rewrite_code: the generic merge() -> hll_union_agg rename would
+    # otherwise swallow the qdigest merge. Only same-expression
+    # compositions rewrite (a digest carried between subqueries has no
+    # Spark value type and errors loudly as qdigest_agg).
+    _argq = r"(?:[^,()]|\((?:[^()]|\([^()]*\))*\))+?"
+    translated = re.sub(
+        rf"\bvalues?_at_quantiles?\s*\(\s*(?:merge\s*\(\s*)?"
+        rf"(?:qdigest_agg|tdigest_agg)\s*\(\s*({_argq})\s*\)\s*\)?\s*,\s*({_argq})\s*\)",
+        r"percentile_approx(\1, \2)",
+        translated, flags=re.IGNORECASE,
+    )
     translated = _rewrite_code(translated)
     # Presto MAP(ARRAY[...], ARRAY[...]) (now array(...)) builds a map
     # from a key array + value array -> Spark map_from_arrays. (Spark's
@@ -636,5 +649,261 @@ def translate(sql: str) -> str:
         r"LATERAL VIEW explode(\1) \2 AS \3",
         translated,
         flags=re.IGNORECASE,
+    )
+    # ---- Presto aggregate tail without Spark builtins (r5 SQL-surface
+    # audit). Each is an exact composition of Spark aggregates; all run
+    # over shielded text like every rewrite above. ----
+    # none_match = NOT exists (the all/any twins are plain renames).
+    translated = re.sub(
+        rf"\bnone_match\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"(NOT exists(\1, \2))",
+        translated, flags=re.IGNORECASE,
+    )
+    # ---- map/array utility wrappers FIRST (outermost-first ordering):
+    # their arguments are often the aggregate compositions below, and
+    # once those expand the nesting exceeds the conservative _arg
+    # budget. One wrapper level over an un-expanded aggregate is the
+    # supported composition depth; deeper stacks error loudly. ----
+    translated = re.sub(
+        rf"\bmap_subset\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"map_filter((\1), (msub_k, msub_v) -> array_contains((\2), msub_k))",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\bmap_normalize\s*\(\s*({_arg})\s*\)",
+        r"transform_values((\1), (mn_k, mn_v) -> mn_v /"
+        r" aggregate(map_values(\1), CAST(0 AS DOUBLE), (mn_s, mn_x) -> mn_s + mn_x))",
+        translated, flags=re.IGNORECASE,
+    )
+    _MTN_CMP = (
+        "(mtn_a, mtn_b) -> CASE WHEN mtn_a.value > mtn_b.value THEN -1"
+        " WHEN mtn_a.value < mtn_b.value THEN 1"
+        " WHEN mtn_a.key > mtn_b.key THEN -1"
+        " WHEN mtn_a.key < mtn_b.key THEN 1 ELSE 0 END"
+    )
+    translated = re.sub(
+        rf"\bmap_top_n\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        rf"map_from_entries(slice(array_sort(map_entries(\1), {_MTN_CMP}), 1, \2))",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\bmap_top_n_keys\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        rf"transform(slice(array_sort(map_entries(\1), {_MTN_CMP}), 1, \2),"
+        r" mtn_e -> mtn_e.key)",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\bmap_top_n_values\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"slice(array_sort(map_values(\1),"
+        r" (mtv_a, mtv_b) -> CASE WHEN mtv_a > mtv_b THEN -1"
+        r" WHEN mtv_a < mtv_b THEN 1 ELSE 0 END), 1, \2)",
+        translated, flags=re.IGNORECASE,
+    )
+    # array_max_by / array_min_by(a, f): decorate-sort-undecorate —
+    # keys from the user lambda, one element out.
+    for fn, lt, gt in (("array_max_by", "-1", "1"), ("array_min_by", "1", "-1")):
+        translated = re.sub(
+            rf"\b{fn}\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+            r"element_at(transform(array_sort("
+            r"zip_with(transform((\1), \2), (\1),"
+            r" (amb_k, amb_v) -> struct(amb_k AS k, amb_v AS v)),"
+            rf" (amb_a, amb_b) -> CASE WHEN amb_a.k > amb_b.k THEN {lt}"
+            rf" WHEN amb_a.k < amb_b.k THEN {gt} ELSE 0 END),"
+            r" amb_s -> amb_s.v), 1)",
+            translated, flags=re.IGNORECASE,
+        )
+    # array_duplicates / array_has_duplicates (elements-kind-agnostic,
+    # so rewrites rather than typed macros; NULL-safe equality).
+    translated = re.sub(
+        rf"\barray_duplicates\s*\(\s*({_arg})\s*\)",
+        r"array_distinct(filter((\1), adup_x ->"
+        r" size(filter((\1), adup_y -> adup_y <=> adup_x)) > 1))",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\barray_has_duplicates\s*\(\s*({_arg})\s*\)",
+        r"(size(\1) <> size(array_distinct(\1)))",
+        translated, flags=re.IGNORECASE,
+    )
+    # combinations(a, n) for the literal n = 1 / 2 forms (Presto caps n
+    # at 5; larger literal ns pass through and error loudly).
+    translated = re.sub(
+        rf"\bcombinations\s*\(\s*({_arg})\s*,\s*1\s*\)",
+        r"transform((\1), cmb_x -> array(cmb_x))",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\bcombinations\s*\(\s*({_arg})\s*,\s*2\s*\)",
+        r"IF(size(\1) < 2, slice(transform((\1), cmb_e -> array(cmb_e)), 1, 0),"
+        r" flatten(transform(sequence(1, size(\1)),"
+        r" cmb_i -> filter(transform(sequence(1, size(\1)),"
+        r" cmb_j -> IF(cmb_j > cmb_i,"
+        r" array(element_at((\1), cmb_i), element_at((\1), cmb_j)),"
+        r" NULL)), cmb_p -> cmb_p IS NOT NULL))))",
+        translated, flags=re.IGNORECASE,
+    )
+    # trim_array(a, n): drop n trailing elements.
+    translated = re.sub(
+        rf"\btrim_array\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"slice((\1), 1, greatest(size(\1) - (\2), 0))",
+        translated, flags=re.IGNORECASE,
+    )
+    # entropy(c): log-2 entropy of a count column, decomposed into
+    # single-pass distributive aggregates: H = log2(S) - Σ c·log2(c)/S.
+    translated = re.sub(
+        rf"\bentropy\s*\(\s*({_arg})\s*\)",
+        r"(CASE WHEN sum(\1) > 0 THEN log2(sum(\1))"
+        r" - sum(CASE WHEN (\1) > 0 THEN (\1) * log2(\1)"
+        r" ELSE CAST(0 AS DOUBLE) END) / sum(\1)"
+        r" ELSE CAST(0 AS DOUBLE) END)",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\bgeometric_mean\s*\(\s*({_arg})\s*\)",
+        r"exp(avg(ln(\1)))",
+        translated, flags=re.IGNORECASE,
+    )
+    # checksum(x): order-insensitive digest as bit_xor of xxhash64 (the
+    # engine's production digest — operators/sketch_ops.py checksum_agg;
+    # BIGINT rendering of Presto's varbinary).
+    translated = re.sub(
+        rf"\bchecksum\s*\(\s*({_arg})\s*\)",
+        r"bit_xor(xxhash64(\1))",
+        translated, flags=re.IGNORECASE,
+    )
+    # map_agg(k, v): entries collected then assembled. Duplicate keys
+    # error loudly (spark.sql.mapKeyDedupPolicy default) — the
+    # multimap_agg form below is the duplicate-keeping variant.
+    translated = re.sub(
+        rf"\bmap_agg\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"map_from_entries(collect_list(struct((\1), (\2))))",
+        translated, flags=re.IGNORECASE,
+    )
+    # multimap_agg(k, v) -> map<k, array<v>> keeping duplicates,
+    # first-occurrence key order (same construction as the
+    # multimap_from_entries shim; Catalyst computes the shared
+    # collect_list aggregate once).
+    translated = re.sub(
+        rf"\bmultimap_agg\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"map_from_arrays("
+        r"array_distinct(transform(collect_list(struct((\1) AS k, (\2) AS v)),"
+        r" mma_e -> mma_e.k)),"
+        r" transform(array_distinct(transform(collect_list(struct((\1) AS k, (\2) AS v)),"
+        r" mma_e -> mma_e.k)),"
+        r" mma_k -> transform(filter(collect_list(struct((\1) AS k, (\2) AS v)),"
+        r" mma_e -> mma_e.k <=> mma_k), mma_e -> mma_e.v)))",
+        translated, flags=re.IGNORECASE,
+    )
+    # map_union(m): union of all input maps; duplicate keys resolve to
+    # the first occurrence (Presto documents the pick as arbitrary —
+    # this rendering is deterministic).
+    translated = re.sub(
+        rf"\bmap_union\s*\(\s*({_arg})\s*\)",
+        r"map_from_arrays("
+        r"array_distinct(transform(flatten(collect_list(map_entries(\1))),"
+        r" mu_e -> mu_e.key)),"
+        r" transform(array_distinct(transform(flatten(collect_list(map_entries(\1))),"
+        r" mu_e -> mu_e.key)),"
+        r" mu_k -> element_at(filter(flatten(collect_list(map_entries(\1))),"
+        r" mu_e -> mu_e.key <=> mu_k), 1).value))",
+        translated, flags=re.IGNORECASE,
+    )
+    # histogram(x) -> map<value, count>. Distinct-values × group-rows
+    # scan over the collected group (exact; fine at per-group
+    # cardinalities — at 100 TB scale prefer GROUP BY x, the relational
+    # form the suite's agg_most_frequent uses).
+    _HIST = (
+        r"map_from_entries(transform(array_distinct(collect_list({x})),"
+        r" hst_v -> struct(hst_v, CAST(size(filter(collect_list({x}),"
+        r" hst_e -> hst_e <=> hst_v)) AS BIGINT))))"
+    )
+    translated = re.sub(
+        rf"\bapprox_most_frequent\s*\(\s*({_arg})\s*,\s*({_arg})\s*,\s*({_arg})\s*\)",
+        lambda m: (
+            "map_from_entries(slice(array_sort("
+            + _HIST.format(x=f"({m.group(2)})").replace("map_from_entries(", "", 1)[:-1]
+            + ", (amf_a, amf_b) -> CASE WHEN amf_a.col2 > amf_b.col2 THEN -1"
+            " WHEN amf_a.col2 < amf_b.col2 THEN 1 ELSE 0 END), 1, "
+            + m.group(1) + "))"
+        ),
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\bhistogram\s*\(\s*({_arg})\s*\)",
+        lambda m: _HIST.format(x=f"({m.group(1)})"),
+        translated, flags=re.IGNORECASE,
+    )
+    # numeric_histogram(b, x) -> map<bucket midpoint, count>: the
+    # deterministic equal-width rendering (Presto's own is an
+    # approximate v-optimal sketch; same stance as agg_extra.py).
+    translated = re.sub(
+        rf"\bnumeric_histogram\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"map_from_entries(filter(transform(sequence(1, CAST(\1 AS INT)),"
+        r" nh_b -> struct("
+        r"min(\2) + (CAST(nh_b AS DOUBLE) - 0.5) * (max(\2) - min(\2)) / (\1),"
+        r" CAST(size(filter(collect_list(\2), nh_v ->"
+        r" CAST(least(floor((nh_v - min(\2)) * (\1) /"
+        r" nullif(max(\2) - min(\2), CAST(0 AS DOUBLE))), (\1) - 1) AS INT)"
+        r" <=> nh_b - 1"
+        r" OR (max(\2) = min(\2) AND nh_b = 1))) AS BIGINT))),"
+        r" nh_e -> nh_e.col2 > 0))",
+        translated, flags=re.IGNORECASE,
+    )
+    # reduce_agg(x, init, inputFn, combineFn): sequential fold over the
+    # collected group — aggregate() with the input lambda IS that fold
+    # (the combine lambda merges identical partial states, so the
+    # sequential result is the same relation for the lawful
+    # commutative/associative lambdas Presto requires).
+    translated = re.sub(
+        rf"\breduce_agg\s*\(\s*({_arg})\s*,\s*({_arg})\s*,\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"aggregate(collect_list(\1), \2, \3)",
+        translated, flags=re.IGNORECASE,
+    )
+    # max_by(x, y, n) / min_by(x, y, n): top-n x by y, ordered like
+    # Presto (value-descending for max_by, ascending for min_by).
+    translated = re.sub(
+        rf"\bmax_by\s*\(\s*({_arg})\s*,\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"transform(slice(array_sort(collect_list(struct((\2) AS v, (\1) AS k)),"
+        r" (mb_a, mb_b) -> CASE WHEN mb_a.v > mb_b.v THEN -1"
+        r" WHEN mb_a.v < mb_b.v THEN 1 ELSE 0 END), 1, \3), mb_s -> mb_s.k)",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\bmin_by\s*\(\s*({_arg})\s*,\s*({_arg})\s*,\s*({_arg})\s*\)",
+        r"transform(slice(array_sort(collect_list(struct((\2) AS v, (\1) AS k)),"
+        r" (mb_a, mb_b) -> CASE WHEN mb_a.v < mb_b.v THEN -1"
+        r" WHEN mb_a.v > mb_b.v THEN 1 ELSE 0 END), 1, \3), mb_s -> mb_s.k)",
+        translated, flags=re.IGNORECASE,
+    )
+    # cardinality(approx_set|merge(...)) composition: the read stage of
+    # the HLL pipeline (renames already turned the names into size /
+    # hll_sketch_agg / hll_union_agg). 0 on NULL/empty, like Presto.
+    translated = re.sub(
+        r"\bsize\s*\(\s*((?:hll_sketch_agg|hll_union_agg)\s*\((?:[^()]|\([^()]*\))*\))\s*\)",
+        r"coalesce(hll_sketch_estimate(\1), 0)",
+        translated, flags=re.IGNORECASE,
+    )
+    # empty_approx_set(): the NULL sketch — hll_union_agg skips NULLs
+    # and the estimate composition above coalesces to 0. The direct
+    # cardinality read of an empty sketch is the constant 0.
+    translated = re.sub(
+        r"\bsize\s*\(\s*empty_approx_set\s*\(\s*\)\s*\)", "CAST(0 AS BIGINT)",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bempty_approx_set\s*\(\s*\)", "CAST(NULL AS BINARY)",
+        translated, flags=re.IGNORECASE,
+    )
+    # timezone_hour/minute: the engine represents every timestamp in
+    # the pinned UTC session zone (SURVEY §1.3) — offset is 0 by
+    # construction (the TZ-typed struct rendering in functions/tztype.py
+    # carries real offsets).
+    translated = re.sub(
+        rf"\btimezone_hour\s*\(\s*{_arg}\s*\)", "CAST(0 AS BIGINT)",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\btimezone_minute\s*\(\s*{_arg}\s*\)", "CAST(0 AS BIGINT)",
+        translated, flags=re.IGNORECASE,
     )
     return _restore_literals(translated, _lits)

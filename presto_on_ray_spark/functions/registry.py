@@ -79,6 +79,7 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
     # function, and day_of_week→dayofweek was silently off by one).
     "day_of_month": "dayofmonth",
     "day_of_year": "dayofyear",
+    "doy": "dayofyear",
     "week": "weekofyear",
     "week_of_year": "weekofyear",
     "last_day_of_month": "last_day",
@@ -108,6 +109,18 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
     # collect_set matches — sort for a deterministic rendering).
     # set_union is a rewrite in dialect.translate (needs composition).
     "set_agg": "collect_set",
+    # Presto lambda predicates over arrays: identical semantics
+    # (3-valued NULL logic included); none_match is a composition in
+    # dialect.translate (NOT exists).
+    "all_match": "forall",
+    "any_match": "exists",
+    # Presto HLL-sketch-as-value family -> Spark's DataSketches HLL
+    # builtins (binary, mergeable — the same build/merge/read contract).
+    # cardinality() over a sketch is the size(approx_set/merge)
+    # composition rewrite in dialect.translate; merge() over a qdigest
+    # is the value_at_quantile composition handled BEFORE this rename.
+    "approx_set": "hll_sketch_agg",
+    "merge": "hll_union_agg",
     # NOTE: regexp_split -> split is handled in dialect.translate AFTER
     # the literal-delimiter split() rewrite, so regex patterns are
     # never \Q...\E-quoted by mistake.
@@ -572,6 +585,73 @@ _SQL_MACROS: list[str] = [
              filter(split(s, concat('\\\\Q', ed, '\\\\E')),
                     e -> split_part(e, kd, 1) = k),
              e -> split_part(e, kd, 2))))""",
+    # Presto parse_duration('5.3 m') -> interval day to second. Units
+    # ns/us/ms/s/m/h/d, optional whitespace — the full 0.248 grammar.
+    """parse_duration(s STRING) RETURNS INTERVAL DAY TO SECOND
+       RETURN make_dt_interval(0, 0, 0,
+         CAST(regexp_extract(s, '^\\\\s*([0-9]*\\\\.?[0-9]+)', 1) AS DOUBLE) *
+         (CASE lower(regexp_extract(s, '([a-zA-Z]+)\\\\s*$', 1))
+               WHEN 'ns' THEN CAST(1 AS DOUBLE) / 1000000000
+               WHEN 'us' THEN CAST(1 AS DOUBLE) / 1000000
+               WHEN 'ms' THEN CAST(0.001 AS DOUBLE)
+               WHEN 's' THEN CAST(1 AS DOUBLE)
+               WHEN 'm' THEN CAST(60 AS DOUBLE)
+               WHEN 'h' THEN CAST(3600 AS DOUBLE)
+               WHEN 'd' THEN CAST(86400 AS DOUBLE) END))""",
+    # Presto json_array_get(json, i): i-th element (negative = from the
+    # end), NULL out of range — composed over Spark's JSON path access.
+    """json_array_get(j STRING, i BIGINT) RETURNS STRING
+       RETURN get_json_object(j, concat('$[',
+         CAST(CASE WHEN i >= 0 THEN i
+                   ELSE json_array_length(j) + i END AS STRING), ']'))""",
+    # Presto array_sum: sum of non-null elements, 0 when none. DOUBLE
+    # signature; integer arrays upcast implicitly (documented delta:
+    # Presto returns bigint for integral inputs).
+    """array_sum(a ARRAY<DOUBLE>) RETURNS DOUBLE
+       RETURN aggregate(a, CAST(0 AS DOUBLE),
+                        (s, x) -> s + coalesce(x, CAST(0 AS DOUBLE)))""",
+    # Presto array_cum_sum: running prefix sums; elements after a NULL
+    # are NULL (aggregate's s + NULL propagation reproduces exactly).
+    """array_cum_sum(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE>
+       RETURN IF(size(a) < 1, slice(a, 1, 0),
+         transform(sequence(1, size(a)),
+                   i -> aggregate(slice(a, 1, i), CAST(0 AS DOUBLE),
+                                  (s, x) -> s + x)))""",
+    # Presto array_normalize(a, p): a scaled by 1/its Lp norm.
+    """array_normalize(a ARRAY<DOUBLE>, p DOUBLE) RETURNS ARRAY<DOUBLE>
+       RETURN transform(a, x -> x / power(
+         aggregate(a, CAST(0 AS DOUBLE), (s, v) -> s + power(abs(v), p)),
+         CAST(1 AS DOUBLE) / p))""",
+    # Presto ip_prefix(ip, bits) -> 'a.b.c.0/bits' (IPv4; the sandbox
+    # scope — v6 would need 128-bit arithmetic).
+    """ip_prefix(ip STRING, p INT) RETURNS STRING
+       RETURN concat(
+         CAST(((aggregate(transform(split(ip, '\\\\.'), o -> CAST(o AS BIGINT)),
+                          CAST(0 AS BIGINT), (s, o) -> s * 256 + o)
+                & (shiftleft(CAST(4294967295 AS BIGINT), 32 - p) & 4294967295))
+               div 16777216) % 256 AS STRING), '.',
+         CAST(((aggregate(transform(split(ip, '\\\\.'), o -> CAST(o AS BIGINT)),
+                          CAST(0 AS BIGINT), (s, o) -> s * 256 + o)
+                & (shiftleft(CAST(4294967295 AS BIGINT), 32 - p) & 4294967295))
+               div 65536) % 256 AS STRING), '.',
+         CAST(((aggregate(transform(split(ip, '\\\\.'), o -> CAST(o AS BIGINT)),
+                          CAST(0 AS BIGINT), (s, o) -> s * 256 + o)
+                & (shiftleft(CAST(4294967295 AS BIGINT), 32 - p) & 4294967295))
+               div 256) % 256 AS STRING), '.',
+         CAST((aggregate(transform(split(ip, '\\\\.'), o -> CAST(o AS BIGINT)),
+                         CAST(0 AS BIGINT), (s, o) -> s * 256 + o)
+               & (shiftleft(CAST(4294967295 AS BIGINT), 32 - p) & 4294967295))
+              % 256 AS STRING),
+         '/', CAST(p AS STRING))""",
+    # Presto bar(x, width): unicode bar chart cell. Plain-text form (no
+    # ANSI color codes — the reference CLI's red/green gradient is a
+    # terminal concern); x clamped to [0, 1] like Presto.
+    """bar(x DOUBLE, width INT) RETURNS STRING
+       RETURN concat(
+         repeat('█', CAST(round(greatest(least(x, CAST(1 AS DOUBLE)),
+                                              CAST(0 AS DOUBLE)) * width) AS INT)),
+         repeat(' ', width - CAST(round(greatest(least(x, CAST(1 AS DOUBLE)),
+                                                 CAST(0 AS DOUBLE)) * width) AS INT)))""",
 ]
 
 

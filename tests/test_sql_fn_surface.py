@@ -1,0 +1,327 @@
+"""SQL-front-door parity for the Presto 0.248 function families closed
+in round 5's surface audit: aggregate compositions (map_agg /
+multimap_agg / map_union / histogram / approx_most_frequent /
+numeric_histogram / reduce_agg / checksum / entropy / geometric_mean /
+n-arg max_by), the HLL sketch pipeline (approx_set / merge /
+cardinality / empty_approx_set), qdigest reads, lambda array functions
+(all/any/none_match, array_max_by/min_by), the map utility tail
+(map_subset / map_normalize / map_top_n*), and the scalar macro tail
+(parse_duration, json_array_get, array_sum/cum_sum/normalize,
+ip_prefix, bar, trim_array, combinations, array_duplicates).
+
+Every case runs Presto-dialect SQL through Engine.sql — the same path
+presto-cli text takes in the reference (presto-mgr.py:268-273) — and
+pins exact values. The audited gap that stays open is documented:
+spooky_hash_v2_32/64 (COVERAGE.md — no Spark equivalent; a from-spec
+reimplementation without published vectors risks silent divergence).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from presto_on_ray_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark)
+
+
+def one(eng, sql):
+    rows = eng.sql(sql).collect()
+    assert len(rows) == 1
+    return rows[0][0]
+
+
+# ---------------------------------------------------------------------------
+# aggregate compositions
+# ---------------------------------------------------------------------------
+
+def test_map_agg(eng):
+    got = one(eng, "SELECT map_agg(k, v) AS v FROM (VALUES ('a', 1), ('b', 2)) t(k, v)")
+    assert got == {"a": 1, "b": 2}
+
+
+def test_multimap_agg_keeps_duplicates(eng):
+    got = one(
+        eng,
+        "SELECT multimap_agg(k, v) AS v"
+        " FROM (VALUES ('a', 1), ('a', 2), ('b', 3)) t(k, v)",
+    )
+    assert got == {"a": [1, 2], "b": [3]}
+
+
+def test_map_union(eng):
+    got = one(
+        eng,
+        "SELECT map_union(m) AS v FROM (VALUES"
+        " MAP(ARRAY['a'], ARRAY[1]), MAP(ARRAY['b'], ARRAY[2])) t(m)",
+    )
+    assert got == {"a": 1, "b": 2}
+
+
+def test_histogram(eng):
+    got = one(eng, "SELECT histogram(x) AS v FROM (VALUES 'a', 'a', 'b') t(x)")
+    assert got == {"a": 2, "b": 1}
+
+
+def test_approx_most_frequent_topk(eng):
+    got = one(
+        eng,
+        "SELECT approx_most_frequent(2, x, 100) AS v"
+        " FROM (VALUES 1, 1, 1, 2, 2, 3) t(x)",
+    )
+    assert got == {1: 3, 2: 2}
+
+
+def test_numeric_histogram_equal_width(eng):
+    got = one(
+        eng,
+        "SELECT numeric_histogram(2, x) AS v FROM (VALUES 1.0, 1.0, 3.0) t(x)",
+    )
+    assert got == {1.5: 2, 2.5: 1}
+
+
+def test_reduce_agg_fold(eng):
+    got = one(
+        eng,
+        "SELECT reduce_agg(x, 0, (a, b) -> a + b, (a, b) -> a + b) AS v"
+        " FROM (VALUES 1, 2, 3) t(x)",
+    )
+    assert got == 6
+
+
+def test_checksum_order_insensitive(eng):
+    a = one(eng, "SELECT checksum(x) AS v FROM (VALUES 1, 2, 3) t(x)")
+    b = one(eng, "SELECT checksum(x) AS v FROM (VALUES 3, 1, 2) t(x)")
+    assert a == b and a is not None
+
+
+def test_entropy_bits(eng):
+    # counts 1,1,2 -> distribution (.25,.25,.5) -> H = 1.5 bits
+    got = one(eng, "SELECT entropy(c) AS v FROM (VALUES 1, 1, 2) t(c)")
+    assert got == pytest.approx(1.5)
+
+
+def test_geometric_mean(eng):
+    got = one(eng, "SELECT geometric_mean(x) AS v FROM (VALUES 2.0, 8.0) t(x)")
+    assert got == pytest.approx(4.0)
+
+
+def test_max_by_min_by_n(eng):
+    vals = "(VALUES ('a', 1), ('b', 2), ('c', 3)) t(k, v)"
+    assert one(eng, f"SELECT max_by(k, v, 2) AS v FROM {vals}") == ["c", "b"]
+    assert one(eng, f"SELECT min_by(k, v, 2) AS v FROM {vals}") == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch pipeline + qdigest reads
+# ---------------------------------------------------------------------------
+
+def test_approx_set_cardinality(eng):
+    got = one(
+        eng,
+        "SELECT cardinality(approx_set(x)) AS v FROM (VALUES 1, 2, 2, 3) t(x)",
+    )
+    assert got == 3
+
+
+def test_build_merge_read_across_subquery(eng):
+    got = one(
+        eng,
+        "SELECT cardinality(merge(s)) AS v FROM ("
+        "  SELECT k, approx_set(x) AS s"
+        "  FROM (VALUES (1, 10), (1, 20), (2, 20), (2, 30)) t(k, x)"
+        "  GROUP BY k)",
+    )
+    assert got == 3
+
+
+def test_empty_approx_set_cardinality_zero(eng):
+    assert one(eng, "SELECT cardinality(empty_approx_set()) AS v") == 0
+    # and the estimate of a never-fed aggregate is 0, not NULL
+    got = one(
+        eng,
+        "SELECT cardinality(approx_set(x)) AS v FROM (VALUES 1) t(x) WHERE false",
+    )
+    assert got == 0
+
+
+def test_value_at_quantile_qdigest(eng):
+    got = one(
+        eng,
+        "SELECT value_at_quantile(qdigest_agg(x), 0.5) AS v"
+        " FROM (VALUES 1.0, 2.0, 3.0) t(x)",
+    )
+    assert got == 2.0
+
+
+def test_values_at_quantiles_qdigest(eng):
+    got = one(
+        eng,
+        "SELECT values_at_quantiles(qdigest_agg(x), ARRAY[0.0, 1.0]) AS v"
+        " FROM (VALUES 1.0, 3.0) t(x)",
+    )
+    assert got == [1.0, 3.0]
+
+
+# ---------------------------------------------------------------------------
+# lambda array functions + array tail
+# ---------------------------------------------------------------------------
+
+def test_match_family(eng):
+    assert one(eng, "SELECT all_match(ARRAY[1, 2], x -> x > 0) AS v") is True
+    assert one(eng, "SELECT any_match(ARRAY[1, 2], x -> x > 1) AS v") is True
+    assert one(eng, "SELECT none_match(ARRAY[1, 2], x -> x > 2) AS v") is True
+    assert one(eng, "SELECT none_match(ARRAY[1, 2], x -> x > 1) AS v") is False
+
+
+def test_array_max_by_min_by(eng):
+    arr = "ARRAY['a', 'bbb', 'cc']"
+    assert one(eng, f"SELECT array_max_by({arr}, x -> length(x)) AS v") == "bbb"
+    assert one(eng, f"SELECT array_min_by({arr}, x -> length(x)) AS v") == "a"
+
+
+def test_array_duplicates(eng):
+    assert one(eng, "SELECT array_duplicates(ARRAY[1, 1, 2, 3, 3, 3]) AS v") == [1, 3]
+    assert one(eng, "SELECT array_has_duplicates(ARRAY[1, 1, 2]) AS v") is True
+    assert one(eng, "SELECT array_has_duplicates(ARRAY[1, 2]) AS v") is False
+
+
+def test_combinations(eng):
+    assert one(eng, "SELECT combinations(ARRAY[1, 2, 3], 2) AS v") == [
+        [1, 2], [1, 3], [2, 3],
+    ]
+    assert one(eng, "SELECT combinations(ARRAY[1, 2], 1) AS v") == [[1], [2]]
+    assert one(eng, "SELECT combinations(slice(ARRAY[1], 1, 0), 2) AS v") == []
+
+
+def test_array_sum_and_cum_sum(eng):
+    assert one(eng, "SELECT array_sum(ARRAY[1, 2, 3]) AS v") == 6.0
+    assert one(eng, "SELECT array_sum(slice(ARRAY[1], 1, 0)) AS v") == 0.0
+    assert one(eng, "SELECT array_cum_sum(ARRAY[1.0, 2.0, 3.0]) AS v") == [
+        1.0, 3.0, 6.0,
+    ]
+    assert one(eng, "SELECT array_cum_sum(slice(ARRAY[1.0], 1, 0)) AS v") == []
+
+
+def test_array_normalize(eng):
+    got = one(eng, "SELECT array_normalize(ARRAY[3.0, 4.0], 2) AS v")
+    assert got == pytest.approx([0.6, 0.8])
+
+
+def test_trim_array(eng):
+    assert one(eng, "SELECT trim_array(ARRAY[1, 2, 3], 1) AS v") == [1, 2]
+    assert one(eng, "SELECT trim_array(ARRAY[1, 2], 5) AS v") == []
+
+
+# ---------------------------------------------------------------------------
+# map utility tail
+# ---------------------------------------------------------------------------
+
+def test_map_subset(eng):
+    got = one(
+        eng,
+        "SELECT map_subset(MAP(ARRAY['a', 'b'], ARRAY[1, 2]), ARRAY['a', 'z']) AS v",
+    )
+    assert got == {"a": 1}
+
+
+def test_map_normalize(eng):
+    got = one(eng, "SELECT map_normalize(MAP(ARRAY['a', 'b'], ARRAY[1.0, 3.0])) AS v")
+    assert got == {"a": 0.25, "b": 0.75}
+
+
+def test_wrapper_over_aggregate_composition(eng):
+    # outermost-first rewrite ordering: a map utility wrapping an
+    # aggregate composition in one expression (the presto-cli idiom)
+    got = one(
+        eng,
+        "SELECT map_top_n_keys(histogram(x), 2) AS v"
+        " FROM (VALUES 'a', 'a', 'a', 'b', 'b', 'c') t(x)",
+    )
+    assert got == ["a", "b"]
+    got = one(
+        eng,
+        "SELECT map_normalize(map_agg(k, v)) AS v"
+        " FROM (VALUES ('a', 1.0), ('b', 3.0)) t(k, v)",
+    )
+    assert got == {"a": 0.25, "b": 0.75}
+
+
+def test_map_top_n_family(eng):
+    m = "MAP(ARRAY['a', 'b', 'c'], ARRAY[1, 3, 2])"
+    assert one(eng, f"SELECT map_top_n({m}, 2) AS v") == {"b": 3, "c": 2}
+    assert one(eng, f"SELECT map_top_n_keys({m}, 2) AS v") == ["b", "c"]
+    assert one(eng, f"SELECT map_top_n_values({m}, 2) AS v") == [3, 2]
+
+
+# ---------------------------------------------------------------------------
+# scalar macro tail
+# ---------------------------------------------------------------------------
+
+def test_parse_duration(eng):
+    got = one(
+        eng,
+        "SELECT CAST(to_milliseconds(parse_duration('5m')) AS BIGINT) AS v",
+    )
+    assert got == 300000
+    got = one(
+        eng,
+        "SELECT CAST(to_milliseconds(parse_duration('1.5 h')) AS BIGINT) AS v",
+    )
+    assert got == 5400000
+    got = one(
+        eng, "SELECT CAST(to_milliseconds(parse_duration('250ms')) AS BIGINT) AS v"
+    )
+    assert got == 250
+
+
+def test_json_array_get(eng):
+    assert one(eng, "SELECT json_array_get('[10, 20, 30]', 1) AS v") == "20"
+    assert one(eng, "SELECT json_array_get('[10, 20, 30]', -1) AS v") == "30"
+    assert one(eng, "SELECT json_array_get('[10]', 5) AS v") is None
+
+
+def test_ip_prefix(eng):
+    assert one(eng, "SELECT ip_prefix('192.168.1.100', 24) AS v") == "192.168.1.0/24"
+    assert one(eng, "SELECT ip_prefix('10.20.30.40', 8) AS v") == "10.0.0.0/8"
+    assert one(eng, "SELECT ip_prefix('1.2.3.4', 32) AS v") == "1.2.3.4/32"
+
+
+def test_bar(eng):
+    got = one(eng, "SELECT bar(0.5, 10) AS v")
+    assert got == "█" * 5 + " " * 5
+    assert one(eng, "SELECT length(bar(1.5, 8)) AS v") == 8  # clamped
+
+
+def test_doy_timezone_scalars(eng):
+    assert one(eng, "SELECT doy(DATE '2020-02-15') AS v") == 46
+    # engine pins the session zone to UTC -> offset fields are 0
+    assert one(eng, "SELECT timezone_hour(TIMESTAMP '2020-01-02 03:04:05') AS v") == 0
+    assert one(eng, "SELECT timezone_minute(TIMESTAMP '2020-01-02 03:04:05') AS v") == 0
+
+
+def test_entropy_matches_direct_formula(eng):
+    counts = [5, 3, 2, 7, 1]
+    s = sum(counts)
+    want = sum(c / s * math.log2(s / c) for c in counts)
+    vals = ", ".join(str(c) for c in counts)
+    got = one(eng, f"SELECT entropy(c) AS v FROM (VALUES {vals}) t(c)")
+    assert got == pytest.approx(want)
+
+
+def test_show_functions_statement(eng):
+    names = {r[0] for r in eng.sql("SHOW FUNCTIONS").collect()}
+    # the registered shim tail is visible through the catalog
+    assert {"word_stem", "array_sum", "ip_prefix", "parse_duration"} <= names
+
+
+def test_rewrites_never_touch_literals(eng):
+    # the r4 ADVICE regression class: function-looking text inside a
+    # string literal must survive every new rewrite verbatim
+    got = one(eng, "SELECT 'call entropy(x) and map_agg(k,v) now' AS v")
+    assert got == "call entropy(x) and map_agg(k,v) now"
