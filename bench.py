@@ -81,7 +81,13 @@ def main() -> None:
     spark = get_spark(app_name="presto-on-ray-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: JVM, parquet footer reads, codegen paths.
+    # Warmup: JVM, parquet footer reads, codegen paths, and the
+    # once-per-session Presto function registration (idempotent —
+    # charging it to whichever query happens to call it first would
+    # misattribute ~1 s of session setup as query time).
+    from presto_on_ray_spark.functions.registry import register_presto_functions
+
+    register_presto_functions(spark)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}

@@ -427,13 +427,29 @@ def _human_readable_seconds_one(v) -> str | None:
     return sign + (", ".join(parts) if parts else "0 seconds")
 
 
+_REGISTERED_SESSIONS = None  # lazy WeakSet — see register_presto_functions
+
+
 def register_presto_functions(spark: SparkSession) -> None:
     """Register the shim-UDF tail under their Presto names.
 
     The reference's extension story is Java plugins only (SURVEY §2.10);
     Spark's ``spark.udf.register`` is the strictly-richer equivalent and
     the engine's user-facing ``register_function`` hook.
+
+    Idempotent per session: each registration is a catalog round-trip
+    (the r5 macro tail made a redundant re-register cost ~0.9 s), so
+    callers that defensively re-register (Engine.__init__, suite
+    queries) pay only once per SparkSession.
     """
+    global _REGISTERED_SESSIONS
+    import weakref
+
+    if _REGISTERED_SESSIONS is None:
+        _REGISTERED_SESSIONS = weakref.WeakSet()
+    if spark in _REGISTERED_SESSIONS:
+        return
+    _REGISTERED_SESSIONS.add(spark)
 
     @pandas_udf(StringType())
     def presto_date_format(ts: pd.Series, pattern: pd.Series) -> pd.Series:

@@ -299,3 +299,106 @@ def statistical_functions(spark, sf_dir):
         F.round(S.wilson_interval_upper(s, F.lit(100.0), F.lit(1.96)), 6).alias("wilson_upper"),
         F.round(S.great_circle_distance(lat1, lon1, lat2, lon2), 4).alias("gcd_km"),
     )
+
+
+@query(
+    "sql_agg_surface",
+    oracle="""
+    WITH pc AS (
+      SELECT o_orderstatus, o_orderpriority AS p, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    s1 AS (
+      SELECT o_orderstatus,
+             ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6) AS priority_entropy,
+             ROUND(EXP(AVG(LN(c))), 6) AS gm_count,
+             SUM(c) AS n_orders
+      FROM pc GROUP BY 1
+    ),
+    rk AS (
+      SELECT o_orderstatus, p,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY c DESC, p DESC) AS rn
+      FROM pc
+    ),
+    s2 AS (
+      SELECT o_orderstatus,
+             STRING_AGG(p, ',' ORDER BY rn) FILTER (WHERE rn <= 2) AS top2_by_count
+      FROM rk GROUP BY 1
+    ),
+    hc AS (
+      SELECT o_orderstatus, o_orderpriority AS p, COUNT(*) AS n
+      FROM orders WHERE o_orderkey <= 2000 GROUP BY 1, 2
+    ),
+    s3 AS (
+      SELECT o_orderstatus,
+             STRING_AGG(p || ':' || CAST(n AS VARCHAR), ',' ORDER BY p) AS hist
+      FROM hc GROUP BY 1
+    ),
+    hrk AS (
+      SELECT o_orderstatus, p,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, p DESC) AS rn
+      FROM hc
+    ),
+    s4 AS (
+      SELECT o_orderstatus,
+             STRING_AGG(p, ',' ORDER BY rn) FILTER (WHERE rn <= 2) AS top2_hist
+      FROM hrk GROUP BY 1
+    )
+    SELECT s1.o_orderstatus, priority_entropy, gm_count, n_orders,
+           top2_by_count, hist, top2_hist
+    FROM s1
+    JOIN s2 USING (o_orderstatus)
+    JOIN s3 USING (o_orderstatus)
+    JOIN s4 USING (o_orderstatus)
+    """,
+)
+def sql_agg_surface(spark, sf_dir):
+    """The round-5 SQL-front-door aggregate surface through the FULL
+    dialect path (translate -> Spark SQL), oracle-verified: entropy
+    (log-2 over counts), geometric_mean, reduce_agg (sum fold), 3-arg
+    max_by (top-n by value, composite unique rank so ordering is
+    deterministic), histogram rendered as sorted key:count text, and
+    map_top_n_keys over that histogram — the wrapper-over-aggregate
+    composition. The histogram CTE reads a key-bounded slice
+    (o_orderkey <= 2000): collect_list-backed histogram buffers the
+    group, which is the documented bounded-demo tier; the scalable
+    relational form is GROUP BY (dialect.py histogram note,
+    agg_most_frequent)."""
+    from presto_on_ray_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        translate(
+            """
+            WITH pc AS (
+              SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+              FROM orders GROUP BY 1, 2
+            ),
+            s1 AS (
+              SELECT o_orderstatus,
+                     ROUND(entropy(c), 6) AS priority_entropy,
+                     ROUND(geometric_mean(c), 6) AS gm_count,
+                     reduce_agg(c, CAST(0 AS BIGINT),
+                                (a, b) -> a + b, (a, b) -> a + b) AS n_orders,
+                     array_join(max_by(o_orderpriority,
+                                       c * 10 + CAST(substr(o_orderpriority, 1, 1) AS INTEGER),
+                                       2), ',') AS top2_by_count
+              FROM pc GROUP BY o_orderstatus
+            ),
+            s2 AS (
+              SELECT o_orderstatus,
+                     array_join(transform(array_sort(map_entries(histogram(o_orderpriority))),
+                                          e -> e.key || ':' || CAST(e.value AS varchar)),
+                                ',') AS hist,
+                     array_join(map_top_n_keys(histogram(o_orderpriority), 2), ',') AS top2_hist
+              FROM orders WHERE o_orderkey <= 2000
+              GROUP BY o_orderstatus
+            )
+            SELECT s1.o_orderstatus, priority_entropy, gm_count, n_orders,
+                   top2_by_count, hist, top2_hist
+            FROM s1 JOIN s2 ON s1.o_orderstatus = s2.o_orderstatus
+            """
+        )
+    )

@@ -54,6 +54,7 @@ COLLECT_LIST_ALLOWED = {
     "cov_scalar_fixtures",   # multimap_from_entries 25-entry fixture
     "cov_sketch_rollups",    # HLL/qdigest register maps (≤2^p/group)
     "cov_sketch_exact",      # qdigest member's bucket map (≤256/group)
+    "sql_agg_surface",       # histogram/max_by/reduce_agg over 5 priorities/group + keyed-bounded slice
     "cov_similarity_ann",    # ivf per-query top-k slice
     "similarity_ivf_exact",  # per-query top-k slice
 }
