@@ -75,6 +75,46 @@ _ANALYZE_RE = re.compile(r"^\s*ANALYZE\s+([\w.]+)\s*$", re.IGNORECASE)
 # them from qualified names before translation.
 _USE_RE = re.compile(r"^\s*USE\s+(\w+)(?:\.(\w+))?\s*$", re.IGNORECASE)
 
+# Presto catalog/DDL statement surface (public presto-cli statements;
+# the reference's only demo session runs against `--catalog mysql
+# --schema test`, reference README.md:90). SHOW ... LIKE patterns are
+# SQL-LIKE (% / _) in Presto but fs-glob (* / ?) in Spark — passing
+# them through verbatim silently matches nothing, so the engine
+# intercepts and converts.
+_SHOW_CATALOGS_RE = re.compile(
+    r"^\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
+)
+_SHOW_SCHEMAS_RE = re.compile(
+    r"^\s*SHOW\s+SCHEMAS(?:\s+(?:FROM|IN)\s+(\w+))?(?:\s+LIKE\s+'([^']*)')?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_TABLES_RE = re.compile(
+    r"^\s*SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([\w.]+))?(?:\s+LIKE\s+'([^']*)')?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_FUNCTIONS_RE = re.compile(
+    r"^\s*SHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
+)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+(?:TABLE|VIEW)\s+([\w.]+)\s*$", re.IGNORECASE
+)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TXN_RE = re.compile(
+    r"^\s*(?:START\s+TRANSACTION(?:\s+[\w\s,]+)?|COMMIT(?:\s+WORK)?|"
+    r"ROLLBACK(?:\s+WORK)?)\s*$",
+    re.IGNORECASE,
+)
+
 _SIZE_RE = re.compile(r"^\s*([0-9.]+)\s*([KMGT]?B)\s*$", re.IGNORECASE)
 _SIZE_FACTORS = {"B": 1, "KB": 1 << 10, "MB": 1 << 20, "GB": 1 << 30, "TB": 1 << 40}
 
@@ -222,7 +262,9 @@ class Engine:
         Prepared-statement statements (PREPARE / EXECUTE [USING] /
         DEALLOCATE PREPARE / DESCRIBE INPUT|OUTPUT) are handled here;
         PREPARE and DEALLOCATE return None (the REPL prints OK)."""
-        handled = self._introspection_statement(text)
+        handled = self._catalog_statement(text)
+        if handled is NotImplemented:
+            handled = self._introspection_statement(text)
         if handled is NotImplemented:
             handled = self._session_statement(text)
         if handled is NotImplemented:
@@ -247,6 +289,119 @@ class Engine:
     def spark_sql(self, text: str) -> DataFrame:
         """Run native Spark SQL untranslated."""
         return self.spark.sql(text)
+
+    # -- catalog / DDL statements (Presto SHOW family, views, DELETE) --
+    @staticmethod
+    def _like_to_regex(pattern: str) -> str:
+        """Presto SHOW ... LIKE uses SQL-LIKE wildcards (% any run, _
+        one char); compile to an anchored regex for local filtering."""
+        out = []
+        for ch in pattern:
+            if ch == "%":
+                out.append(".*")
+            elif ch == "_":
+                out.append(".")
+            else:
+                out.append(re.escape(ch))
+        return "^" + "".join(out) + "$"
+
+    def _catalog_statement(self, text: str):
+        """Handle the Presto catalog/DDL statement family. Returns
+        NotImplemented when ``text`` is none of them.
+
+        SHOW CATALOGS/SCHEMAS reflect the engine's attached Presto
+        namespaces (attach_catalog) plus Spark's own; SHOW TABLES /
+        FUNCTIONS convert Presto's SQL-LIKE patterns to local regex
+        filtering (Spark's glob would silently match nothing); SHOW
+        CREATE TABLE synthesizes DDL from the resolved schema (temp
+        views have no stored DDL); CREATE/DROP VIEW are session temp
+        views — the same lifetime as the registered catalog; DELETE
+        FROM is emulated for session-catalog tables via filtered
+        rewrite (Spark parquet v1 tables have no row-level delete;
+        Presto 0.248's own DELETE is connector-dependent); transaction
+        control statements are accepted no-ops (Presto runs
+        auto-commit against non-transactional connectors the same
+        way)."""
+        if m := _SHOW_CATALOGS_RE.match(text):
+            names = sorted(set(self._catalogs) | {"spark_catalog"})
+            if m.group(1) is not None:
+                rx = re.compile(self._like_to_regex(m.group(1)))
+                names = [n for n in names if rx.match(n)]
+            return self.spark.createDataFrame(
+                [(n,) for n in names] or [], "Catalog STRING"
+            )
+        if m := _SHOW_SCHEMAS_RE.match(text):
+            cat, like = m.group(1), m.group(2)
+            if cat is not None and cat.lower() in self._catalogs:
+                names = sorted(self._catalogs[cat.lower()])
+            else:
+                names = sorted(
+                    {s for ss in self._catalogs.values() for s in ss}
+                    | {d.name for d in self.spark.catalog.listDatabases()}
+                )
+            if like is not None:
+                rx = re.compile(self._like_to_regex(like))
+                names = [n for n in names if rx.match(n)]
+            return self.spark.createDataFrame(
+                [(n,) for n in names] or [], "Schema STRING"
+            )
+        if m := _SHOW_TABLES_RE.match(text):
+            sch, like = m.group(1), m.group(2)
+            attached = {s for ss in self._catalogs.values() for s in ss}
+            rows = [
+                (t.name,)
+                for t in self.spark.catalog.listTables()
+                if sch is None or sch.lower() in attached or t.database == sch
+            ]
+            if like is not None:
+                rx = re.compile(self._like_to_regex(like), re.IGNORECASE)
+                rows = [r for r in rows if rx.match(r[0])]
+            return self.spark.createDataFrame(sorted(rows) or [], "Table STRING")
+        if m := _SHOW_FUNCTIONS_RE.match(text):
+            df = self.spark.sql("SHOW FUNCTIONS")
+            if m.group(1) is not None:
+                rx = self._like_to_regex(m.group(1))
+                df = df.filter(df[df.columns[0]].rlike(rx))
+            return df
+        if m := _SHOW_CREATE_RE.match(text):
+            name = m.group(1)
+            fields = ",\n".join(
+                f"   {f.name} {f.dataType.simpleString()}"
+                for f in self.table(name).schema.fields
+            )
+            ddl = f"CREATE TABLE {name} (\n{fields}\n)"
+            return self.spark.createDataFrame([(ddl,)], "`Create Table` STRING")
+        if m := _CREATE_VIEW_RE.match(text):
+            body = self.sql(m.group(2))
+            body.createOrReplaceTempView(m.group(1).split(".")[-1])
+            return None
+        if m := _DROP_VIEW_RE.match(text):
+            self.spark.catalog.dropTempView(m.group(1).split(".")[-1])
+            return None
+        if m := _DELETE_RE.match(text):
+            return self._emulated_delete(m.group(1), m.group(2))
+        if _TXN_RE.match(text):
+            return None
+        return NotImplemented
+
+    def _emulated_delete(self, name: str, cond: str | None) -> DataFrame:
+        """DELETE FROM for session-catalog tables: rewrite the table to
+        the retained rows (NULL predicates retain, like SQL DELETE),
+        swapping via a temp table + rename so a failed write never
+        clobbers the original. Returns Presto's one-row deleted count."""
+        src = self.spark.table(name)
+        before = src.count()
+        if cond is None:
+            keep = src.limit(0)
+        else:
+            pred = dialect.translate(self._strip_namespace(cond))
+            keep = src.filter(f"NOT coalesce(({pred}), false)")
+        tmp = f"{name}__delete_tmp"
+        keep.write.mode("overwrite").saveAsTable(tmp)
+        after = self.spark.table(tmp).count()
+        self.spark.sql(f"DROP TABLE {name}")
+        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+        return self.spark.createDataFrame([(before - after,)], "rows BIGINT")
 
     # -- introspection (Presto EXPLAIN / SHOW STATS / ANALYZE) ---------
     def _introspection_statement(self, text: str):

@@ -1,0 +1,93 @@
+"""Presto catalog/DDL statement family through Engine.sql (r5
+statement-surface audit): SHOW CATALOGS/SCHEMAS/TABLES/FUNCTIONS with
+SQL-LIKE patterns (Presto % / _ — Spark's native SHOW uses fs-glob, so
+an unconverted pattern silently matches nothing), SHOW CREATE TABLE
+over registered views, CREATE/DROP VIEW, emulated DELETE FROM, and
+no-op transaction control. The reference exposes all of these through
+presto-cli (reference: presto-mgr.py:268-273)."""
+
+from __future__ import annotations
+
+import pytest
+
+from presto_on_ray_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return Engine(spark).register_tables(sf_dir)
+
+
+def test_show_catalogs_lists_attached(eng):
+    names = [r[0] for r in eng.sql("SHOW CATALOGS").collect()]
+    assert "parquet" in names and "spark_catalog" in names
+
+
+def test_show_catalogs_like_percent(eng):
+    names = [r[0] for r in eng.sql("SHOW CATALOGS LIKE 'parq%'").collect()]
+    assert names == ["parquet"]
+    assert eng.sql("SHOW CATALOGS LIKE 'zzz%'").collect() == []
+
+
+def test_show_schemas_from_catalog(eng):
+    names = [r[0] for r in eng.sql("SHOW SCHEMAS FROM parquet").collect()]
+    assert names == ["default"]
+
+
+def test_show_tables_like_sql_pattern(eng):
+    names = [r[0] for r in eng.sql("SHOW TABLES LIKE 'line%'").collect()]
+    assert names == ["lineitem"]
+    # single-char wildcard
+    names = [r[0] for r in eng.sql("SHOW TABLES LIKE 'nat_on'").collect()]
+    assert names == ["nation"]
+
+
+def test_show_functions_like(eng):
+    names = [r[0] for r in eng.sql("SHOW FUNCTIONS LIKE 'array%'").collect()]
+    assert names and all(n.startswith("array") for n in names)
+    assert "array_sum" in names
+
+
+def test_show_create_table_synthesized(eng):
+    [(ddl,)] = eng.sql("SHOW CREATE TABLE nation").collect()
+    assert ddl.startswith("CREATE TABLE nation")
+    assert "n_nationkey" in ddl and "n_name string" in ddl
+
+
+def test_create_query_drop_view(eng):
+    eng.sql("CREATE VIEW v_stmt_test AS SELECT n_nationkey FROM nation WHERE n_nationkey < 3")
+    assert eng.sql("SELECT COUNT(*) AS n FROM v_stmt_test").collect()[0][0] == 3
+    # OR REPLACE re-points the same name
+    eng.sql("CREATE OR REPLACE VIEW v_stmt_test AS SELECT n_nationkey FROM nation WHERE n_nationkey < 5")
+    assert eng.sql("SELECT COUNT(*) AS n FROM v_stmt_test").collect()[0][0] == 5
+    assert eng.sql("DROP VIEW v_stmt_test") is None
+    assert not eng.spark.catalog.tableExists("v_stmt_test")
+
+
+def test_delete_from_emulated(eng):
+    eng.spark.sql("DROP TABLE IF EXISTS t_del_test")
+    eng.sql("CREATE TABLE t_del_test AS SELECT n_nationkey AS k FROM nation")
+    before = eng.sql("SELECT COUNT(*) AS n FROM t_del_test").collect()[0][0]
+    [(deleted,)] = eng.sql("DELETE FROM t_del_test WHERE k >= 20").collect()
+    assert deleted == before - 20
+    assert eng.sql("SELECT COUNT(*) AS n FROM t_del_test").collect()[0][0] == 20
+    # NULL predicates retain rows (SQL DELETE semantics)
+    [(deleted,)] = eng.sql("DELETE FROM t_del_test WHERE NULLIF(k, k) > 0").collect()
+    assert deleted == 0
+    # unconditional DELETE empties the table
+    [(deleted,)] = eng.sql("DELETE FROM t_del_test").collect()
+    assert deleted == 20
+    assert eng.sql("SELECT COUNT(*) AS n FROM t_del_test").collect()[0][0] == 0
+    eng.spark.sql("DROP TABLE t_del_test")
+
+
+def test_transaction_control_noops(eng):
+    assert eng.sql("START TRANSACTION") is None
+    assert eng.sql("COMMIT") is None
+    assert eng.sql("ROLLBACK WORK") is None
+
+
+def test_show_stats_and_session_unaffected(eng):
+    # the new SHOW interceptors must not swallow the existing ones
+    assert eng.sql("SHOW STATS FOR nation").count() > 0
+    assert eng.sql("SHOW SESSION") is not None

@@ -16,7 +16,8 @@ def eng(spark, sf_dir):
 
 
 def test_show_tables_lists_catalog(eng):
-    names = {r.tableName for r in eng.sql("SHOW TABLES").collect()}
+    # SHOW TABLES is Presto-shaped since r5: one `Table` column
+    names = {r.Table for r in eng.sql("SHOW TABLES").collect()}
     for t_ in ["lineitem", "orders", "customer", "documents", "embeddings"]:
         assert t_ in names
 
