@@ -68,6 +68,7 @@ HEADLINE = [
     "text_lm_score",
     "rollup_incremental_refresh",
     "corpus_curation_pipeline",
+    "text_chunking",
     # round-5 oracle-bearing approximations
     "cov_sketch_exact",
     "dedup_lsh_keepers",

@@ -442,3 +442,72 @@ def winsorize_clip(spark, sf_dir):
             "was_clipped"
         ),
     )
+
+
+@query(
+    "text_chunking",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ws,
+             UNNEST(RANGE(GREATEST(CAST(CEIL((LEN(ws) - 16) / 48.0) AS BIGINT), 1)))
+               AS chunk_id
+      FROM w
+    )
+    SELECT doc_id, chunk_id,
+           LEN(ws[CAST(chunk_id * 48 + 1 AS BIGINT):CAST(chunk_id * 48 + 64 AS BIGINT)])
+             AS n_words,
+           MD5(ARRAY_TO_STRING(
+             ws[CAST(chunk_id * 48 + 1 AS BIGINT):CAST(chunk_id * 48 + 64 AS BIGINT)],
+             ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Sliding-window document chunking (SURVEY §2.11 train-prep): the
+    context-window preparation step between curation and tokenization —
+    64-word chunks with 16-word overlap (stride 48), 0-based chunk ids,
+    every document yielding at least one chunk. Chunk identity is
+    pinned by md5 of the chunk text, so the oracle verifies the exact
+    split boundaries, not just counts.
+
+    Pure higher-order functions: split once per row (lambda-bound, see
+    operators/dedup.shingles), chunk starts from a sequence, slices
+    explode to rows. No UDF, no shuffle before the explode — at 100 TB
+    this is a map-only stage whose output feeds groupBy-free
+    tokenization; the overlap factor (4/3 here) is the only data
+    amplification."""
+    chunk, overlap = 64, 16
+    stride = chunk - overlap
+    d = t(spark, sf_dir, "documents")
+    # flatten(transform(array(split), ...)) binds the split array as a
+    # lambda variable so it is tokenized ONCE per row (the dedup.shingles
+    # pattern), then one explode yields a row per chunk.
+    chunks = F.flatten(
+        F.transform(
+            F.array(F.split("text", " ")),
+            lambda ws: F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(
+                        F.ceil((F.size(ws) - overlap) / F.lit(stride)),
+                        F.lit(1).cast("long"),
+                    )
+                    - 1,
+                ),
+                lambda i: F.struct(
+                    i.alias("chunk_id"),
+                    F.slice(ws, i.cast("int") * stride + 1, chunk).alias("chunk_words"),
+                ),
+            ),
+        )
+    )
+    out = d.select("doc_id", F.explode(chunks).alias("ch"))
+    return out.select(
+        "doc_id",
+        F.col("ch.chunk_id").alias("chunk_id"),
+        F.size("ch.chunk_words").alias("n_words"),
+        F.md5(F.array_join("ch.chunk_words", " ")).alias("chunk_md5"),
+    )
