@@ -198,3 +198,49 @@ def test_connected_components_matches_union_find(spark):
         for r in connected_components(df, max_iterations=50).collect()
     }
     assert got == expected
+
+
+# Known non-fixpoints, by design: renames whose TARGET is itself a
+# Presto name with different semantics (Presto date_format takes MySQL
+# patterns, Presto split takes a literal delimiter), so a second pass
+# re-rewrites the target. The engine translates exactly once
+# (Engine.sql), so only double-translation — which has no defined
+# semantics — observes this.
+_TRANSLATE_NON_FIXPOINT = {"regexp_split", "format_datetime", "to_iso8601"}
+
+
+def test_translate_idempotent_over_audit_samples():
+    """translate must be a fixpoint over every audited Presto
+    invocation: a second pass over already-translated SQL (renames,
+    aggregate compositions, macro names) must change nothing — the
+    guard against a rewrite whose own expansion re-matches another
+    rewrite's pattern. The three documented name-collision renames are
+    excluded (see _TRANSLATE_NON_FIXPOINT)."""
+    from tests.test_fn_audit import SAMPLES
+
+    for name, sql in SAMPLES.items():
+        if name in _TRANSLATE_NON_FIXPOINT:
+            continue
+        once = translate(sql)
+        assert translate(once) == once, name
+
+
+@given(
+    fn=st.sampled_from(
+        [
+            "entropy", "map_agg", "multimap_agg", "map_union", "histogram",
+            "checksum", "geometric_mean", "reduce_agg", "map_top_n",
+            "map_subset", "array_sum", "array_max_by", "none_match",
+            "approx_set", "empty_approx_set", "timezone_hour",
+        ]
+    ),
+    body=_LITERAL_BODY,
+)
+@settings(max_examples=200)
+def test_r5_rewrites_shield_literals(fn, body):
+    """The round-5 aggregate/lambda rewrites must never touch string
+    literals — including literals that LOOK like calls to the very
+    functions being rewritten (the r4 ADVICE regression class)."""
+    sql = f"SELECT '{body} {fn}(x) tail' AS s, count(*) FROM t"
+    out = translate(sql)
+    assert f"'{body} {fn}(x) tail'" in out
