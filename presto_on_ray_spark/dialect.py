@@ -894,6 +894,33 @@ def translate(sql: str) -> str:
         r"\bempty_approx_set\s*\(\s*\)", "CAST(NULL AS BINARY)",
         translated, flags=re.IGNORECASE,
     )
+    # width_bucket(x, bins): the array-bins overload (the 4-arg
+    # equi-width form is a native Spark builtin). Presto: bins sorted
+    # ascending, result = number of bin edges <= x (0 when x < bins[1]).
+    translated = re.sub(
+        rf"\bwidth_bucket\s*\(\s*({_arg})\s*,\s*((?:array|\w*)\s*\((?:[^()]|\([^()]*\))*\)|\w+)\s*\)",
+        r"CAST(size(filter((\2), wb_b -> wb_b <= (\1))) AS BIGINT)",
+        translated, flags=re.IGNORECASE,
+    )
+    # CAST(expr AS ROW(a T, b T)) -> Spark STRUCT<a: T, b: T>. The
+    # generic ROW( -> struct( rename has already run, so match both
+    # spellings.
+    def _row_cast(m: re.Match) -> str:
+        fields = []
+        for f in m.group(1).split(","):
+            name, _, typ = f.strip().partition(" ")
+            typ = typ.strip()
+            # length-less varchar / json have no Spark spelling (same
+            # mapping as the scalar CAST rewrites above)
+            if typ.lower() in ("varchar", "json"):
+                typ = "string"
+            fields.append(f"{name}: {typ}" if typ else name)
+        return "AS STRUCT<" + ", ".join(fields) + ">)"
+
+    translated = re.sub(
+        r"\bAS\s+(?:ROW|struct)\s*\(([^()]*)\)\s*\)", _row_cast,
+        translated, flags=re.IGNORECASE,
+    )
     # timezone_hour/minute: the engine represents every timestamp in
     # the pinned UTC session zone (SURVEY §1.3) — offset is 0 by
     # construction (the TZ-typed struct rendering in functions/tztype.py

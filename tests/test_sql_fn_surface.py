@@ -325,3 +325,15 @@ def test_rewrites_never_touch_literals(eng):
     # string literal must survive every new rewrite verbatim
     got = one(eng, "SELECT 'call entropy(x) and map_agg(k,v) now' AS v")
     assert got == "call entropy(x) and map_agg(k,v) now"
+
+
+def test_width_bucket_array_bins(eng):
+    assert one(eng, "SELECT width_bucket(3.5, ARRAY[1.0, 2.0, 3.0, 4.0]) AS v") == 3
+    assert one(eng, "SELECT width_bucket(0.5, ARRAY[1.0, 2.0]) AS v") == 0
+    # the 4-arg equi-width native form must be untouched by the rewrite
+    assert one(eng, "SELECT width_bucket(3.14, 0.0, 10.0, 10) AS v") == 4
+
+
+def test_cast_as_row_type(eng):
+    assert one(eng, "SELECT CAST(ROW(1, 'a') AS ROW(x INTEGER, y VARCHAR)).x AS v") == 1
+    assert one(eng, "SELECT CAST(ROW(2, 'b') AS ROW(x INTEGER, y VARCHAR)).y AS v") == "b"
