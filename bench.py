@@ -69,6 +69,7 @@ HEADLINE = [
     "rollup_incremental_refresh",
     "corpus_curation_pipeline",
     "text_chunking",
+    "corpus_pagerank",
     # round-5 oracle-bearing approximations
     "cov_sketch_exact",
     "dedup_lsh_keepers",

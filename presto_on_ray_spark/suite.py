@@ -145,6 +145,7 @@ def load_all() -> None:
         curation,
         dedup,
         filters,
+        graph,
         grouped_pandas,
         incremental,
         joins,

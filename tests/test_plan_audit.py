@@ -64,6 +64,7 @@ COLLECT_LIST_ALLOWED = {
 # vector fan-out, non-equi theta joins).
 NESTED_LOOP_ALLOWED = {
     "join_cross",
+    "corpus_pagerank",       # 1-row count broadcast (teleport term)
     "join_non_equi",
     "similarity_bruteforce_topk",
     "similarity_pairwise_threshold",
