@@ -90,6 +90,31 @@ def main() -> None:
     print("== Hash-verified sketches (r5): portable checksum + HLL ==")
     suite.QUERIES["cov_sketch_exact"](spark, SF_DIR).orderBy("src", "k").show(12)
 
+    print("== SQL aggregate surface (r5b): Presto names end-to-end ==")
+    eng.sql(
+        """
+        SELECT o_orderstatus,
+               ROUND(entropy(c), 4) AS priority_entropy,
+               array_join(max_by(o_orderpriority, c, 2), ',') AS top2
+        FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+              FROM orders GROUP BY 1, 2)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    ).show()
+
+    print("== Catalog statements (r5b): SHOW family, views, DELETE ==")
+    eng.sql("SHOW CATALOGS").show()
+    eng.sql("SHOW TABLES LIKE 'doc%'").show()
+    eng.sql("CREATE VIEW demo_v AS SELECT doc_id FROM documents WHERE doc_id < 3")
+    print("view rows:", eng.sql("SELECT COUNT(*) AS n FROM demo_v").collect()[0][0])
+    eng.sql("DROP VIEW demo_v")
+
+    print("== Train-prep (r5b): chunking + link authority ==")
+    suite.QUERIES["text_chunking"](spark, SF_DIR).show(4)
+    suite.QUERIES["corpus_pagerank"](spark, SF_DIR).orderBy(
+        F.col("pr_scaled").desc()
+    ).show(4)
+
     print("== Physical-plan introspection ==")
     from presto_on_ray_spark.plans import physical_summary
 
