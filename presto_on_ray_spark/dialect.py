@@ -921,16 +921,8 @@ def translate(sql: str) -> str:
         r"\bAS\s+(?:ROW|struct)\s*\(([^()]*)\)\s*\)", _row_cast,
         translated, flags=re.IGNORECASE,
     )
-    # timezone_hour/minute: the engine represents every timestamp in
-    # the pinned UTC session zone (SURVEY §1.3) — offset is 0 by
-    # construction (the TZ-typed struct rendering in functions/tztype.py
-    # carries real offsets).
-    translated = re.sub(
-        rf"\btimezone_hour\s*\(\s*{_arg}\s*\)", "CAST(0 AS BIGINT)",
-        translated, flags=re.IGNORECASE,
-    )
-    translated = re.sub(
-        rf"\btimezone_minute\s*\(\s*{_arg}\s*\)", "CAST(0 AS BIGINT)",
-        translated, flags=re.IGNORECASE,
-    )
+    # timezone_hour/minute are TIMESTAMP-typed SQL macros (registry):
+    # plain timestamps live in the pinned UTC session zone (offset 0);
+    # a TZ-struct argument fails the signature loudly instead of
+    # silently reading 0 (tztype.timezone_hour computes real offsets).
     return _restore_literals(translated, _lits)

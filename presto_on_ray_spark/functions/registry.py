@@ -659,6 +659,21 @@ _SQL_MACROS: list[str] = [
                & (shiftleft(CAST(4294967295 AS BIGINT), 32 - p) & 4294967295))
               % 256 AS STRING),
          '/', CAST(p AS STRING))""",
+    # timezone offset of a PLAIN timestamp: the engine pins the session
+    # zone to UTC (SURVEY §1.3), so the offset is 0 by construction.
+    # TIMESTAMP-typed on purpose: a tz-struct argument errors loudly
+    # (functions/tztype.py carries the real offsets for that type).
+    """timezone_hour(ts TIMESTAMP) RETURNS BIGINT RETURN CAST(0 AS BIGINT)""",
+    """timezone_minute(ts TIMESTAMP) RETURNS BIGINT RETURN CAST(0 AS BIGINT)""",
+    # Presto with_timezone / AT TIME ZONE over the engine's
+    # timestamp-with-time-zone rendering (functions/tztype.py):
+    # struct<instant: timestamp, tz: string>, instant always UTC.
+    """with_timezone(ts TIMESTAMP, tz STRING)
+       RETURNS STRUCT<instant: TIMESTAMP, tz: STRING>
+       RETURN named_struct('instant', to_utc_timestamp(ts, tz), 'tz', tz)""",
+    """at_timezone(v STRUCT<instant: TIMESTAMP, tz: STRING>, tz STRING)
+       RETURNS STRUCT<instant: TIMESTAMP, tz: STRING>
+       RETURN named_struct('instant', v.instant, 'tz', tz)""",
     # Presto bar(x, width): unicode bar chart cell. Plain-text form (no
     # ANSI color codes — the reference CLI's red/green gradient is a
     # terminal concern); x clamped to [0, 1] like Presto.

@@ -337,3 +337,27 @@ def test_width_bucket_array_bins(eng):
 def test_cast_as_row_type(eng):
     assert one(eng, "SELECT CAST(ROW(1, 'a') AS ROW(x INTEGER, y VARCHAR)).x AS v") == 1
     assert one(eng, "SELECT CAST(ROW(2, 'b') AS ROW(x INTEGER, y VARCHAR)).y AS v") == "b"
+
+
+def test_with_timezone_struct_type(eng):
+    import datetime
+
+    got = one(
+        eng,
+        "SELECT with_timezone(TIMESTAMP '2020-06-01 12:00:00',"
+        " 'America/New_York').instant AS v",
+    )
+    assert got == datetime.datetime(2020, 6, 1, 16, 0)
+    got = one(
+        eng,
+        "SELECT at_timezone(with_timezone(TIMESTAMP '2020-06-01 12:00:00',"
+        " 'UTC'), 'Asia/Kolkata').tz AS v",
+    )
+    assert got == "Asia/Kolkata"
+    # a tz-struct into the plain-timestamp offset macro errors loudly
+    # rather than silently reading 0
+    with pytest.raises(Exception):
+        eng.sql(
+            "SELECT timezone_hour(with_timezone(TIMESTAMP '2020-06-01 12:00:00',"
+            " 'Asia/Kolkata')) AS v"
+        ).collect()
