@@ -898,7 +898,7 @@ def translate(sql: str) -> str:
     # equi-width form is a native Spark builtin). Presto: bins sorted
     # ascending, result = number of bin edges <= x (0 when x < bins[1]).
     translated = re.sub(
-        rf"\bwidth_bucket\s*\(\s*({_arg})\s*,\s*((?:array|\w*)\s*\((?:[^()]|\([^()]*\))*\)|\w+)\s*\)",
+        rf"\bwidth_bucket\s*\(\s*({_arg})\s*,\s*((?:array|\w*)\s*\((?:[^()]|\([^()]*\))*\)|[\w.]+)\s*\)",
         r"CAST(size(filter((\2), wb_b -> wb_b <= (\1))) AS BIGINT)",
         translated, flags=re.IGNORECASE,
     )
