@@ -701,12 +701,15 @@ def translate(sql: str) -> str:
     )
     # array_max_by / array_min_by(a, f): decorate-sort-undecorate —
     # keys from the user lambda, one element out.
+    # NULL lambda keys filtered out before the sort (same rationale as
+    # the n-arg max_by above); try_element_at: all-NULL keys -> NULL.
     for fn, lt, gt in (("array_max_by", "-1", "1"), ("array_min_by", "1", "-1")):
         translated = re.sub(
             rf"\b{fn}\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
-            r"element_at(transform(array_sort("
+            r"try_element_at(transform(array_sort(filter("
             r"zip_with(transform((\1), \2), (\1),"
             r" (amb_k, amb_v) -> struct(amb_k AS k, amb_v AS v)),"
+            r" amb_s -> amb_s.k IS NOT NULL),"
             rf" (amb_a, amb_b) -> CASE WHEN amb_a.k > amb_b.k THEN {lt}"
             rf" WHEN amb_a.k < amb_b.k THEN {gt} ELSE 0 END),"
             r" amb_s -> amb_s.v), 1)",
@@ -758,9 +761,14 @@ def translate(sql: str) -> str:
         r" ELSE CAST(0 AS DOUBLE) END)",
         translated, flags=re.IGNORECASE,
     )
+    # geometric_mean: Spark's ln(0)/ln(neg) return NULL (not -Inf/NaN)
+    # and avg skips NULLs, so a bare exp(avg(ln(x))) would silently
+    # drop the zero/negative inputs that Presto defines as 0 / NaN.
     translated = re.sub(
         rf"\bgeometric_mean\s*\(\s*({_arg})\s*\)",
-        r"exp(avg(ln(\1)))",
+        r"(CASE WHEN min(\1) < 0 THEN CAST('NaN' AS DOUBLE)"
+        r" WHEN min(\1) = 0 THEN CAST(0 AS DOUBLE)"
+        r" ELSE exp(avg(ln(\1))) END)",
         translated, flags=re.IGNORECASE,
     )
     # checksum(x): order-insensitive digest as bit_xor of xxhash64 (the
@@ -842,10 +850,14 @@ def translate(sql: str) -> str:
         r" nh_b -> struct("
         r"min(\2) + (CAST(nh_b AS DOUBLE) - 0.5) * (max(\2) - min(\2)) / (\1),"
         r" CAST(size(filter(collect_list(\2), nh_v ->"
+        # constant groups take the max=min branch EXCLUSIVELY: the
+        # least() path would read least(NULL, b-1) = b-1 (least skips
+        # NULLs) and double-count every value into bucket b, making
+        # map_from_entries throw DUPLICATED_MAP_KEY
+        r" IF(max(\2) = min(\2), nh_b <=> 1,"
         r" CAST(least(floor((nh_v - min(\2)) * (\1) /"
         r" nullif(max(\2) - min(\2), CAST(0 AS DOUBLE))), (\1) - 1) AS INT)"
-        r" <=> nh_b - 1"
-        r" OR (max(\2) = min(\2) AND nh_b = 1))) AS BIGINT))),"
+        r" <=> nh_b - 1))) AS BIGINT))),"
         r" nh_e -> nh_e.col2 > 0))",
         translated, flags=re.IGNORECASE,
     )
@@ -861,16 +873,22 @@ def translate(sql: str) -> str:
     )
     # max_by(x, y, n) / min_by(x, y, n): top-n x by y, ordered like
     # Presto (value-descending for max_by, ascending for min_by).
+    # NULL ordering keys are dropped BEFORE the sort (collect_list
+    # skips the NULL the CASE yields), matching Presto — a NULL key
+    # inside the comparator would compare as a tie and could displace
+    # real winners.
     translated = re.sub(
         rf"\bmax_by\s*\(\s*({_arg})\s*,\s*({_arg})\s*,\s*({_arg})\s*\)",
-        r"transform(slice(array_sort(collect_list(struct((\2) AS v, (\1) AS k)),"
+        r"transform(slice(array_sort(collect_list("
+        r"CASE WHEN (\2) IS NOT NULL THEN struct((\2) AS v, (\1) AS k) END),"
         r" (mb_a, mb_b) -> CASE WHEN mb_a.v > mb_b.v THEN -1"
         r" WHEN mb_a.v < mb_b.v THEN 1 ELSE 0 END), 1, \3), mb_s -> mb_s.k)",
         translated, flags=re.IGNORECASE,
     )
     translated = re.sub(
         rf"\bmin_by\s*\(\s*({_arg})\s*,\s*({_arg})\s*,\s*({_arg})\s*\)",
-        r"transform(slice(array_sort(collect_list(struct((\2) AS v, (\1) AS k)),"
+        r"transform(slice(array_sort(collect_list("
+        r"CASE WHEN (\2) IS NOT NULL THEN struct((\2) AS v, (\1) AS k) END),"
         r" (mb_a, mb_b) -> CASE WHEN mb_a.v < mb_b.v THEN -1"
         r" WHEN mb_a.v > mb_b.v THEN 1 ELSE 0 END), 1, \3), mb_s -> mb_s.k)",
         translated, flags=re.IGNORECASE,

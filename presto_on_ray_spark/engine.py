@@ -348,13 +348,16 @@ class Engine:
         if m := _SHOW_TABLES_RE.match(text):
             sch, like = m.group(1), m.group(2)
             attached = {s for ss in self._catalogs.values() for s in ss}
-            rows = [
-                (t.name,)
-                for t in self.spark.catalog.listTables()
-                if sch is None or sch.lower() in attached or t.database == sch
-            ]
+            if sch is not None and sch.lower() not in attached:
+                # a real Spark database: enumerate IT, not the current
+                # one (listTables() with no argument only sees the
+                # current database + temp views)
+                tables = self.spark.catalog.listTables(sch.split(".")[-1])
+            else:
+                tables = self.spark.catalog.listTables()
+            rows = [(t.name,) for t in tables]
             if like is not None:
-                rx = re.compile(self._like_to_regex(like), re.IGNORECASE)
+                rx = re.compile(self._like_to_regex(like))
                 rows = [r for r in rows if rx.match(r[0])]
             return self.spark.createDataFrame(sorted(rows) or [], "Table STRING")
         if m := _SHOW_FUNCTIONS_RE.match(text):
@@ -364,7 +367,7 @@ class Engine:
                 df = df.filter(df[df.columns[0]].rlike(rx))
             return df
         if m := _SHOW_CREATE_RE.match(text):
-            name = m.group(1)
+            name = self._strip_namespace(m.group(1))
             fields = ",\n".join(
                 f"   {f.name} {f.dataType.simpleString()}"
                 for f in self.table(name).schema.fields
@@ -379,7 +382,9 @@ class Engine:
             self.spark.catalog.dropTempView(m.group(1).split(".")[-1])
             return None
         if m := _DELETE_RE.match(text):
-            return self._emulated_delete(m.group(1), m.group(2))
+            return self._emulated_delete(
+                self._strip_namespace(m.group(1)), m.group(2)
+            )
         if _TXN_RE.match(text):
             return None
         return NotImplemented
@@ -388,7 +393,24 @@ class Engine:
         """DELETE FROM for session-catalog tables: rewrite the table to
         the retained rows (NULL predicates retain, like SQL DELETE),
         swapping via a temp table + rename so a failed write never
-        clobbers the original. Returns Presto's one-row deleted count."""
+        clobbers the original. Returns Presto's one-row deleted count.
+
+        Temp views are refused loudly (Presto can't DELETE from a view
+        either): the rewrite would silently shadow the registered
+        parquet-backed view with a managed copy, desynchronizing the
+        Engine.table()/load_table read path from the SQL path."""
+        try:
+            is_view = any(
+                t.name == name.split(".")[-1] and t.tableType in ("TEMPORARY", "VIEW")
+                for t in self.spark.catalog.listTables()
+            )
+        except Exception:
+            is_view = False
+        if is_view:
+            raise ValueError(
+                f"DELETE target '{name}' is a view (registered catalog views "
+                "are read-only; CTAS a table first)"
+            )
         src = self.spark.table(name)
         before = src.count()
         if cond is None:

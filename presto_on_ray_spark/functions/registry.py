@@ -449,7 +449,9 @@ def register_presto_functions(spark: SparkSession) -> None:
         _REGISTERED_SESSIONS = weakref.WeakSet()
     if spark in _REGISTERED_SESSIONS:
         return
-    _REGISTERED_SESSIONS.add(spark)
+    # NOTE: marked registered only at the END of this function — a
+    # partial failure must leave the session retryable, not silently
+    # half-registered.
 
     @pandas_udf(StringType())
     def presto_date_format(ts: pd.Series, pattern: pd.Series) -> pd.Series:
@@ -557,6 +559,7 @@ def register_presto_functions(spark: SparkSession) -> None:
 
     register_distribution_functions(spark)
     register_sql_macros(spark)
+    _REGISTERED_SESSIONS.add(spark)
 
 
 # SQL scalar functions (CREATE TEMPORARY FUNCTION ... RETURN expr):

@@ -41,7 +41,8 @@ scored AS (
   FROM terms t JOIN unigram u USING (term) CROSS JOIN tot
 ), lm AS (
   SELECT doc_id,
-         ROUND(-(CAST(SUM(CAST(lp AS DECIMAL(20,4))) AS DOUBLE)) / COUNT(*), 4)
+         ((2 * CAST(SUM(CAST(lp AS DECIMAL(20,4))) * -10000 AS BIGINT)
+           + COUNT(*)) // (2 * COUNT(*))) / 10000.0
            AS cross_entropy
   FROM scored GROUP BY doc_id
 ), dup AS (

@@ -197,7 +197,8 @@ def text_tfidf_topk(spark, sf_dir):
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(-(CAST(SUM(CAST(lp AS DECIMAL(20,4))) AS DOUBLE)) / COUNT(*), 4)
+           ((2 * CAST(SUM(CAST(lp AS DECIMAL(20,4))) * -10000 AS BIGINT)
+             + COUNT(*)) // (2 * COUNT(*))) / 10000.0
              AS cross_entropy
     FROM scored GROUP BY doc_id
     """,
@@ -215,8 +216,13 @@ def text_lm_score(spark, sf_dir):
     aggregate — bounded, and it keeps the whole query lazy; ADVICE r4
     flagged the old eager terms.count() as a repeated full-scan driver
     action). Per-token log-probs are rounded to 4 places and
-    decimal-summed so the distributed mean is order-independent and
-    hash-identical to the single-threaded oracle."""
+    decimal-summed so the distributed mean is order-independent; the
+    FINAL per-document mean is computed and rounded entirely in
+    integer arithmetic (round-half-up of N/n as (2N + n) div 2n, then
+    one exact /10^4) — a double-typed ROUND(sum/n) was observed to
+    flip the 4th decimal on 9/5000 documents at sf0.1 because Spark
+    (BigDecimal half-up) and DuckDB (scaled-multiply) round the same
+    double differently at half boundaries."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
@@ -236,11 +242,11 @@ def text_lm_score(spark, sf_dir):
             F.log(F.col("cnt").cast("double") / F.col("_tot").cast("double")), 4
         ).alias("lp"),
     )
+    n_scaled = (F.sum(F.col("lp").cast("decimal(20,4)")) * -10000).cast("long")
+    cnt = F.count("*")
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.round(
-            -(F.sum(F.col("lp").cast("decimal(20,4)")).cast("double"))
-            / F.count("*"),
-            4,
+        cnt.alias("n_tokens"),
+        (
+            F.floor((2 * n_scaled + cnt) / (2 * cnt)).cast("long") / F.lit(10000.0)
         ).alias("cross_entropy"),
     )

@@ -91,3 +91,34 @@ def test_show_stats_and_session_unaffected(eng):
     # the new SHOW interceptors must not swallow the existing ones
     assert eng.sql("SHOW STATS FOR nation").count() > 0
     assert eng.sql("SHOW SESSION") is not None
+
+
+def test_qualified_names_in_show_create_and_delete(eng):
+    # attached catalog.schema prefixes must resolve here like they do
+    # in SELECT (review finding: REQUIRES_SINGLE_PART_NAMESPACE)
+    [(ddl,)] = eng.sql("SHOW CREATE TABLE parquet.default.nation").collect()
+    assert ddl.startswith("CREATE TABLE nation")
+    eng.spark.sql("DROP TABLE IF EXISTS t_del_q")
+    eng.sql("CREATE TABLE t_del_q AS SELECT n_nationkey AS k FROM nation")
+    [(deleted,)] = eng.sql("DELETE FROM parquet.default.t_del_q WHERE k >= 20").collect()
+    assert deleted == 5
+    eng.spark.sql("DROP TABLE t_del_q")
+
+
+def test_delete_from_registered_view_errors_loudly(eng):
+    # the fixture views are read-only; a silent managed-table swap
+    # would desynchronize Engine.table() from the SQL path
+    with pytest.raises(ValueError, match="view"):
+        eng.sql("DELETE FROM nation WHERE n_nationkey = 0")
+    # and the view still reads the full fixture
+    assert eng.sql("SELECT COUNT(*) AS n FROM nation").collect()[0][0] == 25
+
+
+def test_show_tables_from_real_database(eng):
+    eng.spark.sql("CREATE DATABASE IF NOT EXISTS showdb")
+    eng.spark.sql("DROP TABLE IF EXISTS showdb.t_in_db")
+    eng.spark.sql("CREATE TABLE showdb.t_in_db AS SELECT 1 AS x")
+    names = [r[0] for r in eng.sql("SHOW TABLES FROM showdb").collect()]
+    assert "t_in_db" in names
+    eng.spark.sql("DROP TABLE showdb.t_in_db")
+    eng.spark.sql("DROP DATABASE showdb")

@@ -361,3 +361,37 @@ def test_with_timezone_struct_type(eng):
             "SELECT timezone_hour(with_timezone(TIMESTAMP '2020-06-01 12:00:00',"
             " 'Asia/Kolkata')) AS v"
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# r5b review regressions (code-review findings, each reproduced first)
+# ---------------------------------------------------------------------------
+
+def test_numeric_histogram_constant_group(eng):
+    # max = min used to double-count into two identical midpoints and
+    # throw DUPLICATED_MAP_KEY
+    got = one(eng, "SELECT numeric_histogram(4, x) AS v FROM (VALUES 5.0, 5.0, 5.0) t(x)")
+    assert got == {5.0: 3}
+
+
+def test_geometric_mean_zero_and_negative(eng):
+    # Presto: any zero -> 0, any negative -> NaN; Spark ln() NULLs used
+    # to silently drop those rows
+    assert one(eng, "SELECT geometric_mean(x) AS v FROM (VALUES 0.0, 4.0) t(x)") == 0.0
+    got = one(eng, "SELECT geometric_mean(x) AS v FROM (VALUES -2.0, 4.0) t(x)")
+    assert math.isnan(got)
+
+
+def test_max_by_n_ignores_null_keys(eng):
+    vals = "(VALUES ('a', 1), ('b', 5), ('c', CAST(NULL AS INTEGER))) t(k, v)"
+    assert one(eng, f"SELECT max_by(k, v, 1) AS v FROM {vals}") == ["b"]
+    assert one(eng, f"SELECT min_by(k, v, 2) AS v FROM {vals}") == ["a", "b"]
+
+
+def test_array_max_by_ignores_null_keys(eng):
+    got = one(
+        eng,
+        "SELECT array_max_by(ARRAY['x', 'yy', CAST(NULL AS VARCHAR)],"
+        " e -> length(e)) AS v",
+    )
+    assert got == "yy"
