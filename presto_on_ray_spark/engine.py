@@ -348,14 +348,22 @@ class Engine:
         if m := _SHOW_TABLES_RE.match(text):
             sch, like = m.group(1), m.group(2)
             attached = {s for ss in self._catalogs.values() for s in ss}
-            if sch is not None and sch.lower() not in attached:
+            # FROM may be a bare schema OR catalog.schema — compare the
+            # trailing identifier against attached namespaces (the same
+            # resolution _strip_namespace applies to table names)
+            sch_tail = sch.lower().split(".")[-1] if sch is not None else None
+            if sch_tail is not None and sch_tail not in attached:
                 # a real Spark database: enumerate IT, not the current
                 # one (listTables() with no argument only sees the
-                # current database + temp views)
-                tables = self.spark.catalog.listTables(sch.split(".")[-1])
+                # current database + temp views); temp views leak into
+                # listTables(db) and are not that schema's tables
+                rows = [
+                    (t.name,)
+                    for t in self.spark.catalog.listTables(sch_tail)
+                    if not t.isTemporary
+                ]
             else:
-                tables = self.spark.catalog.listTables()
-            rows = [(t.name,) for t in tables]
+                rows = [(t.name,) for t in self.spark.catalog.listTables()]
             if like is not None:
                 rx = re.compile(self._like_to_regex(like))
                 rows = [r for r in rows if rx.match(r[0])]
@@ -399,13 +407,21 @@ class Engine:
         either): the rewrite would silently shadow the registered
         parquet-backed view with a managed copy, desynchronizing the
         Engine.table()/load_table read path from the SQL path."""
-        try:
-            is_view = any(
-                t.name == name.split(".")[-1] and t.tableType in ("TEMPORARY", "VIEW")
-                for t in self.spark.catalog.listTables()
-            )
-        except Exception:
-            is_view = False
+        # only a SINGLE-PART name can resolve to a session temp view
+        # (a qualified showdb.t always names a catalog table, even when
+        # a temp view shares the bare name); Spark lower-cases stored
+        # identifiers, so compare case-insensitively or an uppercase
+        # spelling would bypass the guard
+        is_view = False
+        if "." not in name:
+            try:
+                is_view = any(
+                    t.name.lower() == name.lower()
+                    and t.tableType in ("TEMPORARY", "VIEW")
+                    for t in self.spark.catalog.listTables()
+                )
+            except Exception:
+                is_view = False
         if is_view:
             raise ValueError(
                 f"DELETE target '{name}' is a view (registered catalog views "

@@ -133,9 +133,17 @@ PRESTO_TO_SPARK_FN: dict[str, str] = {
 
 
 def geometric_mean(col):
-    """Presto geometric_mean(x) = exp(avg(ln(x)))."""
+    """Presto geometric_mean(x) = exp(avg(ln(x))), with the zero /
+    negative semantics Presto defines (0 / NaN): Spark's ln returns
+    NULL there and avg skips NULLs, so the bare composition would
+    silently drop those inputs (same guard as the SQL translation in
+    dialect.py)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.exp(F.avg(F.log(c)))
+    return (
+        F.when(F.min(c) < 0, F.lit(float("nan")))
+        .when(F.min(c) == 0, F.lit(0.0))
+        .otherwise(F.exp(F.avg(F.log(c))))
+    )
 
 
 def is_finite(col):

@@ -21,7 +21,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from presto_on_ray_spark.operators._util import t
-from presto_on_ray_spark.operators.textstats import _STOPWORDS
+from presto_on_ray_spark.operators.textstats import _STOPWORDS, LM_MEAN_SQL
 from presto_on_ray_spark.suite import QUERIES, query
 
 MIN_WORDS = 20
@@ -41,8 +41,7 @@ scored AS (
   FROM terms t JOIN unigram u USING (term) CROSS JOIN tot
 ), lm AS (
   SELECT doc_id,
-         ((2 * CAST(SUM(CAST(lp AS DECIMAL(20,4))) * -10000 AS BIGINT)
-           + COUNT(*)) // (2 * COUNT(*))) / 10000.0
+         {LM_MEAN_SQL}
            AS cross_entropy
   FROM scored GROUP BY doc_id
 ), dup AS (

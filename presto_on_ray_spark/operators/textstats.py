@@ -180,9 +180,20 @@ def text_tfidf_topk(spark, sf_dir):
     )
 
 
+# Round-half-up of the decimal-summed log-prob mean, entirely in
+# integer arithmetic ((2N + n) // 2n, then one exact /10^4) — shared
+# VERBATIM by the text_lm_score and corpus_curation_pipeline oracles,
+# which must stay bit-identical (see text_lm_score's docstring for why
+# a double-typed ROUND(sum/n) diverges between engines).
+LM_MEAN_SQL = (
+    "((2 * CAST(SUM(CAST(lp AS DECIMAL(20,4))) * -10000 AS BIGINT)"
+    " + COUNT(*)) // (2 * COUNT(*))) / 10000.0"
+)
+
+
 @query(
     "text_lm_score",
-    oracle="""
+    oracle=f"""
     WITH terms AS (
       SELECT doc_id, term FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -197,8 +208,7 @@ def text_tfidf_topk(spark, sf_dir):
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           ((2 * CAST(SUM(CAST(lp AS DECIMAL(20,4))) * -10000 AS BIGINT)
-             + COUNT(*)) // (2 * COUNT(*))) / 10000.0
+           {LM_MEAN_SQL}
              AS cross_entropy
     FROM scored GROUP BY doc_id
     """,

@@ -122,3 +122,44 @@ def test_show_tables_from_real_database(eng):
     assert "t_in_db" in names
     eng.spark.sql("DROP TABLE showdb.t_in_db")
     eng.spark.sql("DROP DATABASE showdb")
+
+
+def test_delete_view_guard_is_case_insensitive(eng):
+    # Spark stores identifiers lowercased; an uppercase spelling must
+    # not bypass the view guard and destroy the registered view
+    with pytest.raises(ValueError, match="view"):
+        eng.sql("DELETE FROM NATION WHERE n_nationkey = 0")
+    assert eng.sql("SELECT COUNT(*) AS n FROM nation").collect()[0][0] == 25
+
+
+def test_show_tables_from_attached_catalog_schema(eng):
+    # FROM catalog.schema of an ATTACHED namespace lists the registered
+    # views (it is not a real Spark database)
+    names = [r[0] for r in eng.sql("SHOW TABLES FROM parquet.default").collect()]
+    assert "lineitem" in names and "nation" in names
+
+
+def test_show_tables_real_db_excludes_temp_views(eng):
+    eng.spark.sql("CREATE DATABASE IF NOT EXISTS showdb2")
+    eng.spark.sql("DROP TABLE IF EXISTS showdb2.t_only")
+    eng.spark.sql("CREATE TABLE showdb2.t_only AS SELECT 1 AS x")
+    names = [r[0] for r in eng.sql("SHOW TABLES FROM showdb2").collect()]
+    assert names == ["t_only"]  # no fixture temp views leaking in
+    eng.spark.sql("DROP TABLE showdb2.t_only")
+    eng.spark.sql("DROP DATABASE showdb2")
+
+
+def test_delete_qualified_table_despite_view_name_collision(eng):
+    # a real table in another database shares the bare name 'nation'
+    # with the registered view; the qualified DELETE must hit the TABLE
+    eng.spark.sql("CREATE DATABASE IF NOT EXISTS showdb3")
+    eng.spark.sql("DROP TABLE IF EXISTS showdb3.nation")
+    eng.spark.sql(
+        "CREATE TABLE showdb3.nation AS SELECT n_nationkey AS k FROM nation"
+    )
+    [(deleted,)] = eng.sql("DELETE FROM showdb3.nation WHERE k >= 20").collect()
+    assert deleted == 5
+    # and the registered view is untouched
+    assert eng.sql("SELECT COUNT(*) AS n FROM nation").collect()[0][0] == 25
+    eng.spark.sql("DROP TABLE showdb3.nation")
+    eng.spark.sql("DROP DATABASE showdb3")
