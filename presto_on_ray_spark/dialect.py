@@ -356,6 +356,24 @@ def translate(sql: str) -> str:
         r"(pmod(dayofweek(\1) + 5, 7) + 1)",
         translated, flags=re.IGNORECASE,
     )
+    # The same ISO delta inside EXTRACT: Spark's extract(DOW ...) is
+    # Sun=1 (silently off by one vs Presto's ISO Mon=1), and Spark has
+    # no YOW field. DOY passes through (identical).
+    translated = re.sub(
+        r"\bEXTRACT\s*\(\s*(?:DOW|DAY_OF_WEEK)\s+FROM\s+([^()]+?)\s*\)",
+        r"(pmod(dayofweek(\1) + 5, 7) + 1)",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bEXTRACT\s*\(\s*(?:YOW|YEAR_OF_WEEK)\s+FROM\s+([^()]+?)\s*\)",
+        r"year(date_add(to_date(\1), CAST(4 - (pmod(dayofweek(to_date(\1)) + 5, 7) + 1) AS INT)))",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        r"\bEXTRACT\s*\(\s*DAY_OF_YEAR\s+FROM\s+([^()]+?)\s*\)",
+        r"dayofyear(\1)",
+        translated, flags=re.IGNORECASE,
+    )
     translated = re.sub(
         r"\bgreat_circle_distance\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*,\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
         r"(12742.02 * asin(least(sqrt("
@@ -413,6 +431,30 @@ def translate(sql: str) -> str:
         r"\bto_iso8601\s*\(\s*([^,()]+?)\s*\)",
         r"(CASE WHEN typeof(\1) = 'date' THEN date_format(\1, 'yyyy-MM-dd')"
         r" ELSE date_format(\1, 'yyyy-MM-dd''T''HH:mm:ss.SSS') END)",
+        translated, flags=re.IGNORECASE,
+    )
+    # Presto typed literals over Spark-less types: DECIMAL '1.25',
+    # BIGINT '42', DOUBLE '1.5', ... -> CAST forms (DATE/TIMESTAMP/
+    # INTERVAL/X'..' literals are native and untouched). The literal is
+    # shielded, so the content is looked up to size DECIMAL exactly.
+    def _typed_literal(m: re.Match) -> str:
+        typ = m.group(1).upper()
+        lit = _lits[int(m.group(2))]
+        body = lit[1:-1]
+        if typ in ("VARCHAR", "CHAR"):
+            return lit
+        if typ == "DECIMAL":
+            digits = re.sub(r"[^0-9]", "", body)
+            frac = body.split(".")[1] if "." in body else ""
+            precision = max(len(digits), 1)
+            return f"CAST({lit} AS DECIMAL({precision}, {len(frac)}))"
+        spark_type = {"REAL": "FLOAT"}.get(typ, typ)
+        return f"CAST({lit} AS {spark_type})"
+
+    translated = re.sub(
+        r"\b(DECIMAL|BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR|CHAR)"
+        r"\s+\x00(\d+)\x00",
+        _typed_literal,
         translated, flags=re.IGNORECASE,
     )
     # Bare niladic keywords Spark only accepts with parens.

@@ -395,3 +395,26 @@ def test_array_max_by_ignores_null_keys(eng):
         " e -> length(e)) AS v",
     )
     assert got == "yy"
+
+
+def test_extract_iso_fields(eng):
+    # Spark's own extract(DOW) is Sun=1; Presto is ISO Mon=1 — the
+    # dialect must rewrite, not pass through (silent off-by-one)
+    assert one(eng, "SELECT extract(DOW FROM DATE '2020-01-15') AS v") == 3
+    assert one(eng, "SELECT extract(DAY_OF_WEEK FROM DATE '2020-01-19') AS v") == 7
+    assert one(eng, "SELECT extract(YOW FROM DATE '2021-01-01') AS v") == 2020
+    assert one(eng, "SELECT extract(DOY FROM DATE '2020-02-15') AS v") == 46
+
+
+def test_typed_literals(eng):
+    from decimal import Decimal
+
+    assert one(eng, "SELECT DECIMAL '1.25' AS v") == Decimal("1.25")
+    assert one(eng, "SELECT DECIMAL '-10.5' + DECIMAL '0.5' AS v") == Decimal("-10.0")
+    assert one(eng, "SELECT BIGINT '42' AS v") == 42
+    assert one(eng, "SELECT DOUBLE '1.5' AS v") == 1.5
+    assert one(eng, "SELECT VARCHAR 'abc' AS v") == "abc"
+    assert one(eng, "SELECT BOOLEAN 'true' AS v") is True
+    # native typed literals and CAST targets stay untouched
+    assert one(eng, "SELECT year(DATE '2020-05-01') AS v") == 2020
+    assert one(eng, "SELECT CAST(1.5 AS DOUBLE) AS v") == 1.5
