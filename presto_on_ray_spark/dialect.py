@@ -659,6 +659,13 @@ def translate(sql: str) -> str:
     # otherwise swallow the comma): UNNEST(a, b) AS t(c1, c2) zips
     # positionally, padding the shorter array with NULLs — exactly
     # arrays_zip + inline.
+    # three-array zip first (most specific)
+    translated = re.sub(
+        r"\bCROSS\s+JOIN\s+UNNEST\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*)\s*,\s*([^,()]+(?:\([^()]*\)[^,()]*)*)\s*,\s*([^,()]+(?:\([^()]*\)[^,()]*)*)\s*\)\s+AS\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*,\s*(\w+)\s*\)",
+        r"LATERAL VIEW inline(arrays_zip(\1, \2, \3)) \4 AS \5, \6, \7",
+        translated,
+        flags=re.IGNORECASE,
+    )
     translated = re.sub(
         r"\bCROSS\s+JOIN\s+UNNEST\s*\(\s*([^,()]+(?:\([^()]*\)[^,()]*)*)\s*,\s*([^,()]+(?:\([^()]*\)[^,()]*)*)\s*\)\s+AS\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",
         r"LATERAL VIEW inline(arrays_zip(\1, \2)) \3 AS \4, \5",

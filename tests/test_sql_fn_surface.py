@@ -418,3 +418,16 @@ def test_typed_literals(eng):
     # native typed literals and CAST targets stay untouched
     assert one(eng, "SELECT year(DATE '2020-05-01') AS v") == 2020
     assert one(eng, "SELECT CAST(1.5 AS DOUBLE) AS v") == 1.5
+
+
+def test_unnest_three_arrays_zip(eng):
+    rows = eng.sql(
+        "SELECT a, b FROM (VALUES 1) t(i)"
+        " CROSS JOIN UNNEST(ARRAY[1, 2, 3], ARRAY['x', 'y']) AS u(a, b)"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "x"), (2, "y"), (3, None)]
+    rows = eng.sql(
+        "SELECT a, b, c FROM (VALUES 1) t(i)"
+        " CROSS JOIN UNNEST(ARRAY[1, 2], ARRAY['x', 'y'], ARRAY[7, 8]) AS u(a, b, c)"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "x", 7), (2, "y", 8)]
