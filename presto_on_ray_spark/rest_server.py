@@ -231,3 +231,43 @@ class PrestoRestServer:
             "data": payload["data"],
             "stats": {"state": "FINISHED"},
         }
+
+
+def main(argv: list[str] | None = None) -> int:
+    """Standalone coordinator-style endpoint:
+
+        python -m presto_on_ray_spark.rest_server \
+            --sf-dir /root/testdata/sf0.01 --port 8080
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="python -m presto_on_ray_spark.rest_server")
+    parser.add_argument("--sf-dir", default=None)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--max-rows", type=int, default=1000)
+    args = parser.parse_args(argv)
+
+    from presto_on_ray_spark.engine import Engine
+    from presto_on_ray_spark.session import get_spark
+
+    spark = get_spark(app_name="presto-on-ray-spark-rest")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark)
+    if args.sf_dir:
+        eng.register_tables(args.sf_dir)
+    srv = PrestoRestServer(eng, host=args.host, port=args.port,
+                           max_rows=args.max_rows)
+    print(f"serving Presto REST protocol at {srv.url}/v1/statement")
+    try:
+        srv._httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
