@@ -358,19 +358,29 @@ def translate(sql: str) -> str:
     )
     # The same ISO delta inside EXTRACT: Spark's extract(DOW ...) is
     # Sun=1 (silently off by one vs Presto's ISO Mon=1), and Spark has
-    # no YOW field. DOY passes through (identical).
+    # no YOW field. DOY passes through (identical). Operands may nest
+    # parens two levels; anything deeper is caught by the loud-error
+    # backstop below (Spark would otherwise evaluate DOW silently
+    # off by one — the one field where pass-through is WRONG, not
+    # unresolved).
+    _xarg = r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))+?)"
     translated = re.sub(
-        r"\bEXTRACT\s*\(\s*(?:DOW|DAY_OF_WEEK)\s+FROM\s+([^()]+?)\s*\)",
+        rf"\bEXTRACT\s*\(\s*(?:DOW|DAY_OF_WEEK)\s+FROM\s+{_xarg}\s*\)",
         r"(pmod(dayofweek(\1) + 5, 7) + 1)",
         translated, flags=re.IGNORECASE,
     )
     translated = re.sub(
-        r"\bEXTRACT\s*\(\s*(?:YOW|YEAR_OF_WEEK)\s+FROM\s+([^()]+?)\s*\)",
+        r"\bEXTRACT\s*\(\s*(?:DOW|DAY_OF_WEEK)\s+FROM\b",
+        "EXTRACT(DOW_ISO_UNSUPPORTED_DEPTH FROM",
+        translated, flags=re.IGNORECASE,
+    )
+    translated = re.sub(
+        rf"\bEXTRACT\s*\(\s*(?:YOW|YEAR_OF_WEEK)\s+FROM\s+{_xarg}\s*\)",
         r"year(date_add(to_date(\1), CAST(4 - (pmod(dayofweek(to_date(\1)) + 5, 7) + 1) AS INT)))",
         translated, flags=re.IGNORECASE,
     )
     translated = re.sub(
-        r"\bEXTRACT\s*\(\s*DAY_OF_YEAR\s+FROM\s+([^()]+?)\s*\)",
+        rf"\bEXTRACT\s*\(\s*DAY_OF_YEAR\s+FROM\s+{_xarg}\s*\)",
         r"dayofyear(\1)",
         translated, flags=re.IGNORECASE,
     )
@@ -438,18 +448,22 @@ def translate(sql: str) -> str:
     # INTERVAL/X'..' literals are native and untouched). The literal is
     # shielded, so the content is looked up to size DECIMAL exactly.
     def _typed_literal(m: re.Match) -> str:
+        # EMIT THE PLACEHOLDER, never the restored literal: re-embedding
+        # the content mid-pass would let every later rewrite run inside
+        # the string (VARCHAR 'localtimestamp' came back corrupted).
+        # The literal is only READ here, to size DECIMAL.
         typ = m.group(1).upper()
-        lit = _lits[int(m.group(2))]
-        body = lit[1:-1]
+        ph = f"\x00{m.group(2)}\x00"
+        body = _lits[int(m.group(2))][1:-1]
         if typ in ("VARCHAR", "CHAR"):
-            return lit
+            return ph
         if typ == "DECIMAL":
             digits = re.sub(r"[^0-9]", "", body)
             frac = body.split(".")[1] if "." in body else ""
             precision = max(len(digits), 1)
-            return f"CAST({lit} AS DECIMAL({precision}, {len(frac)}))"
+            return f"CAST({ph} AS DECIMAL({precision}, {len(frac)}))"
         spark_type = {"REAL": "FLOAT"}.get(typ, typ)
-        return f"CAST({lit} AS {spark_type})"
+        return f"CAST({ph} AS {spark_type})"
 
     translated = re.sub(
         r"\b(DECIMAL|BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR|CHAR)"

@@ -33,6 +33,7 @@ the request thread against the shared engine session.
 from __future__ import annotations
 
 import base64
+import collections
 import datetime
 import json
 import math
@@ -90,7 +91,8 @@ def _json_value(v):
     if isinstance(v, Decimal):
         return str(v)
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
-        return str(v)
+        # Presto's wire spellings, parseable by Double.parseDouble
+        return "NaN" if math.isnan(v) else ("Infinity" if v > 0 else "-Infinity")
     if isinstance(v, (bytes, bytearray)):
         return base64.b64encode(bytes(v)).decode("ascii")
     if isinstance(v, datetime.datetime):
@@ -100,9 +102,9 @@ def _json_value(v):
     if isinstance(v, dict):
         return {str(_json_value(k)): _json_value(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
+        # covers Row too (a tuple subclass): Presto renders row values
+        # as JSON arrays on the wire, same as arrays
         return [_json_value(x) for x in v]
-    if hasattr(v, "asDict"):  # Row (struct value)
-        return {k: _json_value(x) for k, x in v.asDict().items()}
     return v
 
 
@@ -113,7 +115,12 @@ class PrestoRestServer:
                  max_rows: int = 1000):
         self.engine = engine
         self.max_rows = max_rows
-        self._results: dict[str, dict] = {}
+        # bounded LRU: entries whose nextUri is never followed must not
+        # pin memory forever on a long-running server; pages stay until
+        # evicted or DELETEd, so nextUri GETs are retryable (the client
+        # protocol allows retrying a failed fetch)
+        self._results: "collections.OrderedDict[str, dict]" = collections.OrderedDict()
+        self._max_buffered = 128
         self._lock = threading.Lock()
         outer = self
 
@@ -135,7 +142,12 @@ class PrestoRestServer:
                     return
                 n = int(self.headers.get("Content-Length", "0"))
                 sql = self.rfile.read(n).decode("utf-8")
-                self._send(200, outer._submit(sql))
+                # nextUri must be client-routable: derive from the Host
+                # header (binding to 0.0.0.0 makes self.url useless to
+                # remote clients), falling back to the bind address
+                host = self.headers.get("Host")
+                base = f"http://{host}" if host else outer.url
+                self._send(200, outer._submit(sql, base))
 
             def do_GET(self):
                 parts = self.path.strip("/").split("/")
@@ -150,7 +162,9 @@ class PrestoRestServer:
                 if len(parts) >= 3 and parts[:2] == ["v1", "statement"]:
                     with outer._lock:
                         outer._results.pop(parts[2], None)
-                    self._send(204, {})
+                    # RFC 9110: 204 carries no content
+                    self.send_response(204)
+                    self.end_headers()
                     return
                 self._send(404, {"error": {"message": "not found"}})
 
@@ -175,7 +189,7 @@ class PrestoRestServer:
         self._httpd.server_close()
 
     # -- protocol -----------------------------------------------------
-    def _submit(self, sql: str) -> dict:
+    def _submit(self, sql: str, base_url: str | None = None) -> dict:
         qid = uuid.uuid4().hex[:16]
         try:
             df = self.engine.sql(sql.strip().rstrip(";"))
@@ -206,18 +220,22 @@ class PrestoRestServer:
             }
         with self._lock:
             self._results[qid] = payload
+            while len(self._results) > self._max_buffered:
+                self._results.popitem(last=False)
         # first response: columns + nextUri (the presto-cli handshake);
         # the data page follows
         return {
             "id": qid,
             "columns": payload["columns"],
-            "nextUri": f"{self.url}/v1/statement/{qid}/1",
+            "nextUri": f"{base_url or self.url}/v1/statement/{qid}/1",
             "stats": {"state": "RUNNING"},
         }
 
     def _page(self, qid: str) -> dict:
         with self._lock:
-            payload = self._results.pop(qid, None)
+            payload = self._results.get(qid)
+            if payload is not None:
+                self._results.move_to_end(qid)
         if payload is None:
             return {
                 "id": qid,

@@ -116,3 +116,28 @@ def test_type_rendering_unit():
         _presto_type(T.StructType([T.StructField("a", T.IntegerType())]))
         == "row(a integer)"
     )
+
+
+def test_next_uri_page_is_retryable(rest):
+    first = _post(rest.url, "SELECT 7 AS x")
+    a = _get(first["nextUri"])
+    b = _get(first["nextUri"])  # protocol-sanctioned retry
+    assert a["data"] == b["data"] == [[7]]
+    assert b["stats"]["state"] == "FINISHED"
+
+
+def test_nonfinite_double_wire_spellings(rest):
+    final = _run(rest.url, "SELECT nan() AS a, infinity() AS b, -infinity() AS c")
+    assert final["data"][0] == ["NaN", "Infinity", "-Infinity"]
+
+
+def test_next_uri_uses_host_header(rest):
+    import urllib.request as _u
+
+    req = _u.Request(
+        f"{rest.url}/v1/statement", data=b"SELECT 1 AS x", method="POST",
+        headers={"Host": "example.test:9999"},
+    )
+    with _u.urlopen(req) as resp:
+        first = json.load(resp)
+    assert first["nextUri"].startswith("http://example.test:9999/")

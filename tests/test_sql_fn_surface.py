@@ -431,3 +431,20 @@ def test_unnest_three_arrays_zip(eng):
         " CROSS JOIN UNNEST(ARRAY[1, 2], ARRAY['x', 'y'], ARRAY[7, 8]) AS u(a, b, c)"
     ).collect()
     assert [tuple(r) for r in rows] == [(1, "x", 7), (2, "y", 8)]
+
+
+def test_typed_literal_content_is_shielded(eng):
+    # the literal body must survive even when it spells a rewritable
+    # token (review finding: VARCHAR 'localtimestamp' came back with
+    # parens appended by the niladic-keyword rewrite)
+    assert one(eng, "SELECT VARCHAR 'localtimestamp' AS v") == "localtimestamp"
+    assert one(eng, "SELECT VARCHAR 'entropy(x)' AS v") == "entropy(x)"
+
+
+def test_extract_dow_nested_operand(eng):
+    got = one(
+        eng,
+        "SELECT extract(DOW FROM date_trunc('day',"
+        " TIMESTAMP '2020-01-15 10:00:00')) AS v",
+    )
+    assert got == 3  # ISO Wednesday, even through a nested call
