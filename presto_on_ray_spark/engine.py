@@ -98,6 +98,9 @@ _SHOW_FUNCTIONS_RE = re.compile(
 _SHOW_CREATE_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+(?:TABLE|VIEW)\s+([\w.]+)\s*$", re.IGNORECASE
 )
+_SHOW_COLUMNS_RE = re.compile(
+    r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.]+)\s*$", re.IGNORECASE
+)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -374,10 +377,23 @@ class Engine:
                 rx = self._like_to_regex(m.group(1))
                 df = df.filter(df[df.columns[0]].rlike(rx))
             return df
+        if m := _SHOW_COLUMNS_RE.match(text):
+            from presto_on_ray_spark.rest_server import _presto_type
+
+            name = self._strip_namespace(m.group(1))
+            rows = [
+                (f.name, _presto_type(f.dataType), "", "")
+                for f in self.table(name).schema.fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "Column STRING, Type STRING, Extra STRING, Comment STRING"
+            )
         if m := _SHOW_CREATE_RE.match(text):
+            from presto_on_ray_spark.rest_server import _presto_type
+
             name = self._strip_namespace(m.group(1))
             fields = ",\n".join(
-                f"   {f.name} {f.dataType.simpleString()}"
+                f"   {f.name} {_presto_type(f.dataType)}"
                 for f in self.table(name).schema.fields
             )
             ddl = f"CREATE TABLE {name} (\n{fields}\n)"
@@ -599,11 +615,13 @@ class Engine:
             rows = [(i + 1, "unknown") for i in range(shielded.count("?"))]
             return self.spark.createDataFrame(rows or [], "position INT, type STRING")
         if m := _DESC_OUTPUT_RE.match(text):
+            from presto_on_ray_spark.rest_server import _presto_type
+
             stmt = self._lookup_prepared(m.group(1))
             shielded, lits = dialect._shield_literals(stmt)
             analyzed = dialect._restore_literals(shielded.replace("?", "NULL"), lits)
             schema = self.spark.sql(dialect.translate(analyzed)).schema
-            rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+            rows = [(f.name, _presto_type(f.dataType)) for f in schema.fields]
             return self.spark.createDataFrame(rows, "column_name STRING, type STRING")
         return NotImplemented
 

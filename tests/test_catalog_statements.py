@@ -51,7 +51,8 @@ def test_show_functions_like(eng):
 def test_show_create_table_synthesized(eng):
     [(ddl,)] = eng.sql("SHOW CREATE TABLE nation").collect()
     assert ddl.startswith("CREATE TABLE nation")
-    assert "n_nationkey" in ddl and "n_name string" in ddl
+    # Presto type rendering since r5b (varchar, not Spark's string)
+    assert "n_nationkey" in ddl and "n_name varchar" in ddl
 
 
 def test_create_query_drop_view(eng):
@@ -163,3 +164,11 @@ def test_delete_qualified_table_despite_view_name_collision(eng):
     assert eng.sql("SELECT COUNT(*) AS n FROM nation").collect()[0][0] == 25
     eng.spark.sql("DROP TABLE showdb3.nation")
     eng.spark.sql("DROP DATABASE showdb3")
+
+
+def test_show_columns_presto_shape(eng):
+    rows = eng.sql("SHOW COLUMNS FROM nation").collect()
+    assert rows[0].__fields__ == ["Column", "Type", "Extra", "Comment"]
+    types = {r.Column: r.Type for r in rows}
+    assert types["n_name"] == "varchar"
+    assert types["n_nationkey"] in ("integer", "bigint")
