@@ -40,9 +40,28 @@ def int_exprs(depth: int) -> st.SearchStrategy[str]:
         st.tuples(sub, sub).map(lambda p: f"least({p[0]}, {p[1]})"),
         st.tuples(sub, sub).map(lambda p: f"greatest({p[0]}, {p[1]})"),
         strs.map(lambda e: f"length({e})"),
+        # strpos goes through the Presto->Spark rename (instr) while
+        # DuckDB runs its own native strpos — the rename itself is
+        # under differential test
+        st.tuples(strs, strs).map(lambda p: f"strpos({p[0]}, {p[1]})"),
         st.tuples(sub, sub, sub).map(
             lambda p: f"(CASE WHEN {p[0]} > {p[1]} THEN {p[2]} ELSE {p[0]} END)"
         ),
+        bool_exprs(depth - 1).map(lambda b: f"(CASE WHEN {b} THEN 1 ELSE 0 END)"),
+    )
+
+
+def bool_exprs(depth: int) -> st.SearchStrategy[str]:
+    ints = int_exprs(max(depth, 0))
+    strs = str_exprs(max(depth, 0))
+    return st.one_of(
+        st.tuples(ints, ints).map(lambda p: f"({p[0]} >= {p[1]})"),
+        st.tuples(ints, ints, ints).map(
+            lambda p: f"({p[0]} BETWEEN {p[1]} AND {p[2]})"
+        ),
+        ints.map(lambda e: f"({e} IN (0, 1, 5, 12))"),
+        strs.map(lambda e: f"({e} LIKE '%a%')"),
+        st.tuples(strs, strs).map(lambda p: f"({p[0]} = {p[1]})"),
     )
 
 
