@@ -412,10 +412,10 @@ def tpch_q13_customer_distribution(spark, sf_dir):
 @query(
     "tpch_q14_promo_revenue_share",
     oracle="""
-    SELECT CAST(100.0 * SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT ROUND(CAST(100.0 * SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
                                       THEN l_extendedprice * (1 - l_discount)
                                       ELSE 0 END AS DECIMAL(30,4))) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 6)
            AS promo_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -435,10 +435,11 @@ def tpch_q14_promo_revenue_share(spark, sf_dir):
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     return joined.agg(
-        (
+        F.round(
             F.lit(100.0)
             * F.sum(promo.cast("decimal(30,4)")).cast("double")
-            / F.sum(rev.cast("decimal(30,4)")).cast("double")
+            / F.sum(rev.cast("decimal(30,4)")).cast("double"),
+            6,
         ).alias("promo_share_pct")
     )
 
