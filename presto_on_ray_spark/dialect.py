@@ -842,26 +842,30 @@ def translate(sql: str) -> str:
         r"bit_xor(xxhash64(\1))",
         translated, flags=re.IGNORECASE,
     )
-    # map_agg(k, v): entries collected then assembled. Duplicate keys
-    # error loudly (spark.sql.mapKeyDedupPolicy default) — the
-    # multimap_agg form below is the duplicate-keeping variant.
+    # map_agg(k, v): entries collected then assembled. NULL keys are
+    # skipped like Presto's MapAggregation (the CASE yields NULL and
+    # collect_list drops it — Spark's map_from_entries would otherwise
+    # throw on a NULL key). Duplicate keys error loudly
+    # (spark.sql.mapKeyDedupPolicy default) — the multimap_agg form
+    # below is the duplicate-keeping variant.
+    _MA_ENTRY = r"CASE WHEN (\1) IS NOT NULL THEN struct((\1) AS k, (\2) AS v) END"
     translated = re.sub(
         rf"\bmap_agg\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
-        r"map_from_entries(collect_list(struct((\1), (\2))))",
+        rf"map_from_entries(collect_list({_MA_ENTRY}))",
         translated, flags=re.IGNORECASE,
     )
     # multimap_agg(k, v) -> map<k, array<v>> keeping duplicates,
-    # first-occurrence key order (same construction as the
-    # multimap_from_entries shim; Catalyst computes the shared
+    # first-occurrence key order, NULL keys skipped (same construction
+    # as the multimap_from_entries shim; Catalyst computes the shared
     # collect_list aggregate once).
     translated = re.sub(
         rf"\bmultimap_agg\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
-        r"map_from_arrays("
-        r"array_distinct(transform(collect_list(struct((\1) AS k, (\2) AS v)),"
+        rf"map_from_arrays("
+        rf"array_distinct(transform(collect_list({_MA_ENTRY}),"
         r" mma_e -> mma_e.k)),"
-        r" transform(array_distinct(transform(collect_list(struct((\1) AS k, (\2) AS v)),"
+        rf" transform(array_distinct(transform(collect_list({_MA_ENTRY}),"
         r" mma_e -> mma_e.k)),"
-        r" mma_k -> transform(filter(collect_list(struct((\1) AS k, (\2) AS v)),"
+        rf" mma_k -> transform(filter(collect_list({_MA_ENTRY}),"
         r" mma_e -> mma_e.k <=> mma_k), mma_e -> mma_e.v)))",
         translated, flags=re.IGNORECASE,
     )

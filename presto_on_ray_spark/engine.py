@@ -102,11 +102,12 @@ _SHOW_COLUMNS_RE = re.compile(
     r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.]+)\s*$", re.IGNORECASE
 )
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)$",
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s*"
+    r"(?:\(\s*([\w\s,]+?)\s*\)\s*)?AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_VIEW_RE = re.compile(
-    r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+    r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*$",
@@ -337,6 +338,14 @@ class Engine:
             cat, like = m.group(1), m.group(2)
             if cat is not None and cat.lower() in self._catalogs:
                 names = sorted(self._catalogs[cat.lower()])
+            elif cat is not None and cat.lower() == "spark_catalog":
+                names = sorted(d.name for d in self.spark.catalog.listDatabases())
+            elif cat is not None:
+                # Presto errors on an unknown catalog rather than
+                # returning some other catalog's schemas
+                raise ValueError(
+                    f"Catalog '{cat}' is not attached (Engine.attach_catalog)"
+                )
             else:
                 names = sorted(
                     {s for ss in self._catalogs.values() for s in ss}
@@ -378,7 +387,7 @@ class Engine:
                 df = df.filter(df[df.columns[0]].rlike(rx))
             return df
         if m := _SHOW_COLUMNS_RE.match(text):
-            from presto_on_ray_spark.rest_server import _presto_type
+            from presto_on_ray_spark.type_names import presto_type_name as _presto_type
 
             name = self._strip_namespace(m.group(1))
             rows = [
@@ -389,7 +398,7 @@ class Engine:
                 rows, "Column STRING, Type STRING, Extra STRING, Comment STRING"
             )
         if m := _SHOW_CREATE_RE.match(text):
-            from presto_on_ray_spark.rest_server import _presto_type
+            from presto_on_ray_spark.type_names import presto_type_name as _presto_type
 
             name = self._strip_namespace(m.group(1))
             fields = ",\n".join(
@@ -399,11 +408,25 @@ class Engine:
             ddl = f"CREATE TABLE {name} (\n{fields}\n)"
             return self.spark.createDataFrame([(ddl,)], "`Create Table` STRING")
         if m := _CREATE_VIEW_RE.match(text):
-            body = self.sql(m.group(2))
-            body.createOrReplaceTempView(m.group(1).split(".")[-1])
+            or_replace, name, cols, query_text = m.groups()
+            bare = name.split(".")[-1]
+            if or_replace is None and self.spark.catalog.tableExists(bare):
+                # Presto: CREATE VIEW without OR REPLACE errors on an
+                # existing name (silently re-pointing the registered
+                # fixture views would corrupt every later query)
+                raise ValueError(f"View '{bare}' already exists")
+            body = self.sql(query_text)
+            if cols is not None:
+                body = body.toDF(*[c.strip() for c in cols.split(",")])
+            body.createOrReplaceTempView(bare)
             return None
         if m := _DROP_VIEW_RE.match(text):
-            self.spark.catalog.dropTempView(m.group(1).split(".")[-1])
+            if_exists, name = m.group(1), m.group(2).split(".")[-1]
+            dropped = self.spark.catalog.dropTempView(name)
+            if not dropped and if_exists is None:
+                # not a temp view: delegate (drops a permanent view or
+                # errors loudly — never a silent no-op)
+                self.spark.sql(f"DROP VIEW {m.group(2)}")
             return None
         if m := _DELETE_RE.match(text):
             return self._emulated_delete(
@@ -451,10 +474,21 @@ class Engine:
             pred = dialect.translate(self._strip_namespace(cond))
             keep = src.filter(f"NOT coalesce(({pred}), false)")
         tmp = f"{name}__delete_tmp"
+        old = f"{name}__delete_old"
         keep.write.mode("overwrite").saveAsTable(tmp)
         after = self.spark.table(tmp).count()
-        self.spark.sql(f"DROP TABLE {name}")
-        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+        # swap order preserves the ORIGINAL data through every failure
+        # window: the old table is renamed aside (never dropped) until
+        # the new one is installed under the target name
+        self.spark.sql(f"DROP TABLE IF EXISTS {old}")
+        self.spark.sql(f"ALTER TABLE {name} RENAME TO {old}")
+        try:
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+        except Exception:
+            # roll the original back under its name before re-raising
+            self.spark.sql(f"ALTER TABLE {old} RENAME TO {name}")
+            raise
+        self.spark.sql(f"DROP TABLE {old}")
         return self.spark.createDataFrame([(before - after,)], "rows BIGINT")
 
     # -- introspection (Presto EXPLAIN / SHOW STATS / ANALYZE) ---------
@@ -615,7 +649,7 @@ class Engine:
             rows = [(i + 1, "unknown") for i in range(shielded.count("?"))]
             return self.spark.createDataFrame(rows or [], "position INT, type STRING")
         if m := _DESC_OUTPUT_RE.match(text):
-            from presto_on_ray_spark.rest_server import _presto_type
+            from presto_on_ray_spark.type_names import presto_type_name as _presto_type
 
             stmt = self._lookup_prepared(m.group(1))
             shielded, lits = dialect._shield_literals(stmt)

@@ -412,10 +412,12 @@ def tpch_q13_customer_distribution(spark, sf_dir):
 @query(
     "tpch_q14_promo_revenue_share",
     oracle="""
-    SELECT ROUND(CAST(100.0 * SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT ((200000000 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
                                       THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0 END AS DECIMAL(30,4))) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 6)
+                                      ELSE 0 END AS DECIMAL(30,4))) * 10000 AS HUGEINT)
+             + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) * 10000 AS HUGEINT))
+            // (2 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) * 10000 AS HUGEINT)))
+           / 1000000.0
            AS promo_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -424,8 +426,12 @@ def tpch_q13_customer_distribution(spark, sf_dir):
 )
 def tpch_q14_promo_revenue_share(spark, sf_dir):
     """Q14: conditional-aggregate ratio (promo share of monthly
-    revenue) — CASE inside SUM, single division of two decimal-exact
-    sums."""
+    revenue) — CASE inside SUM. The percentage is rounded to 6 places
+    ENTIRELY in integer arithmetic (round-half-up of 10^8·A/B as
+    (2·10^8·A + B) div 2B over the exact decimal sums, then one exact
+    /10^6): a double-typed ROUND can flip the last digit between
+    engines at half boundaries — observed at sf0.001 (the
+    LM_MEAN_SQL pattern, operators/textstats.py)."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -435,11 +441,16 @@ def tpch_q14_promo_revenue_share(spark, sf_dir):
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     return joined.agg(
-        F.round(
-            F.lit(100.0)
-            * F.sum(promo.cast("decimal(30,4)")).cast("double")
-            / F.sum(rev.cast("decimal(30,4)")).cast("double"),
-            6,
+        (F.sum(promo.cast("decimal(30,4)")) * 10000)
+        .cast("decimal(38,0)")
+        .alias("A"),
+        (F.sum(rev.cast("decimal(30,4)")) * 10000)
+        .cast("decimal(38,0)")
+        .alias("B"),
+    ).select(
+        (
+            F.expr("(200000000 * A + B) div (2 * B)").cast("long")
+            / F.lit(1000000.0)
         ).alias("promo_share_pct")
     )
 

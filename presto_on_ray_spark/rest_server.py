@@ -44,44 +44,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import types as T
 
+from presto_on_ray_spark.type_names import presto_type_name
 
-def _presto_type(dt: T.DataType) -> str:
-    """Spark type -> Presto type rendering (the names presto-cli
-    prints)."""
-    if isinstance(dt, T.ByteType):
-        return "tinyint"
-    if isinstance(dt, T.ShortType):
-        return "smallint"
-    if isinstance(dt, T.IntegerType):
-        return "integer"
-    if isinstance(dt, T.LongType):
-        return "bigint"
-    if isinstance(dt, T.FloatType):
-        return "real"
-    if isinstance(dt, T.DoubleType):
-        return "double"
-    if isinstance(dt, T.DecimalType):
-        return f"decimal({dt.precision},{dt.scale})"
-    if isinstance(dt, T.StringType):
-        return "varchar"
-    if isinstance(dt, T.BinaryType):
-        return "varbinary"
-    if isinstance(dt, T.BooleanType):
-        return "boolean"
-    if isinstance(dt, T.DateType):
-        return "date"
-    if isinstance(dt, T.TimestampType):
-        return "timestamp"
-    if isinstance(dt, T.ArrayType):
-        return f"array({_presto_type(dt.elementType)})"
-    if isinstance(dt, T.MapType):
-        return f"map({_presto_type(dt.keyType)}, {_presto_type(dt.valueType)})"
-    if isinstance(dt, T.StructType):
-        fields = ", ".join(
-            f"{f.name} {_presto_type(f.dataType)}" for f in dt.fields
-        )
-        return f"row({fields})"
-    return dt.simpleString()
+# back-compat alias (tests and engine historically imported from here)
+_presto_type = presto_type_name
+
+
 
 
 def _json_value(v):
@@ -203,7 +171,7 @@ class PrestoRestServer:
             rows = df.limit(self.max_rows).collect()
             payload = {
                 "columns": [
-                    {"name": f.name, "type": _presto_type(f.dataType)}
+                    {"name": f.name, "type": presto_type_name(f.dataType)}
                     for f in df.schema.fields
                 ],
                 "data": [[_json_value(v) for v in row] for row in rows],

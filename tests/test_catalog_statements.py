@@ -172,3 +172,50 @@ def test_show_columns_presto_shape(eng):
     types = {r.Column: r.Type for r in rows}
     assert types["n_name"] == "varchar"
     assert types["n_nationkey"] in ("integer", "bigint")
+
+
+def test_create_view_without_or_replace_errors_on_existing(eng):
+    # Presto: CREATE VIEW on an existing name errors; silently
+    # re-pointing the registered fixture view would corrupt every
+    # later query against it
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE VIEW nation AS SELECT 1 AS x")
+    assert eng.sql("SELECT COUNT(*) AS n FROM nation").collect()[0][0] == 25
+
+
+def test_create_view_with_column_alias_list(eng):
+    eng.sql(
+        "CREATE VIEW v_aliased (alias_key) AS"
+        " SELECT n_nationkey FROM nation WHERE n_nationkey < 4"
+    )
+    rows = eng.sql("SELECT alias_key FROM v_aliased ORDER BY alias_key").collect()
+    assert [r.alias_key for r in rows] == [0, 1, 2, 3]
+    eng.sql("DROP VIEW v_aliased")
+
+
+def test_drop_view_missing_errors_without_if_exists(eng):
+    with pytest.raises(Exception):
+        eng.sql("DROP VIEW definitely_no_such_view")
+    # and IF EXISTS stays a silent no-op
+    assert eng.sql("DROP VIEW IF EXISTS definitely_no_such_view") is None
+
+
+def test_show_schemas_unknown_catalog_errors(eng):
+    with pytest.raises(ValueError, match="not attached"):
+        eng.sql("SHOW SCHEMAS FROM mysql")
+    # spark_catalog scopes to real Spark databases
+    names = [r[0] for r in eng.sql("SHOW SCHEMAS FROM spark_catalog").collect()]
+    assert "default" in names
+
+
+def test_map_agg_skips_null_keys(eng):
+    got = eng.sql(
+        "SELECT map_agg(k, v) AS v"
+        " FROM (VALUES ('a', 1), (CAST(NULL AS VARCHAR), 2)) t(k, v)"
+    ).collect()[0][0]
+    assert got == {"a": 1}
+    got = eng.sql(
+        "SELECT multimap_agg(k, v) AS v"
+        " FROM (VALUES ('a', 1), (CAST(NULL AS VARCHAR), 2), ('a', 3)) t(k, v)"
+    ).collect()[0][0]
+    assert got == {"a": [1, 3]}
