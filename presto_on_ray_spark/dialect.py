@@ -848,10 +848,15 @@ def translate(sql: str) -> str:
     # throw on a NULL key). Duplicate keys error loudly
     # (spark.sql.mapKeyDedupPolicy default) — the multimap_agg form
     # below is the duplicate-keeping variant.
+    # A group whose keys are ALL NULL yields NULL (Presto never
+    # initializes the aggregation state from skipped keys), not {} —
+    # hence the size()=0 -> NULL wrap (Catalyst computes the shared
+    # collect_list once).
     _MA_ENTRY = r"CASE WHEN (\1) IS NOT NULL THEN struct((\1) AS k, (\2) AS v) END"
+    _MA_LIST = rf"collect_list({_MA_ENTRY})"
     translated = re.sub(
         rf"\bmap_agg\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
-        rf"map_from_entries(collect_list({_MA_ENTRY}))",
+        rf"map_from_entries(IF(size({_MA_LIST}) = 0, NULL, {_MA_LIST}))",
         translated, flags=re.IGNORECASE,
     )
     # multimap_agg(k, v) -> map<k, array<v>> keeping duplicates,
@@ -861,11 +866,11 @@ def translate(sql: str) -> str:
     translated = re.sub(
         rf"\bmultimap_agg\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
         rf"map_from_arrays("
-        rf"array_distinct(transform(collect_list({_MA_ENTRY}),"
+        rf"IF(size({_MA_LIST}) = 0, NULL,"
+        rf" array_distinct(transform({_MA_LIST}, mma_e -> mma_e.k))),"
+        rf" transform(array_distinct(transform({_MA_LIST},"
         r" mma_e -> mma_e.k)),"
-        rf" transform(array_distinct(transform(collect_list({_MA_ENTRY}),"
-        r" mma_e -> mma_e.k)),"
-        rf" mma_k -> transform(filter(collect_list({_MA_ENTRY}),"
+        rf" mma_k -> transform(filter({_MA_LIST},"
         r" mma_e -> mma_e.k <=> mma_k), mma_e -> mma_e.v)))",
         translated, flags=re.IGNORECASE,
     )

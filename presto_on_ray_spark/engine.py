@@ -26,6 +26,7 @@ from presto_on_ray_spark.functions.registry import (
 )
 from presto_on_ray_spark.session import apply_session_defaults
 from presto_on_ray_spark.sources.tables import load_table, register_tables
+from presto_on_ray_spark.type_names import presto_type_name as _presto_type
 
 
 # Presto prepared-statement surface (public Presto 0.248 SQL:
@@ -387,7 +388,6 @@ class Engine:
                 df = df.filter(df[df.columns[0]].rlike(rx))
             return df
         if m := _SHOW_COLUMNS_RE.match(text):
-            from presto_on_ray_spark.type_names import presto_type_name as _presto_type
 
             name = self._strip_namespace(m.group(1))
             rows = [
@@ -398,7 +398,6 @@ class Engine:
                 rows, "Column STRING, Type STRING, Extra STRING, Comment STRING"
             )
         if m := _SHOW_CREATE_RE.match(text):
-            from presto_on_ray_spark.type_names import presto_type_name as _presto_type
 
             name = self._strip_namespace(m.group(1))
             fields = ",\n".join(
@@ -410,23 +409,47 @@ class Engine:
         if m := _CREATE_VIEW_RE.match(text):
             or_replace, name, cols, query_text = m.groups()
             bare = name.split(".")[-1]
-            if or_replace is None and self.spark.catalog.tableExists(bare):
-                # Presto: CREATE VIEW without OR REPLACE errors on an
-                # existing name (silently re-pointing the registered
-                # fixture views would corrupt every later query)
-                raise ValueError(f"View '{bare}' already exists")
+            if self.spark.catalog.tableExists(bare):
+                from presto_on_ray_spark.sources.tables import TABLES
+
+                existing = next(
+                    (t for t in self.spark.catalog.listTables()
+                     if t.name.lower() == bare.lower()), None,
+                )
+                is_table = (
+                    existing is not None
+                    and existing.tableType not in ("TEMPORARY", "VIEW")
+                ) or (
+                    # the registered fixture relations are TABLES of the
+                    # attached catalog even though Spark holds them as
+                    # temp views
+                    self._sf_dir is not None and bare.lower() in TABLES
+                )
+                if is_table:
+                    # Presto: a TABLE under that name blocks CREATE
+                    # [OR REPLACE] VIEW — shadowing the catalog's
+                    # tables would corrupt every later query
+                    raise ValueError(f"'{bare}' is a table, not a view")
+                if or_replace is None:
+                    # Presto: CREATE VIEW without OR REPLACE errors on
+                    # an existing view
+                    raise ValueError(f"View '{bare}' already exists")
             body = self.sql(query_text)
             if cols is not None:
                 body = body.toDF(*[c.strip() for c in cols.split(",")])
             body.createOrReplaceTempView(bare)
             return None
         if m := _DROP_VIEW_RE.match(text):
-            if_exists, name = m.group(1), m.group(2).split(".")[-1]
-            dropped = self.spark.catalog.dropTempView(name)
-            if not dropped and if_exists is None:
-                # not a temp view: delegate (drops a permanent view or
-                # errors loudly — never a silent no-op)
-                self.spark.sql(f"DROP VIEW {m.group(2)}")
+            if_exists, name = m.group(1), m.group(2)
+            dropped = self.spark.catalog.dropTempView(name.split(".")[-1])
+            if not dropped:
+                # not a temp view: delegate on the namespace-stripped
+                # name (drops a permanent view, no-ops under IF EXISTS,
+                # or errors loudly — never a silent no-op)
+                kw = "IF EXISTS " if if_exists else ""
+                self.spark.sql(
+                    f"DROP VIEW {kw}{self._strip_namespace(name)}"
+                )
             return None
         if m := _DELETE_RE.match(text):
             return self._emulated_delete(
@@ -649,7 +672,6 @@ class Engine:
             rows = [(i + 1, "unknown") for i in range(shielded.count("?"))]
             return self.spark.createDataFrame(rows or [], "position INT, type STRING")
         if m := _DESC_OUTPUT_RE.match(text):
-            from presto_on_ray_spark.type_names import presto_type_name as _presto_type
 
             stmt = self._lookup_prepared(m.group(1))
             shielded, lits = dialect._shield_literals(stmt)

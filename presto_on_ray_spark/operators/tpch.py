@@ -449,7 +449,7 @@ def tpch_q14_promo_revenue_share(spark, sf_dir):
         .alias("B"),
     ).select(
         (
-            F.expr("(200000000 * A + B) div (2 * B)").cast("long")
+            F.expr("(200000000 * A + B) div (2 * B)")
             / F.lit(1000000.0)
         ).alias("promo_share_pct")
     )

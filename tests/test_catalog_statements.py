@@ -177,10 +177,15 @@ def test_show_columns_presto_shape(eng):
 def test_create_view_without_or_replace_errors_on_existing(eng):
     # Presto: CREATE VIEW on an existing name errors; silently
     # re-pointing the registered fixture view would corrupt every
-    # later query against it
-    with pytest.raises(ValueError, match="already exists"):
+    # later query against it (registered fixtures report as tables)
+    with pytest.raises(ValueError, match="is a table"):
         eng.sql("CREATE VIEW nation AS SELECT 1 AS x")
     assert eng.sql("SELECT COUNT(*) AS n FROM nation").collect()[0][0] == 25
+    # a plain USER view without OR REPLACE errors as "already exists"
+    eng.sql("CREATE VIEW v_exist_chk AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE VIEW v_exist_chk AS SELECT 2 AS x")
+    eng.sql("DROP VIEW v_exist_chk")
 
 
 def test_create_view_with_column_alias_list(eng):
@@ -219,3 +224,32 @@ def test_map_agg_skips_null_keys(eng):
         " FROM (VALUES ('a', 1), (CAST(NULL AS VARCHAR), 2), ('a', 3)) t(k, v)"
     ).collect()[0][0]
     assert got == {"a": [1, 3]}
+
+
+def test_create_or_replace_view_cannot_shadow_catalog_table(eng):
+    # OR REPLACE must not shadow a catalog TABLE either (Presto errors
+    # when the existing object is a table)
+    with pytest.raises(ValueError, match="table"):
+        eng.sql("CREATE OR REPLACE VIEW nation AS SELECT 1 AS x")
+    assert eng.sql("SELECT COUNT(*) AS n FROM nation").collect()[0][0] == 25
+
+
+def test_drop_view_if_exists_reaches_permanent_views(eng):
+    eng.spark.sql("DROP VIEW IF EXISTS perm_v")
+    eng.spark.sql("CREATE VIEW perm_v AS SELECT 1 AS x")  # permanent
+    assert eng.sql("DROP VIEW IF EXISTS perm_v") is None
+    assert not eng.spark.catalog.tableExists("perm_v")
+
+
+def test_map_agg_all_null_keys_is_null(eng):
+    # Presto returns NULL (state never initialized), not {}
+    got = eng.sql(
+        "SELECT map_agg(k, v) IS NULL AS v"
+        " FROM (VALUES (CAST(NULL AS VARCHAR), 1)) t(k, v)"
+    ).collect()[0][0]
+    assert got is True
+    got = eng.sql(
+        "SELECT multimap_agg(k, v) IS NULL AS v"
+        " FROM (VALUES (CAST(NULL AS VARCHAR), 1)) t(k, v)"
+    ).collect()[0][0]
+    assert got is True
