@@ -845,9 +845,12 @@ def translate(sql: str) -> str:
     # map_agg(k, v): entries collected then assembled. NULL keys are
     # skipped like Presto's MapAggregation (the CASE yields NULL and
     # collect_list drops it — Spark's map_from_entries would otherwise
-    # throw on a NULL key). Duplicate keys error loudly
-    # (spark.sql.mapKeyDedupPolicy default) — the multimap_agg form
-    # below is the duplicate-keeping variant.
+    # throw on a NULL key). Duplicate keys resolve to the FIRST
+    # occurrence's value: Presto's map_agg accepts duplicates and
+    # picks one value arbitrarily, so assembling via map_from_entries
+    # under Spark's default mapKeyDedupPolicy=EXCEPTION would throw
+    # where Presto succeeds — this rendering is Presto's tolerant
+    # behavior made deterministic (same pick rule as map_union below).
     # A group whose keys are ALL NULL yields NULL (Presto never
     # initializes the aggregation state from skipped keys), not {} —
     # hence the size()=0 -> NULL wrap (Catalyst computes the shared
@@ -856,7 +859,12 @@ def translate(sql: str) -> str:
     _MA_LIST = rf"collect_list({_MA_ENTRY})"
     translated = re.sub(
         rf"\bmap_agg\s*\(\s*({_arg})\s*,\s*({_arg})\s*\)",
-        rf"map_from_entries(IF(size({_MA_LIST}) = 0, NULL, {_MA_LIST}))",
+        rf"map_from_arrays("
+        rf"IF(size({_MA_LIST}) = 0, NULL,"
+        rf" array_distinct(transform({_MA_LIST}, ma_e -> ma_e.k))),"
+        rf" transform(array_distinct(transform({_MA_LIST}, ma_e -> ma_e.k)),"
+        rf" ma_k -> element_at(filter({_MA_LIST},"
+        r" ma_e -> ma_e.k <=> ma_k), 1).v))",
         translated, flags=re.IGNORECASE,
     )
     # multimap_agg(k, v) -> map<k, array<v>> keeping duplicates,

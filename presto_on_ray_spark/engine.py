@@ -408,7 +408,34 @@ class Engine:
             return self.spark.createDataFrame([(ddl,)], "`Create Table` STRING")
         if m := _CREATE_VIEW_RE.match(text):
             or_replace, name, cols, query_text = m.groups()
-            bare = name.split(".")[-1]
+            parts = name.split(".")
+            bare = parts[-1]
+            # Views live in ONE session namespace (temp views). A
+            # qualified name is accepted only when its prefix resolves
+            # to an attached namespace — otherwise db1.v and db2.v
+            # would silently collide on the bare name and a later
+            # SELECT from either schema would read the same view
+            # (Presto scopes views per schema).
+            if len(parts) > 1:
+                prefix = [p.lower() for p in parts[:-1]]
+                attached_schemas = {
+                    s for ss in self._catalogs.values() for s in ss
+                }
+                ok = (
+                    (len(prefix) == 1 and prefix[0] in attached_schemas)
+                    or (
+                        len(prefix) == 2
+                        and prefix[1] in self._catalogs.get(prefix[0], set())
+                    )
+                )
+                if not ok:
+                    raise ValueError(
+                        f"CREATE VIEW {name}: namespace "
+                        f"'{'.'.join(parts[:-1])}' is not an attached "
+                        "catalog/schema — views live in the session "
+                        "namespace (attach_catalog first, or use an "
+                        "unqualified name)"
+                    )
             if self.spark.catalog.tableExists(bare):
                 from presto_on_ray_spark.sources.tables import TABLES
 

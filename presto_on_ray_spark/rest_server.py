@@ -12,22 +12,39 @@ engine, so an HTTP client can run Presto-dialect SQL without JDBC:
     srv = PrestoRestServer(eng)          # ephemeral port
     srv.start()
     # POST http://host:port/v1/statement  body: SELECT ...
-    # -> {"id", "columns", "data", "nextUri"?, "stats": {"state": ...}}
+    # -> {"id", "columns", "nextUri", "stats": {"state": ...}}
     srv.stop()
 
 Protocol fidelity (the subset real clients depend on):
 - first response carries ``columns`` (name + Presto type rendering)
-  and a ``nextUri``; the follow-up page carries ``data`` and the
-  FINISHED state — the two-step handshake presto-cli performs;
+  and a ``nextUri``; data pages follow — the handshake presto-cli
+  performs;
+- results stream in ``page_rows``-sized chunks through successive
+  ``nextUri`` pages backed by ``DataFrame.toLocalIterator()``, so the
+  driver never materializes more than one page plus one Spark
+  partition at a time (Presto's protocol pages the same way);
+- the most recent page of each query is retryable (the client
+  protocol allows re-fetching a failed transfer); older pages are
+  gone once the client advances;
 - errors return ``stats.state = "FAILED"`` plus an ``error`` object
-  with ``message``/``errorName`` (the fields the CLI prints);
-- DELETE /v1/statement/{id} cancels (drops the buffered result).
+  with ``message``/``errorName`` (the fields the CLI prints) — both
+  for planning errors at submit and runtime errors mid-stream;
+- DELETE /v1/statement/{id} cancels (drops the open iterator).
 
-Scale stance: like the CLI, this is a human/client window — results
-are collected up to ``max_rows`` per query (default 1000), never a
-bulk-transfer path (CTAS/INSERT are the egress for that). The server
-is a stdlib ThreadingHTTPServer on a daemon thread; statements run on
-the request thread against the shared engine session.
+Memory bound: per in-flight query the driver holds ``page_rows``
+decoded rows (the cached current page) plus toLocalIterator's single
+in-transit partition buffer; at most ``_max_buffered`` queries are
+retained (LRU), so server-side memory is O(page_rows × 128) rows
+regardless of result size. ``max_rows`` (optional) additionally caps
+the total rows a query may return — a client-window knob, not a
+memory requirement anymore.
+
+With ``read_only=True`` the server rejects the mutating statement
+family (INSERT / DELETE / CREATE / DROP / ALTER / TRUNCATE / MERGE /
+UPDATE / ANALYZE) with a FAILED PERMISSION_DENIED payload — bind to a
+non-loopback address only with this on (main() warns loudly
+otherwise), since the engine otherwise executes destructive
+statements (emulated DELETE rewrites tables, CREATE/DROP VIEW).
 """
 
 from __future__ import annotations
@@ -37,6 +54,7 @@ import collections
 import datetime
 import json
 import math
+import re
 import threading
 import uuid
 from decimal import Decimal
@@ -50,6 +68,10 @@ from presto_on_ray_spark.type_names import presto_type_name
 _presto_type = presto_type_name
 
 
+_MUTATING_RE = re.compile(
+    r"^\s*(INSERT|DELETE|UPDATE|MERGE|CREATE|DROP|ALTER|TRUNCATE|ANALYZE)\b",
+    re.IGNORECASE,
+)
 
 
 def _json_value(v):
@@ -67,6 +89,19 @@ def _json_value(v):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if isinstance(v, datetime.timedelta):
+        # Presto's interval day-to-second rendering: [-]D HH:MM:SS.mmm.
+        # Exact integer math (Python normalizes: days carries the sign,
+        # seconds/microseconds are non-negative) — no float rounding.
+        ms = (v.days * 86400 + v.seconds) * 1000 + v.microseconds // 1000
+        sign, a = ("-", -ms) if ms < 0 else ("", ms)
+        d, rem = divmod(a, 86_400_000)
+        h, rem = divmod(rem, 3_600_000)
+        m, rem = divmod(rem, 60_000)
+        s, frac = divmod(rem, 1000)
+        return f"{sign}{d} {h:02d}:{m:02d}:{s:02d}.{frac:03d}"
+    if isinstance(v, datetime.time):
+        return v.strftime("%H:%M:%S.%f")[:-3]
     if isinstance(v, dict):
         return {str(_json_value(k)): _json_value(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
@@ -76,18 +111,38 @@ def _json_value(v):
     return v
 
 
+class _OpenQuery:
+    """Server-side state of one streaming result: the open row
+    iterator, a one-row lookahead (to decide whether a nextUri is
+    due), and the latest produced page (retryable)."""
+
+    __slots__ = ("columns", "it", "pending", "page_no", "cached", "lock")
+
+    def __init__(self, columns: list[dict], it):
+        self.columns = columns
+        self.it = it
+        self.pending = None     # lookahead row, consumed before `it`
+        self.page_no = 0        # number of the latest produced page
+        self.cached: dict | None = None  # that page's payload
+        self.lock = threading.Lock()
+
+
 class PrestoRestServer:
     """Minimal Presto client-protocol server over an Engine."""
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 max_rows: int = 1000):
+                 max_rows: int | None = None, page_rows: int = 1000,
+                 read_only: bool = False):
         self.engine = engine
-        self.max_rows = max_rows
+        self.max_rows = max_rows          # optional TOTAL row cap
+        self.page_rows = max(1, page_rows)  # rows per nextUri page
+        self.read_only = read_only
         # bounded LRU: entries whose nextUri is never followed must not
-        # pin memory forever on a long-running server; pages stay until
-        # evicted or DELETEd, so nextUri GETs are retryable (the client
-        # protocol allows retrying a failed fetch)
-        self._results: "collections.OrderedDict[str, dict]" = collections.OrderedDict()
+        # pin memory forever on a long-running server; open iterators
+        # stay until evicted, exhausted, or DELETEd
+        self._results: "collections.OrderedDict[str, _OpenQuery]" = (
+            collections.OrderedDict()
+        )
         self._max_buffered = 128
         self._lock = threading.Lock()
         outer = self
@@ -97,7 +152,21 @@ class PrestoRestServer:
                 pass
 
             def _send(self, code: int, payload: dict) -> None:
-                body = json.dumps(payload).encode()
+                try:
+                    body = json.dumps(payload).encode()
+                except (TypeError, ValueError) as exc:
+                    # an unrenderable value must surface as a FAILED
+                    # payload, never a dropped connection mid-response
+                    payload = {
+                        "id": payload.get("id", "unknown"),
+                        "error": {
+                            "message": f"result not JSON-renderable: {exc}",
+                            "errorName": "SERIALIZATION_ERROR",
+                            "errorCode": 3,
+                        },
+                        "stats": {"state": "FAILED"},
+                    }
+                    body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
@@ -121,7 +190,13 @@ class PrestoRestServer:
                 parts = self.path.strip("/").split("/")
                 # /v1/statement/{id}/{page}
                 if len(parts) == 4 and parts[:2] == ["v1", "statement"]:
-                    self._send(200, outer._page(parts[2]))
+                    host = self.headers.get("Host")
+                    base = f"http://{host}" if host else outer.url
+                    try:
+                        page_no = int(parts[3])
+                    except ValueError:
+                        page_no = -1
+                    self._send(200, outer._page(parts[2], page_no, base))
                     return
                 self._send(404, {"error": {"message": "not found"}})
 
@@ -157,10 +232,25 @@ class PrestoRestServer:
         self._httpd.server_close()
 
     # -- protocol -----------------------------------------------------
+    @staticmethod
+    def _fail(qid: str, message: str, name: str, code: int) -> dict:
+        return {
+            "id": qid,
+            "error": {"message": message, "errorName": name, "errorCode": code},
+            "stats": {"state": "FAILED"},
+        }
+
     def _submit(self, sql: str, base_url: str | None = None) -> dict:
         qid = uuid.uuid4().hex[:16]
+        stmt = sql.strip().rstrip(";")
+        if self.read_only and _MUTATING_RE.match(stmt):
+            kw = _MUTATING_RE.match(stmt).group(1).upper()
+            return self._fail(
+                qid, f"{kw} is not allowed on a read-only server",
+                "PERMISSION_DENIED", 4,
+            )
         try:
-            df = self.engine.sql(sql.strip().rstrip(";"))
+            df = self.engine.sql(stmt)
             if df is None:
                 return {
                     "id": qid,
@@ -168,55 +258,86 @@ class PrestoRestServer:
                     "data": [["OK"]],
                     "stats": {"state": "FINISHED"},
                 }
-            rows = df.limit(self.max_rows).collect()
-            payload = {
-                "columns": [
-                    {"name": f.name, "type": presto_type_name(f.dataType)}
-                    for f in df.schema.fields
-                ],
-                "data": [[_json_value(v) for v in row] for row in rows],
-            }
+            if self.max_rows is not None:
+                df = df.limit(self.max_rows)
+            columns = [
+                {"name": f.name, "type": presto_type_name(f.dataType)}
+                for f in df.schema.fields
+            ]
+            # lazy: toLocalIterator runs one Spark job per partition as
+            # the client pages, never a full collect on the driver
+            state = _OpenQuery(columns, df.toLocalIterator())
         except Exception as exc:
-            return {
-                "id": qid,
-                "error": {
-                    "message": str(exc).splitlines()[0] if str(exc) else repr(exc),
-                    "errorName": type(exc).__name__,
-                    "errorCode": 1,
-                },
-                "stats": {"state": "FAILED"},
-            }
+            return self._fail(
+                qid, str(exc).splitlines()[0] if str(exc) else repr(exc),
+                type(exc).__name__, 1,
+            )
         with self._lock:
-            self._results[qid] = payload
+            self._results[qid] = state
             while len(self._results) > self._max_buffered:
                 self._results.popitem(last=False)
         # first response: columns + nextUri (the presto-cli handshake);
-        # the data page follows
+        # data pages follow
         return {
             "id": qid,
-            "columns": payload["columns"],
+            "columns": columns,
             "nextUri": f"{base_url or self.url}/v1/statement/{qid}/1",
             "stats": {"state": "RUNNING"},
         }
 
-    def _page(self, qid: str) -> dict:
+    def _page(self, qid: str, page_no: int, base_url: str | None = None) -> dict:
         with self._lock:
-            payload = self._results.get(qid)
-            if payload is not None:
+            state = self._results.get(qid)
+            if state is not None:
                 self._results.move_to_end(qid)
-        if payload is None:
-            return {
+        if state is None:
+            return self._fail(
+                qid, f"unknown or finished query: {qid}", "NOT_FOUND", 2
+            )
+        with state.lock:
+            if page_no == state.page_no and state.cached is not None:
+                return state.cached  # protocol-sanctioned retry
+            if page_no != state.page_no + 1:
+                return self._fail(
+                    qid, f"page {page_no} of {qid} is no longer available",
+                    "PAGE_GONE", 2,
+                )
+            rows, more = [], False
+            try:
+                while len(rows) < self.page_rows:
+                    if state.pending is not None:
+                        rows.append(state.pending)
+                        state.pending = None
+                    else:
+                        rows.append(next(state.it))
+                # page full — look one row ahead so the terminal page
+                # never dangles an empty nextUri follow-up
+                state.pending = next(state.it)
+                more = True
+            except StopIteration:
+                pass
+            except Exception as exc:  # runtime failure mid-stream
+                with self._lock:
+                    self._results.pop(qid, None)
+                return self._fail(
+                    qid, str(exc).splitlines()[0] if str(exc) else repr(exc),
+                    type(exc).__name__, 1,
+                )
+            payload = {
                 "id": qid,
-                "error": {"message": f"unknown or finished query: {qid}",
-                          "errorName": "NOT_FOUND", "errorCode": 2},
-                "stats": {"state": "FAILED"},
+                "columns": state.columns,
+                "data": [[_json_value(v) for v in row] for row in rows],
+                "stats": {"state": "RUNNING" if more else "FINISHED"},
             }
-        return {
-            "id": qid,
-            "columns": payload["columns"],
-            "data": payload["data"],
-            "stats": {"state": "FINISHED"},
-        }
+            if more:
+                payload["nextUri"] = (
+                    f"{base_url or self.url}/v1/statement/{qid}/{page_no + 1}"
+                )
+            state.page_no = page_no
+            state.cached = payload
+            if not more:
+                state.it = iter(())  # exhausted: release the Spark socket
+            return payload
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -226,13 +347,28 @@ def main(argv: list[str] | None = None) -> int:
             --sf-dir /root/testdata/sf0.01 --port 8080
     """
     import argparse
+    import sys
 
     parser = argparse.ArgumentParser(prog="python -m presto_on_ray_spark.rest_server")
     parser.add_argument("--sf-dir", default=None)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
-    parser.add_argument("--max-rows", type=int, default=1000)
+    parser.add_argument("--max-rows", type=int, default=None,
+                        help="optional total row cap per query")
+    parser.add_argument("--page-rows", type=int, default=1000,
+                        help="rows per nextUri page (driver memory bound)")
+    parser.add_argument("--read-only", action="store_true",
+                        help="reject INSERT/DELETE/DDL statements")
     args = parser.parse_args(argv)
+
+    if args.host not in ("127.0.0.1", "localhost", "::1") and not args.read_only:
+        print(
+            f"WARNING: binding to {args.host} WITHOUT --read-only exposes "
+            "destructive statements (DELETE rewrites tables, CREATE/DROP "
+            "VIEW) to every network client; pass --read-only unless this "
+            "interface is trusted.",
+            file=sys.stderr,
+        )
 
     from presto_on_ray_spark.engine import Engine
     from presto_on_ray_spark.session import get_spark
@@ -243,7 +379,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.sf_dir:
         eng.register_tables(args.sf_dir)
     srv = PrestoRestServer(eng, host=args.host, port=args.port,
-                           max_rows=args.max_rows)
+                           max_rows=args.max_rows, page_rows=args.page_rows,
+                           read_only=args.read_only)
     print(f"serving Presto REST protocol at {srv.url}/v1/statement")
     try:
         srv._httpd.serve_forever()

@@ -253,3 +253,40 @@ def test_map_agg_all_null_keys_is_null(eng):
         " FROM (VALUES (CAST(NULL AS VARCHAR), 1)) t(k, v)"
     ).collect()[0][0]
     assert got is True
+
+
+# -- round 6: map_agg duplicate keys, qualified CREATE VIEW ------------
+
+def test_map_agg_duplicate_keys_picks_first(eng):
+    """Presto's map_agg accepts duplicate keys and picks one value;
+    Spark's default mapKeyDedupPolicy=EXCEPTION would throw. The
+    dialect rendering dedups to the FIRST occurrence (deterministic)."""
+    [(got,)] = eng.sql(
+        "SELECT map_agg(k, v) AS m"
+        " FROM (VALUES ('a', 1), ('a', 2), ('b', 3)) t(k, v)"
+    ).collect()
+    assert got == {"a": 1, "b": 3}
+
+
+def test_map_agg_duplicates_with_null_keys_mixed(eng):
+    [(got,)] = eng.sql(
+        "SELECT map_agg(k, v) AS m"
+        " FROM (VALUES (NULL, 0), ('x', 7), ('x', 8)) t(k, v)"
+    ).collect()
+    assert got == {"x": 7}
+
+
+def test_create_view_qualified_unattached_namespace_rejected(eng):
+    with pytest.raises(ValueError, match="not an attached"):
+        eng.sql("CREATE VIEW someschema.v_q1 AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="not an attached"):
+        eng.sql("CREATE VIEW other.someschema.v_q1 AS SELECT 1 AS x")
+
+
+def test_create_view_qualified_attached_namespace_ok(eng):
+    # parquet.default is the attached fixture namespace
+    eng.sql("CREATE VIEW parquet.default.v_q2 AS SELECT 2 AS x")
+    assert eng.sql("SELECT x FROM v_q2").collect()[0][0] == 2
+    eng.sql("CREATE OR REPLACE VIEW default.v_q2 AS SELECT 3 AS x")
+    assert eng.sql("SELECT x FROM v_q2").collect()[0][0] == 3
+    eng.sql("DROP VIEW v_q2")

@@ -141,3 +141,108 @@ def test_next_uri_uses_host_header(rest):
     with _u.urlopen(req) as resp:
         first = json.load(resp)
     assert first["nextUri"].startswith("http://example.test:9999/")
+
+
+# -- round 6: true paging, interval/time rendering, read-only guard ----
+
+@pytest.fixture(scope="module")
+def paged(spark, sf_dir):
+    """A server with small pages so multi-page streaming is exercised."""
+    eng = Engine(spark).register_tables(sf_dir)
+    srv = PrestoRestServer(eng, page_rows=3).start()
+    yield srv
+    srv.stop()
+
+
+def test_multi_page_round_trip(paged):
+    first = _post(paged.url, "SELECT n_nationkey AS k FROM nation ORDER BY n_nationkey LIMIT 10")
+    assert first["stats"]["state"] == "RUNNING" and "data" not in first
+    pages, page = [], first
+    while "nextUri" in page:
+        page = _get(page["nextUri"])
+        if page["stats"]["state"] == "FAILED":
+            raise AssertionError(page["error"])
+        pages.append(page)
+    # 10 rows at page_rows=3 -> per-page row counts 3,3,3,1
+    assert [len(p["data"]) for p in pages] == [3, 3, 3, 1]
+    assert [p["stats"]["state"] for p in pages] == [
+        "RUNNING", "RUNNING", "RUNNING", "FINISHED"
+    ]
+    rows = [r[0] for p in pages for r in p["data"]]
+    assert rows == list(range(10))
+
+
+def test_latest_page_is_retryable_mid_stream(paged):
+    first = _post(paged.url, "SELECT n_nationkey AS k FROM nation ORDER BY n_nationkey LIMIT 7")
+    p1 = _get(first["nextUri"])
+    p1_again = _get(first["nextUri"])  # retry before advancing
+    assert p1["data"] == p1_again["data"]
+    p2 = _get(p1["nextUri"])
+    assert len(p2["data"]) == 3
+    # page 1 is gone once the client advanced
+    stale = _get(first["nextUri"])
+    assert stale["stats"]["state"] == "FAILED"
+    assert stale["error"]["errorName"] == "PAGE_GONE"
+    p3 = _get(p2["nextUri"])
+    assert p3["stats"]["state"] == "FINISHED" and len(p3["data"]) == 1
+
+
+def test_exact_page_boundary_has_no_empty_tail(paged):
+    # 6 rows at page_rows=3: exactly 2 pages, the second FINISHED
+    first = _post(paged.url, "SELECT n_nationkey AS k FROM nation ORDER BY n_nationkey LIMIT 6")
+    p1 = _get(first["nextUri"])
+    assert len(p1["data"]) == 3 and "nextUri" in p1
+    p2 = _get(p1["nextUri"])
+    assert len(p2["data"]) == 3
+    assert p2["stats"]["state"] == "FINISHED" and "nextUri" not in p2
+
+
+def test_interval_and_time_wire_rendering(rest):
+    final = _run(rest.url, "SELECT parse_duration('5 m') AS d")
+    assert final["stats"]["state"] == "FINISHED"
+    assert final["data"][0][0] == "0 00:05:00.000"
+
+
+def test_json_value_timedelta_time_unit():
+    import datetime as dt
+
+    from presto_on_ray_spark.rest_server import _json_value
+
+    assert _json_value(dt.timedelta(minutes=5)) == "0 00:05:00.000"
+    assert _json_value(dt.timedelta(days=1, hours=2, milliseconds=7)) == "1 02:00:00.007"
+    assert _json_value(dt.timedelta(minutes=-5)) == "-0 00:05:00.000"
+    assert _json_value(dt.time(10, 30, 0, 250000)) == "10:30:00.250"
+
+
+def test_interval_result_round_trips(rest):
+    # regression: interval results used to TypeError inside json.dumps
+    # (outside the try/except) and drop the connection with no payload
+    final = _run(rest.url, "SELECT parse_duration('90 s') AS d")
+    assert final["stats"]["state"] == "FINISHED"
+    assert final["data"][0][0] == "0 00:01:30.000"
+
+
+@pytest.fixture(scope="module")
+def readonly(spark, sf_dir):
+    eng = Engine(spark).register_tables(sf_dir)
+    srv = PrestoRestServer(eng, read_only=True).start()
+    yield srv
+    srv.stop()
+
+
+def test_read_only_rejects_mutations(readonly):
+    for sql in (
+        "DELETE FROM nation",
+        "CREATE VIEW v_ro AS SELECT 1 AS x",
+        "DROP VIEW v_ro",
+        "INSERT INTO nation VALUES (1)",
+    ):
+        page = _post(readonly.url, sql)
+        assert page["stats"]["state"] == "FAILED", sql
+        assert page["error"]["errorName"] == "PERMISSION_DENIED", sql
+
+
+def test_read_only_allows_select(readonly):
+    final = _run(readonly.url, "SELECT count(*) AS n FROM region")
+    assert final["stats"]["state"] == "FINISHED"
+    assert final["data"][0][0] == 5
