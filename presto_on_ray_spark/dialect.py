@@ -462,11 +462,30 @@ def translate(sql: str) -> str:
             frac = body.split(".")[1] if "." in body else ""
             precision = max(len(digits), 1)
             return f"CAST({ph} AS DECIMAL({precision}, {len(frac)}))"
+        if typ == "TIME":
+            # Spark 4.1's native TIME literal covers the plain form;
+            # the tz form ('10:30:00 +05:30') has no Spark type, so it
+            # lowers to the engine's struct rendering
+            # (functions/timetype.py). Parsed here so a bad literal
+            # errors at translate time, like Presto's parser.
+            from presto_on_ray_spark.functions import timetype as _tt
+
+            micros, offset = _tt.parse_time(body)
+            if offset is None:
+                return f"TIME {ph}"
+            h, rem = divmod(micros, _tt.MICROS_PER_HOUR)
+            mi, rem = divmod(rem, _tt.MICROS_PER_MINUTE)
+            s, frac = divmod(rem, _tt.MICROS_PER_SECOND)
+            return (
+                f"named_struct('t', make_time({h}, {mi}, "
+                f"CAST({s}.{frac:06d} AS DECIMAL(8,6))), "
+                f"'offset_minutes', {offset})"
+            )
         spark_type = {"REAL": "FLOAT"}.get(typ, typ)
         return f"CAST({ph} AS {spark_type})"
 
     translated = re.sub(
-        r"\b(DECIMAL|BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR|CHAR)"
+        r"\b(DECIMAL|BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR|CHAR|TIME)"
         r"\s+\x00(\d+)\x00",
         _typed_literal,
         translated, flags=re.IGNORECASE,
@@ -475,6 +494,22 @@ def translate(sql: str) -> str:
     translated = re.sub(
         r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()", translated,
         flags=re.IGNORECASE,
+    )
+    # Presto localtime -> TIME (time-of-day of the session clock);
+    # current_time -> TIME WITH TIME ZONE at the session zone (pinned
+    # UTC, so offset 0). \b keeps both clear of localtimestamp /
+    # current_timestamp (no word boundary before 'stamp').
+    _NOW_TIME = (
+        "to_time(date_format(localtimestamp(), 'HH:mm:ss.SSSSSS'),"
+        " 'HH:mm:ss.SSSSSS')"
+    )
+    translated = re.sub(
+        r"\blocaltime\b(?!\s*\()", _NOW_TIME, translated, flags=re.IGNORECASE
+    )
+    translated = re.sub(
+        r"\bcurrent_time\b(?!\s*\()",
+        f"named_struct('t', {_NOW_TIME}, 'offset_minutes', 0)",
+        translated, flags=re.IGNORECASE,
     )
     # Presto JSON type is rendered as string (SURVEY §1.3), so
     # json_parse/json_format are identities over valid JSON text.

@@ -52,6 +52,7 @@ def get_spark(
         # size so local[32] gets >=32 input partitions at sf0.1.
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
@@ -71,4 +72,8 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Presto has a first-class TIME type (SURVEY §1.2); Spark 4.1 ships
+    # one behind this flag (literal, casts, hour/minute/second/extract,
+    # ordering, parquet round-trip all native once enabled).
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     return spark

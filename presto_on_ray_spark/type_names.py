@@ -34,11 +34,28 @@ def presto_type_name(dt: T.DataType) -> str:
         return "date"
     if isinstance(dt, T.TimestampType):
         return "timestamp"
+    if isinstance(dt, getattr(T, "TimeType", ())):
+        return "time"
     if isinstance(dt, T.ArrayType):
         return f"array({presto_type_name(dt.elementType)})"
     if isinstance(dt, T.MapType):
         return f"map({presto_type_name(dt.keyType)}, {presto_type_name(dt.valueType)})"
     if isinstance(dt, T.StructType):
+        # the engine's struct renderings of Presto's zone-carrying
+        # types (functions/tztype.py, functions/timetype.py) print as
+        # the Presto type, not as row(...)
+        names = [f.name for f in dt.fields]
+        if (
+            names == ["instant", "tz"]
+            and isinstance(dt.fields[0].dataType, T.TimestampType)
+            and isinstance(dt.fields[1].dataType, T.StringType)
+        ):
+            return "timestamp with time zone"
+        if (
+            names == ["t", "offset_minutes"]
+            and isinstance(dt.fields[0].dataType, getattr(T, "TimeType", ()))
+        ):
+            return "time with time zone"
         fields = ", ".join(
             f"{f.name} {presto_type_name(f.dataType)}" for f in dt.fields
         )
