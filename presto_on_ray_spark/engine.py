@@ -123,12 +123,27 @@ _TXN_RE = re.compile(
 _SIZE_RE = re.compile(r"^\s*([0-9.]+)\s*([KMGT]?B)\s*$", re.IGNORECASE)
 _SIZE_FACTORS = {"B": 1, "KB": 1 << 10, "MB": 1 << 20, "GB": 1 << 30, "TB": 1 << 40}
 
+# Presto duration literals ('100ms', '2s', '5m', '1.5h', '2d') — the
+# value syntax of query.max-run-time and friends.
+_DURATION_RE = re.compile(r"^\s*([0-9.]+)\s*(ns|us|ms|s|m|h|d)\s*$", re.IGNORECASE)
+_DURATION_FACTORS = {
+    "ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0,
+    "h": 3600.0, "d": 86400.0,
+}
+
 
 def _parse_size_bytes(text: str) -> int:
     m = _SIZE_RE.match(text)
     if not m:
         raise ValueError(f"invalid size literal: {text!r} (expected e.g. '1GB')")
     return int(float(m.group(1)) * _SIZE_FACTORS[m.group(2).upper()])
+
+
+def _parse_duration_seconds(text: str) -> float:
+    m = _DURATION_RE.match(text)
+    if not m:
+        raise ValueError(f"invalid duration literal: {text!r} (expected e.g. '30s')")
+    return float(m.group(1)) * _DURATION_FACTORS[m.group(2).lower()]
 
 
 def _split_top_level_commas(text: str) -> list[str]:
@@ -174,7 +189,9 @@ class Engine:
         self._prepared: dict[str, str] = {}
         self._session_props: dict[str, str] = {}
         self._admission_bytes: int | None = None
+        self._max_run_time_s: float | None = None
         self._pool: str | None = None
+        self.last_job_group: str | None = None
         self._table_stats: dict[str, list[tuple]] = {}
         # attached Presto-style namespaces: {catalog: {schema, ...}}
         self._catalogs: dict[str, set[str]] = {}
@@ -289,7 +306,28 @@ class Engine:
             self.spark.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", effective_pool
             )
+        if self._max_run_time_s is not None:
+            # runtime kill switch (Presto query.max-run-time): the
+            # calling thread's actions for THIS query run under a
+            # fresh job group that a daemon timer cancels at the
+            # deadline; concurrent queries (other threads/pools) are
+            # untouched. See resource_pools.arm_watchdog.
+            from presto_on_ray_spark.resource_pools import arm_watchdog
+
+            self.last_job_group = arm_watchdog(
+                self.spark, self._max_run_time_s,
+                description=text.strip()[:120],
+            )
         return df
+
+    def kill_query(self, job_group: str | None = None) -> None:
+        """Cancel a running query's jobs (Presto's kill-query): by the
+        job group arm_watchdog assigned, defaulting to the most recent
+        watchdog-armed query on this engine."""
+        gid = job_group or self.last_job_group
+        if gid is None:
+            raise ValueError("no watchdog-armed query to kill")
+        self.spark.sparkContext.cancelJobGroup(gid)
 
     def spark_sql(self, text: str) -> DataFrame:
         """Run native Spark SQL untranslated."""
@@ -635,6 +673,8 @@ class Engine:
             value = raw[1:-1] if len(raw) >= 2 and raw[0] == raw[-1] == "'" else raw
             if key in ("query_max_memory", "query_max_memory_per_node"):
                 self._admission_bytes = _parse_size_bytes(value)
+            elif key == "query_max_run_time":
+                self._max_run_time_s = _parse_duration_seconds(value)
             elif key == "scheduler_pool":
                 self._pool = value or None
             self._session_props[key] = value
@@ -644,6 +684,8 @@ class Engine:
             self._session_props.pop(key, None)
             if key in ("query_max_memory", "query_max_memory_per_node"):
                 self._admission_bytes = None
+            elif key == "query_max_run_time":
+                self._max_run_time_s = None
             elif key == "scheduler_pool":
                 self._pool = None
             return None

@@ -28,6 +28,8 @@ suite query; tests/test_resource_pools.py drives them end-to-end.
 
 from __future__ import annotations
 
+import threading
+import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +38,31 @@ from pyspark.sql import DataFrame, SparkSession
 class QueryAdmissionError(RuntimeError):
     """Raised when a query's estimated input exceeds the admission cap
     (the engine's analogue of Presto's query.max-memory rejection)."""
+
+
+def arm_watchdog(spark: SparkSession, seconds: float,
+                 description: str = "") -> str:
+    """Mid-flight kill switch: scope the CALLING THREAD's next actions
+    to a fresh job group and cancel that group after ``seconds``.
+
+    This is the engine's rendering of Presto's query.max-run-time (the
+    runtime companion to the reference's query.max-memory family,
+    presto-mgr.py:65-67): Spark cannot meter per-query BYTES inside a
+    shared JVM (SCALING.md), but it CAN cancel a query's jobs
+    wholesale — ``cancelJobGroup`` interrupts every running task of the
+    group while other pools/queries keep their tasks. The timer starts
+    at arm time (Presto counts from query submission the same way);
+    firing after the query finished is a no-op because the group id is
+    fresh per arm and never reused. Returns the group id so a caller
+    can also cancel manually (kill-query)."""
+    sc = spark.sparkContext
+    gid = f"wdg-{uuid.uuid4().hex[:12]}"
+    sc.setJobGroup(gid, description or f"query_max_run_time={seconds}s",
+                   interruptOnCancel=True)
+    timer = threading.Timer(seconds, lambda: sc.cancelJobGroup(gid))
+    timer.daemon = True
+    timer.start()
+    return gid
 
 
 def fair_pools_conf() -> dict[str, str]:

@@ -96,3 +96,83 @@ def test_engine_sql_admission_and_pool(spark, sf_dir):
         == "interactive"
     )
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+
+def test_watchdog_cancels_heavy_query_while_concurrent_completes(spark, sf_dir):
+    """r6: SET SESSION query_max_run_time arms a cancelJobGroup-based
+    watchdog — the deliberately heavy query dies mid-flight at the
+    deadline while a concurrent query on another thread completes
+    untouched (per-thread job groups + FAIR pools)."""
+    import threading
+    import time
+
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark).register_tables(sf_dir)
+    eng.sql("SET SESSION query_max_run_time = '2s'")
+    # ~2e11 additions: tens of seconds on local[4] if left alone
+    heavy = eng.sql("SELECT sum(pmod(id, 1000)) AS s FROM range(200000000000)")
+    assert eng.last_job_group is not None and eng.last_job_group.startswith("wdg-")
+
+    side: dict = {}
+
+    def run_light():
+        time.sleep(0.3)  # let the heavy query occupy the cluster first
+        side["light"] = spark.sql(
+            "SELECT count(*) AS n FROM range(1000)"
+        ).collect()[0][0]
+
+    th = threading.Thread(target=run_light, daemon=True)
+    th.start()
+    start = time.monotonic()
+    with pytest.raises(Exception) as ei:
+        heavy.collect()
+    elapsed = time.monotonic() - start
+    assert "cancel" in str(ei.value).lower()
+    assert elapsed < 30, f"watchdog did not fire in time ({elapsed:.1f}s)"
+    th.join(timeout=60)
+    assert side.get("light") == 1000
+    eng.sql("RESET SESSION query_max_run_time")
+
+
+def test_watchdog_fast_query_unaffected(spark, sf_dir):
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark).register_tables(sf_dir)
+    eng.sql("SET SESSION query_max_run_time = '60s'")
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0][0] == 5
+    eng.sql("RESET SESSION query_max_run_time")
+
+
+def test_kill_query_manual(spark, sf_dir):
+    """Engine.kill_query cancels by the watchdog-assigned group id."""
+    import threading
+    import time
+
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark).register_tables(sf_dir)
+    eng.sql("SET SESSION query_max_run_time = '600s'")  # far-off deadline
+    heavy = eng.sql("SELECT sum(pmod(id, 997)) AS s FROM range(200000000000)")
+    gid = eng.last_job_group
+
+    killer = threading.Timer(1.5, lambda: eng.kill_query(gid))
+    killer.daemon = True
+    killer.start()
+    start = time.monotonic()
+    with pytest.raises(Exception) as ei:
+        heavy.collect()
+    assert "cancel" in str(ei.value).lower()
+    assert time.monotonic() - start < 30
+    eng.sql("RESET SESSION query_max_run_time")
+
+
+def test_duration_literal_parse():
+    from presto_on_ray_spark.engine import _parse_duration_seconds
+
+    assert _parse_duration_seconds("100ms") == 0.1
+    assert _parse_duration_seconds("2s") == 2.0
+    assert _parse_duration_seconds("1.5m") == 90.0
+    assert _parse_duration_seconds("2h") == 7200.0
+    with pytest.raises(ValueError):
+        _parse_duration_seconds("fast")
