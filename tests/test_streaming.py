@@ -344,3 +344,103 @@ def test_streaming_with_rocksdb_state_store(spark, sf_dir):
         assert got == batch
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_dedup_late_duplicate_injection(spark, tmp_path):
+    """r6 (VERDICT #7): multi-batch dropDuplicatesWithinWatermark run
+    with DELIBERATE late duplicates, mirroring the batch keeper
+    semantics within the horizon. Watermarks (delay 1h) lag one batch
+    and state eviction runs as batches process, so the timeline spans
+    three micro-batches (maxFilesPerTrigger=1):
+
+    batch 1 (sets watermark 11:00 via the 12:00 row):
+      k1@10:00 twice   -> one keeper (in-batch duplicate suppressed)
+      k2@09:30         -> keeper; state expires at 10:30
+      k4@11:50         -> keeper; state alive until 12:50
+    batch 2 (watermark 11:00 -> 12:00 via the 13:00 row; k2's expired
+             state is evicted as this batch processes):
+      k1@10:30  LATE (older than watermark)    -> dropped, never emitted
+      k4@11:55  duplicate within live horizon  -> suppressed by state
+    batch 3:
+      k2@12:30  after k2's state was evicted   -> re-admitted as new
+      k4@12:40  still within k4's live horizon -> suppressed
+      k3@12:45  brand new                      -> keeper
+    """
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "seq": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        path = str(src / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    def t(hh, mm):
+        return dt.datetime(2024, 6, 1, hh, mm, tzinfo=dt.timezone.utc)
+
+    now = time.time()
+    write_batch(
+        "b1.parquet",
+        [("k1", t(10, 0), 1), ("k1", t(10, 0), 2), ("k2", t(9, 30), 3),
+         ("k4", t(11, 50), 4), ("wm", t(12, 0), 5)],
+        now - 120,
+    )
+    write_batch(
+        "b2.parquet",
+        [("k1", t(10, 30), 6), ("k4", t(11, 55), 7), ("wm2", t(13, 0), 10)],
+        now - 60,
+    )
+    write_batch(
+        "b3.parquet",
+        [("k2", t(12, 30), 8), ("k4", t(12, 40), 11), ("k3", t(12, 45), 9)],
+        now,
+    )
+
+    schema = "k string, ts timestamp, seq bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("late_dup_injection")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("late_dup_injection").collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r.seq)
+
+    # in-batch duplicate suppressed: exactly one k1 keeper, from batch 1
+    assert len(by_key["k1"]) == 1 and by_key["k1"][0] in (1, 2)
+    # the late k1@10:30 (seq 6) must never surface
+    assert 6 not in {s for seqs in by_key.values() for s in seqs}
+    # duplicates within the live horizon suppressed: k4 keeps batch 1's row
+    assert by_key["k4"] == [4]
+    # k2 re-admitted after its state expired (windowed semantics contract)
+    assert sorted(by_key["k2"]) == [3, 8]
+    # brand-new key in batch 3 kept
+    assert by_key["k3"] == [9]
+    assert set(by_key) == {"k1", "k2", "k3", "k4", "wm", "wm2"}
+    spark.catalog.dropTempView("late_dup_injection")
