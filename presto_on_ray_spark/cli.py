@@ -44,6 +44,9 @@ def format_table(columns: list[str], rows: list[tuple]) -> str:
     return "\n".join(lines)
 
 
+_END = object()
+
+
 def run_statement(
     engine,
     statement: str,
@@ -51,17 +54,49 @@ def run_statement(
     max_rows: int = 100,
     max_input_bytes: int | None = None,
     pool: str | None = None,
+    page: bool = False,
+    in_stream: IO[str] | None = None,
 ) -> None:
+    """Execute one statement and print the result.
+
+    ``page=False`` (the -e / piped mode): one ``max_rows`` window, like
+    before. ``page=True`` (interactive REPL): stream the FULL result in
+    ``max_rows``-sized pages through ``toLocalIterator()`` — the same
+    memory bound as the REST server's paging (one page + one in-transit
+    partition on the driver, never a full collect), prompting between
+    pages like presto-cli's pager ('q' stops)."""
     df = engine.sql(statement, max_input_bytes=max_input_bytes, pool=pool)
     if df is None or not df.columns:
         print("OK", file=out)
         return
-    rows = df.limit(max_rows + 1).collect()
-    truncated = len(rows) > max_rows
-    rows = rows[:max_rows]
-    print(format_table(df.columns, [tuple(r) for r in rows]), file=out)
-    note = f" (first {max_rows} rows)" if truncated else ""
-    print(f"({len(rows)} row{'s' if len(rows) != 1 else ''}){note}\n", file=out)
+    if not page:
+        rows = df.limit(max_rows + 1).collect()
+        truncated = len(rows) > max_rows
+        rows = rows[:max_rows]
+        print(format_table(df.columns, [tuple(r) for r in rows]), file=out)
+        note = f" (first {max_rows} rows)" if truncated else ""
+        print(f"({len(rows)} row{'s' if len(rows) != 1 else ''}){note}\n", file=out)
+        return
+    it = df.toLocalIterator()
+    pending = next(it, _END)
+    total, stopped = 0, False
+    while pending is not _END and not stopped:
+        chunk: list = []
+        while pending is not _END and len(chunk) < max_rows:
+            chunk.append(pending)
+            pending = next(it, _END)
+        # widths align within a page (each page prints its own header,
+        # like a terminal pager re-drawing)
+        print(format_table(df.columns, [tuple(r) for r in chunk]), file=out)
+        total += len(chunk)
+        if pending is not _END:
+            print("-- more? [Enter continues, q stops] --", end="",
+                  file=out, flush=True)
+            answer = in_stream.readline() if in_stream is not None else ""
+            if answer.strip().lower().startswith("q"):
+                stopped = True
+    note = " (stopped)" if stopped else ""
+    print(f"({total} row{'s' if total != 1 else ''}){note}\n", file=out)
 
 
 def repl(engine, in_stream: IO[str], out: IO[str], max_rows: int = 100,
@@ -71,7 +106,13 @@ def repl(engine, in_stream: IO[str], out: IO[str], max_rows: int = 100,
     buf: list[str] = []
     if interactive:
         print(PROMPT, end="", file=out, flush=True)
-    for line in in_stream:
+    while True:
+        # readline() (not iteration) so run_statement's pager prompt can
+        # read from the same stream mid-statement without the buffered-
+        # iterator conflict Python raises on real files
+        line = in_stream.readline()
+        if line == "":  # EOF
+            break
         stripped = line.strip()
         if not buf and stripped.lower() in ("quit", "exit", "quit;", "exit;", r"\q"):
             break
@@ -81,8 +122,11 @@ def repl(engine, in_stream: IO[str], out: IO[str], max_rows: int = 100,
             buf = []
             if statement:
                 try:
+                    # interactive shells page the full result; piped /
+                    # -e input keeps the bounded window
                     run_statement(engine, statement, out, max_rows=max_rows,
-                                  max_input_bytes=max_input_bytes, pool=pool)
+                                  max_input_bytes=max_input_bytes, pool=pool,
+                                  page=interactive, in_stream=in_stream)
                 except Exception as exc:  # show the error, keep the shell alive
                     msg = str(exc).splitlines()[0] if str(exc) else repr(exc)
                     print(f"ERROR: {msg}", file=out)

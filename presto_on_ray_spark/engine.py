@@ -641,18 +641,42 @@ class Engine:
             return self.spark.createDataFrame([(True,)], "Valid BOOLEAN")
         elif etype == "IO":
             # input locations, one per distinct parent directory — the
-            # engine's rendering of Presto's IO plan (input tables)
+            # engine's rendering of Presto's IO plan (input tables),
+            # enriched (r6) with parquet-footer facts and the row-group
+            # pruning the query's own pushed filters predict
+            # (layout.footer_stats over plans.inspect ranges): the scan
+            # cost a user reads BEFORE running the query.
             import os as _os
+
+            from presto_on_ray_spark import layout as _layout
+            from presto_on_ray_spark.plans.inspect import pushed_filter_ranges
 
             # part files fold into their dataset directory; single-file
             # locations are reported as-is. Bounded: distinct dataset
-            # locations, never the raw file list.
+            # locations + footer reads only, never data pages.
             dirs = sorted({
                 _os.path.dirname(f) if _os.path.basename(f).startswith("part-") else f
                 for f in df.inputFiles()
             })
+            ranges = pushed_filter_ranges(df)
+            rows = []
+            for d in dirs:
+                st = _layout.footer_stats(
+                    d.removeprefix("file:"), ranges or None
+                )
+                rows.append((
+                    d, st["files"], st["row_groups"], st["rows"],
+                    st["row_groups_pruned"],
+                    ", ".join(
+                        f"{c} in [{lo if lo is not None else '-inf'}, "
+                        f"{hi if hi is not None else 'inf'}]"
+                        for c, (lo, hi) in sorted(ranges.items())
+                    ),
+                ))
             return self.spark.createDataFrame(
-                [(d,) for d in dirs] or [], "input_location STRING"
+                rows or [],
+                "input_location STRING, files INT, row_groups INT, "
+                "rows BIGINT, row_groups_pruned INT, pushed_ranges STRING",
             )
         elif etype == "LOGICAL":
             plan = qe.optimizedPlan().toString()

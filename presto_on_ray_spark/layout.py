@@ -140,6 +140,61 @@ def layout_scan_demo(spark, sf_dir: str, base_dir: str, num_files: int = 8) -> d
     }
 
 
+def footer_stats(path: str, ranges: dict | None = None) -> dict:
+    """Footer-only facts about a parquet location (file or dataset
+    dir): file/row-group/row counts plus — when ``ranges`` maps columns
+    to (lo, hi) bounds, e.g. from a query's pushed filters — how many
+    row groups those bounds would prune on min/max statistics alone.
+    This is the same per-row-group check pruning_stats() performs,
+    generalized to multiple columns; it powers EXPLAIN (TYPE IO)'s
+    predicted-pruning column (engine._render_explain). Bounded work:
+    footers only, never data pages."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    targets = (
+        [path]
+        if os.path.isfile(path)
+        else glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    files = row_groups = pruned = 0
+    rows = 0
+    for f in targets:
+        try:
+            meta = pq.ParquetFile(f).metadata
+        except Exception:
+            continue  # non-parquet input (csv/json locations): skip
+        files += 1
+        rows += meta.num_rows
+        for rg_i in range(meta.num_row_groups):
+            row_groups += 1
+            if not ranges:
+                continue
+            rg = meta.row_group(rg_i)
+            for ci in range(meta.num_columns):
+                col = rg.column(ci)
+                bounds = ranges.get(col.path_in_schema)
+                if bounds is None or col.statistics is None:
+                    continue
+                lo, hi = bounds
+                try:
+                    a = _stat_ordinal(col.statistics.min)
+                    b = _stat_ordinal(col.statistics.max)
+                except ValueError:
+                    continue  # non-numeric stats: no span check
+                if (hi is not None and a > hi) or (lo is not None and b < lo):
+                    pruned += 1
+                    break  # one disjoint column prunes the whole group
+    return {
+        "files": files,
+        "row_groups": row_groups,
+        "rows": rows,
+        "row_groups_pruned": pruned,
+    }
+
+
 def clustering_stats(path: str, column: str) -> dict:
     """Measure how selective the layout is for ``column``: read every
     parquet row group's min/max (footers only — no data pages) and

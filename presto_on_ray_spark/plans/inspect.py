@@ -24,6 +24,41 @@ def explain_formatted(df: DataFrame) -> str:
     )
 
 
+def pushed_filter_ranges(df: DataFrame) -> dict[str, tuple]:
+    """The numeric (lo, hi) bounds the plan's PushedFilters impose per
+    column — the subset of pushdown a parquet footer can act on
+    (GreaterThan[OrEqual] / LessThan[OrEqual] / EqualTo with numeric
+    literals; IsNotNull and string/complex predicates don't constrain a
+    min/max span). Feeds EXPLAIN (TYPE IO)'s predicted row-group
+    pruning (layout.footer_stats)."""
+    import re
+
+    plan = explain_formatted(df)
+    ranges: dict[str, list] = {}
+
+    def bound(col: str, lo=None, hi=None) -> None:
+        cur = ranges.setdefault(col, [None, None])
+        if lo is not None:
+            cur[0] = lo if cur[0] is None else max(cur[0], lo)
+        if hi is not None:
+            cur[1] = hi if cur[1] is None else min(cur[1], hi)
+
+    for filters in re.findall(r"PushedFilters: \[([^\]]*)\]", plan):
+        for name, col, val in re.findall(
+            r"(GreaterThanOrEqual|GreaterThan|LessThanOrEqual|LessThan|EqualTo)"
+            r"\((\w+),([-0-9.eE]+)\)",
+            filters,
+        ):
+            v = float(val)
+            if name.startswith("Greater"):
+                bound(col, lo=v)
+            elif name.startswith("Less"):
+                bound(col, hi=v)
+            else:
+                bound(col, lo=v, hi=v)
+    return {c: (lo, hi) for c, (lo, hi) in ranges.items()}
+
+
 def physical_summary(df: DataFrame) -> dict[str, bool | int]:
     """Plan-shape facts used by the scale assertions."""
     plan = explain_formatted(df)

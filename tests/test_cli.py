@@ -75,3 +75,52 @@ select l_returnflag, count(*) AS n from lineitem group by 1;
         == "repl-pool"
     )
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+
+def test_interactive_paging_streams_full_result(spark, sf_dir):
+    """r6: the interactive shell pages the FULL result max_rows at a
+    time through toLocalIterator (REST paging symmetry) — Enter
+    continues; every row arrives across pages."""
+    from presto_on_ray_spark.cli import run_statement
+
+    eng = Engine(spark).register_tables(sf_dir)
+    # 10 rows, 3-row pages -> 3 'more?' prompts answered with Enter
+    answers = io.StringIO("\n\n\n")
+    out = io.StringIO()
+    run_statement(
+        eng,
+        "SELECT n_nationkey FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey",
+        out, max_rows=3, page=True, in_stream=answers,
+    )
+    text = out.getvalue()
+    assert text.count("more?") == 3
+    assert "(10 rows)" in text
+    for k in range(10):
+        assert f"\n {k} " in text or f"\n {k}\n" in text.replace(" |", "|")
+
+
+def test_interactive_paging_q_stops(spark, sf_dir):
+    from presto_on_ray_spark.cli import run_statement
+
+    eng = Engine(spark).register_tables(sf_dir)
+    out = io.StringIO()
+    run_statement(
+        eng,
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey",
+        out, max_rows=4, page=True, in_stream=io.StringIO("q\n"),
+    )
+    text = out.getvalue()
+    assert text.count("more?") == 1
+    assert "(4 rows) (stopped)" in text
+
+
+def test_noninteractive_mode_keeps_bounded_window(spark, sf_dir):
+    eng = Engine(spark).register_tables(sf_dir)
+    out = io.StringIO()
+    repl(
+        eng,
+        io.StringIO("SELECT n_nationkey FROM nation ORDER BY n_nationkey;\n"),
+        out, max_rows=5, interactive=False,
+    )
+    text = out.getvalue()
+    assert "(first 5 rows)" in text and "more?" not in text

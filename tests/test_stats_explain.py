@@ -110,3 +110,24 @@ def test_stats_complex_columns_null(eng):
     rows = {r["column_name"]: r for r in df.collect()}
     emb = rows["embedding"]
     assert emb["distinct_values_count"] is None and emb["nulls_fraction"] is None
+
+
+def test_explain_io_footer_stats_and_predicted_pruning(eng):
+    """r6: EXPLAIN (TYPE IO) reports parquet-footer facts and the
+    row-group pruning predicted by the query's own pushed filters."""
+    rows = eng.sql(
+        "EXPLAIN (TYPE IO) SELECT l_orderkey FROM lineitem"
+        " WHERE l_orderkey <= -1"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert "lineitem.parquet" in r.input_location
+    assert r.files >= 1 and r.row_groups >= 1 and r.rows > 0
+    # l_orderkey <= -1 excludes every row group (keys start at 0)
+    assert r.row_groups_pruned == r.row_groups
+    assert "l_orderkey" in r.pushed_ranges and "-inf" in r.pushed_ranges
+
+    # no predicate -> nothing pruned, same footer facts
+    rows = eng.sql("EXPLAIN (TYPE IO) SELECT * FROM lineitem").collect()
+    assert rows[0].row_groups_pruned == 0
+    assert rows[0].pushed_ranges == ""
