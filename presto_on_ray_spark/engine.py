@@ -192,6 +192,7 @@ class Engine:
         self._max_run_time_s: float | None = None
         self._pool: str | None = None
         self.last_job_group: str | None = None
+        self._watchdog = None  # resource_pools.Watchdog of the last armed query
         self._table_stats: dict[str, list[tuple]] = {}
         # attached Presto-style namespaces: {catalog: {schema, ...}}
         self._catalogs: dict[str, set[str]] = {}
@@ -306,6 +307,11 @@ class Engine:
             self.spark.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", effective_pool
             )
+        # Disarm the previous query's watchdog and drop its thread-local
+        # job group BEFORE (re-)arming: a stale timer must not fire into
+        # whatever runs next on this thread, and after RESET SESSION the
+        # thread must not keep executing under the old group id.
+        self._disarm_watchdog()
         if self._max_run_time_s is not None:
             # runtime kill switch (Presto query.max-run-time): the
             # calling thread's actions for THIS query run under a
@@ -314,11 +320,34 @@ class Engine:
             # untouched. See resource_pools.arm_watchdog.
             from presto_on_ray_spark.resource_pools import arm_watchdog
 
-            self.last_job_group = arm_watchdog(
+            self._watchdog = arm_watchdog(
                 self.spark, self._max_run_time_s,
                 description=text.strip()[:120],
             )
+            self.last_job_group = self._watchdog.group
         return df
+
+    def _disarm_watchdog(self) -> None:
+        """Cancel the pending watchdog timer (if any) and clear this
+        thread's job-group local properties, so neither the timer nor
+        the stale group id can affect subsequent queries."""
+        from presto_on_ray_spark.resource_pools import clear_job_group
+
+        if self._watchdog is not None:
+            self._watchdog.disarm()
+            self._watchdog = None
+        clear_job_group(self.spark)
+
+    def detach_watchdog(self):
+        """Transfer ownership of the last armed watchdog to the caller
+        (or None if none armed). Used by servers that consume the
+        result on OTHER threads (REST paging via toLocalIterator): the
+        caller re-applies the group id on each consuming thread and
+        disarms the timer itself when the query completes, so the next
+        sql() on this thread won't cancel a still-streaming query's
+        kill switch."""
+        wd, self._watchdog = self._watchdog, None
+        return wd
 
     def kill_query(self, job_group: str | None = None) -> None:
         """Cancel a running query's jobs (Presto's kill-query): by the
@@ -649,7 +678,9 @@ class Engine:
             import os as _os
 
             from presto_on_ray_spark import layout as _layout
-            from presto_on_ray_spark.plans.inspect import pushed_filter_ranges
+            from presto_on_ray_spark.plans.inspect import (
+                pushed_filter_ranges_by_scan,
+            )
 
             # part files fold into their dataset directory; single-file
             # locations are reported as-is. Bounded: distinct dataset
@@ -658,9 +689,28 @@ class Engine:
                 _os.path.dirname(f) if _os.path.basename(f).startswith("part-") else f
                 for f in df.inputFiles()
             })
-            ranges = pushed_filter_ranges(df)
+            # per-scan: each FileScan's PushedFilters apply only to its
+            # own Location, so a filter on one table never predicts
+            # pruning for another table sharing the column name
+            by_scan = pushed_filter_ranges_by_scan(df)
+
+            def _norm(p: str) -> str:
+                # file:///x, file:/x and /x are the same local path
+                return re.sub(r"^file:/*", "/", p).rstrip("/")
+
+            def _ranges_for(d: str) -> dict:
+                bare = _norm(d)
+                out: dict = {}
+                for paths, ranges in by_scan:
+                    for p in paths:
+                        pb = _norm(p)
+                        if pb == bare or bare.startswith(pb + "/"):
+                            out.update(ranges)
+                return out
+
             rows = []
             for d in dirs:
+                ranges = _ranges_for(d)
                 st = _layout.footer_stats(
                     d.removeprefix("file:"), ranges or None
                 )

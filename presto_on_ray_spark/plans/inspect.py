@@ -24,16 +24,13 @@ def explain_formatted(df: DataFrame) -> str:
     )
 
 
-def pushed_filter_ranges(df: DataFrame) -> dict[str, tuple]:
-    """The numeric (lo, hi) bounds the plan's PushedFilters impose per
-    column — the subset of pushdown a parquet footer can act on
-    (GreaterThan[OrEqual] / LessThan[OrEqual] / EqualTo with numeric
-    literals; IsNotNull and string/complex predicates don't constrain a
-    min/max span). Feeds EXPLAIN (TYPE IO)'s predicted row-group
-    pruning (layout.footer_stats)."""
+def _parse_filter_ranges(filters: str) -> dict[str, tuple]:
+    """Numeric (lo, hi) bounds from one PushedFilters list body — the
+    subset of pushdown a parquet footer can act on (GreaterThan[OrEqual]
+    / LessThan[OrEqual] / EqualTo with numeric literals; IsNotNull and
+    string/complex predicates don't constrain a min/max span)."""
     import re
 
-    plan = explain_formatted(df)
     ranges: dict[str, list] = {}
 
     def bound(col: str, lo=None, hi=None) -> None:
@@ -43,20 +40,59 @@ def pushed_filter_ranges(df: DataFrame) -> dict[str, tuple]:
         if hi is not None:
             cur[1] = hi if cur[1] is None else min(cur[1], hi)
 
-    for filters in re.findall(r"PushedFilters: \[([^\]]*)\]", plan):
-        for name, col, val in re.findall(
-            r"(GreaterThanOrEqual|GreaterThan|LessThanOrEqual|LessThan|EqualTo)"
-            r"\((\w+),([-0-9.eE]+)\)",
-            filters,
-        ):
-            v = float(val)
-            if name.startswith("Greater"):
-                bound(col, lo=v)
-            elif name.startswith("Less"):
-                bound(col, hi=v)
-            else:
-                bound(col, lo=v, hi=v)
+    for name, col, val in re.findall(
+        r"(GreaterThanOrEqual|GreaterThan|LessThanOrEqual|LessThan|EqualTo)"
+        r"\((\w+),([-0-9.eE]+)\)",
+        filters,
+    ):
+        v = float(val)
+        if name.startswith("Greater"):
+            bound(col, lo=v)
+        elif name.startswith("Less"):
+            bound(col, hi=v)
+        else:
+            bound(col, lo=v, hi=v)
     return {c: (lo, hi) for c, (lo, hi) in ranges.items()}
+
+
+def pushed_filter_ranges_by_scan(df: DataFrame) -> list[tuple[list[str], dict[str, tuple]]]:
+    """Per-FileScan (location paths, filter ranges) pairs from the
+    formatted plan, so each scan's PushedFilters apply only to its OWN
+    input location (a plan-wide union would wrongly predict pruning on
+    another table that happens to share a column name). Feeds
+    EXPLAIN (TYPE IO)'s predicted row-group pruning
+    (layout.footer_stats)."""
+    import re
+
+    plan = explain_formatted(df)
+    out: list[tuple[list[str], dict[str, tuple]]] = []
+    # formatted-plan scan nodes look like:
+    #   (1) Scan parquet
+    #   ...
+    #   Location: InMemoryFileIndex [file:/path/table.parquet]
+    #   PushedFilters: [GreaterThan(x,1.0), ...]
+    for chunk in re.split(r"\(\d+\) Scan ", plan)[1:]:
+        locm = re.search(r"Location: \w+ \[([^\]]*)\]", chunk)
+        if not locm:
+            continue
+        paths = [p.strip() for p in locm.group(1).split(",") if p.strip()]
+        fm = re.search(r"PushedFilters: \[([^\]]*)\]", chunk)
+        out.append((paths, _parse_filter_ranges(fm.group(1)) if fm else {}))
+    return out
+
+
+def pushed_filter_ranges(df: DataFrame) -> dict[str, tuple]:
+    """Plan-wide union of every scan's pushed numeric ranges (legacy
+    form; EXPLAIN (TYPE IO) now uses the per-scan association)."""
+    merged: dict[str, tuple] = {}
+    for _, ranges in pushed_filter_ranges_by_scan(df):
+        for col, (lo, hi) in ranges.items():
+            plo, phi = merged.get(col, (None, None))
+            merged[col] = (
+                lo if plo is None else (plo if lo is None else max(plo, lo)),
+                hi if phi is None else (phi if hi is None else min(phi, hi)),
+            )
+    return merged
 
 
 def physical_summary(df: DataFrame) -> dict[str, bool | int]:

@@ -40,8 +40,37 @@ class QueryAdmissionError(RuntimeError):
     (the engine's analogue of Presto's query.max-memory rejection)."""
 
 
+class Watchdog:
+    """Handle for an armed runtime kill switch: the fresh job group id
+    plus the daemon timer that will cancel it, so the owner can DISARM
+    (cancel the timer) once the query completes or a new query arms a
+    fresh watchdog — otherwise a stale timer could fire into a group id
+    a later re-arm on the same thread happens to still carry."""
+
+    __slots__ = ("group", "timer")
+
+    def __init__(self, group: str, timer: threading.Timer):
+        self.group = group
+        self.timer = timer
+
+    def disarm(self) -> None:
+        """Cancel the pending kill (no-op if it already fired)."""
+        self.timer.cancel()
+
+
+def clear_job_group(spark: SparkSession) -> None:
+    """Remove the calling thread's job-group local properties (PySpark
+    exposes no clearJobGroup; these two properties are exactly what
+    setJobGroup sets). Without this, actions run after a watchdog-armed
+    query on the same thread would still carry the old group id and be
+    collateral damage of its timer."""
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
+
 def arm_watchdog(spark: SparkSession, seconds: float,
-                 description: str = "") -> str:
+                 description: str = "") -> Watchdog:
     """Mid-flight kill switch: scope the CALLING THREAD's next actions
     to a fresh job group and cancel that group after ``seconds``.
 
@@ -51,10 +80,11 @@ def arm_watchdog(spark: SparkSession, seconds: float,
     shared JVM (SCALING.md), but it CAN cancel a query's jobs
     wholesale — ``cancelJobGroup`` interrupts every running task of the
     group while other pools/queries keep their tasks. The timer starts
-    at arm time (Presto counts from query submission the same way);
-    firing after the query finished is a no-op because the group id is
-    fresh per arm and never reused. Returns the group id so a caller
-    can also cancel manually (kill-query)."""
+    at arm time (Presto counts from query submission the same way).
+    Returns a Watchdog handle; the owner MUST disarm it (or clear the
+    thread's job group via clear_job_group) before running unrelated
+    work on the same thread, because the group id stays on the thread's
+    local properties until replaced."""
     sc = spark.sparkContext
     gid = f"wdg-{uuid.uuid4().hex[:12]}"
     sc.setJobGroup(gid, description or f"query_max_run_time={seconds}s",
@@ -62,7 +92,7 @@ def arm_watchdog(spark: SparkSession, seconds: float,
     timer = threading.Timer(seconds, lambda: sc.cancelJobGroup(gid))
     timer.daemon = True
     timer.start()
-    return gid
+    return Watchdog(gid, timer)
 
 
 def fair_pools_conf() -> dict[str, str]:

@@ -72,6 +72,20 @@ _MUTATING_RE = re.compile(
     r"^\s*(INSERT|DELETE|UPDATE|MERGE|CREATE|DROP|ALTER|TRUNCATE|ANALYZE)\b",
     re.IGNORECASE,
 )
+_LEADING_COMMENT_RE = re.compile(r"^\s*(?:--[^\n]*\n|/\*.*?\*/)", re.DOTALL)
+_PREPARE_BODY_RE = re.compile(r"(?is)^\s*PREPARE\s+(\w+)\s+FROM\s+(.*)$")
+_EXECUTE_NAME_RE = re.compile(r"(?is)^\s*EXECUTE\s+(\w+)\b")
+
+
+def _strip_leading_comments(stmt: str) -> str:
+    """Remove every leading SQL comment (-- line and /* */ block) so
+    the read-only keyword check can't be defeated by a comment prefix
+    ('/* */ DROP VIEW v', '--\\nDELETE ...')."""
+    while True:
+        stripped = _LEADING_COMMENT_RE.sub("", stmt, count=1)
+        if stripped == stmt:
+            return stmt
+        stmt = stripped
 
 
 def _json_value(v):
@@ -114,17 +128,40 @@ def _json_value(v):
 class _OpenQuery:
     """Server-side state of one streaming result: the open row
     iterator, a one-row lookahead (to decide whether a nextUri is
-    due), and the latest produced page (retryable)."""
+    due), the latest produced page (retryable), and the query's
+    scheduler pool / watchdog job group — Spark scopes those to the
+    SUBMITTING thread, but pages are pulled on later per-request
+    handler threads, so the server re-applies them around every pull
+    (ADVICE r6: without this the armed group contains no jobs)."""
 
-    __slots__ = ("columns", "it", "pending", "page_no", "cached", "lock")
+    __slots__ = ("columns", "it", "pending", "page_no", "cached", "lock",
+                 "pool", "watchdog")
 
-    def __init__(self, columns: list[dict], it):
+    def __init__(self, columns: list[dict], it, pool=None, watchdog=None):
         self.columns = columns
         self.it = it
         self.pending = None     # lookahead row, consumed before `it`
         self.page_no = 0        # number of the latest produced page
         self.cached: dict | None = None  # that page's payload
         self.lock = threading.Lock()
+        self.pool = pool            # FAIR scheduler pool name, if any
+        self.watchdog = watchdog    # resource_pools.Watchdog, if armed
+
+    def close(self) -> None:
+        """Release driver resources deterministically: disarm the
+        watchdog timer and close the toLocalIterator (its serving
+        socket/thread and the partially-run Spark job otherwise live
+        until Python GC). Safe to call more than once."""
+        if self.watchdog is not None:
+            self.watchdog.disarm()
+            self.watchdog = None
+        it, self.it = self.it, iter(())
+        close_fn = getattr(it, "close", None)
+        if close_fn is not None:
+            try:
+                close_fn()
+            except Exception:
+                pass
 
 
 class PrestoRestServer:
@@ -204,7 +241,9 @@ class PrestoRestServer:
                 parts = self.path.strip("/").split("/")
                 if len(parts) >= 3 and parts[:2] == ["v1", "statement"]:
                     with outer._lock:
-                        outer._results.pop(parts[2], None)
+                        dropped = outer._results.pop(parts[2], None)
+                    if dropped is not None:
+                        dropped.close()  # cancel = release iterator + watchdog
                     # RFC 9110: 204 carries no content
                     self.send_response(204)
                     self.end_headers()
@@ -230,6 +269,11 @@ class PrestoRestServer:
     def stop(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
+        with self._lock:
+            open_queries = list(self._results.values())
+            self._results.clear()
+        for state in open_queries:
+            state.close()
 
     # -- protocol -----------------------------------------------------
     @staticmethod
@@ -240,11 +284,30 @@ class PrestoRestServer:
             "stats": {"state": "FAILED"},
         }
 
+    def _mutating_keyword(self, stmt: str) -> str | None:
+        """Read-only guard: the mutating keyword ``stmt`` would execute,
+        or None. Strips leading comments first, and follows PREPARE /
+        EXECUTE one level so neither 'PREPARE p FROM CREATE VIEW ...'
+        nor 'EXECUTE p' of a mutating prepared text slips through
+        (ADVICE r6: the raw prefix regex was bypassable both ways)."""
+        stmt = _strip_leading_comments(stmt)
+        if m := _MUTATING_RE.match(stmt):
+            return m.group(1).upper()
+        if m := _PREPARE_BODY_RE.match(stmt):
+            return self._mutating_keyword(m.group(2))
+        if m := _EXECUTE_NAME_RE.match(stmt):
+            # resolve against the engine's prepared-statement registry
+            # (names are stored lowercased); unknown names fall through
+            # to the engine's own "no such prepared statement" error
+            body = getattr(self.engine, "_prepared", {}).get(m.group(1).lower())
+            if body is not None:
+                return self._mutating_keyword(body)
+        return None
+
     def _submit(self, sql: str, base_url: str | None = None) -> dict:
         qid = uuid.uuid4().hex[:16]
         stmt = sql.strip().rstrip(";")
-        if self.read_only and _MUTATING_RE.match(stmt):
-            kw = _MUTATING_RE.match(stmt).group(1).upper()
+        if self.read_only and (kw := self._mutating_keyword(stmt)):
             return self._fail(
                 qid, f"{kw} is not allowed on a read-only server",
                 "PERMISSION_DENIED", 4,
@@ -265,8 +328,16 @@ class PrestoRestServer:
                 for f in df.schema.fields
             ]
             # lazy: toLocalIterator runs one Spark job per partition as
-            # the client pages, never a full collect on the driver
-            state = _OpenQuery(columns, df.toLocalIterator())
+            # the client pages, never a full collect on the driver.
+            # Capture the query's pool and take over its watchdog: both
+            # are thread-local in Spark and pages are served on other
+            # threads, so _page re-applies them around every pull.
+            state = _OpenQuery(
+                columns, df.toLocalIterator(),
+                pool=getattr(self.engine, "_pool", None),
+                watchdog=self.engine.detach_watchdog()
+                if hasattr(self.engine, "detach_watchdog") else None,
+            )
         except Exception as exc:
             return self._fail(
                 qid, str(exc).splitlines()[0] if str(exc) else repr(exc),
@@ -274,8 +345,11 @@ class PrestoRestServer:
             )
         with self._lock:
             self._results[qid] = state
+            evicted = []
             while len(self._results) > self._max_buffered:
-                self._results.popitem(last=False)
+                evicted.append(self._results.popitem(last=False)[1])
+        for old in evicted:  # outside the lock: close() may touch the JVM
+            old.close()
         # first response: columns + nextUri (the presto-cli handshake);
         # data pages follow
         return {
@@ -303,6 +377,16 @@ class PrestoRestServer:
                     "PAGE_GONE", 2,
                 )
             rows, more = [], False
+            # Spark scopes scheduler pool and job group to the pulling
+            # thread; this page is served on a per-request handler
+            # thread, so re-apply the query's properties here or the
+            # watchdog's armed group would contain no jobs (ADVICE r6)
+            sc = self.engine.spark.sparkContext
+            if state.pool is not None:
+                sc.setLocalProperty("spark.scheduler.pool", state.pool)
+            if state.watchdog is not None:
+                sc.setLocalProperty("spark.jobGroup.id", state.watchdog.group)
+                sc.setLocalProperty("spark.job.interruptOnCancel", "true")
             try:
                 while len(rows) < self.page_rows:
                     if state.pending is not None:
@@ -319,10 +403,15 @@ class PrestoRestServer:
             except Exception as exc:  # runtime failure mid-stream
                 with self._lock:
                     self._results.pop(qid, None)
+                state.close()
                 return self._fail(
                     qid, str(exc).splitlines()[0] if str(exc) else repr(exc),
                     type(exc).__name__, 1,
                 )
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.interruptOnCancel", None)
             payload = {
                 "id": qid,
                 "columns": state.columns,
@@ -336,7 +425,7 @@ class PrestoRestServer:
             state.page_no = page_no
             state.cached = payload
             if not more:
-                state.it = iter(())  # exhausted: release the Spark socket
+                state.close()  # exhausted: socket + watchdog released
             return payload
 
 

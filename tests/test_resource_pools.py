@@ -176,3 +176,42 @@ def test_duration_literal_parse():
     assert _parse_duration_seconds("2h") == 7200.0
     with pytest.raises(ValueError):
         _parse_duration_seconds("fast")
+
+
+def test_watchdog_disarmed_and_group_cleared_on_next_query(spark, sf_dir):
+    """ADVICE r6: after a watchdog-armed query completes and the session
+    property is RESET, the next query on the same thread must (a) cancel
+    the stale timer and (b) drop the thread-local job group — otherwise
+    the old timer's cancelJobGroup kills the unrelated next query."""
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark).register_tables(sf_dir)
+    eng.sql("SET SESSION query_max_run_time = '30s'")
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0][0] == 5
+    old = eng._watchdog
+    assert old is not None and not old.timer.finished.is_set()
+    eng.sql("RESET SESSION query_max_run_time")
+    df = eng.sql("SELECT count(*) AS n FROM nation")
+    # arming/clearing the next query cancelled the previous timer ...
+    assert eng._watchdog is None
+    assert old.timer.finished.is_set()
+    # ... and this thread no longer carries the stale group id
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+    assert df.collect()[0][0] == 25
+
+
+def test_detach_watchdog_transfers_ownership(spark, sf_dir):
+    """detach_watchdog hands the timer to an external owner (the REST
+    server's streaming path): the next sql() must NOT cancel it."""
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark).register_tables(sf_dir)
+    eng.sql("SET SESSION query_max_run_time = '600s'")
+    eng.sql("SELECT count(*) AS n FROM region")
+    wd = eng.detach_watchdog()
+    assert wd is not None and wd.group.startswith("wdg-")
+    eng.sql("RESET SESSION query_max_run_time")
+    eng.sql("SELECT 1 AS x").collect()  # would disarm an attached watchdog
+    assert not wd.timer.finished.is_set()  # detached: still armed
+    wd.disarm()
+    assert wd.timer.finished.is_set()

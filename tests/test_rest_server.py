@@ -246,3 +246,90 @@ def test_read_only_allows_select(readonly):
     final = _run(readonly.url, "SELECT count(*) AS n FROM region")
     assert final["stats"]["state"] == "FINISHED"
     assert final["data"][0][0] == 5
+
+
+# -- round 7: read-only hardening, resource cleanup, watchdog paging ----
+
+def test_read_only_rejects_comment_prefixed_mutations(readonly):
+    """ADVICE r6: a leading comment must not defeat the guard."""
+    for sql in (
+        "/* harmless */ DROP VIEW v_ro",
+        "--\nDELETE FROM nation",
+        "/* a */ /* b */ -- c\n CREATE VIEW v_ro2 AS SELECT 1 AS x",
+    ):
+        page = _post(readonly.url, sql)
+        assert page["stats"]["state"] == "FAILED", sql
+        assert page["error"]["errorName"] == "PERMISSION_DENIED", sql
+
+
+def test_read_only_rejects_prepared_mutations(readonly):
+    """ADVICE r6: PREPARE p FROM CREATE ... / EXECUTE p must not slip a
+    mutating statement past the read-only guard."""
+    page = _post(readonly.url, "PREPARE pm FROM CREATE VIEW v_ro3 AS SELECT 1 AS x")
+    assert page["stats"]["state"] == "FAILED"
+    assert page["error"]["errorName"] == "PERMISSION_DENIED"
+    # even a prepared statement registered in-process (bypassing the
+    # server) is caught when EXECUTEd over the wire
+    readonly.engine._prepared["pm2"] = "DROP VIEW v_ro3"
+    page = _post(readonly.url, "EXECUTE pm2")
+    assert page["stats"]["state"] == "FAILED"
+    assert page["error"]["errorName"] == "PERMISSION_DENIED"
+    # read-only PREPARE/EXECUTE still work
+    ok = _post(readonly.url, "PREPARE ps FROM SELECT count(*) AS n FROM region")
+    assert ok["stats"]["state"] == "FINISHED"
+    final = _run(readonly.url, "EXECUTE ps")
+    assert final["data"][0][0] == 5
+
+
+def test_eviction_and_delete_close_open_iterators(spark, sf_dir):
+    """ADVICE r6: LRU eviction and DELETE must close the underlying
+    toLocalIterator (driver socket + partially-run job), not wait for
+    Python GC."""
+    import urllib.request as _u
+
+    eng = Engine(spark).register_tables(sf_dir)
+    srv = PrestoRestServer(eng, page_rows=2)
+    srv._max_buffered = 1
+    srv.start()
+    try:
+        first = _post(srv.url, "SELECT n_nationkey AS k FROM nation")
+        with srv._lock:
+            state1 = srv._results[first["id"]]
+        second = _post(srv.url, "SELECT r_regionkey AS k FROM region")
+        with srv._lock:
+            assert first["id"] not in srv._results  # evicted (LRU=1)
+            state2 = srv._results[second["id"]]
+        assert list(state1.it) == []  # closed: iterator replaced/drained
+        req = _u.Request(f"{srv.url}/v1/statement/{second['id']}", method="DELETE")
+        with _u.urlopen(req) as resp:
+            assert resp.status == 204
+        assert list(state2.it) == []
+    finally:
+        srv.stop()
+
+
+def test_watchdog_applies_to_paged_results(spark, sf_dir):
+    """ADVICE r6: the watchdog/pool properties are thread-local, but
+    pages are served on other threads — the server detaches the
+    watchdog at submit, re-applies its group id around every pull, and
+    disarms it when the stream completes. A later submit must not
+    disarm a still-streaming query's kill switch."""
+    eng = Engine(spark).register_tables(sf_dir)
+    srv = PrestoRestServer(eng, page_rows=2).start()
+    try:
+        eng.sql("SET SESSION query_max_run_time = '600s'")
+        first = _post(srv.url, "SELECT n_nationkey AS k FROM nation LIMIT 5")
+        with srv._lock:
+            st = srv._results[first["id"]]
+        assert st.watchdog is not None and st.watchdog.group.startswith("wdg-")
+        eng.sql("RESET SESSION query_max_run_time")
+        # an unrelated submit on the engine does not kill the stream
+        _run(srv.url, "SELECT 1 AS x")
+        assert not st.watchdog.timer.finished.is_set()
+        page = first
+        while "nextUri" in page:
+            page = _get(page["nextUri"])
+        assert page["stats"]["state"] == "FINISHED"
+        assert st.watchdog is None  # disarmed on completion
+    finally:
+        srv.stop()

@@ -131,3 +131,23 @@ def test_explain_io_footer_stats_and_predicted_pruning(eng):
     rows = eng.sql("EXPLAIN (TYPE IO) SELECT * FROM lineitem").collect()
     assert rows[0].row_groups_pruned == 0
     assert rows[0].pushed_ranges == ""
+
+
+def test_explain_io_filters_are_per_scan(eng):
+    """ADVICE r6: each FileScan's PushedFilters apply only to its own
+    input location — a filter on lineitem's column must not appear in
+    (or predict pruning for) the orders location's row."""
+    rows = eng.sql(
+        "EXPLAIN (TYPE IO) SELECT l_orderkey, o_totalprice FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity <= -1"
+    ).collect()
+    by_loc = {r.input_location: r for r in rows}
+    li = next(r for loc, r in by_loc.items() if "lineitem.parquet" in loc)
+    od = next(r for loc, r in by_loc.items() if "orders.parquet" in loc)
+    assert "l_quantity" in li.pushed_ranges
+    # orders' row reflects only ITS scan's filters (constraint
+    # propagation may add o_orderkey bounds, but never l_quantity)
+    assert "l_quantity" not in od.pushed_ranges
+    # l_quantity <= -1 excludes every lineitem row group; orders must
+    # not inherit that prediction from a column it does not have
+    assert li.row_groups_pruned == li.row_groups
