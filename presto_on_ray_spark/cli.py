@@ -80,21 +80,32 @@ def run_statement(
     it = df.toLocalIterator()
     pending = next(it, _END)
     total, stopped = 0, False
-    while pending is not _END and not stopped:
-        chunk: list = []
-        while pending is not _END and len(chunk) < max_rows:
-            chunk.append(pending)
-            pending = next(it, _END)
-        # widths align within a page (each page prints its own header,
-        # like a terminal pager re-drawing)
-        print(format_table(df.columns, [tuple(r) for r in chunk]), file=out)
-        total += len(chunk)
-        if pending is not _END:
-            print("-- more? [Enter continues, q stops] --", end="",
-                  file=out, flush=True)
-            answer = in_stream.readline() if in_stream is not None else ""
-            if answer.strip().lower().startswith("q"):
-                stopped = True
+    try:
+        while pending is not _END and not stopped:
+            chunk: list = []
+            while pending is not _END and len(chunk) < max_rows:
+                chunk.append(pending)
+                pending = next(it, _END)
+            # widths align within a page (each page prints its own header,
+            # like a terminal pager re-drawing)
+            print(format_table(df.columns, [tuple(r) for r in chunk]), file=out)
+            total += len(chunk)
+            if pending is not _END:
+                print("-- more? [Enter continues, q stops] --", end="",
+                      file=out, flush=True)
+                answer = in_stream.readline() if in_stream is not None else ""
+                if answer.strip().lower().startswith("q"):
+                    stopped = True
+    finally:
+        # 'q' (or an error) abandons the stream mid-way: close the
+        # iterator so its driver-side socket/serving thread and the
+        # partially-run job are released now, not at GC time
+        close_fn = getattr(it, "close", None)
+        if close_fn is not None:
+            try:
+                close_fn()
+            except Exception:
+                pass
     note = " (stopped)" if stopped else ""
     print(f"({total} row{'s' if total != 1 else ''}){note}\n", file=out)
 
