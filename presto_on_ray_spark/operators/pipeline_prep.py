@@ -511,3 +511,54 @@ def text_chunking(spark, sf_dir):
         F.size("ch.chunk_words").alias("n_words"),
         F.md5(F.array_join("ch.chunk_words", " ")).alias("chunk_md5"),
     )
+
+
+# -- deterministic corpus shuffle + sharding (round 7) -----------------
+# The last step of every epoch-data pipeline: "shuffle the corpus with
+# a seed and write N near-equal shards". The scale-correct form is NOT
+# a global ORDER BY rand() + row_number (a single-partition window — a
+# scale killer, and rand() is neither retry- nor engine-stable): shard
+# assignment is a pure hash bucket of (seed, doc_id) — near-uniform by
+# the law of large numbers, embarrassingly parallel — and the training
+# order WITHIN a shard is the same hash, so the whole layout is one
+# narrow projection plus one per-shard window (row_number partitioned
+# by shard: bounded state, no global sort anywhere). Re-running with
+# the same seed reproduces the exact permutation on any cluster size;
+# changing the seed is a fresh epoch order. The md5-derived 60-bit key
+# (sketch_ops._portable_h60) makes the DuckDB oracle bit-exact.
+
+_SHUFFLE_SEED = "epoch7"
+_N_SHARDS = 8
+
+
+def _shuffle_oracle() -> str:
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    h = _h60_sql(f"concat_ws('|', '{_SHUFFLE_SEED}', doc_id)")
+    return f"""
+        SELECT doc_id, shard, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY shard ORDER BY okey, doc_id) AS BIGINT) AS pos
+        FROM (SELECT doc_id, okey, CAST(okey % {_N_SHARDS} AS INTEGER) AS shard
+              FROM (SELECT doc_id, {h} AS okey FROM documents))
+        ORDER BY shard, pos
+        """
+
+
+@query("corpus_shuffle_shards", oracle=_shuffle_oracle())
+def corpus_shuffle_shards(spark, sf_dir):
+    """Seeded deterministic corpus shuffle into near-equal shards:
+    shard = h60(seed, doc_id) % N, in-shard position = rank of the
+    same hash. One hash + one per-shard window; no global sort, no
+    rand(), identical permutation on re-run at any parallelism."""
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    d = t(spark, sf_dir, "documents")
+    okey = _portable_h60(F.lit(_SHUFFLE_SEED), F.col("doc_id"))
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return (
+        d.select("doc_id", okey.alias("okey"))
+        .withColumn("shard", (F.col("okey") % _N_SHARDS).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
