@@ -285,6 +285,14 @@ class Engine:
         Prepared-statement statements (PREPARE / EXECUTE [USING] /
         DEALLOCATE PREPARE / DESCRIBE INPUT|OUTPUT) are handled here;
         PREPARE and DEALLOCATE return None (the REPL prints OK)."""
+        # Every statement starts clean: cancel the previous query's
+        # watchdog timer and drop its thread-local job group FIRST, so
+        # even the statement paths that run their own Spark jobs
+        # (EXPLAIN ANALYZE's count, SHOW STATS' aggregate) can never
+        # execute under a stale group a pending timer is about to
+        # cancel. (EXPLAIN's recursive self.sql(inner) then re-arms for
+        # the inner query, which is exactly the coverage we want.)
+        self._disarm_watchdog()
         handled = self._catalog_statement(text)
         if handled is NotImplemented:
             handled = self._introspection_statement(text)
@@ -307,11 +315,6 @@ class Engine:
             self.spark.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", effective_pool
             )
-        # Disarm the previous query's watchdog and drop its thread-local
-        # job group BEFORE (re-)arming: a stale timer must not fire into
-        # whatever runs next on this thread, and after RESET SESSION the
-        # thread must not keep executing under the old group id.
-        self._disarm_watchdog()
         if self._max_run_time_s is not None:
             # runtime kill switch (Presto query.max-run-time): the
             # calling thread's actions for THIS query run under a

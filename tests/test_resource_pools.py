@@ -215,3 +215,23 @@ def test_detach_watchdog_transfers_ownership(spark, sf_dir):
     assert not wd.timer.finished.is_set()  # detached: still armed
     wd.disarm()
     assert wd.timer.finished.is_set()
+
+
+def test_statement_paths_start_clean_of_stale_group(spark, sf_dir):
+    """Statement-family paths that run their own Spark jobs (EXPLAIN
+    ANALYZE, SHOW STATS) must not execute under a previous query's
+    watchdog group: sql() disarms before statement dispatch."""
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark).register_tables(sf_dir)
+    eng.sql("SET SESSION query_max_run_time = '30s'")
+    eng.sql("SELECT count(*) AS n FROM region").collect()
+    old = eng._watchdog
+    assert old is not None
+    eng.sql("RESET SESSION query_max_run_time")
+    # EXPLAIN ANALYZE runs a count() job; it must run group-free with
+    # the stale timer already cancelled
+    plan = eng.sql("EXPLAIN ANALYZE SELECT count(*) AS n FROM nation").collect()[0][0]
+    assert plan.startswith("Queried 1 rows")
+    assert old.timer.finished.is_set()
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
