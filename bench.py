@@ -74,6 +74,8 @@ HEADLINE = [
     "cov_sketch_exact",
     "dedup_lsh_keepers",
     "similarity_ivf_exact",
+    # round-7: epoch-prep shuffle/shard
+    "corpus_shuffle_shards",
 ]
 
 

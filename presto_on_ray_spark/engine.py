@@ -16,6 +16,7 @@ Both front doors converge on one Catalyst logical plan (SURVEY §3.3).
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -192,7 +193,11 @@ class Engine:
         self._max_run_time_s: float | None = None
         self._pool: str | None = None
         self.last_job_group: str | None = None
-        self._watchdog = None  # resource_pools.Watchdog of the last armed query
+        # per-THREAD armed watchdog (job groups are thread-local in
+        # Spark, so the handle must be too: concurrent sql() callers —
+        # e.g. the REST server's per-request threads — must never
+        # disarm or detach each other's kill switch)
+        self._watchdog_tl = threading.local()
         self._table_stats: dict[str, list[tuple]] = {}
         # attached Presto-style namespaces: {catalog: {schema, ...}}
         self._catalogs: dict[str, set[str]] = {}
@@ -330,10 +335,21 @@ class Engine:
             self.last_job_group = self._watchdog.group
         return df
 
+    @property
+    def _watchdog(self):
+        """The CALLING thread's armed watchdog (or None) — thread-local
+        because Spark job groups are."""
+        return getattr(self._watchdog_tl, "wd", None)
+
+    @_watchdog.setter
+    def _watchdog(self, wd) -> None:
+        self._watchdog_tl.wd = wd
+
     def _disarm_watchdog(self) -> None:
-        """Cancel the pending watchdog timer (if any) and clear this
-        thread's job-group local properties, so neither the timer nor
-        the stale group id can affect subsequent queries."""
+        """Cancel the calling thread's pending watchdog timer (if any)
+        and clear its job-group local properties, so neither the timer
+        nor the stale group id can affect subsequent queries. Other
+        threads' armed watchdogs are untouched."""
         from presto_on_ray_spark.resource_pools import clear_job_group
 
         if self._watchdog is not None:
@@ -342,8 +358,10 @@ class Engine:
         clear_job_group(self.spark)
 
     def detach_watchdog(self):
-        """Transfer ownership of the last armed watchdog to the caller
-        (or None if none armed). Used by servers that consume the
+        """Transfer ownership of the calling thread's armed watchdog to
+        the caller (or None if none armed) — the slot is thread-local,
+        so a concurrent submit on another thread can neither steal nor
+        disarm this one. Used by servers that consume the
         result on OTHER threads (REST paging via toLocalIterator): the
         caller re-applies the group id on each consuming thread and
         disarms the timer itself when the query completes, so the next
@@ -703,12 +721,28 @@ class Engine:
 
             def _ranges_for(d: str) -> dict:
                 bare = _norm(d)
+                dicts = [
+                    ranges
+                    for paths, ranges in by_scan
+                    if any(
+                        _norm(p) == bare or bare.startswith(_norm(p) + "/")
+                        for p in paths
+                    )
+                ]
+                if not dicts:
+                    return {}
+                # A row group is READ if ANY scan of this location reads
+                # it, so the per-location prediction must WIDEN across
+                # scans: keep only columns every scan bounds, lo=min,
+                # hi=max (an unfiltered self-join scan → no pruning).
                 out: dict = {}
-                for paths, ranges in by_scan:
-                    for p in paths:
-                        pb = _norm(p)
-                        if pb == bare or bare.startswith(pb + "/"):
-                            out.update(ranges)
+                for c in set(dicts[0]).intersection(*map(set, dicts[1:])):
+                    los = [dd[c][0] for dd in dicts]
+                    his = [dd[c][1] for dd in dicts]
+                    lo = None if any(v is None for v in los) else min(los)
+                    hi = None if any(v is None for v in his) else max(his)
+                    if lo is not None or hi is not None:
+                        out[c] = (lo, hi)
                 return out
 
             rows = []

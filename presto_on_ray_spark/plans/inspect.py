@@ -45,7 +45,13 @@ def _parse_filter_ranges(filters: str) -> dict[str, tuple]:
         r"\((\w+),([-0-9.eE]+)\)",
         filters,
     ):
-        v = float(val)
+        try:
+            v = float(val)
+        except ValueError:
+            # non-numeric literal the value class happens to match
+            # (e.g. a DATE rendered 1995-03-15): skip the predicate
+            # rather than failing the whole EXPLAIN
+            continue
         if name.startswith("Greater"):
             bound(col, lo=v)
         elif name.startswith("Less"):
@@ -64,7 +70,23 @@ def pushed_filter_ranges_by_scan(df: DataFrame) -> list[tuple[list[str], dict[st
     (layout.footer_stats)."""
     import re
 
-    plan = explain_formatted(df)
+    # the formatted plan truncates metadata strings (Location paths) at
+    # spark.sql.maxMetadataStringLength (default 100 chars) — raise it
+    # for this rendering so long dataset URIs still match their dirs
+    spark = df.sparkSession
+    _KEY = "spark.sql.maxMetadataStringLength"
+    try:
+        old = spark.conf.get(_KEY)
+    except Exception:
+        old = None
+    spark.conf.set(_KEY, "65536")
+    try:
+        plan = explain_formatted(df)
+    finally:
+        if old is not None:
+            spark.conf.set(_KEY, old)
+        else:
+            spark.conf.unset(_KEY)
     out: list[tuple[list[str], dict[str, tuple]]] = []
     # formatted-plan scan nodes look like:
     #   (1) Scan parquet
@@ -79,20 +101,6 @@ def pushed_filter_ranges_by_scan(df: DataFrame) -> list[tuple[list[str], dict[st
         fm = re.search(r"PushedFilters: \[([^\]]*)\]", chunk)
         out.append((paths, _parse_filter_ranges(fm.group(1)) if fm else {}))
     return out
-
-
-def pushed_filter_ranges(df: DataFrame) -> dict[str, tuple]:
-    """Plan-wide union of every scan's pushed numeric ranges (legacy
-    form; EXPLAIN (TYPE IO) now uses the per-scan association)."""
-    merged: dict[str, tuple] = {}
-    for _, ranges in pushed_filter_ranges_by_scan(df):
-        for col, (lo, hi) in ranges.items():
-            plo, phi = merged.get(col, (None, None))
-            merged[col] = (
-                lo if plo is None else (plo if lo is None else max(plo, lo)),
-                hi if phi is None else (phi if hi is None else min(phi, hi)),
-            )
-    return merged
 
 
 def physical_summary(df: DataFrame) -> dict[str, bool | int]:

@@ -143,7 +143,12 @@ class _OpenQuery:
         self.pending = None     # lookahead row, consumed before `it`
         self.page_no = 0        # number of the latest produced page
         self.cached: dict | None = None  # that page's payload
-        self.lock = threading.Lock()
+        # RLock: close() takes it too — _page's own failure path closes
+        # while already holding it, and an external DELETE/stop close
+        # must WAIT for an in-flight page pull rather than swap the
+        # iterator out from under it (which would end that pull early
+        # and mis-report a cancelled query as FINISHED)
+        self.lock = threading.RLock()
         self.pool = pool            # FAIR scheduler pool name, if any
         self.watchdog = watchdog    # resource_pools.Watchdog, if armed
 
@@ -151,17 +156,19 @@ class _OpenQuery:
         """Release driver resources deterministically: disarm the
         watchdog timer and close the toLocalIterator (its serving
         socket/thread and the partially-run Spark job otherwise live
-        until Python GC). Safe to call more than once."""
-        if self.watchdog is not None:
-            self.watchdog.disarm()
-            self.watchdog = None
-        it, self.it = self.it, iter(())
-        close_fn = getattr(it, "close", None)
-        if close_fn is not None:
-            try:
-                close_fn()
-            except Exception:
-                pass
+        until Python GC). Serialized against page pulls; safe to call
+        more than once."""
+        with self.lock:
+            if self.watchdog is not None:
+                self.watchdog.disarm()
+                self.watchdog = None
+            it, self.it = self.it, iter(())
+            close_fn = getattr(it, "close", None)
+            if close_fn is not None:
+                try:
+                    close_fn()
+                except Exception:
+                    pass
 
 
 class PrestoRestServer:

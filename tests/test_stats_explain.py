@@ -151,3 +151,18 @@ def test_explain_io_filters_are_per_scan(eng):
     # l_quantity <= -1 excludes every lineitem row group; orders must
     # not inherit that prediction from a column it does not have
     assert li.row_groups_pruned == li.row_groups
+
+
+def test_explain_io_self_join_widens_across_scans(eng):
+    """Two scans of the SAME location (self-join, one side filtered)
+    must widen: the unfiltered scan reads every row group, so the
+    location must predict no pruning — not inherit the filtered
+    scan's bound (last-wins dict merge bug)."""
+    rows = eng.sql(
+        "EXPLAIN (TYPE IO) SELECT a.l_orderkey FROM lineitem a"
+        " JOIN lineitem b ON a.l_orderkey = b.l_orderkey"
+        " WHERE a.l_quantity <= -1"
+    ).collect()
+    li = next(r for r in rows if "lineitem.parquet" in r.input_location)
+    assert li.row_groups_pruned == 0
+    assert "l_quantity" not in li.pushed_ranges
