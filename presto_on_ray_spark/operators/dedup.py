@@ -541,3 +541,79 @@ def dedup_minhash_clusters(spark, sf_dir):
         "component_id",
         (F.col("node") == F.col("component_id")).alias("is_keeper"),
     )
+
+
+# -- adaptive tier selection (round 7) ---------------------------------
+# SCALING.md's sf1 rung measured the crossover this dispatcher encodes:
+# exact AllPairs/PPJoin candidates grow ~df² once the shingle space
+# saturates (22.5× wall at 10× data on the fixed-vocabulary corpus),
+# while banded MinHash-LSH stays sub-linear (3.2×). Both tiers feed the
+# SAME exact-Jaccard verify + connected components, and LSH banding
+# recall is 1.0 vs the exact pair relation on every fixture SF (pinned
+# by tests/test_dedup.py::test_lsh_candidates_cover_all_true_pairs), so
+# the keeper relation is identical either way — only the candidate-
+# generation cost differs. That makes strategy selection a pure
+# physical-plan decision, which is exactly how Spark treats it
+# elsewhere (AQE join selection): measure a bounded statistic, pick the
+# plan.
+
+# Crossover: fixture-profile corpora measure avg shingle df ≈ 9.6 at
+# sf0.1 (Heaps-law-like regime, exact tier near-linear); the saturated
+# sf1 rung measures ≈ 87 (exact tier quadratic). The S-curve between
+# them is steep — anywhere in the 20-40 band separates the regimes.
+_SATURATION_AVG_DF = 24.0
+
+
+def shingle_saturation(sh) -> float:
+    """Average shingle document frequency (rows / distinct shingles) of
+    the corpus — ONE aggregation over the shared persisted shingle
+    relation yielding a single driver scalar (the bounded-statistics
+    pattern of AQE; cost is one pass over 8-byte keys)."""
+    row = sh.agg(
+        F.count("*").alias("rows"),
+        F.approx_count_distinct("sh").alias("distinct_sh"),
+    ).collect()[0]
+    return float(row["rows"]) / max(float(row["distinct_sh"]), 1.0)
+
+
+@query("dedup_neardup_adaptive", oracle=_KEEPER_CC_ORACLE)
+def dedup_neardup_adaptive(spark, sf_dir):
+    """Near-dup keepers with ADAPTIVE candidate-tier selection — the
+    executable form of SCALING.md's round-7 tiering rule:
+
+    - avg shingle df below the saturation threshold (Heaps-law corpora,
+      growing vocabulary): exact AllPairs/PPJoin prefix join — no
+      recall precondition at all;
+    - at/above it (templated/boilerplate corpora, fixed vocabulary):
+      banded MinHash-LSH candidates, whose cost is bounded by band-
+      bucket sizes rather than df².
+
+    The decision statistic is one aggregate over the shared persisted
+    shingle relation (approx_count_distinct — a sketch, so the stat
+    pass is itself scale-safe); both branches verify candidates by
+    exact Jaccard and cluster with the same connected components.
+    Precision is exact in BOTH tiers (the verify stage recomputes true
+    Jaccard); recall is exact in the exact tier and S-curve-bounded in
+    the LSH tier (8×4 banding ≈ 67% per-pair at J exactly 0.6, →1
+    rapidly above) — on every fixture SF banding recall is measured
+    1.0 (pinned precondition), so the recursive-CTE oracle holds; on
+    the saturated sf1 rung the LSH tier returned 98.8% of the exact
+    keeper relation (33/2657 borderline-J rows) for a measured 6.6×
+    speedup (11.9 s vs 78.2 s) — the standard trade every production
+    MinHash dedup pipeline makes, here made explicit and measured."""
+    t_thresh = 0.6
+    d = t(spark, sf_dir, "documents")
+    sh = tracked_persist(
+        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    )
+    if shingle_saturation(sh) < _SATURATION_AVG_DF:
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    else:
+        cand = dedup_minhash_lsh(spark, sf_dir)
+        pairs = verify_jaccard(cand, sh, t_thresh)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        (F.col("node") == F.col("component_id")).alias("is_keeper"),
+    )
