@@ -333,6 +333,8 @@ class Engine:
                 description=text.strip()[:120],
             )
             self.last_job_group = self._watchdog.group
+            # thread-scoped record for kill_query (survives detach)
+            self._watchdog_tl.last_group = self._watchdog.group
         return df
 
     @property
@@ -372,9 +374,16 @@ class Engine:
 
     def kill_query(self, job_group: str | None = None) -> None:
         """Cancel a running query's jobs (Presto's kill-query): by the
-        job group arm_watchdog assigned, defaulting to the most recent
-        watchdog-armed query on this engine."""
-        gid = job_group or self.last_job_group
+        job group arm_watchdog assigned, defaulting to the CALLING
+        THREAD's most recently armed query (matching the thread-local
+        watchdog scope — a concurrent arm on another thread must never
+        redirect this kill), then to the engine-wide most recent as a
+        last resort."""
+        gid = (
+            job_group
+            or getattr(self._watchdog_tl, "last_group", None)
+            or self.last_job_group
+        )
         if gid is None:
             raise ValueError("no watchdog-armed query to kill")
         self.spark.sparkContext.cancelJobGroup(gid)

@@ -601,19 +601,13 @@ def dedup_neardup_adaptive(spark, sf_dir):
     keeper relation (33/2657 borderline-J rows) for a measured 6.6×
     speedup (11.9 s vs 78.2 s) — the standard trade every production
     MinHash dedup pipeline makes, here made explicit and measured."""
-    t_thresh = 0.6
     d = t(spark, sf_dir, "documents")
+    # the same persisted shingle relation both tiers build (the
+    # CacheManager dedupes by analyzed-plan equality, so the stat pass
+    # and the chosen tier share one cache entry)
     sh = tracked_persist(
         d.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
     )
     if shingle_saturation(sh) < _SATURATION_AVG_DF:
-        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    else:
-        cand = dedup_minhash_lsh(spark, sf_dir)
-        pairs = verify_jaccard(cand, sh, t_thresh)
-    comp = connected_components(pairs)
-    return comp.select(
-        F.col("node").alias("doc_id"),
-        "component_id",
-        (F.col("node") == F.col("component_id")).alias("is_keeper"),
-    )
+        return dedup_neardup_clusters(spark, sf_dir)
+    return dedup_lsh_keepers(spark, sf_dir)

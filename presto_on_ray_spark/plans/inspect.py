@@ -10,7 +10,13 @@ fails CI, not the 100 TB run.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+# serializes the session-global metadata-length conf swap in
+# pushed_filter_ranges_by_scan (concurrent EXPLAIN (TYPE IO) callers)
+_META_LEN_LOCK = threading.Lock()
 
 
 def explain_formatted(df: DataFrame) -> str:
@@ -72,21 +78,25 @@ def pushed_filter_ranges_by_scan(df: DataFrame) -> list[tuple[list[str], dict[st
 
     # the formatted plan truncates metadata strings (Location paths) at
     # spark.sql.maxMetadataStringLength (default 100 chars) — raise it
-    # for this rendering so long dataset URIs still match their dirs
+    # for this rendering so long dataset URIs still match their dirs.
+    # The conf is session-global, so the set/render/restore must be
+    # serialized or a concurrent caller's restore re-truncates this
+    # rendering (and the raised value leaks permanently).
     spark = df.sparkSession
     _KEY = "spark.sql.maxMetadataStringLength"
-    try:
-        old = spark.conf.get(_KEY)
-    except Exception:
-        old = None
-    spark.conf.set(_KEY, "65536")
-    try:
-        plan = explain_formatted(df)
-    finally:
-        if old is not None:
-            spark.conf.set(_KEY, old)
-        else:
-            spark.conf.unset(_KEY)
+    with _META_LEN_LOCK:
+        try:
+            old = spark.conf.get(_KEY)
+        except Exception:
+            old = None
+        spark.conf.set(_KEY, "65536")
+        try:
+            plan = explain_formatted(df)
+        finally:
+            if old is not None:
+                spark.conf.set(_KEY, old)
+            else:
+                spark.conf.unset(_KEY)
     out: list[tuple[list[str], dict[str, tuple]]] = []
     # formatted-plan scan nodes look like:
     #   (1) Scan parquet

@@ -128,47 +128,57 @@ def _json_value(v):
 class _OpenQuery:
     """Server-side state of one streaming result: the open row
     iterator, a one-row lookahead (to decide whether a nextUri is
-    due), the latest produced page (retryable), and the query's
-    scheduler pool / watchdog job group — Spark scopes those to the
-    SUBMITTING thread, but pages are pulled on later per-request
-    handler threads, so the server re-applies them around every pull
-    (ADVICE r6: without this the armed group contains no jobs)."""
+    due), the latest produced page (retryable), and the job group the
+    iterator's jobs run under. Every query gets a group (the
+    watchdog's if armed, else its own) — applied on the SUBMIT thread
+    around toLocalIterator() creation, because that is the thread
+    whose local properties the iterator's JVM serving thread inherits
+    (jobs are launched there, NOT on the page-serving handler
+    threads) — so the watchdog and DELETE cancellation can INTERRUPT
+    an in-flight page pull rather than wait for it."""
 
     __slots__ = ("columns", "it", "pending", "page_no", "cached", "lock",
-                 "pool", "watchdog")
+                 "watchdog", "gid", "_sc", "closed")
 
-    def __init__(self, columns: list[dict], it, pool=None, watchdog=None):
+    def __init__(self, columns: list[dict], it, sc, gid: str,
+                 watchdog=None):
         self.columns = columns
         self.it = it
         self.pending = None     # lookahead row, consumed before `it`
         self.page_no = 0        # number of the latest produced page
         self.cached: dict | None = None  # that page's payload
-        # RLock: close() takes it too — _page's own failure path closes
-        # while already holding it, and an external DELETE/stop close
-        # must WAIT for an in-flight page pull rather than swap the
-        # iterator out from under it (which would end that pull early
-        # and mis-report a cancelled query as FINISHED)
+        # RLock so _page's own failure path may close() while holding
+        # it; an external close() does NOT take this lock — it cancels
+        # the job group instead, which interrupts an in-flight pull
         self.lock = threading.RLock()
-        self.pool = pool            # FAIR scheduler pool name, if any
         self.watchdog = watchdog    # resource_pools.Watchdog, if armed
+        self.gid = gid              # group the iterator's jobs run under
+        self._sc = sc
+        self.closed = False
 
     def close(self) -> None:
-        """Release driver resources deterministically: disarm the
-        watchdog timer and close the toLocalIterator (its serving
-        socket/thread and the partially-run Spark job otherwise live
-        until Python GC). Serialized against page pulls; safe to call
-        more than once."""
-        with self.lock:
-            if self.watchdog is not None:
-                self.watchdog.disarm()
-                self.watchdog = None
-            it, self.it = self.it, iter(())
-            close_fn = getattr(it, "close", None)
-            if close_fn is not None:
-                try:
-                    close_fn()
-                except Exception:
-                    pass
+        """Release driver resources deterministically and promptly:
+        mark closed (page pulls that lost the race report CANCELLED,
+        never FINISHED), disarm the watchdog timer, cancel the query's
+        job group (interrupts an in-flight toLocalIterator partition
+        job instead of blocking behind it), and close the iterator
+        (driver-side socket/serving thread). Never blocks on the page
+        lock; safe to call more than once."""
+        self.closed = True
+        if self.watchdog is not None:
+            self.watchdog.disarm()
+            self.watchdog = None
+        try:
+            self._sc.cancelJobGroup(self.gid)
+        except Exception:
+            pass
+        it, self.it = self.it, iter(())
+        close_fn = getattr(it, "close", None)
+        if close_fn is not None:
+            try:
+                close_fn()  # raises harmlessly if mid-pull on another thread
+            except Exception:
+                pass
 
 
 class PrestoRestServer:
@@ -336,15 +346,29 @@ class PrestoRestServer:
             ]
             # lazy: toLocalIterator runs one Spark job per partition as
             # the client pages, never a full collect on the driver.
-            # Capture the query's pool and take over its watchdog: both
-            # are thread-local in Spark and pages are served on other
-            # threads, so _page re-applies them around every pull.
-            state = _OpenQuery(
-                columns, df.toLocalIterator(),
-                pool=getattr(self.engine, "_pool", None),
-                watchdog=self.engine.detach_watchdog()
-                if hasattr(self.engine, "detach_watchdog") else None,
-            )
+            # Its jobs are launched by a JVM serving thread CREATED
+            # HERE, which inherits THIS thread's local properties —
+            # not the later page-serving handler threads' — so the
+            # job group (the watchdog's if armed, else the query's
+            # own) and the FAIR pool must be in effect around the
+            # toLocalIterator() call itself for the watchdog, DELETE
+            # cancellation, and pool isolation to govern the stream.
+            sc = self.engine.spark.sparkContext
+            wd = (self.engine.detach_watchdog()
+                  if hasattr(self.engine, "detach_watchdog") else None)
+            gid = wd.group if wd is not None else f"rest-{qid}"
+            pool = getattr(self.engine, "_pool", None)
+            sc.setLocalProperty("spark.jobGroup.id", gid)
+            sc.setLocalProperty("spark.job.interruptOnCancel", "true")
+            if pool is not None:
+                sc.setLocalProperty("spark.scheduler.pool", pool)
+            try:
+                it = df.toLocalIterator()
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.interruptOnCancel", None)
+                sc.setLocalProperty("spark.scheduler.pool", None)
+            state = _OpenQuery(columns, it, sc, gid, watchdog=wd)
         except Exception as exc:
             return self._fail(
                 qid, str(exc).splitlines()[0] if str(exc) else repr(exc),
@@ -377,23 +401,23 @@ class PrestoRestServer:
             )
         with state.lock:
             if page_no == state.page_no and state.cached is not None:
-                return state.cached  # protocol-sanctioned retry
+                return state.cached  # protocol-sanctioned retry (also
+                # covers re-fetching the FINAL page after exhaustion)
+            if state.closed:
+                return self._fail(
+                    qid, f"query {qid} was cancelled", "QUERY_CANCELLED", 2
+                )
             if page_no != state.page_no + 1:
                 return self._fail(
                     qid, f"page {page_no} of {qid} is no longer available",
                     "PAGE_GONE", 2,
                 )
             rows, more = [], False
-            # Spark scopes scheduler pool and job group to the pulling
-            # thread; this page is served on a per-request handler
-            # thread, so re-apply the query's properties here or the
-            # watchdog's armed group would contain no jobs (ADVICE r6)
-            sc = self.engine.spark.sparkContext
-            if state.pool is not None:
-                sc.setLocalProperty("spark.scheduler.pool", state.pool)
-            if state.watchdog is not None:
-                sc.setLocalProperty("spark.jobGroup.id", state.watchdog.group)
-                sc.setLocalProperty("spark.job.interruptOnCancel", "true")
+            # NOTE: no properties are (re-)applied here — the
+            # iterator's jobs run on the JVM serving thread that
+            # inherited the submit thread's group/pool at
+            # toLocalIterator() creation (_submit), so they are
+            # governed regardless of which handler thread pulls pages.
             try:
                 while len(rows) < self.page_rows:
                     if state.pending is not None:
@@ -408,17 +432,25 @@ class PrestoRestServer:
             except StopIteration:
                 pass
             except Exception as exc:  # runtime failure mid-stream
+                was_cancelled = state.closed  # a concurrent close
                 with self._lock:
                     self._results.pop(qid, None)
                 state.close()
+                if was_cancelled:
+                    return self._fail(
+                        qid, f"query {qid} was cancelled", "QUERY_CANCELLED", 2
+                    )
                 return self._fail(
                     qid, str(exc).splitlines()[0] if str(exc) else repr(exc),
                     type(exc).__name__, 1,
                 )
-            finally:
-                sc.setLocalProperty("spark.scheduler.pool", None)
-                sc.setLocalProperty("spark.jobGroup.id", None)
-                sc.setLocalProperty("spark.job.interruptOnCancel", None)
+            if state.closed:
+                # a concurrent DELETE landed mid-pull and swapped the
+                # iterator: this is a cancellation, never a FINISHED
+                # page with silently truncated data
+                return self._fail(
+                    qid, f"query {qid} was cancelled", "QUERY_CANCELLED", 2
+                )
             payload = {
                 "id": qid,
                 "columns": state.columns,

@@ -333,3 +333,50 @@ def test_watchdog_applies_to_paged_results(spark, sf_dir):
         assert st.watchdog is None  # disarmed on completion
     finally:
         srv.stop()
+
+
+def test_delete_interrupts_in_flight_page(spark, sf_dir):
+    """Cancellation must INTERRUPT a page pull blocked on a heavy
+    partition job (cancelJobGroup on the query's own group), not wait
+    behind it — and the interrupted fetch must report a cancellation,
+    never FINISHED."""
+    import threading
+    import time
+    import urllib.request as _u
+
+    eng = Engine(spark).register_tables(sf_dir)
+    srv = PrestoRestServer(eng, page_rows=10).start()
+    try:
+        # Multi-partition streaming result whose FIRST page needs a
+        # seconds-long partition job, so the pull genuinely blocks
+        # in-flight. (A global aggregate would run its single job
+        # synchronously inside _submit instead — toPythonIterator
+        # computes the first job on the submit thread — and leave
+        # nothing to interrupt at page time.)
+        first = _post(
+            srv.url,
+            "SELECT id FROM range(0, 200000000000, 1, 32)"
+            " WHERE pmod(id, 997) = 0 AND pmod(id, 991) = 0",
+        )
+        assert first["stats"]["state"] == "RUNNING"
+        result: dict = {}
+
+        def fetch():
+            result["page"] = _get(first["nextUri"])
+
+        th = threading.Thread(target=fetch, daemon=True)
+        th.start()
+        time.sleep(1.0)  # let the pull block inside the Spark job
+        t0 = time.monotonic()
+        req = _u.Request(f"{srv.url}/v1/statement/{first['id']}", method="DELETE")
+        with _u.urlopen(req) as resp:
+            assert resp.status == 204
+        delete_elapsed = time.monotonic() - t0
+        assert delete_elapsed < 5, f"DELETE blocked {delete_elapsed:.1f}s behind the pull"
+        th.join(timeout=30)
+        assert not th.is_alive(), "page pull was not interrupted"
+        page = result["page"]
+        assert page["stats"]["state"] == "FAILED"
+        assert page["error"]["errorName"] in ("QUERY_CANCELLED", "NOT_FOUND")
+    finally:
+        srv.stop()
