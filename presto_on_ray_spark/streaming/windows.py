@@ -25,14 +25,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch read — the standard pattern for replaying files as a stream)."""
     from presto_on_ray_spark.sources.tables import load_table
 
+    import os
+
     load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf + UTC TZ
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file streams take a directory; glob down to the one fixture file
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # dataset directory (Spark-written part files): stream it as-is
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # single-file fixture: file streams take a directory, so glob
+        # down to the one fixture file
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # Mirror load_table's dtype branch: the fixture's ts physical type has
     # shipped as both TIMESTAMP(NANOS) (bigint under nanosAsLong) and
     # TIMESTAMP(MICROS)/NTZ across testdata generations.
