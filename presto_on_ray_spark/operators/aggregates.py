@@ -17,7 +17,18 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from presto_on_ray_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsum
+from presto_on_ray_spark.functions.numeric import (
+    davg,
+    dec_rate,
+    dec_revenue,
+    dsum,
+    dsum_dec,
+    oracle_davg,
+    oracle_dec_rate,
+    oracle_dec_revenue,
+    oracle_dsum,
+    oracle_dsum_dec,
+)
 from presto_on_ray_spark.operators._util import t
 from presto_on_ray_spark.suite import query
 
@@ -28,8 +39,8 @@ from presto_on_ray_spark.suite import query
     SELECT l_returnflag, l_linestatus,
            {oracle_dsum('l_quantity')} AS sum_qty,
            {oracle_dsum('l_extendedprice')} AS sum_base_price,
-           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
-           {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {oracle_dsum_dec(oracle_dec_revenue())} AS sum_disc_price,
+           {oracle_dsum_dec(f"{oracle_dec_revenue()} * (1 + {oracle_dec_rate('l_tax')})")} AS sum_charge,
            {oracle_davg('l_quantity')} AS avg_qty,
            {oracle_davg('l_extendedprice')} AS avg_price,
            {oracle_davg('l_discount')} AS avg_disc,
@@ -48,16 +59,19 @@ def q1_pricing_summary(spark, sf_dir):
     aggregation shuffles 4-ish groups, not 600k rows.
     """
     li = t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # exact decimal products (no per-row double->decimal rounding, so
+    # the sums are bit-identical across engines at ANY data scale —
+    # the double-product form diverged at sf1; see functions/numeric)
+    disc_price = dec_revenue()
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + dec_rate("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price, scale=4).alias("sum_disc_price"),
-            dsum(charge, scale=6).alias("sum_charge"),
+            dsum_dec(disc_price).alias("sum_disc_price"),
+            dsum_dec(charge).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),

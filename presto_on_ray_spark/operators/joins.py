@@ -12,7 +12,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from presto_on_ray_spark.functions.numeric import dsum, oracle_dsum
+from presto_on_ray_spark.functions.numeric import (
+    dec_revenue,
+    dsum,
+    dsum_dec,
+    oracle_dsum,
+    oracle_dec_revenue,
+    oracle_dsum_dec,
+)
 from presto_on_ray_spark.operators._util import t
 from presto_on_ray_spark.suite import query
 
@@ -22,7 +29,7 @@ from presto_on_ray_spark.suite import query
     oracle=f"""
     SELECT r_name, o_orderpriority,
            COUNT(*) AS n_items,
-           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+           {oracle_dsum_dec(oracle_dec_revenue())} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -42,7 +49,7 @@ def join_inner_multiway(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = dec_revenue()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -51,7 +58,7 @@ def join_inner_multiway(spark, sf_dir):
         .groupBy("r_name", "o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            dsum(revenue, scale=4).alias("revenue"),
+            dsum_dec(revenue).alias("revenue"),
         )
     )
 

@@ -14,7 +14,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from presto_on_ray_spark.functions.numeric import dsum, oracle_dsum
+from presto_on_ray_spark.functions.numeric import (
+    dec_price,
+    dec_rate,
+    dec_revenue,
+    dsum,
+    dsum_dec,
+    oracle_dsum,
+    oracle_dec_revenue,
+    oracle_dsum_dec,
+)
 from presto_on_ray_spark.caching import tracked_persist
 from presto_on_ray_spark.operators._util import t
 from presto_on_ray_spark.suite import query
@@ -24,7 +33,7 @@ from presto_on_ray_spark.suite import query
     "tpch_q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           {oracle_dsum_dec(oracle_dec_revenue())} AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -47,12 +56,12 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = dec_revenue()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .agg(dsum_dec(revenue).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -100,7 +109,7 @@ def tpch_q4_priority_check(spark, sf_dir):
 @query(
     "tpch_q5_local_supplier_volume",
     oracle=f"""
-    SELECT n_name, {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    SELECT n_name, {oracle_dsum_dec(oracle_dec_revenue())} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -127,7 +136,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = dec_revenue()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -138,7 +147,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .agg(dsum_dec(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 
@@ -146,7 +155,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
 @query(
     "tpch_q6_forecast_revenue",
     oracle=f"""
-    SELECT {oracle_dsum('l_extendedprice * l_discount', 4)} AS revenue
+    SELECT {oracle_dsum_dec("(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)))")} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -163,14 +172,14 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=4).alias("revenue"))
+    ).agg(dsum_dec(dec_price("l_extendedprice") * dec_rate("l_discount")).alias("revenue"))
 
 
 @query(
     "tpch_q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           {oracle_dsum_dec(oracle_dec_revenue())} AS revenue,
            CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -193,13 +202,13 @@ def tpch_q10_returned_items(spark, sf_dir):
     )
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = t(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = dec_revenue()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .agg(dsum_dec(revenue).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",

@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from presto_on_ray_spark.functions.numeric import dsum, oracle_dsum
+from presto_on_ray_spark.functions.numeric import (
+    dsum,
+    oracle_dsum,
+    oracle_dec_revenue,
+    oracle_dsum_dec,
+)
 from presto_on_ray_spark.operators._util import t
 from presto_on_ray_spark.suite import query
 
@@ -234,7 +239,7 @@ def tpch_q12_priority_shipping(spark, sf_dir):
     oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+             {oracle_dsum_dec(oracle_dec_revenue())} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
@@ -256,7 +261,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
         """
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue
+                 CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
             AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
