@@ -59,10 +59,12 @@ def dec_price(col: Column | str) -> Column:
 
 def dec_rate(col: Column | str) -> Column:
     """Exact decimal view of a 2-dp-valued rate column (< 100).
-    Widths stay TIGHT on purpose: price(12,2) × rate(4,2) → (17,4),
-    × rate(4,2) again → (22,6) — all under precision 38, so neither
-    engine ever reduces scale (Spark's allowPrecisionLoss rounding
-    above 38 was the residual sf1 divergence with wide factors)."""
+    Widths stay TIGHT on purpose: (1 - rate) widens to (5,2), so
+    price(12,2) × (5,2) → (18,4), × (5,2) again → (24,6) — all under
+    precision 38, so neither engine ever reduces scale (Spark's
+    allowPrecisionLoss rounding above 38 was the residual sf1
+    divergence with wide (18,2) factors, whose second product hits
+    precision 43)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("decimal(4,2)")
 

@@ -21,6 +21,8 @@ from presto_on_ray_spark.functions.numeric import (
     dsum,
     dsum_dec,
     oracle_dsum,
+    oracle_dec_price,
+    oracle_dec_rate,
     oracle_dec_revenue,
     oracle_dsum_dec,
 )
@@ -155,7 +157,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
 @query(
     "tpch_q6_forecast_revenue",
     oracle=f"""
-    SELECT {oracle_dsum_dec("(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)))")} AS revenue
+    SELECT {oracle_dsum_dec(f"({oracle_dec_price('l_extendedprice')} * {oracle_dec_rate('l_discount')})")} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -274,11 +276,11 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
     "tpch_q7_volume_shipping",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           {oracle_dsum('volume', 4)} AS revenue
+           {oracle_dsum_dec('volume')} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             {oracle_dec_revenue()} AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
@@ -310,7 +312,7 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     n1 = t(spark, sf_dir, "nation").withColumnRenamed("n_name", "supp_nation")
     n2 = t(spark, sf_dir, "nation").withColumnRenamed("n_name", "cust_nation")
     nations = ["NATION_1", "NATION_2"]
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = dec_revenue()
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -331,7 +333,7 @@ def tpch_q7_volume_shipping(spark, sf_dir):
             volume.alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(dsum("volume", scale=4).alias("revenue"))
+        .agg(dsum_dec(F.col("volume")).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -341,7 +343,7 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     oracle="""
     WITH nation_value AS (
       SELECT p_partkey,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS value
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS value
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
@@ -365,13 +367,13 @@ def tpch_q11_important_stock(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
     p = t(spark, sf_dir, "part")
-    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    value = dec_revenue()
     nation_value = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .groupBy("p_partkey")
-        .agg(dsum(value, scale=4).alias("value"))
+        .agg(dsum_dec(value).alias("value"))
     )
     nation_value = tracked_persist(nation_value)
     threshold = (
@@ -422,10 +424,10 @@ def tpch_q13_customer_distribution(spark, sf_dir):
     "tpch_q14_promo_revenue_share",
     oracle="""
     SELECT ((200000000 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
-                                      THEN l_extendedprice * (1 - l_discount)
+                                      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
                                       ELSE 0 END AS DECIMAL(30,4))) * 10000 AS HUGEINT)
-             + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) * 10000 AS HUGEINT))
-            // (2 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) * 10000 AS HUGEINT)))
+             + CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) * 10000 AS HUGEINT))
+            // (2 * CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) * 10000 AS HUGEINT)))
            / 1000000.0
            AS promo_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -446,8 +448,10 @@ def tpch_q14_promo_revenue_share(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     p = t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    rev = dec_revenue()
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     return joined.agg(
         (F.sum(promo.cast("decimal(30,4)")) * 10000)
@@ -468,7 +472,7 @@ def tpch_q14_promo_revenue_share(spark, sf_dir):
     "tpch_q19_disjunctive_predicates",
     oracle="""
     SELECT COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND l_quantity <= 25)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 35)
@@ -486,10 +490,10 @@ def tpch_q19_disjunctive_predicates(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = dec_revenue()
     return j.filter(cond).agg(
         F.count("*").alias("n"),
-        F.sum(rev.cast("decimal(30,4)")).cast("double").alias("revenue"),
+        dsum_dec(rev).alias("revenue"),
     )
 
 

@@ -28,8 +28,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from presto_on_ray_spark.functions.numeric import (
+    dec_price,
+    dec_revenue,
     dsum,
+    dsum_dec,
     oracle_dsum,
+    oracle_dec_price,
     oracle_dec_revenue,
     oracle_dsum_dec,
 )
@@ -95,12 +99,12 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     "tpch_q8_market_share",
     oracle=f"""
     SELECT o_year,
-           {oracle_dsum('nation_volume', 4)} / {oracle_dsum('volume', 4)} AS mkt_share
+           {oracle_dsum_dec('nation_volume')} / {oracle_dsum_dec('volume')} AS mkt_share
     FROM (
       SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             {oracle_dec_revenue()} AS volume,
              CASE WHEN n2.n_name = 'NATION_3'
-                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS nation_volume
+                  THEN {oracle_dec_revenue()} ELSE 0 END AS nation_volume
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -129,8 +133,10 @@ def tpch_q8_market_share(spark, sf_dir):
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     n1 = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2).alias("n1")
     n2 = t(spark, sf_dir, "nation").alias("n2")
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    nation_volume = F.when(F.col("n2.n_name") == "NATION_3", volume).otherwise(0.0)
+    volume = dec_revenue()
+    nation_volume = F.when(F.col("n2.n_name") == "NATION_3", volume).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -147,7 +153,7 @@ def tpch_q8_market_share(spark, sf_dir):
         )
         .groupBy("o_year")
         .agg(
-            (dsum("nation_volume", scale=4) / dsum("volume", scale=4)).alias("mkt_share")
+            (dsum_dec(F.col("nation_volume")) / dsum_dec(F.col("volume"))).alias("mkt_share")
         )
     )
 
@@ -155,10 +161,10 @@ def tpch_q8_market_share(spark, sf_dir):
 @query(
     "tpch_q9_product_profit",
     oracle=f"""
-    SELECT n_name AS nation, o_year, {oracle_dsum('amount', 4)} AS sum_profit
+    SELECT n_name AS nation, o_year, {oracle_dsum_dec('amount')} AS sum_profit
     FROM (
       SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
-             l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS amount
+             {oracle_dec_revenue()} - CAST(0.5 AS DECIMAL(2,1)) * {oracle_dec_price('p_retailprice')} * CAST(l_quantity AS DECIMAL(4,0)) AS amount
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -180,8 +186,10 @@ def tpch_q9_product_profit(spark, sf_dir):
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
     n = t(spark, sf_dir, "nation")
     amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        dec_revenue()
+        - F.lit(0.5).cast("decimal(2,1)")
+        * dec_price("p_retailprice")
+        * F.col("l_quantity").cast("decimal(4,0)")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -194,7 +202,7 @@ def tpch_q9_product_profit(spark, sf_dir):
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(dsum("amount", scale=4).alias("sum_profit"))
+        .agg(dsum_dec(F.col("amount")).alias("sum_profit"))
     )
 
 
@@ -257,11 +265,14 @@ def tpch_q15_top_supplier(spark, sf_dir):
     deterministic across engines; the view computes once (Spark reuses
     the subplan via the CTE)."""
     _views(spark, sf_dir, "lineitem", "supplier")
+    # oracle_dec_revenue/oracle_dsum_dec emit engine-neutral SQL, so the
+    # Spark-side CTE shares the exact helper text with the DuckDB oracle
+    # (one source of truth for the decimal widths)
     return spark.sql(
-        """
+        f"""
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue
+                 {oracle_dsum_dec(oracle_dec_revenue())} AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
             AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'

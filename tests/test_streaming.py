@@ -444,3 +444,35 @@ def test_streaming_dedup_late_duplicate_injection(spark, tmp_path):
     assert by_key["k3"] == [9]
     assert set(by_key) == {"k1", "k2", "k3", "k4", "wm", "wm2"}
     spark.catalog.dropTempView("late_dup_injection")
+
+
+def test_events_stream_reads_dataset_directory(spark, sf_dir, tmp_path):
+    """_events_stream must handle a Spark-written dataset DIRECTORY
+    (what a production corpus looks like), not just the fixture's
+    single-file layout — the pathGlobFilter-only form silently
+    streamed zero rows from a directory (caught on the sf1 rung)."""
+    from presto_on_ray_spark.sources.tables import load_table
+    from presto_on_ray_spark.streaming.windows import (
+        tumbling_window_counts,
+        tumbling_window_counts_batch,
+    )
+
+    dir_sf = str(tmp_path / "dirlayout")
+    load_table(spark, sf_dir, "events").write.parquet(f"{dir_sf}/events.parquet")
+    agg = tumbling_window_counts(spark, dir_sf)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dir_layout_tumbling")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    mem = spark.table("dir_layout_tumbling")
+    batch = tumbling_window_counts_batch(spark, sf_dir)
+    cols = mem.columns
+    assert mem.count() > 0
+    assert (
+        mem.select(*cols).exceptAll(batch.select(*cols)).count() == 0
+        and batch.select(*cols).exceptAll(mem.select(*cols)).count() == 0
+    )
