@@ -74,6 +74,14 @@ def dec_revenue(ep: str = "l_extendedprice", disc: str = "l_discount") -> Column
     return dec_price(ep) * (F.lit(1).cast("decimal(3,2)") - dec_rate(disc))
 
 
+def dec_charge(ep: str = "l_extendedprice", disc: str = "l_discount",
+               tax: str = "l_tax") -> Column:
+    """revenue * (1 + l_tax), exact 6-dp decimal ((24,6) — see
+    dec_rate's width note; keep the (3,2) literal width here and in
+    dec_revenue in sync)."""
+    return dec_revenue(ep, disc) * (F.lit(1).cast("decimal(3,2)") + dec_rate(tax))
+
+
 def dsum_dec(product: Column, round_to: int = 2) -> Column:
     """Exact sum of an already-exact decimal product, rounded to
     ``round_to`` places ON THE DECIMAL, then cast to double.

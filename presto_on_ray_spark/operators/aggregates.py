@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from presto_on_ray_spark.functions.numeric import (
     davg,
-    dec_rate,
+    dec_charge,
     dec_revenue,
     dsum,
     dsum_dec,
@@ -63,7 +63,7 @@ def q1_pricing_summary(spark, sf_dir):
     # the sums are bit-identical across engines at ANY data scale —
     # the double-product form diverged at sf1; see functions/numeric)
     disc_price = dec_revenue()
-    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + dec_rate("l_tax"))
+    charge = dec_charge()
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")

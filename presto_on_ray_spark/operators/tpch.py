@@ -340,10 +340,10 @@ def tpch_q7_volume_shipping(spark, sf_dir):
 
 @query(
     "tpch_q11_important_stock",
-    oracle="""
+    oracle=f"""
     WITH nation_value AS (
       SELECT p_partkey,
-             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS value
+             {oracle_dsum_dec(oracle_dec_revenue())} AS value
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
@@ -422,12 +422,12 @@ def tpch_q13_customer_distribution(spark, sf_dir):
 
 @query(
     "tpch_q14_promo_revenue_share",
-    oracle="""
+    oracle=f"""
     SELECT ((200000000 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
-                                      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                      THEN {oracle_dec_revenue()}
                                       ELSE 0 END AS DECIMAL(30,4))) * 10000 AS HUGEINT)
-             + CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) * 10000 AS HUGEINT))
-            // (2 * CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) * 10000 AS HUGEINT)))
+             + CAST(SUM(CAST({oracle_dec_revenue()} AS DECIMAL(30,4))) * 10000 AS HUGEINT))
+            // (2 * CAST(SUM(CAST({oracle_dec_revenue()} AS DECIMAL(30,4))) * 10000 AS HUGEINT)))
            / 1000000.0
            AS promo_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -470,9 +470,9 @@ def tpch_q14_promo_revenue_share(spark, sf_dir):
 
 @query(
     "tpch_q19_disjunctive_predicates",
-    oracle="""
+    oracle=f"""
     SELECT COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+           {oracle_dsum_dec(oracle_dec_revenue())} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND l_quantity <= 25)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 35)

@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from presto_on_ray_spark.functions.numeric import (
     dec_price,
     dec_revenue,
-    dsum,
     dsum_dec,
     oracle_dsum,
     oracle_dec_price,

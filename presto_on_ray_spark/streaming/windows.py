@@ -25,12 +25,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch read — the standard pattern for replaying files as a stream)."""
     from presto_on_ray_spark.sources.tables import load_table
 
-    import os
-
     load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf + UTC TZ
     path = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
+    # layout probe through Hadoop's FS so URI/remote paths (file:/,
+    # hdfs://, s3a://) classify correctly — os.path.isdir would fall
+    # through to the glob branch for those and silently stream 0 rows
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getFileStatus(jpath).isDirectory():
         # dataset directory (Spark-written part files): stream it as-is
         stream = spark.readStream.schema(raw_schema).parquet(path)
     else:

@@ -467,12 +467,16 @@ def test_events_stream_reads_dataset_directory(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    mem = spark.table("dir_layout_tumbling")
-    batch = tumbling_window_counts_batch(spark, sf_dir)
-    cols = mem.columns
-    assert mem.count() > 0
-    assert (
-        mem.select(*cols).exceptAll(batch.select(*cols)).count() == 0
-        and batch.select(*cols).exceptAll(mem.select(*cols)).count() == 0
-    )
+    try:
+        assert q.awaitTermination(240), "availableNow run did not finish"
+        mem = spark.table("dir_layout_tumbling")
+        batch = tumbling_window_counts_batch(spark, sf_dir)
+        cols = mem.columns
+        assert mem.count() > 0
+        assert (
+            mem.select(*cols).exceptAll(batch.select(*cols)).count() == 0
+            and batch.select(*cols).exceptAll(mem.select(*cols)).count() == 0
+        )
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("dir_layout_tumbling")
