@@ -562,3 +562,95 @@ def corpus_shuffle_shards(spark, sf_dir):
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+# -- deterministic source mixing (round 7) -----------------------------
+# Pretraining pipelines mix heterogeneous sources at TARGET proportions
+# ("50% web, 30% books, 20% code"). The scale-correct deterministic
+# form: per-source counts fix the largest total budget B that the
+# scarcest source can support at its target share, integer arithmetic
+# picks per-source quotas k_s, and membership is the portable-hash
+# order (rank <= k_s per source) — no rand(), no global sort, identical
+# sample on re-run at any parallelism. All ratios are integer (weights
+# are tenths), so the DuckDB oracle is bit-exact.
+
+_MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2}  # tenths; sum = 10
+_MIX_SEED = "mix7"
+
+
+def _mix_oracle() -> str:
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    h = _h60_sql(f"concat_ws('|', '{_MIX_SEED}', doc_id)")
+    srcs = ", ".join(f"'{s}'" for s in _MIX_WEIGHTS)
+    vals = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
+    return f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS c FROM documents
+      WHERE source IN ({srcs}) GROUP BY source
+    ),
+    budget AS (
+      SELECT MIN((c * 10) // w) AS b
+      FROM counts JOIN (VALUES {vals}) AS t(source, w) USING (source)
+    ),
+    quota AS (
+      SELECT t.source, (b * w) // 10 AS k
+      FROM (VALUES {vals}) AS t(source, w), budget
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+      FROM documents WHERE source IN ({srcs})
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS pick_rank
+    FROM ranked JOIN quota USING (source)
+    WHERE rn <= k
+    ORDER BY source, pick_rank
+    """
+
+
+@query("corpus_mix_sources", oracle=_mix_oracle())
+def corpus_mix_sources(spark, sf_dir):
+    """Deterministic source mixing to target proportions (5:3:2 over
+    three sources): integer-exact budget B = min_s (10·c_s) div w_s,
+    per-source quota k_s = (B·w_s) div 10, membership = portable-hash
+    rank ≤ k_s within each source. One aggregation (counts), one
+    3-row broadcast (quotas), one per-source window — no global sort,
+    no rand(); the mix is reproducible on any cluster size and the
+    proportions are as close to target as the scarcest source allows
+    (the standard epoch-mix contract)."""
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("source").isin(*_MIX_WEIGHTS)
+    )
+    w = spark.createDataFrame(
+        list(_MIX_WEIGHTS.items()), "source STRING, w INT"
+    )
+    counts = d.groupBy("source").agg(F.count("*").alias("c"))
+    # budget = min over sources — an unpartitioned window over the
+    # ALREADY-AGGREGATED per-source relation (one row per mixed
+    # source, bounded by the weight dict's size by construction), so
+    # no cross join and no scalar collect reach the plan
+    quota = (
+        counts.join(F.broadcast(w), "source")
+        .withColumn(
+            "b",
+            F.min(F.expr("(c * 10) div w")).over(Window.partitionBy(F.lit(1))),
+        )
+        .select("source", F.expr("(b * w) div 10").alias("k"))
+    )
+    okey = _portable_h60(F.lit(_MIX_SEED), F.col("doc_id"))
+    ranked = d.select(
+        "doc_id", "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(okey.alias("okey"), "doc_id"))
+        .cast("long")
+        .alias("pick_rank"),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("pick_rank") <= F.col("k"))
+        .select("doc_id", "source", "pick_rank")
+        .orderBy("source", "pick_rank")
+    )
