@@ -74,8 +74,9 @@ HEADLINE = [
     "cov_sketch_exact",
     "dedup_lsh_keepers",
     "similarity_ivf_exact",
-    # round-7: epoch-prep shuffle/shard
+    # round-7: epoch-prep shuffle/shard + source mixing
     "corpus_shuffle_shards",
+    "corpus_mix_sources",
 ]
 
 
