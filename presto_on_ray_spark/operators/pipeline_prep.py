@@ -590,8 +590,8 @@ def _mix_oracle() -> str:
       WHERE source IN ({srcs}) GROUP BY source
     ),
     budget AS (
-      SELECT MIN((c * 10) // w) AS b
-      FROM counts JOIN (VALUES {vals}) AS t(source, w) USING (source)
+      SELECT MIN((COALESCE(c, 0) * 10) // w) AS b
+      FROM (VALUES {vals}) AS t(source, w) LEFT JOIN counts USING (source)
     ),
     quota AS (
       SELECT t.source, (b * w) // 10 AS k
@@ -631,9 +631,13 @@ def corpus_mix_sources(spark, sf_dir):
     # budget = min over sources — an unpartitioned window over the
     # ALREADY-AGGREGATED per-source relation (one row per mixed
     # source, bounded by the weight dict's size by construction), so
-    # no cross join and no scalar collect reach the plan
+    # no cross join and no scalar collect reach the plan. The join is
+    # LEFT from the WEIGHTS side with c coalesced to 0: a configured
+    # source with zero documents must force budget 0 (empty mix), not
+    # silently drop out of the min.
     quota = (
-        counts.join(F.broadcast(w), "source")
+        w.join(counts, "source", "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
         .withColumn(
             "b",
             F.min(F.expr("(c * 10) div w")).over(Window.partitionBy(F.lit(1))),
