@@ -69,6 +69,20 @@ _SHOW_STATS_RE = re.compile(
 )
 _ANALYZE_RE = re.compile(r"^\s*ANALYZE\s+([\w.]+)\s*$", re.IGNORECASE)
 
+# Statement families that EXECUTE (or change session/catalog state)
+# when dispatched through Engine.sql. Presto's EXPLAIN (without
+# ANALYZE) only PLANS, so the EXPLAIN / SHOW STATS FOR (query) paths
+# must refuse these before dispatching — otherwise `EXPLAIN DELETE
+# FROM t` would rewrite the table before raising (ADVICE r7). Nested
+# EXPLAIN is included so `EXPLAIN EXPLAIN ANALYZE DELETE ...` can't
+# tunnel through either.
+_NONQUERY_INNER_RE = re.compile(
+    r"^\s*(INSERT|DELETE|UPDATE|MERGE|CREATE|DROP|ALTER|TRUNCATE|ANALYZE|"
+    r"USE|SET|RESET|PREPARE|DEALLOCATE|EXECUTE|START|COMMIT|ROLLBACK|"
+    r"GRANT|REVOKE|CALL|EXPLAIN)\b",
+    re.IGNORECASE,
+)
+
 # Presto namespace statements: the reference's CLI connects with
 # `--catalog mysql --schema test` (reference: presto-mgr.py:268-273,
 # README.md:90) and Presto then resolves `user`, `test.user` and
@@ -660,7 +674,13 @@ class Engine:
         if m := _SHOW_STATS_RE.match(text):
             target = m.group(1).strip()
             if target.startswith("("):
-                df = self.sql(target.strip("()"))
+                inner = target.strip("()")
+                if _NONQUERY_INNER_RE.match(inner):
+                    raise ValueError(
+                        "SHOW STATS FOR (...) requires a query statement, "
+                        f"got {inner.split()[0].upper()}"
+                    )
+                df = self.sql(inner)
                 return _stats.show_stats(self.spark, df)
             cached = self._table_stats.get(target.lower())
             if cached is not None:
@@ -674,6 +694,15 @@ class Engine:
                 kv = part.strip().split(None, 1)
                 if len(kv) == 2:
                     opts[kv[0].upper()] = kv[1].strip().upper()
+            # Presto's EXPLAIN (without ANALYZE) only plans — refuse
+            # statement-family inner texts BEFORE dispatching, since
+            # self.sql() would otherwise execute them (the emulated
+            # DELETE rewrites tables, CREATE VIEW installs the view).
+            if _NONQUERY_INNER_RE.match(inner):
+                raise ValueError(
+                    "EXPLAIN requires a query statement, got "
+                    f"{inner.split()[0].upper()}"
+                )
             df = self.sql(inner)
             if df is None:
                 raise ValueError("EXPLAIN requires a query statement")

@@ -75,6 +75,16 @@ _MUTATING_RE = re.compile(
 _LEADING_COMMENT_RE = re.compile(r"^\s*(?:--[^\n]*\n|/\*.*?\*/)", re.DOTALL)
 _PREPARE_BODY_RE = re.compile(r"(?is)^\s*PREPARE\s+(\w+)\s+FROM\s+(.*)$")
 _EXECUTE_NAME_RE = re.compile(r"(?is)^\s*EXECUTE\s+(\w+)\b")
+# wrappers whose INNER text the engine dispatches through Engine.sql:
+# the read-only guard must recurse through them (ADVICE r7 — 'EXPLAIN
+# DELETE FROM t' / 'SHOW STATS FOR (DELETE FROM t)' reached the
+# mutating path before erroring)
+_EXPLAIN_PREFIX_RE = re.compile(
+    r"(?is)^\s*EXPLAIN\s+(?:\(\s*[^)]*\)\s+)?(?:ANALYZE\s+(?:VERBOSE\s+)?)?(.+)$"
+)
+_SHOW_STATS_WRAP_RE = re.compile(
+    r"(?is)^\s*SHOW\s+STATS\s+FOR\s*\(\s*(.+?)\s*\)\s*$"
+)
 
 
 def _strip_leading_comments(stmt: str) -> str:
@@ -306,10 +316,17 @@ class PrestoRestServer:
         or None. Strips leading comments first, and follows PREPARE /
         EXECUTE one level so neither 'PREPARE p FROM CREATE VIEW ...'
         nor 'EXECUTE p' of a mutating prepared text slips through
-        (ADVICE r6: the raw prefix regex was bypassable both ways)."""
+        (ADVICE r6: the raw prefix regex was bypassable both ways).
+        Also recurses through the EXPLAIN [(opts)] [ANALYZE] prefix and
+        the SHOW STATS FOR ( ... ) wrapper, whose inner statements the
+        engine dispatches via Engine.sql (ADVICE r7)."""
         stmt = _strip_leading_comments(stmt)
         if m := _MUTATING_RE.match(stmt):
             return m.group(1).upper()
+        if m := _EXPLAIN_PREFIX_RE.match(stmt):
+            return self._mutating_keyword(m.group(1))
+        if m := _SHOW_STATS_WRAP_RE.match(stmt):
+            return self._mutating_keyword(m.group(1))
         if m := _PREPARE_BODY_RE.match(stmt):
             return self._mutating_keyword(m.group(2))
         if m := _EXECUTE_NAME_RE.match(stmt):
@@ -329,6 +346,7 @@ class PrestoRestServer:
                 qid, f"{kw} is not allowed on a read-only server",
                 "PERMISSION_DENIED", 4,
             )
+        wd = None  # set after detach; disarmed on any failure below
         try:
             df = self.engine.sql(stmt)
             if df is None:
@@ -370,6 +388,12 @@ class PrestoRestServer:
                 sc.setLocalProperty("spark.scheduler.pool", None)
             state = _OpenQuery(columns, it, sc, gid, watchdog=wd)
         except Exception as exc:
+            if wd is not None:
+                # ownership was detached from the engine above but never
+                # reached an _OpenQuery: disarm here or the Timer thread
+                # lives until query_max_run_time and fires on a dead
+                # group (ADVICE r7)
+                wd.disarm()
             return self._fail(
                 qid, str(exc).splitlines()[0] if str(exc) else repr(exc),
                 type(exc).__name__, 1,

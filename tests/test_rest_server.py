@@ -281,6 +281,72 @@ def test_read_only_rejects_prepared_mutations(readonly):
     assert final["data"][0][0] == 5
 
 
+def test_read_only_rejects_wrapped_mutations(readonly):
+    """ADVICE r7: EXPLAIN [(opts)] [ANALYZE] and SHOW STATS FOR (...)
+    dispatch their INNER statement through Engine.sql, so the guard
+    must recurse through the wrappers — 'EXPLAIN DELETE FROM nation'
+    on a read_only server used to rewrite the table before erroring."""
+    for sql in (
+        "EXPLAIN DELETE FROM nation",
+        "EXPLAIN ANALYZE DELETE FROM nation",
+        "EXPLAIN (TYPE VALIDATE) CREATE VIEW v_ro4 AS SELECT 1 AS x",
+        "EXPLAIN EXPLAIN ANALYZE DELETE FROM nation",
+        "SHOW STATS FOR (DELETE FROM nation)",
+        "explain /* c */ drop view v_ro4",
+    ):
+        page = _post(readonly.url, sql)
+        assert page["stats"]["state"] == "FAILED", sql
+        assert page["error"]["errorName"] == "PERMISSION_DENIED", sql
+    # and the table is untouched
+    final = _run(readonly.url, "SELECT count(*) AS n FROM nation")
+    assert final["data"][0][0] == 25
+    # read-only EXPLAIN / SHOW STATS still work
+    final = _run(readonly.url, "EXPLAIN SELECT count(*) AS n FROM region")
+    assert final["stats"]["state"] == "FINISHED"
+    final = _run(readonly.url, "SHOW STATS FOR (SELECT n_name FROM nation)")
+    assert final["stats"]["state"] == "FINISHED"
+
+
+def test_failed_submit_disarms_detached_watchdog(spark, sf_dir):
+    """ADVICE r7: if the work after detach_watchdog() raises in
+    _submit, the detached watchdog's Timer must be disarmed on the
+    failure path (not left running until query_max_run_time)."""
+    eng = Engine(spark).register_tables(sf_dir)
+    srv = PrestoRestServer(eng).start()
+    real_sql = eng.sql
+
+    def sql_with_bad_iterator(stmt, **kw):
+        df = real_sql(stmt, **kw)
+        sql_with_bad_iterator.wd = eng._watchdog  # armed on THIS thread
+
+        class _BadDF:
+            schema = df.schema
+
+            def limit(self, n):
+                return self
+
+            def toLocalIterator(self):
+                raise RuntimeError("boom in iterator")
+
+        return _BadDF()
+
+    try:
+        real_sql("SET SESSION query_max_run_time = '600s'")
+        eng.sql = sql_with_bad_iterator
+        try:
+            page = _post(srv.url, "SELECT n_nationkey AS k FROM nation")
+        finally:
+            del eng.sql
+            real_sql("RESET SESSION query_max_run_time")
+        assert page["stats"]["state"] == "FAILED"
+        assert "boom in iterator" in page["error"]["message"]
+        wd = sql_with_bad_iterator.wd
+        assert wd is not None
+        assert wd.timer.finished.is_set()  # disarmed, not ticking
+    finally:
+        srv.stop()
+
+
 def test_eviction_and_delete_close_open_iterators(spark, sf_dir):
     """ADVICE r6: LRU eviction and DELETE must close the underlying
     toLocalIterator (driver socket + partially-run job), not wait for
@@ -311,9 +377,11 @@ def test_eviction_and_delete_close_open_iterators(spark, sf_dir):
 def test_watchdog_applies_to_paged_results(spark, sf_dir):
     """ADVICE r6: the watchdog/pool properties are thread-local, but
     pages are served on other threads — the server detaches the
-    watchdog at submit, re-applies its group id around every pull, and
-    disarms it when the stream completes. A later submit must not
-    disarm a still-streaming query's kill switch."""
+    watchdog at submit and sets its group id / pool around the
+    toLocalIterator() call, whose JVM serving thread inherits them at
+    iterator-creation time (nothing is re-applied per pull), then
+    disarms the watchdog when the stream completes. A later submit
+    must not disarm a still-streaming query's kill switch."""
     eng = Engine(spark).register_tables(sf_dir)
     srv = PrestoRestServer(eng, page_rows=2).start()
     try:

@@ -166,3 +166,51 @@ def test_explain_io_self_join_widens_across_scans(eng):
     li = next(r for r in rows if "lineitem.parquet" in r.input_location)
     assert li.row_groups_pruned == 0
     assert "l_quantity" not in li.pushed_ranges
+
+
+# -- round 8: EXPLAIN / SHOW STATS FOR plan-only guard (ADVICE r7) ------
+
+def test_explain_refuses_statement_family_without_executing(eng):
+    """Presto's EXPLAIN (without ANALYZE) only PLANS. The engine's
+    emulated DELETE / CREATE VIEW execute when dispatched, so the
+    EXPLAIN path must refuse statement-family inner texts BEFORE
+    dispatching them (ADVICE r7: 'EXPLAIN DELETE FROM nation'
+    rewrote the table before raising)."""
+    before = eng.table("nation").count()
+    for sql in (
+        "EXPLAIN DELETE FROM nation",
+        "EXPLAIN ANALYZE DELETE FROM nation WHERE n_nationkey = 0",
+        "EXPLAIN (TYPE VALIDATE) CREATE VIEW v_exp_guard AS SELECT 1 AS x",
+        "EXPLAIN CREATE OR REPLACE VIEW nation AS SELECT 1 AS x",
+        "EXPLAIN EXPLAIN ANALYZE DELETE FROM nation",
+        "EXPLAIN USE parquet.default",
+        "EXPLAIN SET SESSION query_max_run_time = '1s'",
+    ):
+        with pytest.raises(ValueError, match="EXPLAIN requires a query"):
+            eng.sql(sql)
+    assert eng.table("nation").count() == before
+    # the view side effect must not have happened either
+    assert not eng.spark.catalog.tableExists("v_exp_guard")
+    assert eng._max_run_time_s is None  # SET SESSION not applied
+
+
+def test_show_stats_refuses_statement_family_without_executing(eng):
+    before = eng.table("nation").count()
+    with pytest.raises(ValueError, match="SHOW STATS FOR .* requires a query"):
+        eng.sql("SHOW STATS FOR (DELETE FROM nation)")
+    assert eng.table("nation").count() == before
+
+
+def test_explain_of_queries_still_works_after_guard(eng):
+    # SELECT / WITH / VALUES / TABLE / parenthesized all still plan
+    for sql in (
+        "EXPLAIN SELECT 1 AS x",
+        "EXPLAIN WITH t AS (SELECT 1 AS x) SELECT * FROM t",
+        "EXPLAIN VALUES (1, 2)",
+        "EXPLAIN (SELECT 1 AS x)",
+    ):
+        df = eng.sql(sql)
+        assert df.columns == ["Query Plan"]
+    # and EXPLAIN of the read-only SHOW family still dispatches
+    df = eng.sql("EXPLAIN SHOW TABLES")
+    assert df.columns == ["Query Plan"]
