@@ -204,33 +204,58 @@ def dedup_ngram_jaccard(spark, sf_dir):
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.ceil(F.col("n") * t_thresh) + 1
     ).select("doc_id", "sh", "n", "pos")
-    # Candidate pruning inside the join (both bounds exact — the verify
-    # stage recomputes true Jaccard, and every J >= t pair provably
-    # survives):
-    # 1. AllPairs length filter: J >= t implies t <= |A|/|B| <= 1/t.
-    # 2. PPJoin positional bound: prefixes share the global (df, hash)
-    #    order, so a pair's FIRST common shingle at positions (pa, pb)
-    #    bounds overlap <= 1 + min(na-pa, nb-pb); J >= t needs
-    #    overlap >= t(na+nb)/(1+t) = 3(na+nb)/8 at t=0.6 — integer
-    #    arithmetic, no float edge. A qualifying pair's first-collision
-    #    row always passes, so distinct-over-survivors is a superset of
-    #    the true pairs. Measured at sf0.1: 299k -> 193k -> 69k
-    #    candidates for the same 256 result pairs.
+    # Candidate pruning (all bounds exact — the verify stage recomputes
+    # true Jaccard, and every J >= t pair provably survives):
+    # 1. AllPairs length filter inside the join: J >= t implies
+    #    t <= |A|/|B| <= 1/t.
+    # 2. PPJoin ACCUMULATED positional bound (r8; replaces the weaker
+    #    per-first-collision form): prefixes share the global (df, hash)
+    #    order, so a pair's common shingles appear in the same relative
+    #    order in both docs. Aggregating ALL prefix collisions per pair
+    #    gives op = |prefix overlap| and the LAST collision's positions
+    #    (pamax, pbmax) — which co-occur on one row by that monotonicity
+    #    — and every uncounted common shingle sorts after it in BOTH
+    #    docs (any smaller common shingle would itself be a prefix
+    #    collision), so overlap <= op + min(na-pamax, nb-pbmax). J >= t
+    #    needs overlap >= t(na+nb)/(1+t) = 3(na+nb)/8 at t=0.6 —
+    #    integer arithmetic, no float edge. The groupBy replaces the
+    #    old distinct() (same shuffle key, counters instead of dedup)
+    #    and the tighter bound shrinks the verify stage's fan-out —
+    #    the term that goes quadratic on saturated shingle spaces
+    #    (SCALING.md round 7). Measured: 204k collision rows -> 66k
+    #    candidates at sf0.1 (was 69k under the first-collision bound)
+    #    and 24.4M -> 9.37M at the saturated sf1 rung (was 9.74M) for
+    #    identical result pairs — a strict, free tightening, though on
+    #    THIS corpus profile the length filter does most of the work.
     a, b = prefix.alias("a"), prefix.alias("b")
-    ubound = 1 + F.least(
-        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    coll = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.n") * t_thresh <= F.col("a.n"))
+        & (F.col("a.n") * t_thresh <= F.col("b.n")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    )
+    suffix_min = F.least(
+        F.col("na") - F.col("pamax"), F.col("nb") - F.col("pbmax")
     )
     cand = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.n") * t_thresh <= F.col("a.n"))
-            & (F.col("a.n") * t_thresh <= F.col("b.n"))
-            & (ubound * 8 >= 3 * (F.col("a.n") + F.col("b.n"))),
+        coll.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("op"),
+            F.max("pa").alias("pamax"),
+            F.max("pb").alias("pbmax"),
+            F.max("na").alias("na"),  # constant per pair
+            F.max("nb").alias("nb"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .filter((F.col("op") + suffix_min) * 8 >= 3 * (F.col("na") + F.col("nb")))
+        .select("doc_a", "doc_b")
     )
     # Exact verification via co-occurrence counts: fan candidate pairs
     # out to doc_a's shingles, keep those doc_b also has (shingle-key
