@@ -658,3 +658,129 @@ def corpus_mix_sources(spark, sf_dir):
         .select("doc_id", "source", "pick_rank")
         .orderBy("source", "pick_rank")
     )
+
+
+# -- token-budget corpus selection (round 8) ----------------------------
+# "Fill a token budget with the highest-quality documents" is the
+# selection step of every curated pretraining mix (quality-pruned
+# corpora are specified as token budgets, not document counts). The
+# scale-correct form is NOT a global quality sort + running token sum
+# (a single-partition window over the whole corpus — the same scale
+# killer corpus_shuffle_shards avoids): bucket documents by an integer
+# quality score, pick whole buckets from the top via a cumulative sum
+# over the ~101-row bucket relation, and resolve ONLY the boundary
+# bucket with a per-doc running sum — a window over one bucket
+# (~1/|buckets| of the corpus), never the whole corpus. Membership is
+# deterministic (portable-hash order inside the boundary bucket), so
+# the epoch is reproducible on any cluster size and the DuckDB oracle
+# is bit-exact.
+
+_BUDGET_SEED = "budget8"
+_BUDGET_TENTHS = 3  # budget = 30% of corpus tokens
+
+
+def _budget_oracle() -> str:
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    h = _h60_sql(f"concat_ws('|', '{_BUDGET_SEED}', doc_id)")
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             (100 * LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))))
+               // LEN(STRING_SPLIT(text, ' ')) AS score,
+             {h} AS okey
+      FROM documents
+    ),
+    bsum AS (SELECT score, SUM(n_tokens) AS bt FROM d GROUP BY score),
+    binfo AS (
+      SELECT score, bt,
+             COALESCE(SUM(bt) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_excl,
+             (SUM(bt) OVER () * {_BUDGET_TENTHS}) // 10 AS b
+      FROM bsum
+    ),
+    kept AS (
+      SELECT score, s_excl + bt <= b AS full_bucket, b - s_excl AS rem
+      FROM binfo WHERE s_excl <= b
+    ),
+    boundary AS (
+      SELECT d.doc_id, d.score, d.n_tokens,
+             SUM(d.n_tokens) OVER (PARTITION BY d.score
+               ORDER BY d.okey, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             kept.rem
+      FROM d JOIN kept USING (score) WHERE NOT kept.full_bucket
+    )
+    SELECT doc_id, score, n_tokens
+    FROM d JOIN kept USING (score) WHERE kept.full_bucket
+    UNION ALL
+    SELECT doc_id, score, n_tokens FROM boundary WHERE cum <= rem
+    ORDER BY score DESC, doc_id
+    """
+
+
+@query("corpus_budget_select", oracle=_budget_oracle())
+def corpus_budget_select(spark, sf_dir):
+    """Token-budget quality selection: take the highest-quality
+    documents until a token budget (30% of corpus tokens) is filled.
+
+    Contract (identical in both engines, integer arithmetic only):
+    quality score = (100 * unique_words) div n_tokens (vocabulary
+    diversity, 0..100); whole score buckets are taken from the top
+    while they fit the budget; the single boundary bucket is filled in
+    portable-hash order by an inclusive running token sum. Plan shape:
+    one bucket aggregation, one window over the <=101-row bucket
+    relation, one broadcast join back, and one window over the
+    boundary bucket only — no global sort, no driver-side scalar, no
+    corpus-wide running sum."""
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    words = F.split("text", " ")
+    n_tokens = F.size(words).cast("long")
+    score = F.expr("(100 * n_unique) div n_tokens")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.size(F.array_distinct(words)).cast("long").alias("n_unique"),
+            _portable_h60(F.lit(_BUDGET_SEED), F.col("doc_id")).alias("okey"),
+        )
+        .select("doc_id", "n_tokens", score.alias("score"), "okey")
+    )
+    bsum = d.groupBy("score").agg(F.sum("n_tokens").alias("bt"))
+    # both windows run over the ALREADY-AGGREGATED bucket relation —
+    # bounded at 101 rows by the score's construction, so the
+    # unpartitioned frame is safe at any corpus size
+    wdesc = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(F.lit(1))
+    kept = (
+        bsum.withColumn("s_excl", F.coalesce(F.sum("bt").over(wdesc), F.lit(0)))
+        .withColumn("tot", F.sum("bt").over(wtot))
+        .withColumn("b", F.expr(f"(tot * {_BUDGET_TENTHS}) div 10"))
+        .filter(F.col("s_excl") <= F.col("b"))
+        .select(
+            "score",
+            (F.col("s_excl") + F.col("bt") <= F.col("b")).alias("full_bucket"),
+            (F.col("b") - F.col("s_excl")).alias("rem"),
+        )
+    )
+    joined = d.join(F.broadcast(kept), "score")
+    full = joined.filter("full_bucket").select("doc_id", "score", "n_tokens")
+    wb = (
+        Window.partitionBy("score")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        joined.filter(~F.col("full_bucket"))
+        .withColumn("cum", F.sum("n_tokens").over(wb))
+        .filter(F.col("cum") <= F.col("rem"))
+        .select("doc_id", "score", "n_tokens")
+    )
+    return full.unionAll(boundary).orderBy(F.col("score").desc(), "doc_id")
