@@ -83,6 +83,16 @@ _NONQUERY_INNER_RE = re.compile(
     re.IGNORECASE,
 )
 
+# The two write statements Presto's EXPLAIN DOES plan (rendering a
+# TableWriter over the source query's plan) without executing:
+# INSERT INTO t [cols] query  /  CREATE TABLE t [...] AS query.
+_EXPLAIN_WRITE_RE = re.compile(
+    r"^\s*(?:INSERT\s+INTO\s+([\w.]+)(?:\s*\([\w\s,]*\))?"
+    r"|CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+    r"(?:\s+WITH\s*\([^)]*\))?\s+AS)\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # Presto namespace statements: the reference's CLI connects with
 # `--catalog mysql --schema test` (reference: presto-mgr.py:268-273,
 # README.md:90) and Presto then resolves `user`, `test.user` and
@@ -694,10 +704,38 @@ class Engine:
                 kv = part.strip().split(None, 1)
                 if len(kv) == 2:
                     opts[kv[0].upper()] = kv[1].strip().upper()
-            # Presto's EXPLAIN (without ANALYZE) only plans — refuse
-            # statement-family inner texts BEFORE dispatching, since
-            # self.sql() would otherwise execute them (the emulated
-            # DELETE rewrites tables, CREATE VIEW installs the view).
+            # Presto's EXPLAIN (without ANALYZE) only plans. INSERT and
+            # CTAS are planned (TableWriter over the source query, no
+            # execution — Presto's rendering); every other statement
+            # family is refused BEFORE dispatching, since self.sql()
+            # would otherwise execute it (the emulated DELETE rewrites
+            # tables, CREATE VIEW installs the view).
+            if mw := _EXPLAIN_WRITE_RE.match(inner):
+                target = mw.group(1) or mw.group(2)
+                body = mw.group(3).strip()
+                if analyze is not None:
+                    raise ValueError(
+                        "EXPLAIN ANALYZE of a write statement is not "
+                        "supported (it would execute the write)"
+                    )
+                if _NONQUERY_INNER_RE.match(body):
+                    raise ValueError(
+                        "EXPLAIN requires a query statement, got "
+                        f"{body.split()[0].upper()}"
+                    )
+                from pyspark.sql import functions as _F
+
+                src = self.sql(body)
+                etype = opts.get("TYPE", "DISTRIBUTED")
+                out = self._render_explain(src, etype, False)
+                if etype in ("LOGICAL", "DISTRIBUTED"):
+                    out = out.select(
+                        _F.concat(
+                            _F.lit(f"TableWriter[{target}]\n"),
+                            _F.col("Query Plan"),
+                        ).alias("Query Plan")
+                    )
+                return out
             if _NONQUERY_INNER_RE.match(inner):
                 raise ValueError(
                     "EXPLAIN requires a query statement, got "

@@ -214,3 +214,25 @@ def test_explain_of_queries_still_works_after_guard(eng):
     # and EXPLAIN of the read-only SHOW family still dispatches
     df = eng.sql("EXPLAIN SHOW TABLES")
     assert df.columns == ["Query Plan"]
+
+
+def test_explain_plans_insert_and_ctas_without_executing(eng):
+    """Presto parity: EXPLAIN INSERT / EXPLAIN CTAS plan the write
+    (TableWriter over the source query) but never execute it."""
+    plan = eng.sql(
+        "EXPLAIN INSERT INTO nation SELECT * FROM nation WHERE n_nationkey < 0"
+    ).collect()[0][0]
+    assert plan.startswith("TableWriter[nation]")
+    assert "Physical Plan" in plan or "AdaptiveSparkPlan" in plan
+    plan = eng.sql(
+        "EXPLAIN (TYPE LOGICAL) CREATE TABLE t_exp_ctas AS SELECT 1 AS x"
+    ).collect()[0][0]
+    assert plan.startswith("TableWriter[t_exp_ctas]")
+    assert not eng.spark.catalog.tableExists("t_exp_ctas")  # planned only
+    df = eng.sql("EXPLAIN (TYPE VALIDATE) INSERT INTO nation SELECT * FROM nation")
+    assert df.collect()[0][0] is True
+    with pytest.raises(ValueError, match="would execute the write"):
+        eng.sql("EXPLAIN ANALYZE INSERT INTO nation SELECT * FROM nation")
+    # the write body must itself be a query
+    with pytest.raises(ValueError, match="EXPLAIN requires a query"):
+        eng.sql("EXPLAIN INSERT INTO nation DELETE FROM nation")
