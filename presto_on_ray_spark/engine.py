@@ -86,12 +86,57 @@ _NONQUERY_INNER_RE = re.compile(
 # The two write statements Presto's EXPLAIN DOES plan (rendering a
 # TableWriter over the source query's plan) without executing:
 # INSERT INTO t [cols] query  /  CREATE TABLE t [...] AS query.
+# Groups: 1 = INSERT target, 2 = INSERT column list, 3 = IF NOT
+# EXISTS, 4 = CTAS target, 5 = source query body.
 _EXPLAIN_WRITE_RE = re.compile(
-    r"^\s*(?:INSERT\s+INTO\s+([\w.]+)(?:\s*\([\w\s,]*\))?"
-    r"|CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+    r"^\s*(?:INSERT\s+INTO\s+([\w.]+)(?:\s*\(([\w\s,]*)\))?"
+    r"|CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
     r"(?:\s+WITH\s*\([^)]*\))?\s+AS)\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_LEADING_COMMENT_RE = re.compile(r"^\s*(?:--[^\n]*\n|/\*.*?\*/)", re.DOTALL)
+
+
+def _strip_leading_comments(stmt: str) -> str:
+    """Remove every leading SQL comment (-- line and /* */ block) so
+    statement-classification regexes see the first real keyword — both
+    the introspection plan-only guards here and the REST read-only
+    guard would otherwise be defeated by a comment prefix
+    ('EXPLAIN /* c */ DROP VIEW v')."""
+    while True:
+        stripped = _LEADING_COMMENT_RE.sub("", stmt, count=1)
+        if stripped == stmt:
+            return stmt
+        stmt = stripped
+
+
+def _strip_outer_parens(text: str) -> str:
+    """Remove exactly one pair of outer parentheses from ``text`` —
+    the opening '(' must match the FINAL ')'. A naive ``strip("()")``
+    eats every trailing ')', corrupting queries ending in an IN-list
+    or subquery close. Single-quoted literals (with '' escapes) are
+    skipped while balancing."""
+    text = text.strip()
+    if not (text.startswith("(") and text.endswith(")")):
+        return text
+    depth, in_str = 0, False
+    for i, ch in enumerate(text):
+        if in_str:
+            if ch == "'":
+                in_str = False  # '' escapes re-enter on the next quote
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                # outer pair closes before the end: not a single
+                # wrapping pair, leave the text untouched
+                return text if i < len(text) - 1 else text[1:-1].strip()
+    return text
 
 # Presto namespace statements: the reference's CLI connects with
 # `--catalog mysql --schema test` (reference: presto-mgr.py:268-273,
@@ -684,7 +729,7 @@ class Engine:
         if m := _SHOW_STATS_RE.match(text):
             target = m.group(1).strip()
             if target.startswith("("):
-                inner = target.strip("()")
+                inner = _strip_leading_comments(_strip_outer_parens(target))
                 if _NONQUERY_INNER_RE.match(inner):
                     raise ValueError(
                         "SHOW STATS FOR (...) requires a query statement, "
@@ -698,7 +743,9 @@ class Engine:
             return _stats.show_stats(self.spark, self.table(target))
         if m := _EXPLAIN_RE.match(text):
             options, analyze, inner = m.groups()
-            inner = inner.strip()
+            # comments must not hide the inner statement's first
+            # keyword from the plan-only guards below
+            inner = _strip_leading_comments(inner.strip())
             opts = {}
             for part in (options or "").split(","):
                 kv = part.strip().split(None, 1)
@@ -711,8 +758,9 @@ class Engine:
             # would otherwise execute it (the emulated DELETE rewrites
             # tables, CREATE VIEW installs the view).
             if mw := _EXPLAIN_WRITE_RE.match(inner):
-                target = mw.group(1) or mw.group(2)
-                body = mw.group(3).strip()
+                ins_target, collist, if_not_exists, ctas_target, body = mw.groups()
+                target = ins_target or ctas_target
+                body = _strip_leading_comments(body.strip())
                 if analyze is not None:
                     raise ValueError(
                         "EXPLAIN ANALYZE of a write statement is not "
@@ -726,6 +774,29 @@ class Engine:
                 from pyspark.sql import functions as _F
 
                 src = self.sql(body)
+                # resolve the write target like Presto's analysis does:
+                # INSERT requires an existing, arity-compatible table;
+                # CTAS (without IF NOT EXISTS) requires a fresh name
+                if ins_target is not None:
+                    tgt = self.table(ins_target)  # raises if missing
+                    cols = [c for c in (collist or "").replace(",", " ").split() if c]
+                    expected = len(cols) if cols else len(tgt.columns)
+                    if len(src.columns) != expected:
+                        raise ValueError(
+                            f"INSERT has mismatched column count: "
+                            f"{ins_target} expects {expected}, query "
+                            f"produces {len(src.columns)}"
+                        )
+                else:
+                    exists = True
+                    try:
+                        self.table(ctas_target)
+                    except Exception:
+                        exists = False
+                    if exists and if_not_exists is None:
+                        raise ValueError(
+                            f"Destination table '{ctas_target}' already exists"
+                        )
                 etype = opts.get("TYPE", "DISTRIBUTED")
                 out = self._render_explain(src, etype, False)
                 if etype in ("LOGICAL", "DISTRIBUTED"):

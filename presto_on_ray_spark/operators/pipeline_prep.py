@@ -734,12 +734,16 @@ def corpus_budget_select(spark, sf_dir):
     relation, one broadcast join back, and one window over the
     boundary bucket only — no global sort, no driver-side scalar, no
     corpus-wide running sum."""
+    from presto_on_ray_spark.caching import tracked_persist
     from presto_on_ray_spark.operators.sketch_ops import _portable_h60
 
     words = F.split("text", " ")
     n_tokens = F.size(words).cast("long")
     score = F.expr("(100 * n_unique) div n_tokens")
-    d = (
+    # persisted: three consumers (bucket sums, full-bucket branch,
+    # boundary branch) would otherwise each re-tokenize and re-hash the
+    # corpus; the persisted relation is 4 narrow columns, never text
+    d = tracked_persist(
         t(spark, sf_dir, "documents")
         .select(
             "doc_id",

@@ -68,11 +68,15 @@ from presto_on_ray_spark.type_names import presto_type_name
 _presto_type = presto_type_name
 
 
+from presto_on_ray_spark.engine import (  # shared with the engine's own
+    _EXPLAIN_WRITE_RE,                    # plan-only introspection guards
+    _strip_leading_comments,
+)
+
 _MUTATING_RE = re.compile(
     r"^\s*(INSERT|DELETE|UPDATE|MERGE|CREATE|DROP|ALTER|TRUNCATE|ANALYZE)\b",
     re.IGNORECASE,
 )
-_LEADING_COMMENT_RE = re.compile(r"^\s*(?:--[^\n]*\n|/\*.*?\*/)", re.DOTALL)
 _PREPARE_BODY_RE = re.compile(r"(?is)^\s*PREPARE\s+(\w+)\s+FROM\s+(.*)$")
 _EXECUTE_NAME_RE = re.compile(r"(?is)^\s*EXECUTE\s+(\w+)\b")
 # wrappers whose INNER text the engine dispatches through Engine.sql:
@@ -80,22 +84,11 @@ _EXECUTE_NAME_RE = re.compile(r"(?is)^\s*EXECUTE\s+(\w+)\b")
 # DELETE FROM t' / 'SHOW STATS FOR (DELETE FROM t)' reached the
 # mutating path before erroring)
 _EXPLAIN_PREFIX_RE = re.compile(
-    r"(?is)^\s*EXPLAIN\s+(?:\(\s*[^)]*\)\s+)?(?:ANALYZE\s+(?:VERBOSE\s+)?)?(.+)$"
+    r"(?is)^\s*EXPLAIN\s+(?:\(\s*[^)]*\)\s+)?(?:(ANALYZE)\s+(?:VERBOSE\s+)?)?(.+)$"
 )
 _SHOW_STATS_WRAP_RE = re.compile(
     r"(?is)^\s*SHOW\s+STATS\s+FOR\s*\(\s*(.+?)\s*\)\s*$"
 )
-
-
-def _strip_leading_comments(stmt: str) -> str:
-    """Remove every leading SQL comment (-- line and /* */ block) so
-    the read-only keyword check can't be defeated by a comment prefix
-    ('/* */ DROP VIEW v', '--\\nDELETE ...')."""
-    while True:
-        stripped = _LEADING_COMMENT_RE.sub("", stmt, count=1)
-        if stripped == stmt:
-            return stmt
-        stmt = stripped
 
 
 def _json_value(v):
@@ -324,7 +317,14 @@ class PrestoRestServer:
         if m := _MUTATING_RE.match(stmt):
             return m.group(1).upper()
         if m := _EXPLAIN_PREFIX_RE.match(stmt):
-            return self._mutating_keyword(m.group(1))
+            inner = _strip_leading_comments(m.group(2))
+            if m.group(1) is None and (mw := _EXPLAIN_WRITE_RE.match(inner)):
+                # plain EXPLAIN of INSERT/CTAS is plan-only at the
+                # engine (TableWriter rendering, never executed), so a
+                # read-only server allows it — but the source query
+                # body still gets dispatched, so recurse into THAT
+                return self._mutating_keyword(mw.group(5))
+            return self._mutating_keyword(inner)
         if m := _SHOW_STATS_WRAP_RE.match(stmt):
             return self._mutating_keyword(m.group(1))
         if m := _PREPARE_BODY_RE.match(stmt):

@@ -289,10 +289,13 @@ def test_read_only_rejects_wrapped_mutations(readonly):
     for sql in (
         "EXPLAIN DELETE FROM nation",
         "EXPLAIN ANALYZE DELETE FROM nation",
+        "EXPLAIN ANALYZE INSERT INTO nation SELECT * FROM nation",
         "EXPLAIN (TYPE VALIDATE) CREATE VIEW v_ro4 AS SELECT 1 AS x",
         "EXPLAIN EXPLAIN ANALYZE DELETE FROM nation",
         "SHOW STATS FOR (DELETE FROM nation)",
         "explain /* c */ drop view v_ro4",
+        # a plan-only write wrapper whose BODY mutates must still fail
+        "EXPLAIN INSERT INTO nation DELETE FROM nation",
     ):
         page = _post(readonly.url, sql)
         assert page["stats"]["state"] == "FAILED", sql
@@ -300,11 +303,19 @@ def test_read_only_rejects_wrapped_mutations(readonly):
     # and the table is untouched
     final = _run(readonly.url, "SELECT count(*) AS n FROM nation")
     assert final["data"][0][0] == 25
-    # read-only EXPLAIN / SHOW STATS still work
+    # read-only EXPLAIN / SHOW STATS still work — including plain
+    # EXPLAIN of INSERT/CTAS, which the engine plans without executing
     final = _run(readonly.url, "EXPLAIN SELECT count(*) AS n FROM region")
     assert final["stats"]["state"] == "FINISHED"
     final = _run(readonly.url, "SHOW STATS FOR (SELECT n_name FROM nation)")
     assert final["stats"]["state"] == "FINISHED"
+    final = _run(
+        readonly.url, "EXPLAIN INSERT INTO nation SELECT * FROM nation"
+    )
+    assert final["stats"]["state"] == "FINISHED"
+    assert final["data"][0][0].startswith("TableWriter[nation]")
+    final = _run(readonly.url, "SELECT count(*) AS n FROM nation")
+    assert final["data"][0][0] == 25
 
 
 def test_failed_submit_disarms_detached_watchdog(spark, sf_dir):

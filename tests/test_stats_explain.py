@@ -236,3 +236,56 @@ def test_explain_plans_insert_and_ctas_without_executing(eng):
     # the write body must itself be a query
     with pytest.raises(ValueError, match="EXPLAIN requires a query"):
         eng.sql("EXPLAIN INSERT INTO nation DELETE FROM nation")
+
+
+def test_explain_guard_not_defeated_by_inner_comments(eng):
+    """Review r8: the plan-only guard must strip leading comments from
+    the INNER statement — 'EXPLAIN /* c */ CREATE TABLE ... AS' executed
+    the CTAS before this fix (now it renders the plan-only TableWriter),
+    and comment-prefixed DELETE/VIEW statements dodged the refusal."""
+    plan = eng.sql(
+        "EXPLAIN /* c */ CREATE TABLE t_rv_bypass AS SELECT 1 AS x"
+    ).collect()[0][0]
+    assert plan.startswith("TableWriter[t_rv_bypass]")
+    assert not eng.spark.catalog.tableExists("t_rv_bypass")  # planned only
+    for sql in (
+        "EXPLAIN -- c\nDELETE FROM nation",
+        "EXPLAIN /* c */ CREATE VIEW v_rv_bypass AS SELECT 1 AS x",
+        "SHOW STATS FOR (/* c */ DELETE FROM nation)",
+    ):
+        with pytest.raises(ValueError, match="requires a query"):
+            eng.sql(sql)
+    assert not eng.spark.catalog.tableExists("v_rv_bypass")
+    assert eng.table("nation").count() == 25
+
+
+def test_show_stats_query_ending_in_parens(eng):
+    """Review r8: strip exactly ONE outer paren pair — a query ending
+    in an IN-list close was corrupted by .strip('()')."""
+    df = eng.sql(
+        "SHOW STATS FOR (SELECT * FROM nation WHERE n_nationkey IN (1,2))"
+    )
+    assert df.columns[0] == "column_name"
+
+
+def test_explain_write_resolves_target(eng):
+    """Review r8: EXPLAIN INSERT/CTAS must resolve the target like
+    Presto's analysis — missing tables, arity mismatches, and CTAS onto
+    an existing name all fail instead of rendering a bogus plan."""
+    with pytest.raises(Exception):
+        eng.sql("EXPLAIN INSERT INTO no_such_table SELECT 1 AS x")
+    with pytest.raises(ValueError, match="mismatched column count"):
+        eng.sql("EXPLAIN INSERT INTO nation SELECT 1 AS x")
+    with pytest.raises(ValueError, match="mismatched column count"):
+        eng.sql("EXPLAIN INSERT INTO nation (n_nationkey, n_name) SELECT 1 AS x")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("EXPLAIN CREATE TABLE nation AS SELECT 1 AS x")
+    plan = eng.sql(
+        "EXPLAIN CREATE TABLE IF NOT EXISTS nation AS SELECT 1 AS x"
+    ).collect()[0][0]
+    assert plan.startswith("TableWriter[nation]")
+    plan = eng.sql(
+        "EXPLAIN INSERT INTO nation (n_nationkey, n_name) "
+        "SELECT n_nationkey, n_name FROM nation"
+    ).collect()[0][0]
+    assert plan.startswith("TableWriter[nation]")
