@@ -138,6 +138,18 @@ def _strip_outer_parens(text: str) -> str:
                 return text if i < len(text) - 1 else text[1:-1].strip()
     return text
 
+
+def _classification_view(text: str) -> str:
+    """Normalize ``text`` for statement-family classification: strip
+    leading comments and ANY number of wrapping paren pairs, so
+    '( /* c */ (DELETE ...))' classifies as DELETE. Only the guards
+    look at this view — the original text is what gets dispatched."""
+    while True:
+        peeled = _strip_outer_parens(_strip_leading_comments(text.strip()))
+        if peeled == text:
+            return text
+        text = peeled
+
 # Presto namespace statements: the reference's CLI connects with
 # `--catalog mysql --schema test` (reference: presto-mgr.py:268-273,
 # README.md:90) and Presto then resolves `user`, `test.user` and
@@ -730,10 +742,10 @@ class Engine:
             target = m.group(1).strip()
             if target.startswith("("):
                 inner = _strip_leading_comments(_strip_outer_parens(target))
-                if _NONQUERY_INNER_RE.match(inner):
+                if _NONQUERY_INNER_RE.match(_classification_view(inner)):
                     raise ValueError(
                         "SHOW STATS FOR (...) requires a query statement, "
-                        f"got {inner.split()[0].upper()}"
+                        f"got {_classification_view(inner).split()[0].upper()}"
                     )
                 df = self.sql(inner)
                 return _stats.show_stats(self.spark, df)
@@ -766,20 +778,31 @@ class Engine:
                         "EXPLAIN ANALYZE of a write statement is not "
                         "supported (it would execute the write)"
                     )
-                if _NONQUERY_INNER_RE.match(body):
+                if _NONQUERY_INNER_RE.match(_classification_view(body)):
                     raise ValueError(
                         "EXPLAIN requires a query statement, got "
-                        f"{body.split()[0].upper()}"
+                        f"{_classification_view(body).split()[0].upper()}"
                     )
                 from pyspark.sql import functions as _F
 
                 src = self.sql(body)
-                # resolve the write target like Presto's analysis does:
-                # INSERT requires an existing, arity-compatible table;
+                # resolve the write target like Presto's analysis does
+                # (through the attached-namespace rewrite, like every
+                # other statement path): INSERT requires an existing
+                # table with matching arity and known column names;
                 # CTAS (without IF NOT EXISTS) requires a fresh name
+                from pyspark.errors import AnalysisException
+
                 if ins_target is not None:
-                    tgt = self.table(ins_target)  # raises if missing
+                    tgt = self.table(self._strip_namespace(ins_target))
                     cols = [c for c in (collist or "").replace(",", " ").split() if c]
+                    known = {c.lower() for c in tgt.columns}
+                    for c in cols:
+                        if c.lower() not in known:
+                            raise ValueError(
+                                f"Insert column name does not exist in "
+                                f"target table: {c}"
+                            )
                     expected = len(cols) if cols else len(tgt.columns)
                     if len(src.columns) != expected:
                         raise ValueError(
@@ -790,9 +813,11 @@ class Engine:
                 else:
                     exists = True
                     try:
-                        self.table(ctas_target)
-                    except Exception:
-                        exists = False
+                        self.table(self._strip_namespace(ctas_target))
+                    except AnalysisException:
+                        exists = False  # only not-found means fresh;
+                        # anything else (permissions, transient catalog
+                        # failure) propagates above
                     if exists and if_not_exists is None:
                         raise ValueError(
                             f"Destination table '{ctas_target}' already exists"
@@ -807,10 +832,10 @@ class Engine:
                         ).alias("Query Plan")
                     )
                 return out
-            if _NONQUERY_INNER_RE.match(inner):
+            if _NONQUERY_INNER_RE.match(_classification_view(inner)):
                 raise ValueError(
                     "EXPLAIN requires a query statement, got "
-                    f"{inner.split()[0].upper()}"
+                    f"{_classification_view(inner).split()[0].upper()}"
                 )
             df = self.sql(inner)
             if df is None:

@@ -71,6 +71,7 @@ _presto_type = presto_type_name
 from presto_on_ray_spark.engine import (  # shared with the engine's own
     _EXPLAIN_WRITE_RE,                    # plan-only introspection guards
     _strip_leading_comments,
+    _strip_outer_parens,
 )
 
 _MUTATING_RE = re.compile(
@@ -314,6 +315,10 @@ class PrestoRestServer:
         the SHOW STATS FOR ( ... ) wrapper, whose inner statements the
         engine dispatches via Engine.sql (ADVICE r7)."""
         stmt = _strip_leading_comments(stmt)
+        if (peeled := _strip_outer_parens(stmt)) != stmt:
+            # '(DELETE ...)' must classify as DELETE — paren wrapping
+            # would otherwise dodge every keyword-anchored check below
+            return self._mutating_keyword(peeled)
         if m := _MUTATING_RE.match(stmt):
             return m.group(1).upper()
         if m := _EXPLAIN_PREFIX_RE.match(stmt):

@@ -289,3 +289,37 @@ def test_explain_write_resolves_target(eng):
         "SELECT n_nationkey, n_name FROM nation"
     ).collect()[0][0]
     assert plan.startswith("TableWriter[nation]")
+
+
+def test_explain_write_respects_attached_namespace(eng):
+    """Review r8 round 2: qualified targets go through the namespace
+    rewrite like every other statement path."""
+    for sql in (
+        "EXPLAIN INSERT INTO parquet.default.nation SELECT * FROM nation",
+        "EXPLAIN INSERT INTO default.nation SELECT * FROM nation",
+    ):
+        plan = eng.sql(sql).collect()[0][0]
+        assert "TableWriter[" in plan, sql
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("EXPLAIN CREATE TABLE parquet.default.nation AS SELECT 1 AS x")
+
+
+def test_explain_insert_rejects_unknown_column_names(eng):
+    with pytest.raises(ValueError, match="column name does not exist"):
+        eng.sql(
+            "EXPLAIN INSERT INTO nation (bogus1, bogus2, bogus3, bogus4) "
+            "SELECT * FROM nation"
+        )
+
+
+def test_explain_guard_not_defeated_by_paren_wrapping(eng):
+    """Review r8 round 2: '(DELETE ...)' must classify as DELETE for
+    the plan-only refusal, not fall through to the parser."""
+    for sql in (
+        "EXPLAIN ((DELETE FROM nation))",
+        "EXPLAIN INSERT INTO nation (DELETE FROM nation)",
+        "SHOW STATS FOR ((DELETE FROM nation))",
+    ):
+        with pytest.raises(ValueError, match="requires a query"):
+            eng.sql(sql)
+    assert eng.table("nation").count() == 25
