@@ -139,16 +139,162 @@ def _strip_outer_parens(text: str) -> str:
     return text
 
 
+def _strip_all_comments(text: str) -> str:
+    """Replace every SQL comment (-- line, /* */ block) with a space,
+    skipping single-quoted literals ('' escapes included) — comments
+    anywhere in a statement must not confuse classification."""
+    out, i, n, in_str = [], 0, len(text), False
+    while i < n:
+        ch = text[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                in_str = False  # '' re-enters on the next quote
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            out.append(ch)
+            i += 1
+            continue
+        if text.startswith("--", i):
+            j = text.find("\n", i)
+            i = n if j == -1 else j + 1
+            out.append(" ")
+            continue
+        if text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+            out.append(" ")
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _skip_balanced(text: str, i: int) -> int | None:
+    """Index just past the ')' matching the '(' at ``text[i]`` (string-
+    literal aware), or None if unbalanced."""
+    depth, in_str = 0, False
+    for j in range(i, len(text)):
+        ch = text[j]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    return None
+
+
+_CTE_HEAD_RE = re.compile(r"(?is)^\s*WITH\s+(?:RECURSIVE\s+)?")
+_CTE_NAME_RE = re.compile(r'\s*[\w"`]+\s*')
+_CTE_AS_RE = re.compile(r"(?is)\s*AS\s*")
+_FROM_HEAD_RE = re.compile(r"(?is)^\s*FROM\b")
+_INSERT_KW_RE = re.compile(r"(?i)\bINSERT\b")
+
+
+def _cte_main_statement(text: str) -> str | None:
+    """For a WITH-prefixed statement, the MAIN statement after the CTE
+    list — Spark's grammar allows ``WITH ... INSERT INTO ...``, which a
+    keyword-anchored classifier would misread as a harmless query.
+    Returns None when ``text`` is not WITH-prefixed (or is malformed,
+    in which case the parser will reject it anyway)."""
+    m = _CTE_HEAD_RE.match(text)
+    if not m:
+        return None
+    i = m.end()
+    while True:
+        m = _CTE_NAME_RE.match(text, i)
+        if not m:
+            return None
+        i = m.end()
+        if i < len(text) and text[i] == "(":  # optional column list
+            nxt = _skip_balanced(text, i)
+            if nxt is None:
+                return None
+            i = nxt
+        m = _CTE_AS_RE.match(text, i)
+        if not m:
+            return None
+        i = m.end()
+        if i >= len(text) or text[i] != "(":
+            return None
+        nxt = _skip_balanced(text, i)  # CTE body
+        if nxt is None:
+            return None
+        i = nxt
+        while i < len(text) and text[i].isspace():
+            i += 1
+        if i < len(text) and text[i] == ",":
+            i += 1
+            continue
+        tail = text[i:].strip()
+        return tail or None
+
+
+def _from_insert_tail(text: str) -> str | None:
+    """For Hive/Spark multi-insert syntax (``FROM t INSERT INTO ...``),
+    the text from the top-level INSERT onward; None when ``text`` is
+    not FROM-prefixed or carries no depth-0 INSERT (``FROM t SELECT``
+    is a plain query)."""
+    if not _FROM_HEAD_RE.match(text):
+        return None
+    depth, in_str, i = 0, False, 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (m := _INSERT_KW_RE.match(text, i)):
+            return text[i:]
+        i += 1
+    return None
+
+
 def _classification_view(text: str) -> str:
     """Normalize ``text`` for statement-family classification: strip
-    leading comments and ANY number of wrapping paren pairs, so
-    '( /* c */ (DELETE ...))' classifies as DELETE. Only the guards
-    look at this view — the original text is what gets dispatched."""
+    ALL comments, then repeatedly peel wrapping paren pairs, a leading
+    WITH-CTE list, and a Hive-style FROM prefix — so
+    '( /* c */ (DELETE ...))', 'WITH s AS (SELECT 1) INSERT ...' and
+    'FROM t INSERT ...' all classify as the DML they execute. Only the
+    guards look at this view — the original text is what gets
+    dispatched."""
+    text = _strip_all_comments(text).strip()
     while True:
-        peeled = _strip_outer_parens(_strip_leading_comments(text.strip()))
+        peeled = _strip_outer_parens(text)
+        if peeled == text:
+            peeled = _cte_main_statement(text) or text
+        if peeled == text:
+            peeled = _from_insert_tail(text) or text
         if peeled == text:
             return text
-        text = peeled
+        text = peeled.strip()
+
+
+def _require_query(text: str, context: str) -> None:
+    """Raise unless ``text`` classifies as a query statement — the
+    shared refusal of the plan-only EXPLAIN / SHOW STATS guards."""
+    view = _classification_view(text)
+    if _NONQUERY_INNER_RE.match(view):
+        raise ValueError(
+            f"{context} requires a query statement, got "
+            f"{view.split()[0].upper()}"
+        )
 
 # Presto namespace statements: the reference's CLI connects with
 # `--catalog mysql --schema test` (reference: presto-mgr.py:268-273,
@@ -742,11 +888,7 @@ class Engine:
             target = m.group(1).strip()
             if target.startswith("("):
                 inner = _strip_leading_comments(_strip_outer_parens(target))
-                if _NONQUERY_INNER_RE.match(_classification_view(inner)):
-                    raise ValueError(
-                        "SHOW STATS FOR (...) requires a query statement, "
-                        f"got {_classification_view(inner).split()[0].upper()}"
-                    )
+                _require_query(inner, "SHOW STATS FOR (...)")
                 df = self.sql(inner)
                 return _stats.show_stats(self.spark, df)
             cached = self._table_stats.get(target.lower())
@@ -778,11 +920,7 @@ class Engine:
                         "EXPLAIN ANALYZE of a write statement is not "
                         "supported (it would execute the write)"
                     )
-                if _NONQUERY_INNER_RE.match(_classification_view(body)):
-                    raise ValueError(
-                        "EXPLAIN requires a query statement, got "
-                        f"{_classification_view(body).split()[0].upper()}"
-                    )
+                _require_query(body, "EXPLAIN")
                 from pyspark.sql import functions as _F
 
                 src = self.sql(body)
@@ -796,6 +934,10 @@ class Engine:
                 if ins_target is not None:
                     tgt = self.table(self._strip_namespace(ins_target))
                     cols = [c for c in (collist or "").replace(",", " ").split() if c]
+                    if len({c.lower() for c in cols}) != len(cols):
+                        raise ValueError(
+                            "Insert column list contains duplicate columns"
+                        )
                     known = {c.lower() for c in tgt.columns}
                     for c in cols:
                         if c.lower() not in known:
@@ -832,11 +974,7 @@ class Engine:
                         ).alias("Query Plan")
                     )
                 return out
-            if _NONQUERY_INNER_RE.match(_classification_view(inner)):
-                raise ValueError(
-                    "EXPLAIN requires a query statement, got "
-                    f"{_classification_view(inner).split()[0].upper()}"
-                )
+            _require_query(inner, "EXPLAIN")
             df = self.sql(inner)
             if df is None:
                 raise ValueError("EXPLAIN requires a query statement")

@@ -70,8 +70,8 @@ _presto_type = presto_type_name
 
 from presto_on_ray_spark.engine import (  # shared with the engine's own
     _EXPLAIN_WRITE_RE,                    # plan-only introspection guards
+    _classification_view,
     _strip_leading_comments,
-    _strip_outer_parens,
 )
 
 _MUTATING_RE = re.compile(
@@ -313,12 +313,12 @@ class PrestoRestServer:
         (ADVICE r6: the raw prefix regex was bypassable both ways).
         Also recurses through the EXPLAIN [(opts)] [ANALYZE] prefix and
         the SHOW STATS FOR ( ... ) wrapper, whose inner statements the
-        engine dispatches via Engine.sql (ADVICE r7)."""
-        stmt = _strip_leading_comments(stmt)
-        if (peeled := _strip_outer_parens(stmt)) != stmt:
-            # '(DELETE ...)' must classify as DELETE — paren wrapping
-            # would otherwise dodge every keyword-anchored check below
-            return self._mutating_keyword(peeled)
+        engine dispatches via Engine.sql (ADVICE r7). Classification
+        runs on the engine's shared normalized view, so comment
+        prefixes, paren wrapping, WITH-CTE-prefixed INSERT, and
+        Hive-style FROM-multi-insert all classify as the DML they
+        would execute."""
+        stmt = _classification_view(stmt)
         if m := _MUTATING_RE.match(stmt):
             return m.group(1).upper()
         if m := _EXPLAIN_PREFIX_RE.match(stmt):

@@ -459,3 +459,22 @@ def test_delete_interrupts_in_flight_page(spark, sf_dir):
         assert page["error"]["errorName"] in ("QUERY_CANCELLED", "NOT_FOUND")
     finally:
         srv.stop()
+
+
+def test_read_only_rejects_cte_and_from_prefixed_writes(readonly):
+    """Review r8 round 3: 'WITH s AS (...) INSERT ...' and Hive-style
+    'FROM t INSERT ...' are writes Spark executes — the read-only guard
+    classifies them through the engine's shared normalized view."""
+    for sql in (
+        "WITH s AS (SELECT 1 AS x) INSERT INTO nation SELECT * FROM nation",
+        "FROM nation INSERT INTO nation SELECT 1",
+        "EXPLAIN WITH s AS (SELECT 1 AS x) INSERT INTO nation SELECT * FROM s",
+    ):
+        page = _post(readonly.url, sql)
+        assert page["stats"]["state"] == "FAILED", sql
+        assert page["error"]["errorName"] == "PERMISSION_DENIED", sql
+    # CTE queries still run
+    final = _run(readonly.url, "WITH s AS (SELECT 19 AS x) SELECT x FROM s")
+    assert final["data"][0][0] == 19
+    final = _run(readonly.url, "SELECT count(*) AS n FROM nation")
+    assert final["data"][0][0] == 25

@@ -323,3 +323,41 @@ def test_explain_guard_not_defeated_by_paren_wrapping(eng):
         with pytest.raises(ValueError, match="requires a query"):
             eng.sql(sql)
     assert eng.table("nation").count() == 25
+
+
+def test_explain_guard_not_defeated_by_cte_or_from_prefix(eng, spark):
+    """Review r8 round 3: Spark's grammar allows 'WITH ... INSERT' and
+    'FROM t INSERT ...' — keyword-anchored classification executed the
+    write under EXPLAIN. The shared classification view now peels the
+    CTE list / FROM prefix to the DML it would run."""
+    spark.sql("DROP TABLE IF EXISTS t_cte_guard")
+    spark.sql("CREATE TABLE t_cte_guard (x INT) USING parquet")
+    try:
+        for sql in (
+            "EXPLAIN WITH s AS (SELECT 1 AS x) INSERT INTO t_cte_guard SELECT * FROM s",
+            "EXPLAIN FROM nation INSERT INTO t_cte_guard SELECT 1",
+            "EXPLAIN WITH s AS (SELECT 1 AS x), u (y) AS (SELECT 2) "
+            "INSERT INTO t_cte_guard SELECT s.x FROM s, u",
+            "SHOW STATS FOR (WITH s AS (SELECT 1 AS x) INSERT INTO t_cte_guard SELECT * FROM s)",
+        ):
+            with pytest.raises(ValueError, match="requires a query"):
+                eng.sql(sql)
+        assert spark.table("t_cte_guard").count() == 0  # nothing wrote
+        # CTE-prefixed QUERIES still plan fine
+        plan = eng.sql(
+            "EXPLAIN WITH s AS (SELECT 1 AS x) SELECT * FROM s"
+        ).collect()[0][0]
+        assert "Physical Plan" in plan or "AdaptiveSparkPlan" in plan
+        # FROM-prefixed SELECT is a plain query in Spark's grammar
+        plan = eng.sql("EXPLAIN FROM nation SELECT n_name").collect()[0][0]
+        assert "Physical Plan" in plan or "AdaptiveSparkPlan" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cte_guard")
+
+
+def test_explain_insert_rejects_duplicate_column_list(eng):
+    with pytest.raises(ValueError, match="duplicate"):
+        eng.sql(
+            "EXPLAIN INSERT INTO nation (n_name, n_name) "
+            "SELECT n_name, n_name FROM nation"
+        )
