@@ -95,27 +95,38 @@ _EXPLAIN_WRITE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
-_LEADING_COMMENT_RE = re.compile(r"^\s*(?:--[^\n]*\n|/\*.*?\*/)", re.DOTALL)
-
-
 def _strip_leading_comments(stmt: str) -> str:
-    """Remove every leading SQL comment (-- line and /* */ block) so
-    statement-classification regexes see the first real keyword — both
-    the introspection plan-only guards here and the REST read-only
-    guard would otherwise be defeated by a comment prefix
-    ('EXPLAIN /* c */ DROP VIEW v')."""
-    while True:
-        stripped = _LEADING_COMMENT_RE.sub("", stmt, count=1)
-        if stripped == stmt:
-            return stmt
-        stmt = stripped
+    """Remove every leading SQL comment (-- line and nested-aware
+    /* */ block) so statement-classification regexes see the first
+    real keyword — both the introspection plan-only guards here and
+    the REST read-only guard would otherwise be defeated by a comment
+    prefix ('EXPLAIN /* c */ DROP VIEW v')."""
+    i, n = 0, len(stmt)
+    while i < n:
+        if stmt[i].isspace():
+            i += 1
+        elif stmt.startswith("--", i):
+            j = stmt.find("\n", i)
+            i = n if j == -1 else j + 1
+        elif stmt.startswith("/*", i):
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if stmt.startswith("/*", i):
+                    depth, i = depth + 1, i + 2
+                elif stmt.startswith("*/", i):
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
+        else:
+            break
+    return stmt[i:]
 
 
 def _strip_outer_parens(text: str) -> str:
     """Remove exactly one pair of outer parentheses from ``text`` —
     the opening '(' must match the FINAL ')'. A naive ``strip("()")``
     eats every trailing ')', corrupting queries ending in an IN-list
-    or subquery close. Single-quoted literals (with '' escapes) are
+    or subquery close. Single-quoted literals (with \'\' escapes) are
     skipped while balancing."""
     text = text.strip()
     if not (text.startswith("(") and text.endswith(")")):
@@ -139,150 +150,105 @@ def _strip_outer_parens(text: str) -> str:
     return text
 
 
-def _strip_all_comments(text: str) -> str:
-    """Replace every SQL comment (-- line, /* */ block) with a space,
-    skipping single-quoted literals ('' escapes included) — comments
-    anywhere in a statement must not confuse classification."""
-    out, i, n, in_str = [], 0, len(text), False
+def _blank_noncode(text: str, backslash_escapes: bool) -> str:
+    """Length-preserving view of ``text`` with every comment (-- line,
+    nested /* */ block) and every quoted span ('...', "...", `...`)
+    replaced by spaces, leaving only SQL code characters.
+
+    ``backslash_escapes`` selects the string-lexing rules: False =
+    Presto (only doubled-quote escapes), True = Spark default
+    (backslash escapes too). Classification scans BOTH views — the two
+    engines lex the same text differently, and a guard that commits to
+    one lexer can be desynchronized by a literal the other lexer reads
+    past (the round-8 review produced live write bypasses this way).
+    """
+    out, i, n = [], 0, len(text)
     while i < n:
         ch = text[i]
-        if in_str:
-            out.append(ch)
-            if ch == "'":
-                in_str = False  # '' re-enters on the next quote
+        if ch in "'\"`":
+            q = ch
+            out.append(" ")
             i += 1
-            continue
-        if ch == "'":
-            in_str = True
-            out.append(ch)
-            i += 1
-            continue
-        if text.startswith("--", i):
+            while i < n:
+                c = text[i]
+                if backslash_escapes and q != "`" and c == "\\" and i + 1 < n:
+                    out.append("  ")
+                    i += 2
+                    continue
+                out.append(" ")
+                i += 1
+                if c == q:
+                    if i < n and text[i] == q:  # doubled-quote escape
+                        out.append(" ")
+                        i += 1
+                        continue
+                    break
+        elif text.startswith("--", i):
             j = text.find("\n", i)
-            i = n if j == -1 else j + 1
-            out.append(" ")
-            continue
-        if text.startswith("/*", i):
-            j = text.find("*/", i + 2)
-            i = n if j == -1 else j + 2
-            out.append(" ")
-            continue
-        out.append(ch)
-        i += 1
+            j = n if j == -1 else j + 1
+            out.append(" " * (j - i))
+            i = j
+        elif text.startswith("/*", i):
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if text.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif text.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            out.append(" " * (j - i))
+            i = j
+        else:
+            out.append(ch)
+            i += 1
     return "".join(out)
 
 
-def _skip_balanced(text: str, i: int) -> int | None:
-    """Index just past the ')' matching the '(' at ``text[i]`` (string-
-    literal aware), or None if unbalanced."""
-    depth, in_str = 0, False
-    for j in range(i, len(text)):
-        ch = text[j]
-        if in_str:
-            if ch == "'":
-                in_str = False
-            continue
-        if ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                return j + 1
-    return None
-
-
-_CTE_HEAD_RE = re.compile(r"(?is)^\s*WITH\s+(?:RECURSIVE\s+)?")
-_CTE_NAME_RE = re.compile(r'\s*[\w"`]+\s*')
-_CTE_AS_RE = re.compile(r"(?is)\s*AS\s*")
+_CTE_HEAD_RE = re.compile(r"(?is)^\s*WITH\b")
 _FROM_HEAD_RE = re.compile(r"(?is)^\s*FROM\b")
-_INSERT_KW_RE = re.compile(r"(?i)\bINSERT\b")
+_DML_KW_RE = re.compile(r"(?i)\b(INSERT|DELETE|UPDATE|MERGE)\b")
 
 
-def _cte_main_statement(text: str) -> str | None:
-    """For a WITH-prefixed statement, the MAIN statement after the CTE
-    list — Spark's grammar allows ``WITH ... INSERT INTO ...``, which a
-    keyword-anchored classifier would misread as a harmless query.
-    Returns None when ``text`` is not WITH-prefixed (or is malformed,
-    in which case the parser will reject it anyway)."""
-    m = _CTE_HEAD_RE.match(text)
-    if not m:
-        return None
-    i = m.end()
-    while True:
-        m = _CTE_NAME_RE.match(text, i)
-        if not m:
-            return None
-        i = m.end()
-        if i < len(text) and text[i] == "(":  # optional column list
-            nxt = _skip_balanced(text, i)
-            if nxt is None:
-                return None
-            i = nxt
-        m = _CTE_AS_RE.match(text, i)
-        if not m:
-            return None
-        i = m.end()
-        if i >= len(text) or text[i] != "(":
-            return None
-        nxt = _skip_balanced(text, i)  # CTE body
-        if nxt is None:
-            return None
-        i = nxt
-        while i < len(text) and text[i].isspace():
-            i += 1
-        if i < len(text) and text[i] == ",":
-            i += 1
+def _hidden_write_keyword(text: str) -> str | None:
+    """DML keyword reachable inside a WITH-CTE-prefixed or Hive-style
+    FROM-prefixed statement (Spark's grammar allows ``WITH ... INSERT
+    INTO ...`` and ``FROM t INSERT ...``), or None for a plain query.
+
+    Fail-closed by construction: the scan runs over the code-only
+    views under BOTH Presto and Spark string-lexing rules and flags a
+    hit in EITHER — a write Spark would execute always has its DML
+    keyword outside Spark-lexed strings, so it cannot hide; the worst
+    a crafted lexer mismatch can cause is refusing an exotic query.
+    (Structural CTE parsing was tried first and each round of review
+    produced a live bypass through a lexing corner — quoted CTE names,
+    backslash escapes, nested comments. Scanning beats parsing here.)
+    """
+    for backslash_escapes in (False, True):
+        blanked = _blank_noncode(text, backslash_escapes)
+        if not (_CTE_HEAD_RE.match(blanked) or _FROM_HEAD_RE.match(blanked)):
             continue
-        tail = text[i:].strip()
-        return tail or None
-
-
-def _from_insert_tail(text: str) -> str | None:
-    """For Hive/Spark multi-insert syntax (``FROM t INSERT INTO ...``),
-    the text from the top-level INSERT onward; None when ``text`` is
-    not FROM-prefixed or carries no depth-0 INSERT (``FROM t SELECT``
-    is a plain query)."""
-    if not _FROM_HEAD_RE.match(text):
-        return None
-    depth, in_str, i = 0, False, 0
-    while i < len(text):
-        ch = text[i]
-        if in_str:
-            if ch == "'":
-                in_str = False
-            i += 1
-            continue
-        if ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0 and (m := _INSERT_KW_RE.match(text, i)):
-            return text[i:]
-        i += 1
+        if m := _DML_KW_RE.search(blanked):
+            return m.group(1).upper()
     return None
 
 
 def _classification_view(text: str) -> str:
-    """Normalize ``text`` for statement-family classification: strip
-    ALL comments, then repeatedly peel wrapping paren pairs, a leading
-    WITH-CTE list, and a Hive-style FROM prefix — so
-    '( /* c */ (DELETE ...))', 'WITH s AS (SELECT 1) INSERT ...' and
-    'FROM t INSERT ...' all classify as the DML they execute. Only the
-    guards look at this view — the original text is what gets
-    dispatched."""
-    text = _strip_all_comments(text).strip()
+    """Normalize ``text`` for statement-family classification: blank
+    comments, peel wrapping paren pairs, and resolve WITH-/FROM-
+    prefixed DML to its write keyword — so '( /* c */ (DELETE ...))',
+    'WITH s AS (SELECT 1) INSERT ...' and 'FROM t INSERT ...' all
+    classify as the DML they execute. Only the guards look at this
+    view — the original text is what gets dispatched."""
+    if kw := _hidden_write_keyword(text):
+        return kw
+    text = _blank_noncode(text, False).strip()
     while True:
         peeled = _strip_outer_parens(text)
         if peeled == text:
-            peeled = _cte_main_statement(text) or text
-        if peeled == text:
-            peeled = _from_insert_tail(text) or text
-        if peeled == text:
             return text
+        if kw := _hidden_write_keyword(peeled):
+            return kw
         text = peeled.strip()
 
 
@@ -291,10 +257,12 @@ def _require_query(text: str, context: str) -> None:
     shared refusal of the plan-only EXPLAIN / SHOW STATS guards."""
     view = _classification_view(text)
     if _NONQUERY_INNER_RE.match(view):
+        kw = re.match(r"\w+", view)
         raise ValueError(
             f"{context} requires a query statement, got "
-            f"{view.split()[0].upper()}"
+            f"{(kw.group(0) if kw else view.split()[0]).upper()}"
         )
+
 
 # Presto namespace statements: the reference's CLI connects with
 # `--catalog mysql --schema test` (reference: presto-mgr.py:268-273,

@@ -71,7 +71,6 @@ _presto_type = presto_type_name
 from presto_on_ray_spark.engine import (  # shared with the engine's own
     _EXPLAIN_WRITE_RE,                    # plan-only introspection guards
     _classification_view,
-    _strip_leading_comments,
 )
 
 _MUTATING_RE = re.compile(
@@ -322,7 +321,7 @@ class PrestoRestServer:
         if m := _MUTATING_RE.match(stmt):
             return m.group(1).upper()
         if m := _EXPLAIN_PREFIX_RE.match(stmt):
-            inner = _strip_leading_comments(m.group(2))
+            inner = m.group(2)  # already comment-free (view above)
             if m.group(1) is None and (mw := _EXPLAIN_WRITE_RE.match(inner)):
                 # plain EXPLAIN of INSERT/CTAS is plan-only at the
                 # engine (TableWriter rendering, never executed), so a

@@ -478,3 +478,22 @@ def test_read_only_rejects_cte_and_from_prefixed_writes(readonly):
     assert final["data"][0][0] == 19
     final = _run(readonly.url, "SELECT count(*) AS n FROM nation")
     assert final["data"][0][0] == 25
+
+
+def test_read_only_dual_lexer_payloads(readonly):
+    """Review r8 round 4: live-verified bypass payloads (backtick CTE
+    name, backslash-escaped quote, nested comment) must classify as
+    writes on a read-only server."""
+    for sql in (
+        "WITH `my cte` AS (SELECT 1) INSERT INTO nation SELECT 1",
+        "WITH s AS (SELECT '\\'' AS q) INSERT INTO nation SELECT 1",
+        "/* a /* b */ c */ INSERT INTO nation SELECT 41",
+    ):
+        page = _post(readonly.url, sql)
+        assert page["stats"]["state"] == "FAILED", sql
+        assert page["error"]["errorName"] == "PERMISSION_DENIED", sql
+    # benign lookalikes still run
+    final = _run(readonly.url, "FROM region SELECT r_name AS `insert` LIMIT 1")
+    assert final["stats"]["state"] == "FINISHED"
+    final = _run(readonly.url, "SELECT count(*) AS n FROM nation")
+    assert final["data"][0][0] == 25

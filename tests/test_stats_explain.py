@@ -361,3 +361,36 @@ def test_explain_insert_rejects_duplicate_column_list(eng):
             "EXPLAIN INSERT INTO nation (n_name, n_name) "
             "SELECT n_name, n_name FROM nation"
         )
+
+
+def test_classification_dual_lexer_fail_closed(eng, spark):
+    """Review r8 round 4: the classification scanners must not be
+    desynchronizable via lexer corners — quoted CTE names, backslash
+    escapes, nested comments. The dual-lexer blanked-code scan flags
+    a write under EITHER Presto or Spark string-lexing rules."""
+    spark.sql("DROP TABLE IF EXISTS t_lex_guard")
+    spark.sql("CREATE TABLE t_lex_guard (x INT) USING parquet")
+    try:
+        for sql in (
+            "EXPLAIN WITH `my cte` AS (SELECT 1) INSERT INTO t_lex_guard SELECT 1",
+            "EXPLAIN WITH s AS (SELECT '\\'' AS q) INSERT INTO t_lex_guard SELECT 1",
+            "EXPLAIN WITH s AS (SELECT '\\'-- ' AS q) INSERT INTO t_lex_guard SELECT 1",
+        ):
+            with pytest.raises(ValueError, match="requires a query"):
+                eng.sql(sql)
+        assert spark.table("t_lex_guard").count() == 0
+        # benign lookalikes still classify as queries
+        plan = eng.sql(
+            "EXPLAIN WITH s AS (SELECT 'insert' AS w) SELECT * FROM s"
+        ).collect()[0][0]
+        assert "Physical Plan" in plan or "AdaptiveSparkPlan" in plan
+        plan = eng.sql(
+            "EXPLAIN FROM range(3) SELECT id AS `insert`"
+        ).collect()[0][0]
+        assert "Physical Plan" in plan or "AdaptiveSparkPlan" in plan
+        plan = eng.sql(
+            "EXPLAIN WITH s AS (SELECT 1) -- just insert it\nSELECT * FROM s"
+        ).collect()[0][0]
+        assert "Physical Plan" in plan or "AdaptiveSparkPlan" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lex_guard")
