@@ -95,6 +95,30 @@ _EXPLAIN_WRITE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+def _skip_comment(text: str, i: int) -> int | None:
+    """Index just past the SQL comment starting at ``text[i]`` (-- to
+    end of line, nested-aware /* */ block), or None if ``text[i]`` does
+    not start a comment. The ONE comment lexer — every classification
+    scanner goes through it, so comment-handling fixes can never
+    diverge between call sites again (the round-8 bypass was exactly a
+    lagging second copy)."""
+    n = len(text)
+    if text.startswith("--", i):
+        j = text.find("\n", i)
+        return n if j == -1 else j + 1
+    if text.startswith("/*", i):
+        depth, j = 1, i + 2
+        while j < n and depth:
+            if text.startswith("/*", j):
+                depth, j = depth + 1, j + 2
+            elif text.startswith("*/", j):
+                depth, j = depth - 1, j + 2
+            else:
+                j += 1
+        return j
+    return None
+
+
 def _strip_leading_comments(stmt: str) -> str:
     """Remove every leading SQL comment (-- line and nested-aware
     /* */ block) so statement-classification regexes see the first
@@ -105,18 +129,8 @@ def _strip_leading_comments(stmt: str) -> str:
     while i < n:
         if stmt[i].isspace():
             i += 1
-        elif stmt.startswith("--", i):
-            j = stmt.find("\n", i)
-            i = n if j == -1 else j + 1
-        elif stmt.startswith("/*", i):
-            depth, i = 1, i + 2
-            while i < n and depth:
-                if stmt.startswith("/*", i):
-                    depth, i = depth + 1, i + 2
-                elif stmt.startswith("*/", i):
-                    depth, i = depth - 1, i + 2
-                else:
-                    i += 1
+        elif (j := _skip_comment(stmt, i)) is not None:
+            i = j
         else:
             break
     return stmt[i:]
@@ -183,20 +197,7 @@ def _blank_noncode(text: str, backslash_escapes: bool) -> str:
                         i += 1
                         continue
                     break
-        elif text.startswith("--", i):
-            j = text.find("\n", i)
-            j = n if j == -1 else j + 1
-            out.append(" " * (j - i))
-            i = j
-        elif text.startswith("/*", i):
-            depth, j = 1, i + 2
-            while j < n and depth:
-                if text.startswith("/*", j):
-                    depth, j = depth + 1, j + 2
-                elif text.startswith("*/", j):
-                    depth, j = depth - 1, j + 2
-                else:
-                    j += 1
+        elif (j := _skip_comment(text, i)) is not None:
             out.append(" " * (j - i))
             i = j
         else:
@@ -207,7 +208,22 @@ def _blank_noncode(text: str, backslash_escapes: bool) -> str:
 
 _CTE_HEAD_RE = re.compile(r"(?is)^\s*WITH\b")
 _FROM_HEAD_RE = re.compile(r"(?is)^\s*FROM\b")
-_DML_KW_RE = re.compile(r"(?i)\b(INSERT|DELETE|UPDATE|MERGE)\b")
+# Write-POSITION syntax, not bare keywords: `merge` is this engine's
+# own registered Presto aggregate (registry: merge -> hll_union_agg)
+# and insert/update/delete are legal non-reserved identifiers, so a
+# bare-keyword scan would refuse legitimate read queries. Every write
+# form Spark can execute matches one of these shapes.
+_WRITE_SYNTAX_RE = re.compile(
+    r"(?is)\b(?:(INSERT)\s+(?:INTO|OVERWRITE)|(DELETE)\s+FROM"
+    r"|(MERGE)\s+INTO|(UPDATE)\s+\S+\s+SET)\b"
+)
+
+
+def _write_syntax_in(blanked: str) -> str | None:
+    if _CTE_HEAD_RE.match(blanked) or _FROM_HEAD_RE.match(blanked):
+        if m := _WRITE_SYNTAX_RE.search(blanked):
+            return next(g for g in m.groups() if g).upper()
+    return None
 
 
 def _hidden_write_keyword(text: str) -> str | None:
@@ -217,19 +233,17 @@ def _hidden_write_keyword(text: str) -> str | None:
 
     Fail-closed by construction: the scan runs over the code-only
     views under BOTH Presto and Spark string-lexing rules and flags a
-    hit in EITHER — a write Spark would execute always has its DML
-    keyword outside Spark-lexed strings, so it cannot hide; the worst
-    a crafted lexer mismatch can cause is refusing an exotic query.
-    (Structural CTE parsing was tried first and each round of review
-    produced a live bypass through a lexing corner — quoted CTE names,
-    backslash escapes, nested comments. Scanning beats parsing here.)
+    hit in EITHER — a write Spark would execute always has its
+    write-position syntax outside Spark-lexed strings, so it cannot
+    hide; the worst a crafted lexer mismatch can cause is refusing an
+    exotic query. (Structural CTE parsing was tried first and each
+    round of review produced a live bypass through a lexing corner —
+    quoted CTE names, backslash escapes, nested comments. Scanning
+    beats parsing here.)
     """
     for backslash_escapes in (False, True):
-        blanked = _blank_noncode(text, backslash_escapes)
-        if not (_CTE_HEAD_RE.match(blanked) or _FROM_HEAD_RE.match(blanked)):
-            continue
-        if m := _DML_KW_RE.search(blanked):
-            return m.group(1).upper()
+        if kw := _write_syntax_in(_blank_noncode(text, backslash_escapes)):
+            return kw
     return None
 
 
@@ -247,7 +261,10 @@ def _classification_view(text: str) -> str:
         peeled = _strip_outer_parens(text)
         if peeled == text:
             return text
-        if kw := _hidden_write_keyword(peeled):
+        # post-peel the text is already blanked (quote-free), so one
+        # view is definitionally complete here; belt-and-suspenders
+        # anyway, since Spark rejects parenthesized DML outright
+        if kw := _write_syntax_in(peeled):
             return kw
         text = peeled.strip()
 
@@ -256,11 +273,10 @@ def _require_query(text: str, context: str) -> None:
     """Raise unless ``text`` classifies as a query statement — the
     shared refusal of the plan-only EXPLAIN / SHOW STATS guards."""
     view = _classification_view(text)
-    if _NONQUERY_INNER_RE.match(view):
-        kw = re.match(r"\w+", view)
+    if m := _NONQUERY_INNER_RE.match(view):
         raise ValueError(
             f"{context} requires a query statement, got "
-            f"{(kw.group(0) if kw else view.split()[0]).upper()}"
+            f"{m.group(1).upper()}"
         )
 
 

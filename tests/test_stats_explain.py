@@ -394,3 +394,20 @@ def test_classification_dual_lexer_fail_closed(eng, spark):
         assert "Physical Plan" in plan or "AdaptiveSparkPlan" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_lex_guard")
+
+
+def test_classification_allows_merge_aggregate_in_cte(eng):
+    """Review r8 round 5: merge() is this engine's registered Presto
+    aggregate — a bare-keyword DML scan refused legitimate CTE reads
+    using it. Write detection anchors on write-position syntax."""
+    plan = eng.sql(
+        "EXPLAIN WITH h AS (SELECT approx_set(n_nationkey) AS s FROM nation) "
+        "SELECT cardinality(merge(s)) AS d FROM h"
+    ).collect()[0][0]
+    assert "Physical Plan" in plan or "AdaptiveSparkPlan" in plan
+    # and the same query actually runs end-to-end
+    row = eng.sql(
+        "WITH h AS (SELECT approx_set(n_nationkey) AS s FROM nation) "
+        "SELECT cardinality(merge(s)) AS d FROM h"
+    ).collect()[0]
+    assert row["d"] == 25
