@@ -77,6 +77,8 @@ HEADLINE = [
     # round-7: epoch-prep shuffle/shard + source mixing
     "corpus_shuffle_shards",
     "corpus_mix_sources",
+    # round-8: token-budget quality selection
+    "corpus_budget_select",
 ]
 
 
