@@ -650,3 +650,90 @@ def dedup_neardup_adaptive(spark, sf_dir):
     if shingle_saturation(sh) < _SATURATION_AVG_DF:
         return dedup_neardup_clusters(spark, sf_dir)
     return dedup_lsh_keepers(spark, sf_dir)
+
+
+# -- SimHash portable-exact twin (round 8) ------------------------------
+# Completes the sketch-family pattern (hll_portable_distinct,
+# checksum_portable, dedup_lsh_keepers, similarity_ivf_exact): the
+# engine-internal xxhash64 SimHash above keeps its speed, and this twin
+# computes the SAME majority-vote fingerprint over the portable 60-bit
+# md5 word hash so a DuckDB oracle reproduces every fingerprint
+# bit-exactly — the last dedup tier without an oracle-bearing member.
+
+_SIMHASH_SEED = "sh8"
+_SIMHASH_BITS = 48
+
+
+def _simhash_oracle() -> str:
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    h = _h60_sql(f"concat_ws('|', '{_SIMHASH_SEED}', word)")
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {h} AS h
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+            FROM documents)
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash
+    FROM votes ORDER BY doc_id
+    """
+
+
+@query("dedup_simhash_portable", oracle=_simhash_oracle())
+def dedup_simhash_portable(spark, sf_dir):
+    """SimHash fingerprints with a cross-engine-reproducible word hash:
+    majority vote per bit over the portable 60-bit md5 digest of each
+    word (same algorithm as dedup_simhash, portable hash instead of
+    xxhash64). The DuckDB oracle recomputes every 48-bit fingerprint
+    bit-exactly — the exactness witness for the SimHash tier; the
+    xxhash64 member above remains the production fast path. Plan shape
+    identical: one HOF fold per document, no shuffle before the final
+    projection."""
+    import functools
+
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    n_bits = _SIMHASH_BITS
+    d = t(spark, sf_dir, "documents")
+    word_hashes = F.transform(
+        F.split("text", " "),
+        lambda w: _portable_h60(F.lit(_SIMHASH_SEED), w),
+    )
+    counts = F.aggregate(
+        word_hashes,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) * 2 - 1)
+                    for i in range(n_bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    simhash = functools.reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(F.element_at(F.col("_counts"), i + 1) > 0, F.lit(1 << i).cast("long"))
+            .otherwise(0)
+            .cast("long")
+        ),
+        range(n_bits),
+        F.lit(0).cast("long"),
+    )
+    counts_df = tracked_persist(d.select("doc_id", counts.alias("_counts")))
+    return counts_df.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
