@@ -336,17 +336,20 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@query("dedup_simhash")
-def dedup_simhash(spark, sf_dir):
-    """SimHash 64-bit fingerprints via bitwise HOFs (no UDF): for each
-    bit, majority vote of word-hash bits; near-dups share fingerprints
-    up to small Hamming distance (asserted in tests). Rows-only check —
-    fingerprints are engine-internal values."""
+# SimHash bit width, shared by both tier members (well clear of the
+# sign bit; plenty for near-dup bins)
+_SIMHASH_BITS = 48
+
+
+def _simhash_fingerprints(d: DataFrame, word_hash) -> DataFrame:
+    """(doc_id, simhash) via the majority-vote fold, parameterized by
+    the per-word hash expression — the ONE copy of the algorithm both
+    tier members run (xxhash64 fast path / portable-md5 oracle twin),
+    so the twin relationship can never silently diverge."""
     import functools
 
-    n_bits = 48  # well clear of the sign bit; plenty for near-dup bins
-    d = t(spark, sf_dir, "documents")
-    word_hashes = F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+    n_bits = _SIMHASH_BITS
+    word_hashes = F.transform(F.split("text", " "), word_hash)
     # counts[bit] = sum over words of (bit set ? +1 : -1); the per-bit
     # extraction uses literal shift amounts (shiftright requires them).
     counts = F.aggregate(
@@ -377,6 +380,16 @@ def dedup_simhash(spark, sf_dir):
     # per bit (see the minhash note above).
     counts_df = tracked_persist(d.select("doc_id", counts.alias("_counts")))
     return counts_df.select("doc_id", simhash.alias("simhash"))
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash 48-bit fingerprints via bitwise HOFs (no UDF): for each
+    bit, majority vote of word-hash bits; near-dups share fingerprints
+    up to small Hamming distance (asserted in tests). Rows-only check —
+    fingerprints are engine-internal values."""
+    d = t(spark, sf_dir, "documents")
+    return _simhash_fingerprints(d, lambda w: F.xxhash64(w))
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
@@ -661,7 +674,6 @@ def dedup_neardup_adaptive(spark, sf_dir):
 # bit-exactly — the last dedup tier without an oracle-bearing member.
 
 _SIMHASH_SEED = "sh8"
-_SIMHASH_BITS = 48
 
 
 def _simhash_oracle() -> str:
@@ -676,11 +688,14 @@ def _simhash_oracle() -> str:
         f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
         for i in range(_SIMHASH_BITS)
     )
+    # text IS NOT NULL mirrors the Spark side's filter: without it the
+    # two engines diverge on NULL text (Spark's fold yields simhash 0,
+    # DuckDB's UNNEST(NULL) drops the row)
     return f"""
     WITH w AS (
       SELECT doc_id, {h} AS h
       FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
-            FROM documents)
+            FROM documents WHERE text IS NOT NULL)
     ),
     votes AS (
       SELECT doc_id,
@@ -688,52 +703,23 @@ def _simhash_oracle() -> str:
       FROM w GROUP BY doc_id
     )
     SELECT doc_id, {fp} AS simhash
-    FROM votes ORDER BY doc_id
+    FROM votes
     """
 
 
 @query("dedup_simhash_portable", oracle=_simhash_oracle())
 def dedup_simhash_portable(spark, sf_dir):
     """SimHash fingerprints with a cross-engine-reproducible word hash:
-    majority vote per bit over the portable 60-bit md5 digest of each
-    word (same algorithm as dedup_simhash, portable hash instead of
-    xxhash64). The DuckDB oracle recomputes every 48-bit fingerprint
-    bit-exactly — the exactness witness for the SimHash tier; the
-    xxhash64 member above remains the production fast path. Plan shape
-    identical: one HOF fold per document, no shuffle before the final
-    projection."""
-    import functools
-
+    the SAME majority-vote fold as dedup_simhash (shared
+    _simhash_fingerprints helper) over the portable 60-bit md5 word
+    digest instead of xxhash64. The DuckDB oracle recomputes every
+    48-bit fingerprint bit-exactly — the exactness witness for the
+    SimHash tier; the xxhash64 member above remains the production
+    fast path. Plan shape identical: one HOF fold per document, no
+    shuffle before the final projection."""
     from presto_on_ray_spark.operators.sketch_ops import _portable_h60
 
-    n_bits = _SIMHASH_BITS
-    d = t(spark, sf_dir, "documents")
-    word_hashes = F.transform(
-        F.split("text", " "),
-        lambda w: _portable_h60(F.lit(_SIMHASH_SEED), w),
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return _simhash_fingerprints(
+        d, lambda w: _portable_h60(F.lit(_SIMHASH_SEED), w)
     )
-    counts = F.aggregate(
-        word_hashes,
-        F.array_repeat(F.lit(0).cast("long"), n_bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    (F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) * 2 - 1)
-                    for i in range(n_bits)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
-    )
-    simhash = functools.reduce(
-        lambda acc, i: acc.bitwiseOR(
-            F.when(F.element_at(F.col("_counts"), i + 1) > 0, F.lit(1 << i).cast("long"))
-            .otherwise(0)
-            .cast("long")
-        ),
-        range(n_bits),
-        F.lit(0).cast("long"),
-    )
-    counts_df = tracked_persist(d.select("doc_id", counts.alias("_counts")))
-    return counts_df.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
