@@ -908,6 +908,7 @@ class Engine:
                 from pyspark.sql import functions as _F
 
                 src = self.sql(body)
+                etype = opts.get("TYPE", "DISTRIBUTED")
                 # resolve the write target like Presto's analysis does
                 # (through the attached-namespace rewrite, like every
                 # other statement path): INSERT requires an existing
@@ -948,8 +949,17 @@ class Engine:
                         raise ValueError(
                             f"Destination table '{ctas_target}' already exists"
                         )
-                etype = opts.get("TYPE", "DISTRIBUTED")
                 out = self._render_explain(src, etype, False)
+                if etype == "IO":
+                    # Presto's IO plan carries the outputTable alongside
+                    # the input tables — render it as a final row
+                    out = out.unionAll(
+                        self.spark.createDataFrame(
+                            [(f"output-table: {target}", None, None,
+                              None, None, "")],
+                            out.schema,
+                        )
+                    )
                 if etype in ("LOGICAL", "DISTRIBUTED"):
                     out = out.select(
                         _F.concat(

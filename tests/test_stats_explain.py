@@ -411,3 +411,14 @@ def test_classification_allows_merge_aggregate_in_cte(eng):
         "SELECT cardinality(merge(s)) AS d FROM h"
     ).collect()[0]
     assert row["d"] == 25
+
+
+def test_explain_io_write_renders_output_table(eng):
+    """Presto's IO plan carries the outputTable alongside the inputs."""
+    rows = eng.sql(
+        "EXPLAIN (TYPE IO) INSERT INTO nation SELECT * FROM nation"
+    ).collect()
+    locs = [r.input_location for r in rows]
+    assert any("nation.parquet" in loc for loc in locs)
+    assert locs[-1] == "output-table: nation"
+    assert rows[-1].files is None  # no footer facts for the sink
