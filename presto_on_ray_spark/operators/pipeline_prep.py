@@ -788,3 +788,90 @@ def corpus_budget_select(spark, sf_dir):
         .select("doc_id", "score", "n_tokens")
     )
     return full.unionAll(boundary).orderBy(F.col("score").desc(), "doc_id")
+
+
+# -- sequence length bucketing (round 8) --------------------------------
+# The padded-batch counterpart of sequence_packing: group documents
+# into K token-length buckets of near-equal document mass so batches
+# pad to the bucket max instead of the corpus max — the standard
+# length-bucketing trick that cuts padding waste in training loaders.
+# The scale-correct form computes bucket boundaries on the token-count
+# HISTOGRAM (bounded cardinality — distinct token counts, not
+# documents), so the only corpus-wide work is one groupBy and one
+# broadcast join back; no document-level sort or quantile pass.
+
+_LEN_BUCKETS = 8
+
+
+def _length_bucket_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    hist AS (SELECT tok, COUNT(*) AS c FROM d GROUP BY tok),
+    cum AS (
+      SELECT tok,
+             SUM(c) OVER (ORDER BY tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl,
+             SUM(c) OVER () AS n
+      FROM hist
+    ),
+    buckets AS (
+      SELECT tok, ((cum_incl - 1) * {_LEN_BUCKETS}) // n AS bucket FROM cum
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           MIN(d.tok) AS min_tokens,
+           MAX(d.tok) AS max_tokens,
+           SUM(d.tok) AS total_tokens,
+           COUNT(*) * MAX(d.tok) - SUM(d.tok) AS padded_tokens
+    FROM d JOIN buckets USING (tok)
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+@query("sequence_length_buckets", oracle=_length_bucket_oracle())
+def sequence_length_buckets(spark, sf_dir):
+    """Token-length bucketing for padded batching: documents are
+    assigned to {_LEN_BUCKETS} buckets of near-equal document count by
+    token length (bucket = ((cumulative docs at this length - 1) * K)
+    div N — integer-exact, identical in both engines), and each bucket
+    reports its padding waste (docs x bucket-max - total tokens): the
+    number a data loader reads to size its batch groups.
+
+    Plan shape: one histogram aggregation (distinct token counts —
+    bounded regardless of corpus size), two windows over that bounded
+    relation, one broadcast join back to assign buckets, and the final
+    bucket aggregation. No corpus-wide sort, no per-document window."""
+    words = F.split("text", " ")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words).cast("long").alias("tok")
+    )
+    hist = d.groupBy("tok").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(F.lit(1))
+    buckets = (
+        hist.withColumn("cum_incl", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wtot))
+        .select(
+            "tok",
+            F.expr(f"((cum_incl - 1) * {_LEN_BUCKETS}) div n").alias("bucket"),
+        )
+    )
+    return (
+        d.join(F.broadcast(buckets), "tok")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("tok").alias("min_tokens"),
+            F.max("tok").alias("max_tokens"),
+            F.sum("tok").alias("total_tokens"),
+            (F.count("*") * F.max("tok") - F.sum("tok")).alias("padded_tokens"),
+        )
+        .orderBy("bucket")
+    )
