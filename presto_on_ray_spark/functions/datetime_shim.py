@@ -64,7 +64,14 @@ def translate_mysql_pattern(pattern: str) -> str:
 
 
 def format_series(ts: pd.Series, patterns: pd.Series) -> pd.Series:
-    """Vectorized date_format: one strftime call per distinct pattern."""
+    """Vectorized date_format: one strftime call per distinct pattern.
+
+    Presto coerces DATE to TIMESTAMP implicitly for date_format; a DATE
+    column reaches the Arrow batch as object-dtype ``datetime.date``
+    values, where ``.dt`` would raise — normalize to datetime64 first.
+    """
+    if not pd.api.types.is_datetime64_any_dtype(ts):
+        ts = pd.to_datetime(ts, errors="coerce")
     result = pd.Series(index=ts.index, dtype="object")
     for pat in patterns.dropna().unique():
         mask = patterns == pat
