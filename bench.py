@@ -77,8 +77,9 @@ HEADLINE = [
     # round-7: epoch-prep shuffle/shard + source mixing
     "corpus_shuffle_shards",
     "corpus_mix_sources",
-    # round-8: token-budget quality selection
+    # round-8: token-budget quality selection + length bucketing
     "corpus_budget_select",
+    "sequence_length_buckets",
 ]
 
 
