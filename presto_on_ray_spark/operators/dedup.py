@@ -723,3 +723,86 @@ def dedup_simhash_portable(spark, sf_dir):
     return _simhash_fingerprints(
         d, lambda w: _portable_h60(F.lit(_SIMHASH_SEED), w)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-window duplication (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — ExactSubstr). The real
+# system builds a corpus-wide suffix array; the Spark-native equivalent
+# that preserves its DECISIONS is fixed-length rolling windows: a
+# duplicated substring of >= W words is exactly a run of duplicated
+# W-word windows, so per-position window-duplication flags recover the
+# duplicated-span structure without any global suffix sort (which does
+# not distribute — reference DEDUP.md describes the same corpus-level
+# goal via its native pipeline).
+_SUBSTR_W = 8
+
+
+def _substring_windows_oracle() -> str:
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    w = _SUBSTR_W
+    win = f"ARRAY_TO_STRING((STRING_SPLIT(text, ' '))[i:i+{w - 1}], ' ')"
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, {_h60_sql(win)} AS h
+      FROM (SELECT doc_id, text,
+                   UNNEST(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - {w - 1}, 0) + 1)) AS i
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    flagged AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS total FROM pos
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_windows,
+           CAST(COALESCE(SUM(CASE WHEN total >= 2 THEN 1 END), 0) AS BIGINT)
+             AS dup_windows
+    FROM flagged GROUP BY doc_id
+    """
+
+
+@query("dedup_substring_windows", oracle=_substring_windows_oracle())
+def dedup_substring_windows(spark, sf_dir):
+    """Exact substring-duplication accounting: for every document, how
+    many of its W-word rolling windows (ALL positions, not distinct —
+    within-document repetition counts, exactly as a suffix array would
+    see it) occur >= 2 times anywhere in the corpus.
+
+    Windows are carried as the portable 60-bit md5 digest (8-byte
+    shuffle keys, bit-exact in DuckDB). Two shuffles total: one
+    count-over-window partitioned by digest, one per-doc re-aggregation
+    — no self-join and no document bodies move. At 100 TB the digest
+    space is uniform, so the only skewed keys are genuinely duplicated
+    content — the rows this operator exists to find; AQE's skew
+    handling splits those partitions.
+    """
+    from pyspark.sql import Window
+
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    w = _SUBSTR_W
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # Same bind-split-once wrapper as shingles(): evaluate F.split once
+    # per row, not once per window index.
+    words = F.split(F.col("text"), " ")
+    wins = F.flatten(F.transform(
+        F.array(words),
+        lambda ws: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - (w - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(ws, i, w), " "),
+        ),
+    ))
+    pos = d.select("doc_id", F.explode(wins).alias("win")).select(
+        "doc_id", _portable_h60(F.col("win")).alias("h")
+    )
+    total = F.count("*").over(Window.partitionBy("h"))
+    return (
+        pos.withColumn("total", total)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.coalesce(
+                F.sum(F.when(F.col("total") >= 2, 1)), F.lit(0)
+            ).cast("long").alias("dup_windows"),
+        )
+    )
