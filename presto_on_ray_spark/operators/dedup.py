@@ -39,6 +39,18 @@ def _perm_params(i: int) -> tuple[int, int]:
     return a, b
 
 
+def _window_starts(ws, k: int):
+    """1-based start positions of all k-word windows of ``ws`` — empty
+    when the doc is shorter than k words. The naive
+    ``sequence(1, greatest(size-k+1, 0))`` is WRONG there: Spark's
+    sequence(1, 0) DESCENDS to [1, 0] and the subsequent slice(..., 0, k)
+    throws INVALID_PARAMETER_VALUE.START (VERDICT r8; DuckDB's
+    RANGE(1, 1) is empty-correct — an asymmetric engine trap)."""
+    return F.when(
+        F.size(ws) >= k, F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def shingles(col, n: int = 3):
     """Distinct word n-gram shingles, hashed to i64 (xxhash64 — JVM side).
 
@@ -51,7 +63,7 @@ def shingles(col, n: int = 3):
     return F.array_distinct(F.flatten(F.transform(
         F.array(words),
         lambda ws: F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0))),
+            _window_starts(ws, n),
             lambda i: F.xxhash64(F.array_join(F.slice(ws, i, n), " ")),
         ),
     )))
@@ -733,8 +745,7 @@ def dedup_simhash_portable(spark, sf_dir):
 # duplicated substring of >= W words is exactly a run of duplicated
 # W-word windows, so per-position window-duplication flags recover the
 # duplicated-span structure without any global suffix sort (which does
-# not distribute — reference DEDUP.md describes the same corpus-level
-# goal via its native pipeline).
+# not distribute).
 _SUBSTR_W = 8
 
 
@@ -742,13 +753,20 @@ def _substring_windows_oracle() -> str:
     from presto_on_ray_spark.operators.sketch_ops import _h60_sql
 
     w = _SUBSTR_W
-    win = f"ARRAY_TO_STRING((STRING_SPLIT(text, ' '))[i:i+{w - 1}], ' ')"
+    # The window text is materialized as a NAMED column in an inner
+    # subquery before hashing: _h60_sql expands to a LIST_TRANSFORM
+    # lambda, and DuckDB lambda variables shadow outer columns, so an
+    # inlined expression referencing the position column would bind to
+    # the lambda index instead (round-8 bug: position-independent hash
+    # flagged every window duplicated).
     return f"""
     WITH pos AS (
-      SELECT doc_id, {_h60_sql(win)} AS h
-      FROM (SELECT doc_id, text,
-                   UNNEST(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - {w - 1}, 0) + 1)) AS i
-            FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, {_h60_sql("win")} AS h
+      FROM (SELECT doc_id,
+                   ARRAY_TO_STRING((STRING_SPLIT(text, ' '))[i:i+{w - 1}], ' ') AS win
+            FROM (SELECT doc_id, text,
+                         UNNEST(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - {w - 1}, 0) + 1)) AS i
+                  FROM documents WHERE text IS NOT NULL))
     ),
     flagged AS (
       SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS total FROM pos
@@ -759,6 +777,42 @@ def _substring_windows_oracle() -> str:
              AS dup_windows
     FROM flagged GROUP BY doc_id
     """
+
+
+def substring_window_stats(docs, w: int = _SUBSTR_W):
+    """Core of dedup_substring_windows over an arbitrary documents
+    DataFrame (doc_id, text) — factored out so unit tests can pin the
+    dup-span semantics on synthetic corpora (incl. docs shorter than
+    w words, which must yield n_windows = 0, not crash)."""
+    from pyspark.sql import Window
+
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    d = docs.filter(F.col("text").isNotNull())
+    # Same bind-split-once wrapper as shingles(): evaluate F.split once
+    # per row, not once per window index.
+    words = F.split(F.col("text"), " ")
+    wins = F.flatten(F.transform(
+        F.array(words),
+        lambda ws: F.transform(
+            _window_starts(ws, w),
+            lambda i: F.array_join(F.slice(ws, i, w), " "),
+        ),
+    ))
+    pos = d.select("doc_id", F.explode(wins).alias("win")).select(
+        "doc_id", _portable_h60(F.col("win")).alias("h")
+    )
+    total = F.count("*").over(Window.partitionBy("h"))
+    return (
+        pos.withColumn("total", total)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.coalesce(
+                F.sum(F.when(F.col("total") >= 2, 1)), F.lit(0)
+            ).cast("long").alias("dup_windows"),
+        )
+    )
 
 
 @query("dedup_substring_windows", oracle=_substring_windows_oracle())
@@ -776,33 +830,6 @@ def dedup_substring_windows(spark, sf_dir):
     content — the rows this operator exists to find; AQE's skew
     handling splits those partitions.
     """
-    from pyspark.sql import Window
-
-    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
-
-    w = _SUBSTR_W
-    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    # Same bind-split-once wrapper as shingles(): evaluate F.split once
-    # per row, not once per window index.
-    words = F.split(F.col("text"), " ")
-    wins = F.flatten(F.transform(
-        F.array(words),
-        lambda ws: F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(ws) - (w - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(ws, i, w), " "),
-        ),
-    ))
-    pos = d.select("doc_id", F.explode(wins).alias("win")).select(
-        "doc_id", _portable_h60(F.col("win")).alias("h")
-    )
-    total = F.count("*").over(Window.partitionBy("h"))
-    return (
-        pos.withColumn("total", total)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.coalesce(
-                F.sum(F.when(F.col("total") >= 2, 1)), F.lit(0)
-            ).cast("long").alias("dup_windows"),
-        )
+    return substring_window_stats(
+        t(spark, sf_dir, "documents"), _SUBSTR_W
     )

@@ -46,11 +46,19 @@ def _portable_h60(*cols):
 
 def _h60_sql(expr: str) -> str:
     """DuckDB SQL for the same 60-bit digest: parse 15 hex chars as
-    shifted digit values (exact bigint arithmetic, no hex-cast needed)."""
+    shifted digit values (exact bigint arithmetic, no hex-cast needed).
+
+    The lambda variable is deliberately collision-proof: DuckDB lambda
+    variables SHADOW outer columns, so when ``expr`` referenced a
+    column named ``i`` the digest silently hashed the lambda index
+    instead (round-8 `dedup_substring_windows` oracle bug — every
+    window of a doc hashed identically). Even so, prefer passing a
+    NAMED column materialized in an inner subquery over inlining a
+    complex expression (pinned by tests/test_sketches.py)."""
     return f"""
       CAST(LIST_SUM(LIST_TRANSFORM(range(1,16),
-        i -> (strpos('0123456789abcdef', substr(md5({expr}), CAST(i AS INTEGER), 1)) - 1)::BIGINT
-             << (4*(15-CAST(i AS INTEGER))))) AS BIGINT)
+        __h60_pos -> (strpos('0123456789abcdef', substr(md5({expr}), CAST(__h60_pos AS INTEGER), 1)) - 1)::BIGINT
+             << (4*(15-CAST(__h60_pos AS INTEGER))))) AS BIGINT)
     """
 
 

@@ -159,3 +159,50 @@ def test_lsh_keepers_equal_exact_keepers(spark, sf_dir):
         for r in suite.QUERIES["dedup_neardup_clusters"](spark, sf_dir).collect()
     }
     assert lsh == exact
+
+
+def test_substring_windows_dup_span_semantics(spark):
+    """Pin dedup_substring_windows' decisions on a synthetic corpus
+    (VERDICT r8 #1c): two docs sharing an 8+-word span each get one
+    duplicated window per shared position; a doc whose second half
+    repeats its first half flags exactly the repeated window; docs
+    shorter than W words produce ZERO windows (no row) instead of the
+    r8 sequence(1,0)->slice(0) crash."""
+    from presto_on_ray_spark.operators.dedup import substring_window_stats
+
+    shared = "one two three four five six seven eight"  # exactly W=8 words
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),           # 10 words, shared at pos 1
+            (2, "head " + shared + " tail3"),        # 10 words, shared at pos 2
+            (3, "a b c d e f g h a b c d e f g h"),  # internal repetition
+            (4, "too short"),                        # < W words
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"])
+        for r in substring_window_stats(docs, 8).collect()
+    }
+    # 10-word docs have 3 windows each; exactly the shared one is dup.
+    assert out[1] == (3, 1)
+    assert out[2] == (3, 1)
+    # 16 words = 9 windows; positions 1 and 9 are the identical phrase.
+    assert out[3] == (9, 2)
+    # short / NULL docs: no windows -> no output row (both engines agree)
+    assert 4 not in out and 5 not in out
+
+
+def test_shingles_short_doc_is_empty_not_crash(spark):
+    """shingles() shares the _window_starts guard: a doc shorter than n
+    words has NO n-gram shingles — the unguarded sequence(1, 0) form
+    descended to [1, 0] and slice(ws, 0, n) threw at runtime."""
+    from presto_on_ray_spark.operators.dedup import shingles
+
+    rows = (
+        spark.createDataFrame([("ab",), ("a b",), ("a b c",)], "text string")
+        .select(F.size(shingles(F.col("text"), 3)).alias("n"))
+        .collect()
+    )
+    assert [r["n"] for r in rows] == [0, 0, 1]

@@ -248,3 +248,34 @@ def test_hll_sparse_pipeline_matches_dense_path(spark, sf_correct):
         ).collect()
     }
     assert sparse == dense
+
+
+def test_h60_sql_survives_lambda_named_columns(spark):
+    """Oracle determinism trap #5 (VERDICT r8): _h60_sql expands to a
+    DuckDB LIST_TRANSFORM lambda, and DuckDB lambda variables shadow
+    outer columns — with the lambda variable named `i`, hashing a
+    column named `i` silently hashed the lambda index instead. The
+    variable is now collision-proof; this pins _h60_sql == _portable_h60
+    on columns named exactly `i` and `h`."""
+    import duckdb
+
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql, _portable_h60
+
+    vals = ["alpha", "bravo charlie", "i", "h", ""]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{v}', '{v[::-1]}')" for v in vals)
+        + ") AS t(i, h)"
+    )
+    duck = con.execute(
+        f"SELECT {_h60_sql('i')} AS hi, {_h60_sql('h')} AS hh FROM t"
+    ).fetchall()
+    sdf = spark.createDataFrame(
+        [(v, v[::-1]) for v in vals], "i string, h string"
+    )
+    got = sdf.select(
+        _portable_h60(F.col("i")).alias("hi"),
+        _portable_h60(F.col("h")).alias("hh"),
+    ).collect()
+    assert [(r["hi"], r["hh"]) for r in got] == [tuple(r) for r in duck]
