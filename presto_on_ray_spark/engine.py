@@ -164,6 +164,21 @@ def _strip_outer_parens(text: str) -> str:
     return text
 
 
+def _spark_raw_prefix(text: str, i: int) -> bool:
+    """True when the quote at ``text[i]`` opens a Spark RAW string
+    literal: a lone ``r``/``R`` immediately before it (``r'...'``,
+    ``R"..."`` — Spark lexes these with NO escape processing at all).
+    The r must not be the tail of a longer identifier (``xr'..'`` is
+    identifier + normal string), but leading digits lex as a separate
+    numeric token, so ``1r'..'`` is still raw."""
+    if i == 0 or text[i - 1] not in "rR":
+        return False
+    k = i - 2
+    while k >= 0 and text[k].isdigit():
+        k -= 1
+    return k < 0 or not (text[k].isalpha() or text[k] == "_")
+
+
 def _blank_noncode(text: str, backslash_escapes: bool) -> str:
     """Length-preserving view of ``text`` with every comment (-- line,
     nested /* */ block) and every quoted span ('...', "...", `...`)
@@ -171,28 +186,42 @@ def _blank_noncode(text: str, backslash_escapes: bool) -> str:
 
     ``backslash_escapes`` selects the string-lexing rules: False =
     Presto (only doubled-quote escapes), True = Spark default
-    (backslash escapes too). Classification scans BOTH views — the two
-    engines lex the same text differently, and a guard that commits to
-    one lexer can be desynchronized by a literal the other lexer reads
-    past (the round-8 review produced live write bypasses this way).
+    (backslash escapes too, EXCEPT inside r'...' raw literals, which
+    Spark lexes verbatim to the first closing quote — missing that
+    rule desynced this view: a backslash-escaped literal plus a raw
+    literal hid an INSERT from both views, round-9 ADVICE bypass).
+    Classification scans BOTH views — the two engines lex the same
+    text differently, and a guard that commits to one lexer can be
+    desynchronized by a literal the other lexer reads past (the
+    round-8 review produced live write bypasses this way).
     """
     out, i, n = [], 0, len(text)
     while i < n:
         ch = text[i]
         if ch in "'\"`":
             q = ch
+            # Spark raw literal: no backslash escapes, ends at the
+            # very first closing quote (a following quote starts a NEW
+            # literal — Spark concatenates adjacent string tokens).
+            raw = backslash_escapes and q != "`" and _spark_raw_prefix(text, i)
             out.append(" ")
             i += 1
             while i < n:
                 c = text[i]
-                if backslash_escapes and q != "`" and c == "\\" and i + 1 < n:
+                if (
+                    not raw
+                    and backslash_escapes
+                    and q != "`"
+                    and c == "\\"
+                    and i + 1 < n
+                ):
                     out.append("  ")
                     i += 2
                     continue
                 out.append(" ")
                 i += 1
                 if c == q:
-                    if i < n and text[i] == q:  # doubled-quote escape
+                    if not raw and i < n and text[i] == q:  # doubled-quote escape
                         out.append(" ")
                         i += 1
                         continue

@@ -44,6 +44,24 @@ def test_blank_noncode_quote_styles(be):
     assert "(" not in _blank_noncode("SELECT 'a''b('", be)
 
 
+def test_blank_noncode_raw_string_rules():
+    # r'\' is a RAW literal under Spark rules: the backslash is NOT an
+    # escape and the span closes at the first quote, exposing the code
+    # after it (missing this rule was the round-9 ADVICE live bypass)
+    s = r"SELECT r'\' INSERT INTO t SELECT 1 -- '"
+    assert "INSERT" in _blank_noncode(s, True)
+    # digits before the r lex as a separate numeric token: still raw
+    assert "INSERT" in _blank_noncode(r"SELECT 1r'\' INSERT -- '", True)
+    # identifier tail: xr'...' is identifier + NORMAL string, so the
+    # backslash escapes and the write keyword stays inside the span
+    assert "INSERT" not in _blank_noncode(r"SELECT xr'\' INSERT'", True)
+    # the Presto view reaches the same span end by a different rule
+    # (no backslash escapes at all), so both views expose the INSERT
+    assert "INSERT" in _blank_noncode(r"SELECT r'\' INSERT'", False)
+    # double-quoted raw form
+    assert "INSERT" in _blank_noncode(r'SELECT R"\" INSERT INTO t -- "', True)
+
+
 def test_blank_noncode_backslash_divergence():
     # Presto rules: '\' closes at the second quote; Spark rules: the
     # backslash escapes it and the span continues
@@ -76,6 +94,14 @@ WRITES = [
     "WITH s AS (SELECT 1) INSERT OVERWRITE TABLE t SELECT 1",
     "FROM t INSERT OVERWRITE DIRECTORY '/x' SELECT 1",
     'WITH "q t" AS (SELECT 1) INSERT INTO t SELECT 1',
+    # round-9 ADVICE live bypass: a backslash-escaped literal plus a
+    # RAW literal desynced both lexer views (the Spark view treated the
+    # backslash inside r'\' as an escape; Spark's lexer does not)
+    "WITH s AS (SELECT '\\'' AS a, r'\\' AS b) INSERT INTO t SELECT 1 -- '",
+    "WITH s AS (SELECT R'\\' AS b) INSERT INTO t SELECT 1 -- '",
+    'WITH s AS (SELECT \'\\\'\' AS a, r"\\" AS b) INSERT INTO t SELECT 1 -- "',
+    # digits before r are a separate numeric token: 1r'..' is still raw
+    "WITH s AS (SELECT '\\'' AS a, 1r'\\' AS b) INSERT INTO t SELECT 1 -- '",
 ]
 
 READS = [
@@ -87,6 +113,10 @@ READS = [
     "FROM range(3) SELECT id AS `insert`",
     "WITH s AS (SELECT 1) -- just insert the thing\nSELECT * FROM s",
     "SELECT 1",
+    # a raw literal in a plain read is not a write
+    "WITH s AS (SELECT r'\\d+' AS pat) SELECT * FROM s",
+    # 'insert into' inside a raw literal stays a literal in both views
+    "WITH s AS (SELECT r'insert into x' AS w) SELECT * FROM s",
 ]
 
 
