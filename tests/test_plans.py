@@ -157,3 +157,26 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     finally:
         for k, v in old_thresholds.items():
             spark.conf.set(k, v)
+
+
+def test_mix_sources_window_never_spans_a_source(spark, sf_dir):
+    """corpus_mix_sources' per-doc ranking window must partition by
+    (source, okey-bucket), never by source alone: a PARTITION BY
+    source window with 3 sources is a single-task sort over each
+    ENTIRE source at scale (VERDICT r8 flag). The quota windows over
+    the bounded 3-row / per-source-bucket relations are exempt — only
+    windows whose input is the document relation matter, and every
+    document-level window spec here must include the bucket column."""
+    df = suite.QUERIES["corpus_mix_sources"](spark, sf_dir)
+    plan = explain_formatted(df)
+    import re
+
+    row_number_specs = [
+        l for l in plan.splitlines() if "row_number()" in l
+    ]
+    assert row_number_specs, plan
+    for spec in row_number_specs:
+        m = re.search(r"windowspecdefinition\(([^)]*)\)", spec)
+        assert m, spec
+        partition_cols = m.group(1)
+        assert "bkt" in partition_cols, spec
