@@ -80,6 +80,9 @@ HEADLINE = [
     # round-8: token-budget quality selection + length bucketing
     "corpus_budget_select",
     "sequence_length_buckets",
+    # round-9: exact substring-window duplication (largest explode in
+    # the repo — ~one row per token position)
+    "dedup_substring_windows",
 ]
 
 
