@@ -168,15 +168,15 @@ def _spark_raw_prefix(text: str, i: int) -> bool:
     """True when the quote at ``text[i]`` opens a Spark RAW string
     literal: a lone ``r``/``R`` immediately before it (``r'...'``,
     ``R"..."`` — Spark lexes these with NO escape processing at all).
-    The r must not be the tail of a longer identifier (``xr'..'`` is
-    identifier + normal string), but leading digits lex as a separate
-    numeric token, so ``1r'..'`` is still raw."""
+    The r must not be the tail of a longer identifier: ``xr'..'`` AND
+    ``1r'..'`` are both identifier + normal escaped string (Spark's
+    lexer allows digit-leading identifiers, probed live: the
+    UNSUPPORTED_TYPED_LITERAL "1R" error span shows the backslash
+    escaping inside the adjacent literal), so any alphanumeric or
+    underscore before the r blocks the raw reading."""
     if i == 0 or text[i - 1] not in "rR":
         return False
-    k = i - 2
-    while k >= 0 and text[k].isdigit():
-        k -= 1
-    return k < 0 or not (text[k].isalpha() or text[k] == "_")
+    return i < 2 or not (text[i - 2].isalnum() or text[i - 2] == "_")
 
 
 def _blank_noncode(text: str, backslash_escapes: bool) -> str:

@@ -51,22 +51,34 @@ def _window_starts(ws, k: int):
     ).otherwise(F.array().cast("array<int>"))
 
 
-def shingles(col, n: int = 3):
-    """Distinct word n-gram shingles, hashed to i64 (xxhash64 — JVM side).
+def _rolling_windows(col, k: int, mapper=None):
+    """All k-word rolling windows of the whitespace-tokenized ``col``
+    as space-joined strings, each optionally passed through ``mapper``
+    (a Column -> Column function applied per window).
 
     The split array is bound as a lambda variable (the 1-element-array
     transform wrapper) so it is evaluated ONCE per row: higher-order
     functions are interpreted, not codegen'd, and an unbound ``split``
     referenced from the inner lambda would re-tokenize the document per
-    shingle index — O(words²) per row, measured 3-4× slower at sf0.1."""
+    window index — O(words²) per row, measured 3-4× slower at sf0.1.
+    Shared by shingles() and substring_window_stats() so window-edge
+    fixes (like the _window_starts short-doc guard) land in one place."""
     words = F.split(col, " ")
-    return F.array_distinct(F.flatten(F.transform(
+    return F.flatten(F.transform(
         F.array(words),
         lambda ws: F.transform(
-            _window_starts(ws, n),
-            lambda i: F.xxhash64(F.array_join(F.slice(ws, i, n), " ")),
+            _window_starts(ws, k),
+            lambda i: (mapper or (lambda c: c))(
+                F.array_join(F.slice(ws, i, k), " ")
+            ),
         ),
-    )))
+    ))
+
+
+def shingles(col, n: int = 3):
+    """Distinct word n-gram shingles, hashed to i64 (xxhash64 — JVM
+    side)."""
+    return F.array_distinct(_rolling_windows(col, n, F.xxhash64))
 
 
 def minhash_signature(shingle_col):
@@ -789,16 +801,7 @@ def substring_window_stats(docs, w: int = _SUBSTR_W):
     from presto_on_ray_spark.operators.sketch_ops import _portable_h60
 
     d = docs.filter(F.col("text").isNotNull())
-    # Same bind-split-once wrapper as shingles(): evaluate F.split once
-    # per row, not once per window index.
-    words = F.split(F.col("text"), " ")
-    wins = F.flatten(F.transform(
-        F.array(words),
-        lambda ws: F.transform(
-            _window_starts(ws, w),
-            lambda i: F.array_join(F.slice(ws, i, w), " "),
-        ),
-    ))
+    wins = _rolling_windows(F.col("text"), w)
     pos = d.select("doc_id", F.explode(wins).alias("win")).select(
         "doc_id", _portable_h60(F.col("win")).alias("h")
     )

@@ -645,7 +645,15 @@ def corpus_mix_sources(spark, sf_dir):
     w = spark.createDataFrame(
         list(_MIX_WEIGHTS.items()), "source STRING, w INT"
     )
-    counts = d.groupBy("source").agg(F.count("*").alias("c"))
+    okey = _portable_h60(F.lit(_MIX_SEED), F.col("doc_id"))
+    # persisted FIRST so the source counts, the bucket histogram and
+    # the ranking pass all read the cached 4-narrow-column relation —
+    # the documents parquet is scanned exactly once
+    docs = tracked_persist(d.select(
+        "doc_id", "source", okey.alias("okey"),
+        F.shiftright(okey, _MIX_BUCKETS_SHIFT).alias("bkt"),
+    ))
+    counts = docs.groupBy("source").agg(F.count("*").alias("c"))
     # budget = min over sources — an unpartitioned window over the
     # ALREADY-AGGREGATED per-source relation (one row per mixed
     # source, bounded by the weight dict's size by construction), so
@@ -662,13 +670,6 @@ def corpus_mix_sources(spark, sf_dir):
         )
         .select("source", F.expr("(b * w) div 10").alias("k"))
     )
-    okey = _portable_h60(F.lit(_MIX_SEED), F.col("doc_id"))
-    # persisted: the histogram pass and the ranking pass would
-    # otherwise each re-scan and re-hash; 4 narrow columns, no text
-    docs = tracked_persist(d.select(
-        "doc_id", "source", okey.alias("okey"),
-        F.shiftright(okey, _MIX_BUCKETS_SHIFT).alias("bkt"),
-    ))
     wcum = (
         Window.partitionBy("source")
         .orderBy("bkt")

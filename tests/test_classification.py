@@ -50,11 +50,12 @@ def test_blank_noncode_raw_string_rules():
     # after it (missing this rule was the round-9 ADVICE live bypass)
     s = r"SELECT r'\' INSERT INTO t SELECT 1 -- '"
     assert "INSERT" in _blank_noncode(s, True)
-    # digits before the r lex as a separate numeric token: still raw
-    assert "INSERT" in _blank_noncode(r"SELECT 1r'\' INSERT -- '", True)
-    # identifier tail: xr'...' is identifier + NORMAL string, so the
-    # backslash escapes and the write keyword stays inside the span
+    # identifier tail blocks the raw reading: xr'...' AND 1r'...' are
+    # identifier + NORMAL string in Spark (digit-leading identifiers
+    # are legal and land in typed-literal position), so the backslash
+    # escapes and the write keyword stays inside the span
     assert "INSERT" not in _blank_noncode(r"SELECT xr'\' INSERT'", True)
+    assert "INSERT" not in _blank_noncode(r"SELECT 1r'\' INSERT'", True)
     # the Presto view reaches the same span end by a different rule
     # (no backslash escapes at all), so both views expose the INSERT
     assert "INSERT" in _blank_noncode(r"SELECT r'\' INSERT'", False)
@@ -100,8 +101,12 @@ WRITES = [
     "WITH s AS (SELECT '\\'' AS a, r'\\' AS b) INSERT INTO t SELECT 1 -- '",
     "WITH s AS (SELECT R'\\' AS b) INSERT INTO t SELECT 1 -- '",
     'WITH s AS (SELECT \'\\\'\' AS a, r"\\" AS b) INSERT INTO t SELECT 1 -- "',
-    # digits before r are a separate numeric token: 1r'..' is still raw
-    "WITH s AS (SELECT '\\'' AS a, 1r'\\' AS b) INSERT INTO t SELECT 1 -- '",
+    # 1r'..' is identifier + escaped string in Spark (NOT numeric +
+    # raw literal — digit-leading identifiers are legal); real Spark
+    # throws UNSUPPORTED_TYPED_LITERAL "1R" on this statement, so the
+    # write never executes, but the classifier must still read the
+    # literal with escapes or the quote parity desyncs (review r9)
+    "WITH s AS (SELECT 1r'\\'x' AS a) INSERT INTO t SELECT 1 --'",
 ]
 
 READS = [
