@@ -836,3 +836,119 @@ def dedup_substring_windows(spark, sf_dir):
     return substring_window_stats(
         t(spark, sf_dir, "documents"), _SUBSTR_W
     )
+
+
+# -- duplicated-SPAN extraction (the ExactSubstr removal decision) ------
+# dedup_substring_windows counts duplicated windows; the removal step
+# of Lee et al. 2022 needs the SPANS: a duplicated substring of
+# L >= W words is exactly a maximal run of L - W + 1 consecutive
+# duplicated windows, so per-doc run-length analysis of the duplicated
+# positions recovers every maximal duplicated span and its word length
+# (run_len + W - 1) without a suffix array.
+
+
+def _substring_spans_oracle() -> str:
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    w = _SUBSTR_W
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, i, {_h60_sql("win")} AS h
+      FROM (SELECT doc_id, i,
+                   ARRAY_TO_STRING((STRING_SPLIT(text, ' '))[i:i+{w - 1}], ' ') AS win
+            FROM (SELECT doc_id, text,
+                         UNNEST(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - {w - 1}, 0) + 1)) AS i
+                  FROM documents WHERE text IS NOT NULL))
+    ),
+    dup AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i, COUNT(*) OVER (PARTITION BY h) AS total FROM pos
+      ) WHERE total >= 2
+    ),
+    runs AS (
+      SELECT doc_id, grp, COUNT(*) AS len FROM (
+        SELECT doc_id, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM dup
+      ) GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(len) + {w - 1} AS BIGINT) AS max_span_words,
+           CAST(SUM(len) + COUNT(*) * {w - 1} AS BIGINT) AS dup_span_words
+    FROM runs GROUP BY doc_id
+    """
+
+
+def substring_dup_spans(docs, w: int = _SUBSTR_W):
+    """Core of dedup_substring_spans over an arbitrary (doc_id, text)
+    DataFrame: maximal runs of corpus-duplicated W-word windows per
+    document — span count, longest span in words, and total words
+    covered by duplicated spans (run analysis is per maximal run:
+    words = run_len + W - 1; runs are separated by >=1 non-duplicated
+    position, so their word ranges never merge)."""
+    from pyspark.sql import Window
+
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    d = docs.filter(F.col("text").isNotNull())
+    pos = d.select(
+        "doc_id", F.posexplode(_rolling_windows(F.col("text"), w)).alias("p", "win")
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("long").alias("i"),
+        _portable_h60(F.col("win")).alias("h"),
+    )
+    total = F.count("*").over(Window.partitionBy("h"))
+    dup = pos.withColumn("total", total).filter(F.col("total") >= 2)
+    # run-length analysis as ONE fold over the per-doc sorted position
+    # array (bounded by doc length) — no second window shuffle: the
+    # groupBy doc_id is the only exchange after the digest count.
+    per_doc = dup.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("i")).alias("arr")
+    )
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    fold = F.aggregate(
+        F.col("arr"),
+        F.struct(
+            F.lit(-2).cast("long").alias("prev"),
+            zero.alias("cur"),
+            zero.alias("mx"),
+            zero.alias("runs"),
+        ),
+        lambda acc, p: F.struct(
+            p.alias("prev"),
+            F.when(p == acc["prev"] + one, acc["cur"] + one)
+            .otherwise(one)
+            .alias("cur"),
+            F.greatest(
+                acc["mx"],
+                F.when(p == acc["prev"] + one, acc["cur"] + one).otherwise(one),
+            ).alias("mx"),
+            (acc["runs"] + F.when(p == acc["prev"] + one, zero).otherwise(one))
+            .alias("runs"),
+        ),
+    )
+    return per_doc.select("doc_id", F.size("arr").alias("n_dup"), fold.alias("st")).select(
+        "doc_id",
+        F.col("st.runs").alias("n_spans"),
+        (F.col("st.mx") + (w - 1)).cast("long").alias("max_span_words"),
+        (F.col("n_dup") + F.col("st.runs") * (w - 1)).cast("long").alias("dup_span_words"),
+    )
+
+
+@query("dedup_substring_spans", oracle=_substring_spans_oracle())
+def dedup_substring_spans(spark, sf_dir):
+    """Maximal duplicated-span extraction per document (ExactSubstr's
+    removal decision): for each document, the number of maximal runs
+    of corpus-duplicated W-word windows, the longest such span in
+    words, and the total words covered by duplicated spans.
+
+    Same two-shuffle scale shape as dedup_substring_windows (digest-
+    count window + per-doc aggregation) — positions ride along as one
+    extra long; the run-length step is a higher-order fold over the
+    per-doc sorted position array (bounded by document length), not a
+    second corpus window. Docs with zero duplicated windows produce no
+    row in both engines."""
+    return substring_dup_spans(t(spark, sf_dir, "documents"), _SUBSTR_W)

@@ -206,3 +206,37 @@ def test_shingles_short_doc_is_empty_not_crash(spark):
         .collect()
     )
     assert [r["n"] for r in rows] == [0, 0, 1]
+
+
+def test_substring_spans_run_semantics(spark):
+    """Pin dedup_substring_spans' run-length semantics: a shared 9-word
+    span is a run of TWO consecutive duplicated windows (span = 9
+    words); two disjoint duplicated windows are two spans; a single
+    shared window is one W-word span; clean/short docs produce no row."""
+    from presto_on_ray_spark.operators.dedup import substring_dup_spans
+
+    span9 = "al be ga de ep ze et th io"  # 9 words
+    shared8 = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, span9 + " x"),                       # run at pos 1-2
+            (2, "w " + span9),                        # run at pos 2-3
+            (3, shared8 + " t1 t2"),                  # single dup window
+            (4, "h1 " + shared8 + " t3"),             # single dup window
+            (5, "a b c d e f g h a b c d e f g h"),   # two disjoint runs
+            (6, "unique words only here nothing repeats at all"),
+            (7, "too short"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["max_span_words"], r["dup_span_words"])
+        for r in substring_dup_spans(docs, 8).collect()
+    }
+    assert out[1] == (1, 9, 9)
+    assert out[2] == (1, 9, 9)
+    assert out[3] == (1, 8, 8)
+    assert out[4] == (1, 8, 8)
+    # positions 1 and 9 duplicated, position gap between -> two spans
+    assert out[5] == (2, 8, 16)
+    assert 6 not in out and 7 not in out
