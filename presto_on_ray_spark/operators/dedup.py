@@ -952,3 +952,177 @@ def dedup_substring_spans(spark, sf_dir):
     second corpus window. Docs with zero duplicated windows produce no
     row in both engines."""
     return substring_dup_spans(t(spark, sf_dir, "documents"), _SUBSTR_W)
+
+
+# -- incremental cross-corpus dedup (ingest-time) -----------------------
+# The production shape of dedup in a growing training corpus: a new
+# batch is checked against the EXISTING corpus only — the base is
+# never re-paired against itself. Tiers mirror the standing families:
+# exact digest match first, then exact 3-gram Jaccard >= 0.6 against
+# the base for the remainder (prefix-filtered cross join, the
+# asymmetric AllPairs form), and everything else is new.
+
+_INGEST_T_NUM, _INGEST_T_DEN = 3, 5  # Jaccard threshold 3/5
+
+
+def _incremental_ingest_oracle() -> str:
+    tri = (
+        "UNNEST(LIST_DISTINCT(LIST_TRANSFORM("
+        "RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 2, 0) + 1), "
+        "g -> STRING_SPLIT(text,' ')[g] || ' ' || STRING_SPLIT(text,' ')[g+1]"
+        " || ' ' || STRING_SPLIT(text,' ')[g+2]))) AS sh"
+    )
+    return f"""
+    WITH batch AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 = 0 AND text IS NOT NULL
+    ),
+    base AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 != 0 AND text IS NOT NULL
+    ),
+    ex AS (
+      SELECT b.doc_id, COUNT(*) AS m
+      FROM batch b JOIN base o ON md5(b.text) = md5(o.text)
+      GROUP BY b.doc_id
+    ),
+    shb AS (
+      SELECT doc_id, {tri} FROM batch
+      WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+    ),
+    sho AS (SELECT doc_id, {tri} FROM base),
+    nb AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY doc_id),
+    no AS (SELECT doc_id, COUNT(*) AS n FROM sho GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS db, b.doc_id AS do_, COUNT(*) AS c
+      FROM shb a JOIN sho b ON a.sh = b.sh
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near AS (
+      SELECT db AS doc_id, COUNT(*) AS m
+      FROM common
+      JOIN nb ON nb.doc_id = db
+      JOIN no ON no.doc_id = do_
+      WHERE ({_INGEST_T_DEN} + {_INGEST_T_NUM}) * c
+            >= {_INGEST_T_NUM} * (nb.n + no.n)
+      GROUP BY db
+    )
+    SELECT batch.doc_id,
+           CASE WHEN ex.m IS NOT NULL THEN 'exact'
+                WHEN near.m IS NOT NULL THEN 'near'
+                ELSE 'new' END AS status,
+           CAST(COALESCE(ex.m, near.m, 0) AS BIGINT) AS n_base_matches
+    FROM batch
+    LEFT JOIN ex ON ex.doc_id = batch.doc_id
+    LEFT JOIN near ON near.doc_id = batch.doc_id
+    ORDER BY batch.doc_id
+    """
+
+
+def incremental_ingest_status(batch, base):
+    """Core of dedup_incremental_ingest over arbitrary (doc_id, text)
+    batch/base DataFrames — factored out so unit tests can pin all
+    three statuses on synthetic corpora."""
+    tn, td = _INGEST_T_NUM, _INGEST_T_DEN
+    ex = (
+        batch.select("doc_id", F.md5("text").alias("dig"))
+        .join(
+            base.groupBy(F.md5("text").alias("dig")).agg(
+                F.count("*").alias("me")
+            ),
+            "dig",
+        )
+        .select("doc_id", "me")
+    )
+    batch_rest = batch.join(ex, "doc_id", "left_anti")
+    shb = tracked_persist(
+        batch_rest.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    )
+    sho = tracked_persist(
+        base.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    )
+    df = shb.unionAll(sho).groupBy("sh").agg(F.count("*").alias("df"))
+
+    def _prefix(sh_df):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("df", "sh")
+        ranked = (
+            sh_df.join(df, "sh")
+            .withColumn("pos", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        )
+        # keep = n - ceil(t*n) + 1 with integer ceil((tn*n)/td)
+        return ranked.filter(
+            F.col("pos")
+            <= F.col("n") - F.expr(f"({tn} * n + {td - 1}) div {td}") + 1
+        ).select("doc_id", "sh", "n")
+
+    pb, po = _prefix(shb).alias("pb"), _prefix(sho).alias("po")
+    cand = (
+        pb.join(
+            po,
+            (F.col("pb.sh") == F.col("po.sh"))
+            & (F.col("po.n") * tn <= F.col("pb.n") * td)
+            & (F.col("pb.n") * tn <= F.col("po.n") * td),
+        )
+        .select(
+            F.col("pb.doc_id").alias("db"), F.col("po.doc_id").alias("do")
+        )
+        .distinct()
+    )
+    nb = shb.groupBy("doc_id").agg(F.count("*").alias("n_b"))
+    no = sho.groupBy("doc_id").agg(F.count("*").alias("n_o"))
+    near = (
+        cand.join(shb.select(F.col("doc_id").alias("db"), "sh"), "db")
+        .join(sho.select(F.col("doc_id").alias("do"), "sh"), ["do", "sh"])
+        .groupBy("db", "do")
+        .agg(F.count("*").alias("c"))
+        .join(nb.withColumnRenamed("doc_id", "db"), "db")
+        .join(no.withColumnRenamed("doc_id", "do"), "do")
+        .filter((td + tn) * F.col("c") >= tn * (F.col("n_b") + F.col("n_o")))
+        .groupBy("db")
+        .agg(F.count("*").alias("mn"))
+        .withColumnRenamed("db", "doc_id")
+    )
+    return (
+        batch.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("me").isNotNull(), F.lit("exact"))
+            .when(F.col("mn").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("me", "mn", F.lit(0)).cast("long").alias("n_base_matches"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("dedup_incremental_ingest", oracle=_incremental_ingest_oracle())
+def dedup_incremental_ingest(spark, sf_dir):
+    """Ingest-time dedup of an incoming batch (doc_id % 10 == 0)
+    against the existing corpus (the rest): 'exact' (digest match in
+    base, count of matches), else 'near' (3-gram Jaccard >= 3/5
+    against some base doc — exact relation, count of matches), else
+    'new'.
+
+    Scale shape — the point of the operator is what it does NOT do:
+    the base corpus is never paired against itself. The exact tier is
+    a digest join (32-byte keys). The near tier runs the asymmetric
+    AllPairs prefix filter: shingle document frequencies over the
+    union define one global (df, hash) order; each side keeps only
+    its n - ceil(t*n) + 1 rarest shingles (integer ceil: (3n + 4)
+    div 5) for candidate generation, so a J >= t pair provably
+    collides on a kept shingle; candidates pass the t <= na/nb <= 1/t
+    length filter and are verified by exact co-occurrence counts with
+    the integer-form threshold 8c >= 3(na + nb) — no float boundary.
+    Every join is shingle- or pair-keyed; at 100 TB the batch side is
+    the small fraction and the base streams once per ingest."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return incremental_ingest_status(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+    )

@@ -240,3 +240,39 @@ def test_substring_spans_run_semantics(spark):
     # positions 1 and 9 duplicated, position gap between -> two spans
     assert out[5] == (2, 8, 16)
     assert 6 not in out and 7 not in out
+
+
+def test_incremental_ingest_all_three_statuses(spark):
+    """Pin the tier semantics of dedup_incremental_ingest on a
+    synthetic base/batch: exact digest match wins over near, near
+    requires 3-gram Jaccard >= 3/5 against the BASE only, and batch
+    docs never match each other (the incremental contract)."""
+    from presto_on_ray_spark.operators.dedup import incremental_ingest_status
+
+    ten = "a b c d e f g h i j"
+    base = spark.createDataFrame(
+        [
+            (1, ten),
+            (2, ten),                       # second exact copy in base
+            (3, "p q r s t u v w x y"),
+            (4, "completely different base words here padding more"),
+        ],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, ten),                       # exact: matches docs 1+2
+            (20, "a b c d e f g h i k"),     # near: J = 7/9 vs docs 1,2
+            (30, "nothing like any base doc at all truly"),  # new
+            (40, "zz yy xx ww vv uu tt ss"),                 # new
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["status"], r["n_base_matches"])
+        for r in incremental_ingest_status(batch, base).collect()
+    }
+    assert out[10] == ("exact", 2)
+    assert out[20] == ("near", 2)
+    assert out[30] == ("new", 0)
+    assert out[40] == ("new", 0)
