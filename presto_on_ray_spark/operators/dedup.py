@@ -866,27 +866,40 @@ def _substring_spans_oracle() -> str:
       ) WHERE total >= 2
     ),
     runs AS (
-      SELECT doc_id, grp, COUNT(*) AS len FROM (
+      SELECT doc_id, grp, MIN(i) AS a, MAX(i) AS b, COUNT(*) AS len FROM (
         SELECT doc_id, i,
                i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
         FROM dup
       ) GROUP BY doc_id, grp
+    ),
+    cov AS (
+      SELECT doc_id, len,
+             (b + {w - 1}) - GREATEST(
+               a - 1,
+               COALESCE(LAG(b + {w - 1})
+                        OVER (PARTITION BY doc_id ORDER BY a), 0)
+             ) AS covered
+      FROM runs
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_spans,
            CAST(MAX(len) + {w - 1} AS BIGINT) AS max_span_words,
-           CAST(SUM(len) + COUNT(*) * {w - 1} AS BIGINT) AS dup_span_words
-    FROM runs GROUP BY doc_id
+           CAST(SUM(covered) AS BIGINT) AS dup_span_words
+    FROM cov GROUP BY doc_id
     """
 
 
 def substring_dup_spans(docs, w: int = _SUBSTR_W):
     """Core of dedup_substring_spans over an arbitrary (doc_id, text)
     DataFrame: maximal runs of corpus-duplicated W-word windows per
-    document — span count, longest span in words, and total words
-    covered by duplicated spans (run analysis is per maximal run:
-    words = run_len + W - 1; runs are separated by >=1 non-duplicated
-    position, so their word ranges never merge)."""
+    document, as the gaps-and-islands form — span count, longest span
+    in words, and dup_span_words = the TRUE interval-union word
+    coverage of the duplicated spans (run [a, b] covers words
+    [a, b + w - 1]; runs closer than w - 1 positions apart overlap in
+    words, so each run's contribution is clipped at the previous
+    run's word end — b is monotone across a doc's runs, so one lag is
+    the running max). dup_span_words / doc word count is therefore a
+    proper fraction in [0, 1], usable directly as a removal policy."""
     from pyspark.sql import Window
 
     from presto_on_ray_spark.operators.sketch_ops import _portable_h60
@@ -900,41 +913,37 @@ def substring_dup_spans(docs, w: int = _SUBSTR_W):
         _portable_h60(F.col("win")).alias("h"),
     )
     total = F.count("*").over(Window.partitionBy("h"))
-    dup = pos.withColumn("total", total).filter(F.col("total") >= 2)
-    # run-length analysis as ONE fold over the per-doc sorted position
-    # array (bounded by doc length) — no second window shuffle: the
-    # groupBy doc_id is the only exchange after the digest count.
-    per_doc = dup.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("i")).alias("arr")
+    dup = pos.withColumn("total", total).filter(F.col("total") >= 2).select(
+        "doc_id", "i"
     )
-    zero = F.lit(0).cast("long")
-    one = F.lit(1).cast("long")
-    fold = F.aggregate(
-        F.col("arr"),
-        F.struct(
-            F.lit(-2).cast("long").alias("prev"),
-            zero.alias("cur"),
-            zero.alias("mx"),
-            zero.alias("runs"),
-        ),
-        lambda acc, p: F.struct(
-            p.alias("prev"),
-            F.when(p == acc["prev"] + one, acc["cur"] + one)
-            .otherwise(one)
-            .alias("cur"),
-            F.greatest(
-                acc["mx"],
-                F.when(p == acc["prev"] + one, acc["cur"] + one).otherwise(one),
-            ).alias("mx"),
-            (acc["runs"] + F.when(p == acc["prev"] + one, zero).otherwise(one))
-            .alias("runs"),
-        ),
+    # gaps-and-islands over the thin (doc_id, i) dup relation: after
+    # the row_number window's exchange on doc_id, the groupBy
+    # (doc_id, grp), the run-order lag window, and the final per-doc
+    # aggregation all reuse the doc_id hash partitioning — two
+    # shuffles total (digest count + doc_id), no whole-group buffer.
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    runs = (
+        dup.withColumn("grp", F.col("i") - F.row_number().over(wdoc))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("a"),
+            F.max("i").alias("b"),
+            F.count("*").alias("len"),
+        )
     )
-    return per_doc.select("doc_id", F.size("arr").alias("n_dup"), fold.alias("st")).select(
-        "doc_id",
-        F.col("st.runs").alias("n_spans"),
-        (F.col("st.mx") + (w - 1)).cast("long").alias("max_span_words"),
-        (F.col("n_dup") + F.col("st.runs") * (w - 1)).cast("long").alias("dup_span_words"),
+    wrun = Window.partitionBy("doc_id").orderBy("a")
+    prev_end = F.lag(F.col("b") + F.lit(w - 1)).over(wrun)
+    covered = (F.col("b") + F.lit(w - 1)) - F.greatest(
+        F.col("a") - F.lit(1), F.coalesce(prev_end, F.lit(0).cast("long"))
+    )
+    return (
+        runs.withColumn("covered", covered)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            (F.max("len") + F.lit(w - 1)).cast("long").alias("max_span_words"),
+            F.sum("covered").cast("long").alias("dup_span_words"),
+        )
     )
 
 
@@ -943,14 +952,18 @@ def dedup_substring_spans(spark, sf_dir):
     """Maximal duplicated-span extraction per document (ExactSubstr's
     removal decision): for each document, the number of maximal runs
     of corpus-duplicated W-word windows, the longest such span in
-    words, and the total words covered by duplicated spans.
+    words, and dup_span_words = the interval-union word coverage of
+    those spans (overlapping word ranges of nearby runs are counted
+    once, so coverage never exceeds the document's word count).
 
     Same two-shuffle scale shape as dedup_substring_windows (digest-
-    count window + per-doc aggregation) — positions ride along as one
-    extra long; the run-length step is a higher-order fold over the
-    per-doc sorted position array (bounded by document length), not a
-    second corpus window. Docs with zero duplicated windows produce no
-    row in both engines."""
+    count window + doc_id exchange) — positions ride along as one
+    extra long; the run-length step is gaps-and-islands over the thin
+    dup relation (row_number per doc, groupBy(doc_id, i - rn)), and
+    the islands groupBy, the run-order lag, and the final per-doc
+    aggregation all reuse the doc_id partitioning. No per-group array
+    buffer anywhere. Docs with zero duplicated windows produce no row
+    in both engines."""
     return substring_dup_spans(t(spark, sf_dir, "documents"), _SUBSTR_W)
 
 

@@ -238,8 +238,37 @@ def test_substring_spans_run_semantics(spark):
     assert out[3] == (1, 8, 8)
     assert out[4] == (1, 8, 8)
     # positions 1 and 9 duplicated, position gap between -> two spans
+    # (word ranges [1,8] and [9,16] touch but do not overlap: 16)
     assert out[5] == (2, 8, 16)
     assert 6 not in out and 7 not in out
+
+
+def test_substring_spans_coverage_is_interval_union(spark):
+    """dup_span_words is TRUE word coverage, not summed span lengths:
+    two runs separated by one non-duplicated window position overlap
+    by w - 2 words, and the overlap must be counted once (ADVICE r9).
+    Doc 1's windows at positions 1 and 3 are duplicated (in docs 2 and
+    3 respectively) but position 2 is unique, so the spans cover words
+    [1,8] u [3,10] = 10 words — a naive sum would report 16 (> the
+    document's own 10 words)."""
+    from presto_on_ray_spark.operators.dedup import substring_dup_spans
+
+    ws = [f"w{k}" for k in range(1, 11)]  # w1..w10
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(ws)),                                # 3 windows
+            (2, " ".join(ws[:8] + ["zz1", "zz2"])),           # shares win@1
+            (3, " ".join(["yy1", "yy2"] + ws[2:])),           # shares win@3
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["max_span_words"], r["dup_span_words"])
+        for r in substring_dup_spans(docs, 8).collect()
+    }
+    assert out[1] == (2, 8, 10)  # union coverage, not 16
+    assert out[2] == (1, 8, 8)
+    assert out[3] == (1, 8, 8)
 
 
 def test_incremental_ingest_all_three_statuses(spark):
