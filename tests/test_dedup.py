@@ -305,3 +305,48 @@ def test_incremental_ingest_all_three_statuses(spark):
     assert out[20] == ("near", 2)
     assert out[30] == ("new", 0)
     assert out[40] == ("new", 0)
+
+
+def test_incremental_ingest_index_reuse_equals_recompute(spark):
+    """The two-phase API (build_base_index once, ingest_batch per
+    batch) must classify every batch exactly as a from-scratch
+    recompute does — the persisted index changes candidate
+    generation order, never the exact-verified result (VERDICT r9
+    #4). Two different batches are ingested against ONE prebuilt
+    index and compared to fresh one-shot runs."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        incremental_ingest_status,
+        ingest_batch,
+    )
+
+    ten = "a b c d e f g h i j"
+    base = spark.createDataFrame(
+        [
+            (1, ten),
+            (2, "p q r s t u v w x y"),
+            (3, "completely different base words here padding more"),
+        ],
+        "doc_id int, text string",
+    )
+    batch_a = spark.createDataFrame(
+        [(10, ten), (20, "a b c d e f g h i k"), (30, "all fresh tokens one")],
+        "doc_id int, text string",
+    )
+    batch_b = spark.createDataFrame(
+        [(50, "p q r s t u v w x y"), (60, "zz yy xx ww vv uu tt ss")],
+        "doc_id int, text string",
+    )
+    idx = build_base_index(base)
+    for batch in (batch_a, batch_b):
+        reused = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(batch, idx).collect()
+        }
+        fresh = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in incremental_ingest_status(batch, base).collect()
+        }
+        assert reused == fresh
+    # sanity: the shared index produced real classifications
+    assert reused[50] == ("exact", 1) and reused[60] == ("new", 0)

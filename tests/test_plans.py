@@ -176,7 +176,11 @@ def test_mix_sources_window_never_spans_a_source(spark, sf_dir):
     ]
     assert row_number_specs, plan
     for spec in row_number_specs:
-        m = re.search(r"windowspecdefinition\(([^)]*)\)", spec)
+        # partition attributes are everything between the spec opener
+        # and the first sort-order keyword; a [^)]* capture would stop
+        # at the first ')' inside any parenthesized partition
+        # expression and could silently truncate (ADVICE r9).
+        m = re.search(r"windowspecdefinition\((.*?)(?:ASC|DESC)", spec)
         assert m, spec
         partition_cols = m.group(1)
         assert "bkt" in partition_cols, spec
