@@ -849,7 +849,10 @@ def dedup_substring_windows(spark, sf_dir):
 # (run_len + W - 1) without a suffix array.
 
 
-def _substring_spans_oracle() -> str:
+def _substring_spans_ctes() -> str:
+    """Shared pos/dup/runs/cov CTE chain for the spans and keep
+    oracles (cov.covered is the interval-union clipped per-run word
+    coverage)."""
     from presto_on_ray_spark.operators.sketch_ops import _h60_sql
 
     w = _SUBSTR_W
@@ -883,12 +886,21 @@ def _substring_spans_oracle() -> str:
              ) AS covered
       FROM runs
     )
+    """
+
+
+def _substring_spans_oracle() -> str:
+    w = _SUBSTR_W
+    return (
+        _substring_spans_ctes()
+        + f"""
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_spans,
            CAST(MAX(len) + {w - 1} AS BIGINT) AS max_span_words,
            CAST(SUM(covered) AS BIGINT) AS dup_span_words
     FROM cov GROUP BY doc_id
     """
+    )
 
 
 def substring_dup_spans(docs, w: int = _SUBSTR_W):
@@ -967,6 +979,69 @@ def dedup_substring_spans(spark, sf_dir):
     buffer anywhere. Docs with zero duplicated windows produce no row
     in both engines."""
     return substring_dup_spans(t(spark, sf_dir, "documents"), _SUBSTR_W)
+
+
+# -- the removal decision itself (windows -> spans -> ACTION) -----------
+
+_KEEP_NUM, _KEEP_DEN = 1, 2  # drop when coverage > 1/2 of the doc's words
+
+
+def _substring_keep_oracle() -> str:
+    return (
+        _substring_spans_ctes()
+        + f""",
+    spans AS (
+      SELECT doc_id, SUM(covered) AS dup_span_words
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS doc_words,
+           CAST(COALESCE(s.dup_span_words, 0) AS BIGINT) AS dup_span_words,
+           COALESCE(s.dup_span_words, 0) * {_KEEP_DEN}
+             <= LEN(STRING_SPLIT(d.text, ' ')) * {_KEEP_NUM} AS keep
+    FROM documents d LEFT JOIN spans s ON s.doc_id = d.doc_id
+    WHERE d.text IS NOT NULL
+    """
+    )
+
+
+def substring_keep_verdicts(docs, w: int = _SUBSTR_W,
+                            num: int = _KEEP_NUM, den: int = _KEEP_DEN):
+    """Core of dedup_substring_keep: every non-null document with its
+    word count, interval-union duplicated-span coverage, and the keep
+    verdict coverage/doc_words <= num/den, compared in integer form
+    (coverage * den <= doc_words * num) — no float boundary. Docs with
+    no duplicated spans (including docs shorter than w words) are
+    kept with coverage 0."""
+    d = docs.filter(F.col("text").isNotNull())
+    words = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("doc_words")
+    )
+    spans = substring_dup_spans(d, w).select("doc_id", "dup_span_words")
+    cov = F.coalesce("dup_span_words", F.lit(0).cast("long"))
+    return words.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "doc_words",
+        cov.alias("dup_span_words"),
+        (cov * den <= F.col("doc_words") * num).alias("keep"),
+    )
+
+
+@query("dedup_substring_keep", oracle=_substring_keep_oracle())
+def dedup_substring_keep(spark, sf_dir):
+    """ExactSubstr's end decision (Lee et al. 2022 removal policy,
+    doc-level form): keep a document iff its duplicated-span word
+    coverage is at most 1/2 of its words. Because dup_span_words is
+    true interval-union coverage, the ratio is a proper fraction and
+    the verdict is meaningful; the comparison is integer-form
+    (coverage * 2 <= doc_words), so both engines decide boundary docs
+    identically.
+
+    Scale shape: substring_dup_spans' two shuffles plus one doc_id
+    equi-join of two per-doc relations — the spans side is only docs
+    that HAVE duplicated windows, typically a small fraction of the
+    corpus, and the join key is the id, never text."""
+    return substring_keep_verdicts(t(spark, sf_dir, "documents"))
 
 
 # -- incremental cross-corpus dedup (ingest-time) -----------------------

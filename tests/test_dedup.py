@@ -271,6 +271,37 @@ def test_substring_spans_coverage_is_interval_union(spark):
     assert out[3] == (1, 8, 8)
 
 
+def test_substring_keep_verdicts(spark):
+    """Pin dedup_substring_keep's decisions: the verdict is
+    coverage * 2 <= doc_words in integer form, so EXACTLY half
+    coverage keeps; full self-repetition drops; clean and short docs
+    keep with coverage 0 (and still appear in the output)."""
+    from presto_on_ray_spark.operators.dedup import substring_keep_verdicts
+
+    shared = "one two three four five six seven eight"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " t1 t2 t3 t4 t5 t6 t7 t8"),   # 16 words, cov 8 = half
+            (2, shared + " u1"),                         # 9 words, cov 8 > half
+            (3, "a b c d e f g h a b c d e f g h"),      # cov 16 = all -> drop
+            (4, "clean words that appear nowhere else at all"),
+            (5, "too short"),
+            (6, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["doc_words"], r["dup_span_words"], r["keep"])
+        for r in substring_keep_verdicts(docs, 8).collect()
+    }
+    assert out[1] == (16, 8, True)   # boundary: exactly half keeps
+    assert out[2] == (9, 8, False)
+    assert out[3] == (16, 16, False)
+    assert out[4] == (8, 0, True)
+    assert out[5] == (2, 0, True)
+    assert 6 not in out
+
+
 def test_incremental_ingest_all_three_statuses(spark):
     """Pin the tier semantics of dedup_incremental_ingest on a
     synthetic base/batch: exact digest match wins over near, near
