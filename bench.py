@@ -83,6 +83,10 @@ HEADLINE = [
     # round-9: exact substring-window duplication (largest explode in
     # the repo — ~one row per token position)
     "dedup_substring_windows",
+    # round-10: span extraction (gaps-and-islands over the dup
+    # relation) and ingest-time dedup (two-phase base index)
+    "dedup_substring_spans",
+    "dedup_incremental_ingest",
 ]
 
 

@@ -903,17 +903,30 @@ def _substring_spans_oracle() -> str:
     )
 
 
-def substring_dup_spans(docs, w: int = _SUBSTR_W):
-    """Core of dedup_substring_spans over an arbitrary (doc_id, text)
-    DataFrame: maximal runs of corpus-duplicated W-word windows per
-    document, as the gaps-and-islands form — span count, longest span
-    in words, and dup_span_words = the TRUE interval-union word
-    coverage of the duplicated spans (run [a, b] covers words
-    [a, b + w - 1]; runs closer than w - 1 positions apart overlap in
-    words, so each run's contribution is clipped at the previous
-    run's word end — b is monotone across a doc's runs, so one lag is
-    the running max). dup_span_words / doc word count is therefore a
-    proper fraction in [0, 1], usable directly as a removal policy."""
+def _dup_runs(dup):
+    """Gaps-and-islands over a thin (doc_id, i) duplicated-position
+    relation: maximal runs of consecutive positions as (doc_id, a, b,
+    len). After the row_number window's exchange on doc_id, the
+    groupBy(doc_id, grp) reuses the doc_id hash partitioning — one
+    shuffle, no whole-group buffer."""
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    return (
+        dup.withColumn("grp", F.col("i") - F.row_number().over(wdoc))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("a"),
+            F.max("i").alias("b"),
+            F.count("*").alias("len"),
+        )
+    )
+
+
+def _dup_positions(docs, w: int):
+    """The thin (doc_id, i) relation of positions whose w-word window
+    occurs >= 2 times anywhere in the corpus (the shared head of the
+    spans/span-list pipelines)."""
     from pyspark.sql import Window
 
     from presto_on_ray_spark.operators.sketch_ops import _portable_h60
@@ -927,24 +940,27 @@ def substring_dup_spans(docs, w: int = _SUBSTR_W):
         _portable_h60(F.col("win")).alias("h"),
     )
     total = F.count("*").over(Window.partitionBy("h"))
-    dup = pos.withColumn("total", total).filter(F.col("total") >= 2).select(
-        "doc_id", "i"
+    return (
+        pos.withColumn("total", total)
+        .filter(F.col("total") >= 2)
+        .select("doc_id", "i")
     )
-    # gaps-and-islands over the thin (doc_id, i) dup relation: after
-    # the row_number window's exchange on doc_id, the groupBy
-    # (doc_id, grp), the run-order lag window, and the final per-doc
-    # aggregation all reuse the doc_id hash partitioning — two
-    # shuffles total (digest count + doc_id), no whole-group buffer.
-    wdoc = Window.partitionBy("doc_id").orderBy("i")
-    runs = (
-        dup.withColumn("grp", F.col("i") - F.row_number().over(wdoc))
-        .groupBy("doc_id", "grp")
-        .agg(
-            F.min("i").alias("a"),
-            F.max("i").alias("b"),
-            F.count("*").alias("len"),
-        )
-    )
+
+
+def substring_dup_spans(docs, w: int = _SUBSTR_W):
+    """Core of dedup_substring_spans over an arbitrary (doc_id, text)
+    DataFrame: maximal runs of corpus-duplicated W-word windows per
+    document, as the gaps-and-islands form — span count, longest span
+    in words, and dup_span_words = the TRUE interval-union word
+    coverage of the duplicated spans (run [a, b] covers words
+    [a, b + w - 1]; runs closer than w - 1 positions apart overlap in
+    words, so each run's contribution is clipped at the previous
+    run's word end — b is monotone across a doc's runs, so one lag is
+    the running max). dup_span_words / doc word count is therefore a
+    proper fraction in [0, 1], usable directly as a removal policy."""
+    from pyspark.sql import Window
+
+    runs = _dup_runs(_dup_positions(docs, w))
     wrun = Window.partitionBy("doc_id").orderBy("a")
     prev_end = F.lag(F.col("b") + F.lit(w - 1)).over(wrun)
     covered = (F.col("b") + F.lit(w - 1)) - F.greatest(
@@ -1013,7 +1029,10 @@ def substring_keep_verdicts(docs, w: int = _SUBSTR_W,
     (coverage * den <= doc_words * num) — no float boundary. Docs with
     no duplicated spans (including docs shorter than w words) are
     kept with coverage 0."""
-    d = docs.filter(F.col("text").isNotNull())
+    # both branches of the join (word counts + span pipeline) consume
+    # the filtered documents — persist so the source is scanned once,
+    # not once per branch (review r10).
+    d = tracked_persist(docs.filter(F.col("text").isNotNull()))
     words = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("doc_words")
     )
@@ -1042,6 +1061,40 @@ def dedup_substring_keep(spark, sf_dir):
     that HAVE duplicated windows, typically a small fraction of the
     corpus, and the join key is the id, never text."""
     return substring_keep_verdicts(t(spark, sf_dir, "documents"))
+
+
+def _substring_span_list_oracle() -> str:
+    w = _SUBSTR_W
+    return (
+        _substring_spans_ctes()
+        + f"""
+    SELECT doc_id,
+           CAST(a AS BIGINT) AS span_start,
+           CAST(b + {w - 1} AS BIGINT) AS span_end
+    FROM runs
+    """
+    )
+
+
+@query("dedup_substring_span_list", oracle=_substring_span_list_oracle())
+def dedup_substring_span_list(spark, sf_dir):
+    """The duplicated spans THEMSELVES, one row per maximal span, in
+    1-based word coordinates [span_start, span_end] — the relation a
+    span-CUTTING policy (remove the duplicated text, keep the rest —
+    Lee et al.'s actual ExactSubstr action) consumes, where the
+    doc-level dedup_substring_keep only needs the per-doc rollup.
+
+    Scale shape: the shared _dup_positions head (digest-count window)
+    plus the islands groupBy — the same two shuffles as the spans
+    rollup, stopping one aggregation earlier. Output is one row per
+    span, bounded by the dup-position count, never per word."""
+    w = _SUBSTR_W
+    runs = _dup_runs(_dup_positions(t(spark, sf_dir, "documents"), w))
+    return runs.select(
+        "doc_id",
+        F.col("a").cast("long").alias("span_start"),
+        (F.col("b") + F.lit(w - 1)).cast("long").alias("span_end"),
+    )
 
 
 # -- incremental cross-corpus dedup (ingest-time) -----------------------
@@ -1115,7 +1168,14 @@ class BaseIndex(NamedTuple):
     batch-sized work — the base is shingled, df-counted, and
     prefix-ranked ONCE (VERDICT r9 #4 / ADVICE r9). At 100 TB these
     are parquet-materialized tables maintained alongside the corpus;
-    here they are persisted DataFrames."""
+    here they are persisted DataFrames.
+
+    Ownership: built with tracked=True (the default) the index lives
+    in the session cache registry and the NEXT release_cached() —
+    which bench/tests call after every query — unpersists it; results
+    stay correct but later ingests silently recompute the base-side
+    pipeline. A caller holding an index across queries must build
+    with tracked=False and call .release() when done."""
 
     digests: "object"   # (dig, me)  — exact-tier digest counts
     shingles: "object"  # (doc_id, sh) — exploded distinct 3-grams
@@ -1125,6 +1185,13 @@ class BaseIndex(NamedTuple):
     #                     total order keeps the prefix-filter theorem)
     counts: "object"    # (doc_id, n_o) — per-doc shingle counts
     prefix: "object"    # (doc_id, sh, n) — ranked prefix under (df, sh)
+
+    def release(self) -> None:
+        """Unpersist every index relation (owner-managed lifecycle
+        for tracked=False indexes)."""
+        for rel in (self.digests, self.shingles, self.df, self.counts,
+                    self.prefix):
+            rel.unpersist()
 
 
 def _ranked_prefix(sh_df, df_rel, tn: int, td: int):
@@ -1145,22 +1212,58 @@ def _ranked_prefix(sh_df, df_rel, tn: int, td: int):
     ).select("doc_id", "sh", "n")
 
 
-def build_base_index(base) -> BaseIndex:
+def build_base_index(base, tracked: bool = True) -> BaseIndex:
     """Phase 1: build (and persist) the base-side index once. The
     prefix order is the BASE's df — consistent across ingests, so a
     batch ranked against the same df relation is ordered by the same
-    total order, which is all the AllPairs prefix theorem needs."""
+    total order, which is all the AllPairs prefix theorem needs.
+
+    tracked=True registers the persists with the session cache
+    registry (released by the next release_cached() — right for the
+    one-shot query path); tracked=False hands ownership to the
+    caller, who keeps the index across queries and must call
+    index.release()."""
     tn, td = _INGEST_T_NUM, _INGEST_T_DEN
-    digests = tracked_persist(
+    keep = tracked_persist if tracked else (lambda df: df.persist())
+    digests = keep(
         base.groupBy(F.md5("text").alias("dig")).agg(F.count("*").alias("me"))
     )
-    sho = tracked_persist(
+    sho = keep(
         base.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
     )
-    df_rel = tracked_persist(sho.groupBy("sh").agg(F.count("*").alias("df")))
-    counts = tracked_persist(sho.groupBy("doc_id").agg(F.count("*").alias("n_o")))
-    prefix = tracked_persist(_ranked_prefix(sho, df_rel, tn, td))
+    df_rel = keep(sho.groupBy("sh").agg(F.count("*").alias("df")))
+    counts = keep(sho.groupBy("doc_id").agg(F.count("*").alias("n_o")))
+    prefix = keep(_ranked_prefix(sho, df_rel, tn, td))
     return BaseIndex(digests, sho, df_rel, counts, prefix)
+
+
+def save_base_index(index: BaseIndex, path: str) -> None:
+    """Materialize every index relation as parquet under ``path`` —
+    the production form at 100 TB: the index is a set of tables
+    maintained alongside the corpus, not a session cache. Layout is
+    one subdirectory per BaseIndex field."""
+    import os
+
+    for name in BaseIndex._fields:
+        getattr(index, name).write.mode("overwrite").parquet(
+            os.path.join(path, name)
+        )
+
+
+def load_base_index(spark, path: str) -> BaseIndex:
+    """Reload a saved index. The relations stay parquet-backed (no
+    persist): repeated ingests re-read columnar files with pushdown
+    instead of holding executor memory — the right trade once the
+    base outgrows the cache. round-trip == in-session equality is
+    pinned in tests/test_dedup.py."""
+    import os
+
+    return BaseIndex(
+        **{
+            name: spark.read.parquet(os.path.join(path, name))
+            for name in BaseIndex._fields
+        }
+    )
 
 
 def ingest_batch(batch, index: BaseIndex):

@@ -269,6 +269,14 @@ def test_substring_spans_coverage_is_interval_union(spark):
     assert out[1] == (2, 8, 10)  # union coverage, not 16
     assert out[2] == (1, 8, 8)
     assert out[3] == (1, 8, 8)
+    # the span-list relation pins the same geometry in coordinates
+    from presto_on_ray_spark.operators.dedup import _dup_positions, _dup_runs
+
+    spans = {
+        (r["doc_id"], r["a"], r["b"] + 7)
+        for r in _dup_runs(_dup_positions(docs, 8)).collect()
+    }
+    assert spans == {(1, 1, 8), (1, 3, 10), (2, 1, 8), (3, 3, 10)}
 
 
 def test_substring_keep_verdicts(spark):
@@ -368,16 +376,73 @@ def test_incremental_ingest_index_reuse_equals_recompute(spark):
         [(50, "p q r s t u v w x y"), (60, "zz yy xx ww vv uu tt ss")],
         "doc_id int, text string",
     )
-    idx = build_base_index(base)
-    for batch in (batch_a, batch_b):
-        reused = {
+    from presto_on_ray_spark.caching import release_cached
+
+    # the fresh-recompute comparison runs over an equal-rows TWIN of
+    # base: Spark's CacheManager keys cache entries by canonicalized
+    # plan, so a tracked recompute over the very same base DataFrame
+    # would alias the caller-owned index's cache entries and
+    # release_cached() would clobber them.
+    base_twin = spark.createDataFrame(base.collect(), base.schema)
+
+    # tracked=False: the index is caller-owned and survives the
+    # release_cached() every query/bench iteration performs — the
+    # cross-query reuse the two-phase API exists for.
+    idx = build_base_index(base, tracked=False)
+    try:
+        for batch in (batch_a, batch_b):
+            reused = {
+                r["doc_id"]: (r["status"], r["n_base_matches"])
+                for r in ingest_batch(batch, idx).collect()
+            }
+            fresh = {
+                r["doc_id"]: (r["status"], r["n_base_matches"])
+                for r in incremental_ingest_status(batch, base_twin).collect()
+            }
+            assert reused == fresh
+            release_cached()  # must not unpersist the caller-owned index
+            assert idx.prefix.storageLevel.useMemory
+    finally:
+        idx.release()
+    assert not idx.prefix.storageLevel.useMemory
+    # sanity: the shared index produced real classifications
+    assert reused[50] == ("exact", 1) and reused[60] == ("new", 0)
+
+
+def test_base_index_parquet_round_trip(spark, tmp_path):
+    """save_base_index/load_base_index: a parquet-materialized index
+    (the 100 TB production form) classifies a batch exactly as the
+    in-session index it was saved from."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch,
+        load_base_index,
+        save_base_index,
+    )
+
+    ten = "a b c d e f g h i j"
+    base = spark.createDataFrame(
+        [(1, ten), (2, "p q r s t u v w x y")], "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, ten), (20, "a b c d e f g h i k"), (30, "all new words here")],
+        "doc_id int, text string",
+    )
+    idx = build_base_index(base, tracked=False)
+    try:
+        save_base_index(idx, str(tmp_path / "bidx"))
+        live = {
             r["doc_id"]: (r["status"], r["n_base_matches"])
             for r in ingest_batch(batch, idx).collect()
         }
-        fresh = {
-            r["doc_id"]: (r["status"], r["n_base_matches"])
-            for r in incremental_ingest_status(batch, base).collect()
-        }
-        assert reused == fresh
-    # sanity: the shared index produced real classifications
-    assert reused[50] == ("exact", 1) and reused[60] == ("new", 0)
+    finally:
+        idx.release()
+    loaded = load_base_index(spark, str(tmp_path / "bidx"))
+    reloaded = {
+        r["doc_id"]: (r["status"], r["n_base_matches"])
+        for r in ingest_batch(batch, loaded).collect()
+    }
+    assert reloaded == live
+    assert reloaded[10] == ("exact", 1)
+    assert reloaded[20] == ("near", 1)
+    assert reloaded[30] == ("new", 0)

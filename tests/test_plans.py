@@ -176,11 +176,19 @@ def test_mix_sources_window_never_spans_a_source(spark, sf_dir):
     ]
     assert row_number_specs, plan
     for spec in row_number_specs:
-        # partition attributes are everything between the spec opener
-        # and the first sort-order keyword; a [^)]* capture would stop
-        # at the first ')' inside any parenthesized partition
-        # expression and could silently truncate (ADVICE r9).
-        m = re.search(r"windowspecdefinition\((.*?)(?:ASC|DESC)", spec)
+        # windowspecdefinition lists partition attributes, then order
+        # attributes (each tagged ASC/DESC), then the frame. Capture
+        # up to the frame and keep only the comma-separated tokens
+        # BEFORE the first sort-tagged one — a [^)]* capture stops at
+        # the first ')' inside a parenthesized expression (ADVICE r9),
+        # and a capture that merely ends at the first ASC would also
+        # swallow the first ORDER BY column, false-passing a window
+        # whose bucket moved from PARTITION BY into ORDER BY.
+        m = re.search(r"windowspecdefinition\((.*?)specifiedwindowframe", spec)
         assert m, spec
-        partition_cols = m.group(1)
-        assert "bkt" in partition_cols, spec
+        partition_cols = []
+        for tok in m.group(1).split(","):
+            if " ASC" in tok or " DESC" in tok:
+                break
+            partition_cols.append(tok)
+        assert any("bkt" in tok for tok in partition_cols), spec
