@@ -1097,6 +1097,94 @@ def dedup_substring_span_list(spark, sf_dir):
     )
 
 
+def _substring_cut_oracle() -> str:
+    w = _SUBSTR_W
+    return (
+        _substring_spans_ctes()
+        + f""",
+    words AS (
+      SELECT doc_id, i, (STRING_SPLIT(text, ' '))[i] AS wd
+      FROM (SELECT doc_id, text,
+                   UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS i
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, UNNEST(RANGE(a, b + {w})) AS i FROM runs
+    ),
+    keptagg AS (
+      SELECT wo.doc_id, STRING_AGG(wo.wd, ' ' ORDER BY wo.i) AS clean_text
+      FROM words wo LEFT JOIN covered c
+        ON c.doc_id = wo.doc_id AND c.i = wo.i
+      WHERE c.i IS NULL
+      GROUP BY wo.doc_id
+    )
+    SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN keptagg k ON k.doc_id = d.doc_id
+    WHERE d.text IS NOT NULL
+    """
+    )
+
+
+def substring_cut(docs, w: int = _SUBSTR_W):
+    """Core of dedup_substring_cut: every non-null document with its
+    duplicated spans removed — word positions covered by ANY maximal
+    duplicated span are dropped, the remainder re-joined in order
+    (fully covered docs yield '', never a missing row).
+
+    The per-doc span list is the ONLY grouped buffer: two longs per
+    maximal span, at most one span per two window positions — a
+    strictly smaller per-row bound than the document's own word array
+    that split() already materializes per row. The cut itself is
+    per-row JVM expression work (transform/filter/exists over the
+    word array against the bounded span array); words are never
+    exploded into rows."""
+    d = tracked_persist(docs.filter(F.col("text").isNotNull()))
+    spans_per_doc = (
+        _dup_runs(_dup_positions(d, w))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct(F.col("a"), F.col("b"))).alias("sps"))
+    )
+    iw = F.transform(
+        F.split("text", " "),
+        lambda wd, i: F.struct(
+            (i + F.lit(1)).cast("long").alias("i"), wd.alias("wd")
+        ),
+    )
+    kept = F.filter(
+        iw,
+        lambda s: ~F.exists(
+            F.col("sps"),
+            lambda sp: (s["i"] >= sp["a"]) & (s["i"] <= sp["b"] + F.lit(w - 1)),
+        ),
+    )
+    clean = F.array_join(F.transform(kept, lambda s: s["wd"]), " ")
+    return (
+        d.join(spans_per_doc, "doc_id", "left")
+        .withColumn(
+            "sps",
+            F.coalesce("sps", F.array().cast("array<struct<a:bigint,b:bigint>>")),
+        )
+        .select("doc_id", clean.alias("clean_text"))
+    )
+
+
+@query("dedup_substring_cut", oracle=_substring_cut_oracle())
+def dedup_substring_cut(spark, sf_dir):
+    """ExactSubstr's span-level action (Lee et al. 2022): emit every
+    document with its corpus-duplicated spans CUT OUT — the
+    alternative to dedup_substring_keep's whole-doc verdict when the
+    policy is to salvage the non-duplicated remainder.
+
+    Scale shape: the shared spans pipeline (two shuffles), one
+    doc_id groupBy that reuses its partitioning, and one doc_id
+    equi-join back to the documents — the spans side carries only
+    docs that HAVE duplicated content. The word-level cut never
+    leaves the row: an exists() probe of the bounded span array per
+    word, inside whole-stage codegen, instead of exploding the corpus
+    to one row per word and re-aggregating it."""
+    return substring_cut(t(spark, sf_dir, "documents"), _SUBSTR_W)
+
+
 # -- incremental cross-corpus dedup (ingest-time) -----------------------
 # The production shape of dedup in a growing training corpus: a new
 # batch is checked against the EXISTING corpus only — the base is

@@ -310,6 +310,40 @@ def test_substring_keep_verdicts(spark):
     assert 6 not in out
 
 
+def test_substring_cut_semantics(spark):
+    """Pin dedup_substring_cut: covered word positions are removed and
+    the remainder re-joined in order; a fully-covered doc yields ''
+    (a row, not a missing doc); clean/short docs pass through
+    unchanged; overlapping spans cut their union once."""
+    from presto_on_ray_spark.operators.dedup import substring_cut
+
+    shared = "one two three four five six seven eight"
+    ws = [f"w{k}" for k in range(1, 11)]  # w1..w10
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " t1 t2"),                     # cut words 1-8
+            (2, "h1 " + shared + " t3"),                # cut words 2-9
+            (3, "a b c d e f g h a b c d e f g h"),     # fully covered
+            (4, "clean words that appear nowhere else at all"),
+            (5, "too short"),
+            # overlap: spans [1,8] and [3,10] cut words 1-10 once
+            (6, " ".join(ws)),
+            (7, " ".join(ws[:8] + ["zz1", "zz2"])),     # shares win@1
+            (8, " ".join(["yy1", "yy2"] + ws[2:])),     # shares win@3
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in substring_cut(docs, 8).collect()}
+    assert out[1] == "t1 t2"
+    assert out[2] == "h1 t3"
+    assert out[3] == ""
+    assert out[4] == "clean words that appear nowhere else at all"
+    assert out[5] == "too short"
+    assert out[6] == ""                   # union of [1,8] and [3,10]
+    assert out[7] == "zz1 zz2"
+    assert out[8] == "yy1 yy2"
+
+
 def test_incremental_ingest_all_three_statuses(spark):
     """Pin the tier semantics of dedup_incremental_ingest on a
     synthetic base/batch: exact digest match wins over near, near

@@ -57,6 +57,12 @@ COLLECT_LIST_ALLOWED = {
     "sql_agg_surface",       # histogram/max_by/reduce_agg over 5 priorities/group + keyed-bounded slice
     "cov_similarity_ann",    # ivf per-query top-k slice
     "similarity_ivf_exact",  # per-query top-k slice
+    # per-doc MAXIMAL-SPAN list: two longs per span, and maximal runs
+    # are separated by >=1 non-duplicated position, so the buffer is
+    # at most one struct per two window positions — strictly smaller
+    # than the doc's own word array that split() materializes per row
+    # in the same operator. Bounded by construction, per document.
+    "dedup_substring_cut",
 }
 
 # Cartesian/broadcast-nested-loop is legitimate only for deliberately
