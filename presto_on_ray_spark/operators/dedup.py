@@ -1144,20 +1144,15 @@ def substring_cut(docs, w: int = _SUBSTR_W):
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct(F.col("a"), F.col("b"))).alias("sps"))
     )
-    iw = F.transform(
-        F.split("text", " "),
-        lambda wd, i: F.struct(
-            (i + F.lit(1)).cast("long").alias("i"), wd.alias("wd")
-        ),
-    )
     kept = F.filter(
-        iw,
-        lambda s: ~F.exists(
+        F.split("text", " "),
+        lambda wd, i: ~F.exists(
             F.col("sps"),
-            lambda sp: (s["i"] >= sp["a"]) & (s["i"] <= sp["b"] + F.lit(w - 1)),
+            lambda sp: ((i + F.lit(1)) >= sp["a"])
+            & ((i + F.lit(1)) <= sp["b"] + F.lit(w - 1)),
         ),
     )
-    clean = F.array_join(F.transform(kept, lambda s: s["wd"]), " ")
+    clean = F.array_join(kept, " ")
     return (
         d.join(spans_per_doc, "doc_id", "left")
         .withColumn(
