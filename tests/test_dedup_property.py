@@ -1,0 +1,94 @@
+"""Property-based differential tests for the substring-dedup family:
+random tiny corpora vs an independent pure-Python reference. The
+Spark pipeline (digest window -> gaps-and-islands -> coverage /
+cut) and the reference (brute-force window counting + set algebra)
+share no code, so agreement pins the SEMANTICS, not the
+implementation — the same strategy as the DuckDB oracles but over
+adversarial corpora instead of fixtures."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+W = 3  # small window so random corpora actually collide
+
+# documents over a 3-word alphabet, 0..12 words each
+_doc = st.lists(st.sampled_from(["a", "b", "c"]), max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=6)
+
+
+def _py_reference(texts: list[str], w: int):
+    """Brute force: corpus window counts, per-doc covered word
+    positions (0-based), maximal dup-position runs, interval-union
+    coverage, and the cut text."""
+    wins: Counter = Counter()
+    split = [t.split(" ") for t in texts]
+    for ws in split:
+        for i in range(len(ws) - w + 1):
+            wins[" ".join(ws[i : i + w])] += 1
+    out = []
+    for ws in split:
+        dup_pos = [
+            i
+            for i in range(len(ws) - w + 1)
+            if wins[" ".join(ws[i : i + w])] >= 2
+        ]
+        covered: set[int] = set()
+        for i in dup_pos:
+            covered.update(range(i, i + w))
+        runs = []
+        for i in dup_pos:
+            if runs and i == runs[-1][1] + 1:
+                runs[-1][1] = i
+            else:
+                runs.append([i, i])
+        out.append(
+            {
+                "n_spans": len(runs),
+                "max_span_words": max((b - a + 1 + w - 1 for a, b in runs), default=0),
+                "dup_span_words": len(covered),
+                "clean": " ".join(
+                    wd for j, wd in enumerate(ws) if j not in covered
+                ),
+            }
+        )
+    return out
+
+
+@settings(
+    max_examples=10,  # each example pays two Spark jobs (~3.5 s)
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_spans_and_cut_match_python_reference(spark, texts):
+    from presto_on_ray_spark.operators.dedup import (
+        substring_cut,
+        substring_dup_spans,
+    )
+
+    ref = _py_reference(texts, W)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    spans = {
+        r["doc_id"]: (r["n_spans"], r["max_span_words"], r["dup_span_words"])
+        for r in substring_dup_spans(docs, W).collect()
+    }
+    cut = {r["doc_id"]: r["clean_text"] for r in substring_cut(docs, W).collect()}
+    for d, expect in enumerate(ref):
+        if expect["n_spans"] == 0:
+            assert d not in spans  # no-dup docs emit no spans row
+        else:
+            assert spans[d] == (
+                expect["n_spans"],
+                expect["max_span_words"],
+                expect["dup_span_words"],
+            ), (d, texts)
+        assert cut[d] == expect["clean"], (d, texts)

@@ -192,3 +192,18 @@ def test_mix_sources_window_never_spans_a_source(spark, sf_dir):
                 break
             partition_cols.append(tok)
         assert any("bkt" in tok for tok in partition_cols), spec
+
+
+def test_substring_spans_two_exchange_shape(spark, sf_dir):
+    """The spans/span-list docstrings claim a two-shuffle shape: one
+    exchange on the window digest, one on doc_id, with the islands
+    groupBy, run-order lag, and per-doc rollup all REUSING the doc_id
+    hash partitioning. Pin the exchange count so a regression (e.g. a
+    groupBy key change that stops satisfying the doc_id clustering)
+    fails here, not at 100 TB."""
+    import re
+
+    for name in ("dedup_substring_spans", "dedup_substring_span_list"):
+        plan = explain_formatted(suite.QUERIES[name](spark, sf_dir))
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n <= 2, f"{name}: {n} hash exchanges\n{plan[:3000]}"
