@@ -92,3 +92,65 @@ def test_spans_and_cut_match_python_reference(spark, texts):
                 expect["dup_span_words"],
             ), (d, texts)
         assert cut[d] == expect["clean"], (d, texts)
+
+
+def _py_ingest_reference(batch: list[str], base: list[str]):
+    """Brute-force tier classification: exact = md5-equal text in
+    base; else near = distinct-3-gram Jaccard >= 3/5 with >= 1 base
+    doc (8c >= 3(na+nb) integer form); else new. Returns
+    (status, n_base_matches) per batch doc."""
+
+    def tri(t: str) -> frozenset:
+        ws = t.split(" ")
+        return frozenset(
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        )
+
+    base_txt = Counter(base)
+    base_tri = [tri(t) for t in base]
+    out = []
+    for t in batch:
+        if base_txt[t]:
+            out.append(("exact", base_txt[t]))
+            continue
+        sb = tri(t)
+        if not sb:
+            # a sub-3-word doc has NO shingles: the engine (and the
+            # DuckDB oracle) produce no shingle rows for it, so it can
+            # never reach the near tier — 0/0 Jaccard is 'new', not 1.
+            out.append(("new", 0))
+            continue
+        m = sum(
+            1
+            for so in base_tri
+            if 8 * len(sb & so) >= 3 * (len(sb) + len(so))
+        )
+        out.append(("near", m) if m else ("new", 0))
+    return out
+
+
+@settings(
+    max_examples=8,  # each example pays two multi-join Spark jobs
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batch=st.lists(_doc, min_size=1, max_size=3),
+    base=st.lists(_doc, min_size=1, max_size=4),
+)
+def test_incremental_ingest_matches_python_reference(spark, batch, base):
+    from presto_on_ray_spark.operators.dedup import incremental_ingest_status
+
+    ref = _py_ingest_reference(batch, base)
+    bdf = spark.createDataFrame(
+        list(enumerate(batch)), "doc_id int, text string"
+    )
+    odf = spark.createDataFrame(
+        [(i + 1000, t) for i, t in enumerate(base)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["n_base_matches"])
+        for r in incremental_ingest_status(bdf, odf).collect()
+    }
+    for d, expect in enumerate(ref):
+        assert got[d] == expect, (d, batch, base)
