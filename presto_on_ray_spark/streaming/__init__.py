@@ -1,3 +1,4 @@
+from presto_on_ray_spark.streaming.ingest import stream_ingest_dedup
 from presto_on_ray_spark.streaming.windows import (
     sessionize_events,
     tumbling_window_counts,
@@ -8,4 +9,5 @@ __all__ = [
     "tumbling_window_counts",
     "tumbling_window_counts_batch",
     "sessionize_events",
+    "stream_ingest_dedup",
 ]

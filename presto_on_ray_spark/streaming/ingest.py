@@ -2,8 +2,9 @@
 documents against a prebuilt BaseIndex (operators/dedup.py two-phase
 API) via foreachBatch — the form a continuously-growing corpus
 actually runs at 100 TB: the base index is a set of maintained tables
-(parquet via save_base_index/load_base_index, or persisted relations),
-and every arriving batch pays batch-sized work only.
+(parquet via save_base_index/load_base_index, or caller-owned
+persisted relations built with tracked=False), and every arriving
+batch pays batch-sized work only.
 
 foreachBatch rather than a native streaming join because the near
 tier is a multi-stage relational pipeline (prefix rank, candidate
@@ -18,8 +19,9 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
+from presto_on_ray_spark.caching import release_cached
 from presto_on_ray_spark.operators.dedup import BaseIndex, ingest_batch
 
 
@@ -28,20 +30,40 @@ def stream_ingest_dedup(
     index: BaseIndex,
     sink: Callable[[DataFrame, int], None],
     checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    await_termination: bool = True,
 ):
     """Run ingest-time classification over a streaming (doc_id, text)
-    source: every micro-batch is classified against ``index`` with
-    ingest_batch and handed to ``sink(classified_df, batch_id)``.
-    Uses availableNow so bounded replays terminate (tests/demos); a
-    production stream drops the trigger. Returns the finished query.
+    source: every micro-batch is filtered to non-null text (the same
+    contract as the dedup_incremental_ingest query path), classified
+    against ``index`` with ingest_batch, and handed to
+    ``sink(classified_df, batch_id)``. After the sink returns, the
+    batch's own tracked persists (the batch shingle relation) are
+    released so a long-running stream holds O(1) cache state — which
+    is also why ``index`` MUST be caller-owned (tracked=False) or
+    parquet-backed (load_base_index): a tracked index would be
+    released with the first batch and silently recomputed per ingest.
+
+    available_now=True (the default) drains the current data and
+    terminates — bounded replays, tests, catch-up runs. Pass
+    available_now=False for a continuous stream, usually with
+    await_termination=False so the caller keeps the handle. Returns
+    the StreamingQuery either way.
     """
 
     def _classify(batch_df: DataFrame, batch_id: int) -> None:
-        sink(ingest_batch(batch_df, index), batch_id)
+        sink(
+            ingest_batch(batch_df.filter(F.col("text").isNotNull()), index),
+            batch_id,
+        )
+        release_cached()
 
     writer = docs_stream.writeStream.foreachBatch(_classify)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.trigger(availableNow=True).start()
-    q.awaitTermination()
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if await_termination:
+        q.awaitTermination()
     return q

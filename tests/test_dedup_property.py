@@ -16,6 +16,8 @@ hypothesis = pytest.importorskip("hypothesis")
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
+from presto_on_ray_spark.caching import release_cached  # noqa: E402
+
 W = 3  # small window so random corpora actually collide
 
 # documents over a 3-word alphabet, 0..12 words each
@@ -82,6 +84,7 @@ def test_spans_and_cut_match_python_reference(spark, texts):
         for r in substring_dup_spans(docs, W).collect()
     }
     cut = {r["doc_id"]: r["clean_text"] for r in substring_cut(docs, W).collect()}
+    release_cached()  # drop this example's tracked persists
     for d, expect in enumerate(ref):
         if expect["n_spans"] == 0:
             assert d not in spans  # no-dup docs emit no spans row
@@ -152,5 +155,6 @@ def test_incremental_ingest_matches_python_reference(spark, batch, base):
         r["doc_id"]: (r["status"], r["n_base_matches"])
         for r in incremental_ingest_status(bdf, odf).collect()
     }
+    release_cached()  # drop this example's tracked base index
     for d, expect in enumerate(ref):
         assert got[d] == expect, (d, batch, base)

@@ -5,8 +5,6 @@ the one-shot batch classification of all arriving docs."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 
 def test_stream_ingest_matches_batch(spark, tmp_path):
     from presto_on_ray_spark.operators.dedup import (
@@ -31,9 +29,11 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     spark.createDataFrame(arriving[:3], "doc_id int, text string").write.parquet(
         str(src / "f1")
     )
-    spark.createDataFrame(arriving[3:], "doc_id int, text string").write.parquet(
-        str(src / "f2")
-    )
+    # second file also carries a NULL-text row, which the stream path
+    # must exclude exactly like the batch query path does (no verdict)
+    spark.createDataFrame(
+        arriving[3:] + [(60, None)], "doc_id int, text string"
+    ).write.parquet(str(src / "f2"))
 
     idx = build_base_index(base, tracked=False)
     got: dict[int, tuple] = {}
@@ -71,3 +71,4 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     assert got[30] == ("new", 0)
     assert got[40] == ("exact", 1)
     assert got[50] == ("new", 0)
+    assert 60 not in got  # NULL text: excluded, not classified 'new'
