@@ -18,15 +18,23 @@ recomputes if re-used.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+# registry mutations are lock-guarded: statement-serving threads
+# (REST/thrift) and streaming worker threads can reach tracked_persist
+# or release_cached concurrently with the main thread, and an
+# unguarded check-then-pop races to an IndexError.
+_LOCK = threading.Lock()
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() + register for later release. Returns the same df."""
     df.persist()
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
@@ -34,7 +42,10 @@ def release_cached() -> int:
     """Unpersist every tracked DataFrame; returns how many were
     released. Idempotent — the tracking list is drained."""
     n = 0
-    while _TRACKED:
-        _TRACKED.pop().unpersist()
+    while True:
+        with _LOCK:
+            if not _TRACKED:
+                return n
+            df = _TRACKED.pop()
+        df.unpersist()
         n += 1
-    return n

@@ -1349,10 +1349,15 @@ def load_base_index(spark, path: str) -> BaseIndex:
     )
 
 
-def ingest_batch(batch, index: BaseIndex):
+def ingest_batch(batch, index: BaseIndex, keep=tracked_persist):
     """Phase 2: classify one batch against a prebuilt BaseIndex —
     only batch-sized relations are computed here; every base-side
-    input is read from the index."""
+    input is read from the index. ``keep`` receives the batch-scoped
+    persist (the multi-consumed shingle relation): the default
+    registers it with the session cache registry; a caller managing
+    its own lifecycle (e.g. the streaming ingest loop, which must
+    release per micro-batch without touching the global registry from
+    its worker thread) passes a local collector."""
     tn, td = _INGEST_T_NUM, _INGEST_T_DEN
     ex = (
         batch.select("doc_id", F.md5("text").alias("dig"))
@@ -1360,7 +1365,7 @@ def ingest_batch(batch, index: BaseIndex):
         .select("doc_id", "me")
     )
     batch_rest = batch.join(ex, "doc_id", "left_anti")
-    shb = tracked_persist(
+    shb = keep(
         batch_rest.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
     )
     sho = index.shingles

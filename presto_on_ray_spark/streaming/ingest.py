@@ -21,7 +21,6 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
-from presto_on_ray_spark.caching import release_cached
 from presto_on_ray_spark.operators.dedup import BaseIndex, ingest_batch
 
 
@@ -31,32 +30,46 @@ def stream_ingest_dedup(
     sink: Callable[[DataFrame, int], None],
     checkpoint_dir: str | None = None,
     available_now: bool = True,
-    await_termination: bool = True,
+    await_termination: bool | None = None,
 ):
     """Run ingest-time classification over a streaming (doc_id, text)
     source: every micro-batch is filtered to non-null text (the same
     contract as the dedup_incremental_ingest query path), classified
     against ``index`` with ingest_batch, and handed to
-    ``sink(classified_df, batch_id)``. After the sink returns, the
-    batch's own tracked persists (the batch shingle relation) are
-    released so a long-running stream holds O(1) cache state — which
-    is also why ``index`` MUST be caller-owned (tracked=False) or
-    parquet-backed (load_base_index): a tracked index would be
-    released with the first batch and silently recomputed per ingest.
+    ``sink(classified_df, batch_id)``. Each batch's OWN persists (the
+    multi-consumed shingle relation) are collected locally and
+    unpersisted after the sink returns — even when it raises — so a
+    long-running stream holds O(1) cache state, and the micro-batch
+    worker thread never touches the global session cache registry
+    (which a concurrent main-thread query may be using).
 
     available_now=True (the default) drains the current data and
     terminates — bounded replays, tests, catch-up runs. Pass
-    available_now=False for a continuous stream, usually with
-    await_termination=False so the caller keeps the handle. Returns
-    the StreamingQuery either way.
+    available_now=False for a continuous stream. await_termination
+    defaults to following available_now: a bounded replay blocks to
+    completion, a continuous stream returns the live handle (pass an
+    explicit True only if you want to block on a continuous stream,
+    e.g. to hold a driver process open). Returns the StreamingQuery
+    either way.
     """
 
     def _classify(batch_df: DataFrame, batch_id: int) -> None:
-        sink(
-            ingest_batch(batch_df.filter(F.col("text").isNotNull()), index),
-            batch_id,
-        )
-        release_cached()
+        batch_persists: list[DataFrame] = []
+
+        def keep(df: DataFrame) -> DataFrame:
+            batch_persists.append(df.persist())
+            return df
+
+        try:
+            sink(
+                ingest_batch(
+                    batch_df.filter(F.col("text").isNotNull()), index, keep=keep
+                ),
+                batch_id,
+            )
+        finally:
+            for df in batch_persists:
+                df.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(_classify)
     if checkpoint_dir:
@@ -64,6 +77,8 @@ def stream_ingest_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
+    if await_termination is None:
+        await_termination = available_now
     if await_termination:
         q.awaitTermination()
     return q
