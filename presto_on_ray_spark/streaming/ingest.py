@@ -17,6 +17,7 @@ change any classification — pinned in tests/test_streaming_ingest.py.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
@@ -38,10 +39,14 @@ def stream_ingest_dedup(
     against ``index`` with ingest_batch, and handed to
     ``sink(classified_df, batch_id)``. Each batch's OWN persists (the
     multi-consumed shingle relation) are collected locally and
-    unpersisted after the sink returns — even when it raises — so a
-    long-running stream holds O(1) cache state, and the micro-batch
-    worker thread never touches the global session cache registry
-    (which a concurrent main-thread query may be using).
+    unpersisted after the sink returns — even when it raises — so the
+    ingest pipeline itself holds O(1) cache state on a long-running
+    stream, and the micro-batch worker thread never touches the
+    global session cache registry (which a concurrent main-thread
+    query may be using). The flip side: anything the SINK persists is
+    the sink's own responsibility — a sink that invokes tracked
+    operators must release what it tracked, because nothing on this
+    path drains the global registry for it (by design).
 
     available_now=True (the default) drains the current data and
     terminates — bounded replays, tests, catch-up runs. Pass
@@ -69,7 +74,10 @@ def stream_ingest_dedup(
             )
         finally:
             for df in batch_persists:
-                df.unpersist()
+                # a teardown-time unpersist failure must not mask the
+                # sink's real exception or skip the remaining frames
+                with contextlib.suppress(Exception):
+                    df.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(_classify)
     if checkpoint_dir:
