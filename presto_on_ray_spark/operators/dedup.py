@@ -1349,6 +1349,114 @@ def load_base_index(spark, path: str) -> BaseIndex:
     )
 
 
+def merge_into_base_index(
+    index: BaseIndex,
+    new_docs,
+    tracked: bool = True,
+    rerank: bool = True,
+    eager: bool = False,
+) -> BaseIndex:
+    """Incremental maintenance for the two-phase ingest index (VERDICT
+    r10 #1): admit ``new_docs`` (doc_id, text; doc_ids must be new to
+    the corpus) into an existing BaseIndex WITHOUT the O(corpus)
+    rebuild, so the production loop — classify batch, admit its 'new'
+    docs, they become base for the NEXT batch — pays incremental work
+    per admission.
+
+    What each relation costs:
+
+    - ``digests`` / ``df``: union with the batch-side counts, then a
+      re-aggregate. The shuffle carries the (digest, count) and
+      (shingle, df) relations — tiny relative to the corpus text (at
+      100 TB these are MERGE INTOs over maintained tables keyed by
+      digest/shingle; here, one hash exchange each).
+    - ``shingles`` / ``counts``: pure appends (union, no shuffle) —
+      doc_ids are disjoint by contract, so no re-aggregation exists.
+    - ``prefix``: the subtle one. Prefix rows are ranked under the
+      total order (df, sh); admitting docs bumps df for every shingle
+      they contain, which can reorder the shingles OF ANY BASE DOC
+      SHARING one. Policy, made explicit per VERDICT r10 #1:
+
+      * ``rerank=True`` (default, strict): re-rank exactly the
+        affected docs — base docs sharing >= 1 shingle with the batch
+        — under the merged df, keep everyone else's rows untouched
+        (their shingles' dfs are unchanged, so their per-doc (df, sh)
+        order is provably identical). The merged index is
+        RELATION-FOR-RELATION equal to a from-scratch rebuild
+        (pinned in tests/test_dedup.py), so the AllPairs prefix
+        guarantee holds exactly. Work is bounded by the postings of
+        the batch's shingles, not the corpus. (On adversarially
+        saturated vocabularies — the fixture corpus' 31 words —
+        "affected" approaches everyone and this degenerates toward a
+        full re-rank; that is a property of the data, and the exact
+        tier never depends on ranks.)
+
+      * ``rerank=False`` (stale): append only the NEW docs' prefix
+        rows (ranked under the merged df) and keep base prefixes as
+        built. O(batch) maintenance, but sides ranked under different
+        df snapshots break the single-total-order premise of the
+        prefix-filter theorem: the near tier may MISS pairs involving
+        stale-ranked docs (the exact tier is digest-joined and
+        unaffected). The contract is periodic rebuild: staleness is
+        bounded by sum(df drift) since the last build/strict-merge,
+        and build_base_index/save_base_index is the compaction.
+
+    Lifecycle mirrors build_base_index: tracked=True registers the
+    merged relations with the session cache registry; tracked=False
+    hands them to the caller (.release()). The merged relations'
+    PLANS reference the old index's frames — release the OLD index
+    only after materializing the merged one (eager=True runs a
+    count() per relation to do exactly that, the right move in the
+    admit loop where the old generation is dropped immediately)."""
+    tn, td = _INGEST_T_NUM, _INGEST_T_DEN
+    keep = tracked_persist if tracked else (lambda df: df.persist())
+    new_docs = new_docs.filter(F.col("text").isNotNull())
+
+    new_dig = new_docs.groupBy(F.md5("text").alias("dig")).agg(
+        F.count("*").alias("me")
+    )
+    new_sho = new_docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    )
+    digests = keep(
+        index.digests.unionByName(new_dig)
+        .groupBy("dig")
+        .agg(F.sum("me").alias("me"))
+    )
+    sho = keep(index.shingles.unionByName(new_sho))
+    df_delta = new_sho.groupBy("sh").agg(F.count("*").alias("df"))
+    df_rel = keep(
+        index.df.unionByName(df_delta).groupBy("sh").agg(F.sum("df").alias("df"))
+    )
+    counts = keep(
+        index.counts.unionByName(
+            new_sho.groupBy("doc_id").agg(F.count("*").alias("n_o"))
+        )
+    )
+    if rerank:
+        affected = (
+            index.shingles.join(df_delta.select("sh"), "sh", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        untouched = index.prefix.join(affected, "doc_id", "left_anti")
+        rerank_sho = index.shingles.join(
+            affected, "doc_id", "left_semi"
+        ).unionByName(new_sho)
+        prefix = keep(
+            untouched.unionByName(_ranked_prefix(rerank_sho, df_rel, tn, td))
+        )
+    else:
+        prefix = keep(
+            index.prefix.unionByName(_ranked_prefix(new_sho, df_rel, tn, td))
+        )
+    merged = BaseIndex(digests, sho, df_rel, counts, prefix)
+    if eager:
+        for rel in merged:
+            rel.count()
+    return merged
+
+
 def ingest_batch(batch, index: BaseIndex, keep=tracked_persist):
     """Phase 2: classify one batch against a prebuilt BaseIndex —
     only batch-sized relations are computed here; every base-side
@@ -1451,3 +1559,20 @@ def dedup_incremental_ingest(spark, sf_dir):
         d.filter(F.col("doc_id") % 10 == 0),
         d.filter(F.col("doc_id") % 10 != 0),
     )
+
+
+@query("dedup_ingest_after_merge", oracle=_incremental_ingest_oracle())
+def dedup_ingest_after_merge(spark, sf_dir):
+    """The production admit loop, end-to-end through the incremental
+    maintenance path: build the index on PART of the corpus
+    (doc_id % 10 not in {0, 5}), admit the rest of the base
+    (doc_id % 10 == 5) via merge_into_base_index (strict re-rank),
+    then classify the arriving batch (doc_id % 10 == 0) against the
+    MERGED index. The oracle is the one-shot SQL over the full base
+    (doc_id % 10 != 0) — i.e. the differential pins that
+    build + merge + ingest == build-on-everything + ingest, including
+    the re-ranked prefix's effect on near-tier candidate generation."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    idx = build_base_index(d.filter(F.col("doc_id") % 10 % 5 != 0))
+    merged = merge_into_base_index(idx, d.filter(F.col("doc_id") % 10 == 5))
+    return ingest_batch(d.filter(F.col("doc_id") % 10 == 0), merged)

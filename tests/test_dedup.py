@@ -480,3 +480,153 @@ def test_base_index_parquet_round_trip(spark, tmp_path):
     assert reloaded[10] == ("exact", 1)
     assert reloaded[20] == ("near", 1)
     assert reloaded[30] == ("new", 0)
+
+
+def _merge_fixture(spark):
+    ten = "a b c d e f g h i j"
+    base = spark.createDataFrame(
+        [
+            (1, ten),
+            (2, "p q r s t u v w x y"),
+            (3, "unrelated filler words sit here still"),
+        ],
+        "doc_id int, text string",
+    )
+    admitted = spark.createDataFrame(
+        [
+            # shares shingles with doc 1 -> df drift reorders doc 1's ranks
+            (4, "a b c d e f zz ww vv uu"),
+            (5, "brand new admitted content entirely"),
+            (6, None),  # null text: excluded by the ingest contract
+        ],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, ten),  # exact vs original base doc 1
+            (20, "a b c d e f zz ww vv uu"),  # exact vs ADMITTED doc 4
+            (30, "a b c d e f zz ww vv qq"),  # near vs admitted doc 4 (c=7: 8*7 >= 3*16)
+            (40, "all fresh tokens only here"),  # new
+        ],
+        "doc_id int, text string",
+    )
+    return ten, base, admitted, batch
+
+
+def test_merge_into_base_index_equals_rebuild(spark):
+    """classify-after-merge == classify-after-rebuild (VERDICT r10 #1)
+    — and stronger: with the strict re-rank policy the merged index is
+    RELATION-FOR-RELATION multiset-equal to a from-scratch rebuild
+    over base + admitted, so the AllPairs prefix guarantee is intact
+    by construction, not by luck of candidate generation."""
+    from presto_on_ray_spark.operators.dedup import (
+        BaseIndex,
+        build_base_index,
+        ingest_batch,
+        merge_into_base_index,
+    )
+
+    ten, base, admitted, batch = _merge_fixture(spark)
+    # rebuild runs over a fresh TWIN of base+admitted rows: the
+    # CacheManager keys cache entries by canonicalized plan, so a
+    # rebuild over the same frames could alias the merged index's
+    # entries (round-10 playbook trap).
+    full_rows = base.collect() + [r for r in admitted.collect() if r["text"]]
+    full_twin = spark.createDataFrame(full_rows, base.schema)
+
+    idx = build_base_index(base, tracked=False)
+    merged = merge_into_base_index(idx, admitted, tracked=False, eager=True)
+    rebuilt = build_base_index(full_twin, tracked=False)
+    try:
+        for name in BaseIndex._fields:
+            got = sorted(map(tuple, getattr(merged, name).collect()))
+            want = sorted(map(tuple, getattr(rebuilt, name).collect()))
+            assert got == want, f"merged.{name} != rebuilt.{name}"
+        via_merge = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(batch, merged).collect()
+        }
+        via_rebuild = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(batch, rebuilt).collect()
+        }
+    finally:
+        for i in (idx, merged, rebuilt):
+            i.release()
+    assert via_merge == via_rebuild
+    assert via_merge[10] == ("exact", 1)
+    assert via_merge[20] == ("exact", 1)  # matches a doc admitted by merge
+    assert via_merge[30] == ("near", 1)  # near tier sees admitted docs
+    assert via_merge[40] == ("new", 0)
+
+
+def test_merge_stale_mode_contract(spark):
+    """rerank=False: O(batch) maintenance that appends the new docs'
+    prefix rows and leaves every base prefix row untouched (the
+    documented staleness trade). The exact tier — digest join, no
+    ranks — must classify identically to the strict merge."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch,
+        merge_into_base_index,
+    )
+
+    ten, base, admitted, batch = _merge_fixture(spark)
+    idx = build_base_index(base, tracked=False)
+    stale = merge_into_base_index(
+        idx, admitted, tracked=False, rerank=False, eager=True
+    )
+    try:
+        old_prefix = sorted(map(tuple, idx.prefix.collect()))
+        stale_base_prefix = sorted(
+            map(tuple, stale.prefix.filter(F.col("doc_id") <= 3).collect())
+        )
+        assert stale_base_prefix == old_prefix  # append-only: base rows as built
+        # admitted (non-null) docs did get prefix rows under the merged df
+        new_pref_docs = {
+            r["doc_id"]
+            for r in stale.prefix.filter(F.col("doc_id") > 3).collect()
+        }
+        assert new_pref_docs == {4, 5}
+        got = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(batch, stale).collect()
+        }
+    finally:
+        idx.release()
+        stale.release()
+    # exact tier is rank-free: both exact rows classify exactly
+    assert got[10] == ("exact", 1)
+    assert got[20] == ("exact", 1)
+    assert got[40] == ("new", 0)
+
+
+def test_merge_eager_survives_old_index_release(spark):
+    """The admit-loop lifecycle: eager=True materializes the merged
+    generation so the OLD index can be released immediately, and a
+    later batch still classifies correctly against the merged index
+    (no dependence on the dropped generation's cache entries)."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch,
+        merge_into_base_index,
+    )
+
+    ten, base, admitted, batch = _merge_fixture(spark)
+    idx = build_base_index(base, tracked=False)
+    merged = merge_into_base_index(idx, admitted, tracked=False, eager=True)
+    idx.release()  # old generation dropped before the next batch arrives
+    try:
+        assert merged.prefix.storageLevel.useMemory
+        got = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(batch, merged).collect()
+        }
+    finally:
+        merged.release()
+    assert got == {
+        10: ("exact", 1),
+        20: ("exact", 1),
+        30: ("near", 1),
+        40: ("new", 0),
+    }

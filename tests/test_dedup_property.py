@@ -158,3 +158,59 @@ def test_incremental_ingest_matches_python_reference(spark, batch, base):
     release_cached()  # drop this example's tracked base index
     for d, expect in enumerate(ref):
         assert got[d] == expect, (d, batch, base)
+
+
+@settings(
+    max_examples=6,  # each example pays index build + merge + classify
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(_doc, min_size=1, max_size=3),
+    admitted=st.lists(_doc, min_size=1, max_size=3),
+    batch=st.lists(_doc, min_size=1, max_size=3),
+)
+def test_merge_classify_matches_python_reference(spark, base, admitted, batch):
+    """The admit loop differential: build on base, merge_into_base_index
+    the admitted docs (strict re-rank), classify the batch — must equal
+    the brute-force Python reference over base + admitted. Pins the
+    incremental maintenance semantics with code the pipeline shares
+    nothing with (not even the rebuild path)."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch,
+        merge_into_base_index,
+    )
+
+    ref = _py_ingest_reference(batch, base + admitted)
+    idx = build_base_index(
+        spark.createDataFrame(
+            [(i + 1000, t) for i, t in enumerate(base)], "doc_id int, text string"
+        ),
+        tracked=False,
+    )
+    merged = merge_into_base_index(
+        idx,
+        spark.createDataFrame(
+            [(i + 2000, t) for i, t in enumerate(admitted)],
+            "doc_id int, text string",
+        ),
+        tracked=False,
+        eager=True,
+    )
+    try:
+        got = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(
+                spark.createDataFrame(
+                    list(enumerate(batch)), "doc_id int, text string"
+                ),
+                merged,
+            ).collect()
+        }
+    finally:
+        idx.release()
+        merged.release()
+    release_cached()  # drop the classify call's tracked persists
+    for d, expect in enumerate(ref):
+        assert got[d] == expect, (d, batch, admitted, base)
