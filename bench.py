@@ -87,6 +87,10 @@ HEADLINE = [
     # relation) and ingest-time dedup (two-phase base index)
     "dedup_substring_spans",
     "dedup_incremental_ingest",
+    # round-11: the substring family's end decision/action (keep
+    # verdict + cut), completing the family in the headline set
+    "dedup_substring_keep",
+    "dedup_substring_cut",
 ]
 
 

@@ -1457,6 +1457,94 @@ def merge_into_base_index(
     return merged
 
 
+def merge_into_saved_index(spark, path: str, new_docs, rerank: bool = True) -> None:
+    """Admit ``new_docs`` into a parquet-materialized index (the
+    save_base_index layout) IN PLACE — the production form of
+    merge_into_base_index, where incremental really means incremental
+    I/O. The in-session form can only union persisted frames, so
+    "appending" still materializes a full new cache generation; here
+    the per-doc relations are parquet APPENDS (new files only, the
+    base's files untouched — O(batch) data written):
+
+    - ``shingles`` / ``counts``: append the batch's rows.
+    - ``prefix`` with rerank=False: append the new docs' prefix rows
+      ranked under the merged df (the stale policy — near-tier recall
+      for drifted base docs degrades until the next strict merge or
+      rebuild; exact tier is rank-free and unaffected).
+    - ``digests`` / ``df``: aggregates keyed by digest/shingle — one
+      row per distinct value, the small relations — re-aggregated and
+      swapped in as a new generation (plain parquet cannot merge rows
+      in place; with a table format these are MERGE INTOs).
+    - ``prefix`` with rerank=True (default, strict): rewritten as a
+      new generation under the merged df. Still cheaper than a full
+      rebuild: the corpus is NEVER re-shingled — the rank reads the
+      existing shingles parquet instead of re-running the explode +
+      distinct over all document text, which is the dominant stage of
+      build_base_index.
+
+    Generation swap: rewritten relations are written to a sibling
+    ``<name>__new`` directory first (never overwriting a directory a
+    lazy plan may still read), then moved over the old one. On object
+    stores the same two-phase shape applies (write new prefix, flip a
+    pointer); a transactional table format makes the swap atomic —
+    plain parquet directories make it explicit here."""
+    import os
+    import shutil
+
+    tn, td = _INGEST_T_NUM, _INGEST_T_DEN
+    index = load_base_index(spark, path)
+    new_docs = new_docs.filter(F.col("text").isNotNull())
+    new_sho = new_docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    ).persist()
+    try:
+        # appends: new files only, existing data untouched
+        new_sho.write.mode("append").parquet(os.path.join(path, "shingles"))
+        new_sho.groupBy("doc_id").agg(F.count("*").alias("n_o")).write.mode(
+            "append"
+        ).parquet(os.path.join(path, "counts"))
+
+        # small aggregate relations: re-aggregate into a new generation
+        new_dig = new_docs.groupBy(F.md5("text").alias("dig")).agg(
+            F.count("*").alias("me")
+        )
+        digests = (
+            index.digests.unionByName(new_dig)
+            .groupBy("dig")
+            .agg(F.sum("me").alias("me"))
+        )
+        df_rel = (
+            index.df.unionByName(
+                new_sho.groupBy("sh").agg(F.count("*").alias("df"))
+            )
+            .groupBy("sh")
+            .agg(F.sum("df").alias("df"))
+        )
+        swaps = {"digests": digests, "df": df_rel}
+        if rerank:
+            # strict: prefix is order-dependent, so it gets a new
+            # generation — but from the SAVED shingles (which now
+            # include the appended batch), not from re-shingling text
+            merged_sho = spark.read.parquet(os.path.join(path, "shingles"))
+            swaps["prefix"] = _ranked_prefix(merged_sho, df_rel, tn, td)
+        for name, rel in swaps.items():
+            rel.write.mode("overwrite").parquet(os.path.join(path, name + "__new"))
+        if not rerank:
+            # stale: append only the new docs' prefix rows, ranked
+            # under the merged df (read back from its new generation
+            # so the write above cannot race the read below)
+            merged_df = spark.read.parquet(os.path.join(path, "df__new"))
+            _ranked_prefix(new_sho, merged_df, tn, td).write.mode(
+                "append"
+            ).parquet(os.path.join(path, "prefix"))
+        for name in swaps:
+            old = os.path.join(path, name)
+            shutil.rmtree(old)
+            os.rename(os.path.join(path, name + "__new"), old)
+    finally:
+        new_sho.unpersist()
+
+
 def ingest_batch(batch, index: BaseIndex, keep=tracked_persist):
     """Phase 2: classify one batch against a prebuilt BaseIndex —
     only batch-sized relations are computed here; every base-side

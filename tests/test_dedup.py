@@ -601,6 +601,108 @@ def test_merge_stale_mode_contract(spark):
     assert got[40] == ("new", 0)
 
 
+def test_merge_into_saved_index_strict_equals_rebuild(spark, tmp_path):
+    """The parquet-backed merge (the production form): after
+    merge_into_saved_index the on-disk index is relation-for-relation
+    multiset-equal to save(build(base + admitted)), and classifies the
+    next batch identically — while the per-doc relations were
+    APPENDED (the base's original parquet files are still present,
+    byte-for-byte untouched)."""
+    import os
+
+    from presto_on_ray_spark.operators.dedup import (
+        BaseIndex,
+        build_base_index,
+        ingest_batch,
+        load_base_index,
+        merge_into_saved_index,
+        save_base_index,
+    )
+
+    ten, base, admitted, batch = _merge_fixture(spark)
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+    idx.release()
+
+    def parquet_files(rel):
+        d = os.path.join(p, rel)
+        return {f for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before = {rel: parquet_files(rel) for rel in ("shingles", "counts")}
+    merge_into_saved_index(spark, p, admitted)
+    for rel, files in before.items():
+        assert files <= parquet_files(rel), f"{rel} base files were rewritten"
+
+    full_rows = base.collect() + [r for r in admitted.collect() if r["text"]]
+    rebuilt = build_base_index(
+        spark.createDataFrame(full_rows, base.schema), tracked=False
+    )
+    merged = load_base_index(spark, p)
+    try:
+        for name in BaseIndex._fields:
+            got = sorted(map(tuple, getattr(merged, name).collect()))
+            want = sorted(map(tuple, getattr(rebuilt, name).collect()))
+            assert got == want, f"saved-merged.{name} != rebuilt.{name}"
+        via_merge = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(batch, merged).collect()
+        }
+        via_rebuild = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(batch, rebuilt).collect()
+        }
+    finally:
+        rebuilt.release()
+    assert via_merge == via_rebuild
+    assert via_merge[20] == ("exact", 1) and via_merge[30] == ("near", 1)
+
+
+def test_merge_into_saved_index_stale_appends_prefix(spark, tmp_path):
+    """rerank=False on the saved index: O(batch) I/O — shingles,
+    counts, AND prefix are appends (base prefix files untouched);
+    only the two small aggregate relations get a new generation. The
+    exact tier classifies identically to strict."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch,
+        load_base_index,
+        merge_into_saved_index,
+        save_base_index,
+    )
+
+    ten, base, admitted, batch = _merge_fixture(spark)
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+    old_prefix = sorted(map(tuple, idx.prefix.collect()))
+    idx.release()
+
+    import os
+
+    pref_before = {
+        f for f in os.listdir(os.path.join(p, "prefix")) if f.endswith(".parquet")
+    }
+    merge_into_saved_index(spark, p, admitted, rerank=False)
+    pref_after = {
+        f for f in os.listdir(os.path.join(p, "prefix")) if f.endswith(".parquet")
+    }
+    assert pref_before <= pref_after  # stale prefix is append-only
+
+    merged = load_base_index(spark, p)
+    stale_base_prefix = sorted(
+        map(tuple, merged.prefix.filter(F.col("doc_id") <= 3).collect())
+    )
+    assert stale_base_prefix == old_prefix
+    got = {
+        r["doc_id"]: (r["status"], r["n_base_matches"])
+        for r in ingest_batch(batch, merged).collect()
+    }
+    assert got[10] == ("exact", 1)
+    assert got[20] == ("exact", 1)  # exact tier sees admitted docs
+    assert got[40] == ("new", 0)
+
+
 def test_merge_eager_survives_old_index_release(spark):
     """The admit-loop lifecycle: eager=True materializes the merged
     generation so the OLD index can be released immediately, and a
