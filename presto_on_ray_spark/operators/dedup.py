@@ -1411,50 +1411,92 @@ def merge_into_base_index(
     tn, td = _INGEST_T_NUM, _INGEST_T_DEN
     keep = tracked_persist if tracked else (lambda df: df.persist())
     new_docs = new_docs.filter(F.col("text").isNotNull())
+    _check_new_doc_ids(index, new_docs)
 
-    new_dig = new_docs.groupBy(F.md5("text").alias("dig")).agg(
-        F.count("*").alias("me")
-    )
     new_sho = new_docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
     )
-    digests = keep(
-        index.digests.unionByName(new_dig)
-        .groupBy("dig")
-        .agg(F.sum("me").alias("me"))
+    if eager:
+        # the shingle explode feeds four output relations; in eager
+        # mode they all materialize here, so pay the explode once
+        new_sho = new_sho.persist()
+    try:
+        digests, df_rel, df_delta = _merged_aggregates(index, new_docs, new_sho)
+        digests, df_rel = keep(digests), keep(df_rel)
+        sho = keep(index.shingles.unionByName(new_sho))
+        counts = keep(
+            index.counts.unionByName(
+                new_sho.groupBy("doc_id").agg(F.count("*").alias("n_o"))
+            )
+        )
+        if rerank:
+            affected = (
+                index.shingles.join(df_delta.select("sh"), "sh", "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            untouched = index.prefix.join(affected, "doc_id", "left_anti")
+            rerank_sho = index.shingles.join(
+                affected, "doc_id", "left_semi"
+            ).unionByName(new_sho)
+            prefix = keep(
+                untouched.unionByName(_ranked_prefix(rerank_sho, df_rel, tn, td))
+            )
+        else:
+            prefix = keep(
+                index.prefix.unionByName(_ranked_prefix(new_sho, df_rel, tn, td))
+            )
+        merged = BaseIndex(digests, sho, df_rel, counts, prefix)
+        if eager:
+            for rel in merged:
+                rel.count()
+        return merged
+    finally:
+        if eager:
+            new_sho.unpersist()
+
+
+def _check_new_doc_ids(index: BaseIndex, new_docs) -> None:
+    """Loudly reject re-admission of already-indexed doc_ids: silently
+    merging them would double-count shingles, df, and digest counts,
+    corrupting later near-tier verdicts with no error anywhere — and a
+    re-delivered batch is a realistic operational event (the streaming
+    path is at-least-once across crash recovery; admission must be
+    exactly-once). Detection is via the counts relation, which covers
+    every doc with >= 3 words (shorter docs have no shingle rows in
+    any relation; double-admitting one only inflates its digest
+    count)."""
+    clash = (
+        new_docs.select("doc_id")
+        .join(index.counts, "doc_id", "left_semi")
+        .limit(1)
+        .count()
     )
-    sho = keep(index.shingles.unionByName(new_sho))
+    if clash:
+        raise ValueError(
+            "merge: new_docs contains doc_ids already present in the index "
+            "(re-admitting a batch would double-count shingles/digests and "
+            "silently corrupt near-tier verdicts); dedupe the admit set "
+            "against the index first"
+        )
+
+
+def _merged_aggregates(index: BaseIndex, new_docs, new_sho):
+    """The keyed relations' merge semantics, shared by the in-session
+    and parquet-backed merges so the two forms cannot drift: digest
+    counts and shingle document frequencies are union + re-aggregate
+    (MERGE INTOs on a table format). Returns (digests, df, df_delta)."""
+    new_dig = new_docs.groupBy(F.md5("text").alias("dig")).agg(
+        F.count("*").alias("me")
+    )
+    digests = (
+        index.digests.unionByName(new_dig).groupBy("dig").agg(F.sum("me").alias("me"))
+    )
     df_delta = new_sho.groupBy("sh").agg(F.count("*").alias("df"))
-    df_rel = keep(
+    df_rel = (
         index.df.unionByName(df_delta).groupBy("sh").agg(F.sum("df").alias("df"))
     )
-    counts = keep(
-        index.counts.unionByName(
-            new_sho.groupBy("doc_id").agg(F.count("*").alias("n_o"))
-        )
-    )
-    if rerank:
-        affected = (
-            index.shingles.join(df_delta.select("sh"), "sh", "left_semi")
-            .select("doc_id")
-            .distinct()
-        )
-        untouched = index.prefix.join(affected, "doc_id", "left_anti")
-        rerank_sho = index.shingles.join(
-            affected, "doc_id", "left_semi"
-        ).unionByName(new_sho)
-        prefix = keep(
-            untouched.unionByName(_ranked_prefix(rerank_sho, df_rel, tn, td))
-        )
-    else:
-        prefix = keep(
-            index.prefix.unionByName(_ranked_prefix(new_sho, df_rel, tn, td))
-        )
-    merged = BaseIndex(digests, sho, df_rel, counts, prefix)
-    if eager:
-        for rel in merged:
-            rel.count()
-    return merged
+    return digests, df_rel, df_delta
 
 
 def merge_into_saved_index(spark, path: str, new_docs, rerank: bool = True) -> None:
@@ -1482,65 +1524,95 @@ def merge_into_saved_index(spark, path: str, new_docs, rerank: bool = True) -> N
       distinct over all document text, which is the dominant stage of
       build_base_index.
 
-    Generation swap: rewritten relations are written to a sibling
-    ``<name>__new`` directory first (never overwriting a directory a
-    lazy plan may still read), then moved over the old one. On object
-    stores the same two-phase shape applies (write new prefix, flip a
-    pointer); a transactional table format makes the swap atomic —
-    plain parquet directories make it explicit here."""
+    Failure contract (plain parquet has no transactions; the ordering
+    below minimizes what a crash can corrupt, and every bad state is
+    detected LOUDLY rather than silently misclassifying):
+
+    1. All new generations (``digests__new``, ``df__new``, strict
+       ``prefix__new``) are written FIRST, reading only the old
+       directories — a crash here leaves the index untouched (stray
+       ``__new`` directories; the next merge refuses to run until
+       they are removed).
+    2. Appends follow, ``counts`` first: counts is the sentinel the
+       re-admission guard checks, so a crash after it makes a retry
+       of the same batch fail loudly instead of double-appending.
+    3. Generation swap last, via rename-aside (``name`` ->
+       ``name__old``, ``name__new`` -> ``name``, drop ``__old``) —
+       the vulnerable window is two renames, not a recursive delete,
+       and a leftover ``__old``/``__new`` marks the crashed state
+       for the next merge to refuse on.
+
+    Re-admitting doc_ids already in the index raises (see
+    _check_new_doc_ids). Only local paths are supported — the swap
+    uses filesystem renames; on an object store, write a fresh
+    generation (build + save) or use a transactional table format,
+    where digests/df become MERGE INTOs and the swap is a commit."""
     import os
     import shutil
+    from urllib.parse import urlparse
+
+    if urlparse(path).scheme not in ("", "file"):
+        raise ValueError(
+            f"merge_into_saved_index mutates the index with local filesystem "
+            f"renames; {path!r} is not a local path. On a shared store, write "
+            f"a new generation (build_base_index + save_base_index) or keep "
+            f"the index in a transactional table format."
+        )
+    local = path[7:] if path.startswith("file://") else path
+    for name in BaseIndex._fields:
+        for marker in (name + "__new", name + "__old"):
+            if os.path.exists(os.path.join(local, marker)):
+                raise ValueError(
+                    f"saved index at {path!r} has a leftover {marker!r} "
+                    f"directory from an interrupted merge; inspect and "
+                    f"remove it (__new = unswapped candidate generation, "
+                    f"__old = superseded generation) before merging again"
+                )
 
     tn, td = _INGEST_T_NUM, _INGEST_T_DEN
     index = load_base_index(spark, path)
     new_docs = new_docs.filter(F.col("text").isNotNull())
+    _check_new_doc_ids(index, new_docs)
     new_sho = new_docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
     ).persist()
     try:
-        # appends: new files only, existing data untouched
-        new_sho.write.mode("append").parquet(os.path.join(path, "shingles"))
+        # phase 1: write every new generation, reading ONLY the old
+        # directories (the strict prefix ranks over the saved shingles
+        # UNION the batch — not the appended files — so no step here
+        # depends on a mutation having happened)
+        digests, df_rel, _ = _merged_aggregates(index, new_docs, new_sho)
+        swaps = {"digests": digests, "df": df_rel}
+        if rerank:
+            # strict: order-dependent, so a new generation — but from
+            # the saved shingles, never by re-shingling document text
+            swaps["prefix"] = _ranked_prefix(
+                index.shingles.unionByName(new_sho), df_rel, tn, td
+            )
+        for name, rel in swaps.items():
+            rel.write.mode("overwrite").parquet(os.path.join(path, name + "__new"))
+
+        # phase 2: appends — counts first (the re-admission guard's
+        # sentinel), so a partially-appended batch makes any retry
+        # fail loudly instead of double-counting
         new_sho.groupBy("doc_id").agg(F.count("*").alias("n_o")).write.mode(
             "append"
         ).parquet(os.path.join(path, "counts"))
-
-        # small aggregate relations: re-aggregate into a new generation
-        new_dig = new_docs.groupBy(F.md5("text").alias("dig")).agg(
-            F.count("*").alias("me")
-        )
-        digests = (
-            index.digests.unionByName(new_dig)
-            .groupBy("dig")
-            .agg(F.sum("me").alias("me"))
-        )
-        df_rel = (
-            index.df.unionByName(
-                new_sho.groupBy("sh").agg(F.count("*").alias("df"))
-            )
-            .groupBy("sh")
-            .agg(F.sum("df").alias("df"))
-        )
-        swaps = {"digests": digests, "df": df_rel}
-        if rerank:
-            # strict: prefix is order-dependent, so it gets a new
-            # generation — but from the SAVED shingles (which now
-            # include the appended batch), not from re-shingling text
-            merged_sho = spark.read.parquet(os.path.join(path, "shingles"))
-            swaps["prefix"] = _ranked_prefix(merged_sho, df_rel, tn, td)
-        for name, rel in swaps.items():
-            rel.write.mode("overwrite").parquet(os.path.join(path, name + "__new"))
+        new_sho.write.mode("append").parquet(os.path.join(path, "shingles"))
         if not rerank:
             # stale: append only the new docs' prefix rows, ranked
-            # under the merged df (read back from its new generation
-            # so the write above cannot race the read below)
-            merged_df = spark.read.parquet(os.path.join(path, "df__new"))
-            _ranked_prefix(new_sho, merged_df, tn, td).write.mode(
-                "append"
-            ).parquet(os.path.join(path, "prefix"))
+            # under the merged df (df_rel still reads the old df
+            # directory — the swap has not happened yet)
+            _ranked_prefix(new_sho, df_rel, tn, td).write.mode("append").parquet(
+                os.path.join(path, "prefix")
+            )
+
+        # phase 3: rename-aside swap
         for name in swaps:
-            old = os.path.join(path, name)
-            shutil.rmtree(old)
-            os.rename(os.path.join(path, name + "__new"), old)
+            old = os.path.join(local, name)
+            os.rename(old, old + "__old")
+            os.rename(old + "__new", old)
+            shutil.rmtree(old + "__old")
     finally:
         new_sho.unpersist()
 

@@ -703,6 +703,63 @@ def test_merge_into_saved_index_stale_appends_prefix(spark, tmp_path):
     assert got[40] == ("new", 0)
 
 
+def test_merge_guards_fail_loud(spark, tmp_path):
+    """The corruption paths a production admit loop can actually hit
+    must error, never silently double-count: re-admitting doc_ids
+    already in the index (at-least-once re-delivery), resuming over a
+    crashed merge's leftover generation directories, and pointing the
+    rename-based saved merge at a non-local URI."""
+    import os
+
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        load_base_index,
+        merge_into_base_index,
+        merge_into_saved_index,
+        save_base_index,
+    )
+
+    ten, base, admitted, batch = _merge_fixture(spark)
+    idx = build_base_index(base, tracked=False)
+    try:
+        # in-session: admit a doc_id the index already holds
+        with pytest.raises(ValueError, match="already present"):
+            merge_into_base_index(
+                idx,
+                spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string"),
+                tracked=False,
+            )
+        p = str(tmp_path / "bidx")
+        save_base_index(idx, p)
+    finally:
+        idx.release()
+
+    merge_into_saved_index(spark, p, admitted)
+    # re-delivery of the same batch: loud, not double-counted
+    with pytest.raises(ValueError, match="already present"):
+        merge_into_saved_index(spark, p, admitted)
+    # the first merge really landed (and only once)
+    merged = load_base_index(spark, p)
+    assert merged.counts.filter(F.col("doc_id") == 4).count() == 1
+
+    # crashed-merge markers block further merges
+    os.makedirs(os.path.join(p, "digests__old"))
+    with pytest.raises(ValueError, match="interrupted merge"):
+        merge_into_saved_index(
+            spark,
+            p,
+            spark.createDataFrame([(99, "x y z w v")], "doc_id int, text string"),
+        )
+    os.rmdir(os.path.join(p, "digests__old"))
+
+    with pytest.raises(ValueError, match="not a local path"):
+        merge_into_saved_index(
+            spark,
+            "hdfs://nn/bidx",
+            spark.createDataFrame([(99, "x y z w v")], "doc_id int, text string"),
+        )
+
+
 def test_merge_eager_survives_old_index_release(spark):
     """The admit-loop lifecycle: eager=True materializes the merged
     generation so the OLD index can be released immediately, and a
