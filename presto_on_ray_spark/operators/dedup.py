@@ -1355,6 +1355,7 @@ def merge_into_base_index(
     tracked: bool = True,
     rerank: bool = True,
     eager: bool = False,
+    check: bool = True,
 ) -> BaseIndex:
     """Incremental maintenance for the two-phase ingest index (VERDICT
     r10 #1): admit ``new_docs`` (doc_id, text; doc_ids must be new to
@@ -1407,11 +1408,19 @@ def merge_into_base_index(
     PLANS reference the old index's frames — release the OLD index
     only after materializing the merged one (eager=True runs a
     count() per relation to do exactly that, the right move in the
-    admit loop where the old generation is dropped immediately)."""
+    admit loop where the old generation is dropped immediately).
+
+    ``check=True`` (default) runs one guard job rejecting admit sets
+    that would silently corrupt the index (doc_ids duplicated in the
+    batch or already indexed — see _check_new_doc_ids). It evaluates
+    new_docs once; a caller whose disjointness is structural (e.g.
+    partitioned doc_id ranges) and whose admit set is expensive to
+    recompute may pass check=False and own the precondition."""
     tn, td = _INGEST_T_NUM, _INGEST_T_DEN
     keep = tracked_persist if tracked else (lambda df: df.persist())
     new_docs = new_docs.filter(F.col("text").isNotNull())
-    _check_new_doc_ids(index, new_docs)
+    if check:
+        _check_new_doc_ids(index, new_docs)
 
     new_sho = new_docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
@@ -1457,28 +1466,61 @@ def merge_into_base_index(
 
 
 def _check_new_doc_ids(index: BaseIndex, new_docs) -> None:
-    """Loudly reject re-admission of already-indexed doc_ids: silently
-    merging them would double-count shingles, df, and digest counts,
-    corrupting later near-tier verdicts with no error anywhere — and a
-    re-delivered batch is a realistic operational event (the streaming
-    path is at-least-once across crash recovery; admission must be
-    exactly-once). Detection is via the counts relation, which covers
-    every doc with >= 3 words (shorter docs have no shingle rows in
-    any relation; double-admitting one only inflates its digest
-    count)."""
-    clash = (
-        new_docs.select("doc_id")
-        .join(index.counts, "doc_id", "left_semi")
+    """Loudly reject the admit-set shapes that would silently corrupt
+    the index: a doc_id duplicated WITHIN the batch, and a doc_id
+    already indexed (a re-delivered batch is a realistic operational
+    event — the streaming path is at-least-once across crash recovery;
+    admission must be exactly-once). Either would double-count
+    shingles, df, and digest counts, skewing later near-tier verdicts
+    with no error anywhere. Detection is via the counts relation,
+    which covers every doc with >= 3 words (shorter docs have no
+    shingle rows in any relation; double-admitting one only inflates
+    its digest count). One Spark job for both checks."""
+    bad = (
+        new_docs.groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+        .join(
+            index.counts.select("doc_id", F.lit(1).alias("in_index")),
+            "doc_id",
+            "left",
+        )
+        .filter((F.col("c") > 1) | F.col("in_index").isNotNull())
+        .limit(1)
+        .collect()
+    )
+    if not bad:
+        return
+    r = bad[0]
+    if r["in_index"] is None:
+        raise ValueError(
+            f"merge: doc_id {r['doc_id']} appears more than once in new_docs; "
+            f"admitting it would double-count its shingles/digest and "
+            f"silently corrupt near-tier verdicts — deduplicate the admit "
+            f"set (e.g. exact_dedup keepers) first"
+        )
+    # distinguish a clean re-delivery from a half-appended crash: the
+    # saved merge appends counts BEFORE shingles, so a crash between
+    # them leaves counts rows with no shingle rows — a state only a
+    # rebuild repairs (the doc would otherwise never be a near-tier
+    # candidate again).
+    orphaned = (
+        index.counts.join(index.shingles.select("doc_id"), "doc_id", "left_anti")
         .limit(1)
         .count()
     )
-    if clash:
+    if orphaned:
         raise ValueError(
-            "merge: new_docs contains doc_ids already present in the index "
-            "(re-admitting a batch would double-count shingles/digests and "
-            "silently corrupt near-tier verdicts); dedupe the admit set "
-            "against the index first"
+            "merge: the index contains doc_ids in counts with no shingle "
+            "rows — a previous merge crashed between its appends. The index "
+            "is inconsistent; rebuild it (build_base_index + "
+            "save_base_index over the corpus) before admitting more batches"
         )
+    raise ValueError(
+        f"merge: doc_id {r['doc_id']} in new_docs is already present in the "
+        f"index (re-admitting a batch would double-count shingles/digests "
+        f"and silently corrupt near-tier verdicts); dedupe the admit set "
+        f"against the index first"
+    )
 
 
 def _merged_aggregates(index: BaseIndex, new_docs, new_sho):
@@ -1499,7 +1541,9 @@ def _merged_aggregates(index: BaseIndex, new_docs, new_sho):
     return digests, df_rel, df_delta
 
 
-def merge_into_saved_index(spark, path: str, new_docs, rerank: bool = True) -> None:
+def merge_into_saved_index(
+    spark, path: str, new_docs, rerank: bool = True, check: bool = True
+) -> None:
     """Admit ``new_docs`` into a parquet-materialized index (the
     save_base_index layout) IN PLACE — the production form of
     merge_into_base_index, where incremental really means incremental
@@ -1543,7 +1587,8 @@ def merge_into_saved_index(spark, path: str, new_docs, rerank: bool = True) -> N
        for the next merge to refuse on.
 
     Re-admitting doc_ids already in the index raises (see
-    _check_new_doc_ids). Only local paths are supported — the swap
+    _check_new_doc_ids; check=False skips the guard job for callers
+    with structural disjointness). Only local paths are supported — the swap
     uses filesystem renames; on an object store, write a fresh
     generation (build + save) or use a transactional table format,
     where digests/df become MERGE INTOs and the swap is a commit."""
@@ -1551,17 +1596,26 @@ def merge_into_saved_index(spark, path: str, new_docs, rerank: bool = True) -> N
     import shutil
     from urllib.parse import urlparse
 
-    if urlparse(path).scheme not in ("", "file"):
-        raise ValueError(
-            f"merge_into_saved_index mutates the index with local filesystem "
-            f"renames; {path!r} is not a local path. On a shared store, write "
-            f"a new generation (build_base_index + save_base_index) or keep "
-            f"the index in a transactional table format."
-        )
-    local = path[7:] if path.startswith("file://") else path
+    parsed = urlparse(path)
+    # single-letter schemes are Windows drive letters, not URIs
+    if len(parsed.scheme) > 1:
+        if parsed.scheme != "file" or parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"merge_into_saved_index mutates the index with local "
+                f"filesystem renames; {path!r} is not a local path. On a "
+                f"shared store, write a new generation (build_base_index + "
+                f"save_base_index) or keep the index in a transactional "
+                f"table format."
+            )
+        # normalize file:/x, file:///x, file://localhost/x to a plain
+        # local path and use it for BOTH Spark and os-level operations —
+        # string-slicing the prefix would leave the os-level checks
+        # pointed at a nonexistent 'file:...' literal path, defeating
+        # the marker guard and crashing mid-swap
+        path = parsed.path
     for name in BaseIndex._fields:
         for marker in (name + "__new", name + "__old"):
-            if os.path.exists(os.path.join(local, marker)):
+            if os.path.exists(os.path.join(path, marker)):
                 raise ValueError(
                     f"saved index at {path!r} has a leftover {marker!r} "
                     f"directory from an interrupted merge; inspect and "
@@ -1572,7 +1626,8 @@ def merge_into_saved_index(spark, path: str, new_docs, rerank: bool = True) -> N
     tn, td = _INGEST_T_NUM, _INGEST_T_DEN
     index = load_base_index(spark, path)
     new_docs = new_docs.filter(F.col("text").isNotNull())
-    _check_new_doc_ids(index, new_docs)
+    if check:
+        _check_new_doc_ids(index, new_docs)
     new_sho = new_docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
     ).persist()
@@ -1609,7 +1664,7 @@ def merge_into_saved_index(spark, path: str, new_docs, rerank: bool = True) -> N
 
         # phase 3: rename-aside swap
         for name in swaps:
-            old = os.path.join(local, name)
+            old = os.path.join(path, name)
             os.rename(old, old + "__old")
             os.rename(old + "__new", old)
             shutil.rmtree(old + "__old")

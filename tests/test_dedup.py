@@ -759,6 +759,85 @@ def test_merge_guards_fail_loud(spark, tmp_path):
             spark.createDataFrame([(99, "x y z w v")], "doc_id int, text string"),
         )
 
+    # a doc_id duplicated WITHIN the admit batch is the same
+    # double-count corruption as re-delivery — loud, not silent
+    with pytest.raises(ValueError, match="more than once"):
+        merge_into_saved_index(
+            spark,
+            p,
+            spark.createDataFrame(
+                [(99, "x y z w v"), (99, "x y z w v")], "doc_id int, text string"
+            ),
+        )
+
+
+def test_merge_saved_file_uri_and_crash_detection(spark, tmp_path):
+    """Two review regressions pinned: (1) Spark's single-slash
+    'file:/...' URI form must work end-to-end (string-prefix slicing
+    left the os-level marker guard and swap pointed at a literal
+    'file:...' path — the guard silently no-opped, then the swap
+    crashed AFTER the appends mutated the index); (2) an index left
+    half-appended by a crash (counts rows without shingle rows) is
+    detected and steered to a rebuild, not to the 'dedupe your admit
+    set' remediation that would orphan those docs forever."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        load_base_index,
+        merge_into_saved_index,
+        save_base_index,
+    )
+
+    ten, base, admitted, batch = _merge_fixture(spark)
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+    idx.release()
+
+    # (1) the file:/ single-slash form, through the whole merge
+    merge_into_saved_index(spark, "file:" + p, admitted)
+    merged = load_base_index(spark, p)
+    assert merged.counts.filter(F.col("doc_id") == 4).count() == 1
+    # and the guard still fires through the URI form (marker check +
+    # re-admission both resolve the real directory)
+    with pytest.raises(ValueError, match="already present"):
+        merge_into_saved_index(spark, "file:" + p, admitted)
+
+    # (2) simulate a crash between the counts and shingles appends
+    import os
+
+    spark.createDataFrame([(777, 3)], "doc_id int, n_o long").write.mode(
+        "append"
+    ).parquet(os.path.join(p, "counts"))
+    with pytest.raises(ValueError, match="rebuild"):
+        merge_into_saved_index(
+            spark,
+            p,
+            spark.createDataFrame([(777, "x y z w v")], "doc_id int, text string"),
+        )
+
+
+def test_merge_check_false_skips_guard(spark):
+    """check=False: callers with structural doc_id disjointness can
+    skip the guard job; the merge itself still works."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch,
+        merge_into_base_index,
+    )
+
+    ten, base, admitted, batch = _merge_fixture(spark)
+    idx = build_base_index(base, tracked=False)
+    merged = merge_into_base_index(idx, admitted, tracked=False, check=False)
+    try:
+        got = {
+            r["doc_id"]: r["status"]
+            for r in ingest_batch(batch, merged).collect()
+        }
+    finally:
+        idx.release()
+        merged.release()
+    assert got[20] == "exact" and got[40] == "new"
+
 
 def test_merge_eager_survives_old_index_release(spark):
     """The admit-loop lifecycle: eager=True materializes the merged
