@@ -1324,13 +1324,33 @@ def save_base_index(index: BaseIndex, path: str) -> None:
     """Materialize every index relation as parquet under ``path`` —
     the production form at 100 TB: the index is a set of tables
     maintained alongside the corpus, not a session cache. Layout is
-    one subdirectory per BaseIndex field."""
+    one subdirectory per BaseIndex field.
+
+    A completed save also clears any crash leftovers a previous
+    merge_into_saved_index left at this location (_MERGE_INPROGRESS
+    marker, *__new / *__old generation dirs) — a full save IS the
+    prescribed rebuild recovery, so it must actually unblock the
+    location (local paths only; on a shared store save to a fresh
+    generation directory instead)."""
     import os
+    import shutil
 
     for name in BaseIndex._fields:
         getattr(index, name).write.mode("overwrite").parquet(
             os.path.join(path, name)
         )
+    try:
+        os_path = _local_index_path(path)
+    except ValueError:
+        return
+    for name in BaseIndex._fields:
+        for suffix in ("__new", "__old"):
+            leftover = os.path.join(os_path, name + suffix)
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+    marker = os.path.join(os_path, "_MERGE_INPROGRESS")
+    if os.path.exists(marker):
+        os.remove(marker)
 
 
 def load_base_index(spark, path: str) -> BaseIndex:
@@ -1338,9 +1358,25 @@ def load_base_index(spark, path: str) -> BaseIndex:
     persist): repeated ingests re-read columnar files with pushdown
     instead of holding executor memory — the right trade once the
     base outgrows the cache. round-trip == in-session equality is
-    pinned in tests/test_dedup.py."""
+    pinned in tests/test_dedup.py.
+
+    Refuses an index a merge crashed inside (its _MERGE_INPROGRESS
+    marker survives): reading it would classify against partially
+    admitted relations with no error anywhere. Best-effort for local
+    paths; on a shared store the caller owns that invariant."""
     import os
 
+    try:
+        os_path = _local_index_path(path)
+    except ValueError:
+        os_path = None
+    if os_path and os.path.exists(os.path.join(os_path, "_MERGE_INPROGRESS")):
+        raise ValueError(
+            f"saved index at {path!r} has a _MERGE_INPROGRESS marker: a "
+            f"merge crashed inside its mutation window and the relations "
+            f"may be mutually inconsistent. Rebuild the index "
+            f"(build_base_index + save_base_index over the corpus)"
+        )
     return BaseIndex(
         **{
             name: spark.read.parquet(os.path.join(path, name))
@@ -1575,16 +1611,19 @@ def merge_into_saved_index(
     1. All new generations (``digests__new``, ``df__new``, strict
        ``prefix__new``) are written FIRST, reading only the old
        directories — a crash here leaves the index untouched (stray
-       ``__new`` directories; the next merge refuses to run until
-       they are removed).
-    2. Appends follow, ``counts`` first: counts is the sentinel the
-       re-admission guard checks, so a crash after it makes a retry
-       of the same batch fail loudly instead of double-appending.
-    3. Generation swap last, via rename-aside (``name`` ->
-       ``name__old``, ``name__new`` -> ``name``, drop ``__old``) —
-       the vulnerable window is two renames, not a recursive delete,
-       and a leftover ``__old``/``__new`` marks the crashed state
-       for the next merge to refuse on.
+       ``__new`` directories; the next merge refuses until they are
+       removed, and says removal is safe).
+    2. A ``_MERGE_INPROGRESS`` marker file is created before the
+       first mutation and removed after the last — ANY crash inside
+       the mutation window (appends or swap) leaves it behind, and
+       both the next merge and load_base_index then refuse with a
+       rebuild instruction. No crash point in phases 2-3 can be
+       mistaken for a clean state or a clean re-delivery.
+    3. Appends run ``counts`` first (the re-admission guard's
+       sentinel — defense in depth under the marker), then the swap
+       runs rename-aside (``name`` -> ``name__old``, ``name__new``
+       -> ``name``, drop ``__old``): two renames, not a recursive
+       delete, inside the marked window.
 
     Re-admitting doc_ids already in the index raises (see
     _check_new_doc_ids; check=False skips the guard job for callers
@@ -1594,34 +1633,34 @@ def merge_into_saved_index(
     where digests/df become MERGE INTOs and the swap is a commit."""
     import os
     import shutil
-    from urllib.parse import urlparse
 
-    parsed = urlparse(path)
-    # single-letter schemes are Windows drive letters, not URIs
-    if len(parsed.scheme) > 1:
-        if parsed.scheme != "file" or parsed.netloc not in ("", "localhost"):
-            raise ValueError(
-                f"merge_into_saved_index mutates the index with local "
-                f"filesystem renames; {path!r} is not a local path. On a "
-                f"shared store, write a new generation (build_base_index + "
-                f"save_base_index) or keep the index in a transactional "
-                f"table format."
-            )
-        # normalize file:/x, file:///x, file://localhost/x to a plain
-        # local path and use it for BOTH Spark and os-level operations —
-        # string-slicing the prefix would leave the os-level checks
-        # pointed at a nonexistent 'file:...' literal path, defeating
-        # the marker guard and crashing mid-swap
-        path = parsed.path
+    # Spark keeps the caller's path/URI verbatim (it resolves against
+    # fs.defaultFS exactly as save/load do); the os-level guard and
+    # swap need the DECODED local form of the same location.
+    os_path = _local_index_path(path)
     for name in BaseIndex._fields:
-        for marker in (name + "__new", name + "__old"):
-            if os.path.exists(os.path.join(path, marker)):
-                raise ValueError(
-                    f"saved index at {path!r} has a leftover {marker!r} "
-                    f"directory from an interrupted merge; inspect and "
-                    f"remove it (__new = unswapped candidate generation, "
-                    f"__old = superseded generation) before merging again"
-                )
+        if os.path.exists(os.path.join(os_path, name + "__old")):
+            raise ValueError(
+                f"saved index at {path!r} has a leftover {name}__old "
+                f"directory: a previous merge crashed mid-swap, inside its "
+                f"mutation window. The index is inconsistent; rebuild it "
+                f"(build_base_index + save_base_index over the corpus)"
+            )
+        if os.path.exists(os.path.join(os_path, name + "__new")):
+            raise ValueError(
+                f"saved index at {path!r} has a leftover {name}__new "
+                f"directory from a merge that crashed before mutating "
+                f"anything; the index itself is intact — remove the "
+                f"*__new directories and retry the merge"
+            )
+    inprog = os.path.join(os_path, "_MERGE_INPROGRESS")
+    if os.path.exists(inprog):
+        raise ValueError(
+            f"saved index at {path!r} has a _MERGE_INPROGRESS marker: a "
+            f"previous merge crashed inside its mutation window (appends "
+            f"or swap may be partial). The index is inconsistent; rebuild "
+            f"it (build_base_index + save_base_index over the corpus)"
+        )
 
     tn, td = _INGEST_T_NUM, _INGEST_T_DEN
     index = load_base_index(spark, path)
@@ -1647,6 +1686,11 @@ def merge_into_saved_index(
         for name, rel in swaps.items():
             rel.write.mode("overwrite").parquet(os.path.join(path, name + "__new"))
 
+        # phases 2-3 are the mutation window: marked on disk so ANY
+        # crash inside it is loudly detected by the next merge/load
+        with open(inprog, "w", encoding="utf-8") as fh:
+            fh.write("merge in progress; if this file survives, rebuild\n")
+
         # phase 2: appends — counts first (the re-admission guard's
         # sentinel), so a partially-appended batch makes any retry
         # fail loudly instead of double-counting
@@ -1664,12 +1708,38 @@ def merge_into_saved_index(
 
         # phase 3: rename-aside swap
         for name in swaps:
-            old = os.path.join(path, name)
+            old = os.path.join(os_path, name)
             os.rename(old, old + "__old")
             os.rename(old + "__new", old)
             shutil.rmtree(old + "__old")
+        os.remove(inprog)
     finally:
         new_sho.unpersist()
+
+
+def _local_index_path(path: str) -> str:
+    """Decoded local-filesystem form of a saved-index location, or a
+    loud ValueError for non-local URIs. Accepts plain paths, Windows
+    drive paths (single-letter 'schemes'), and the file:/x /
+    file:///x / file://localhost/x URI forms — percent-decoded via
+    url2pathname, so Hadoop-produced URIs (which encode spaces etc.)
+    resolve to the real directory rather than silently no-opping the
+    os-level guards."""
+    from urllib.parse import urlparse
+    from urllib.request import url2pathname
+
+    parsed = urlparse(path)
+    if len(parsed.scheme) <= 1:  # plain path or Windows drive letter
+        return path
+    if parsed.scheme != "file" or parsed.netloc not in ("", "localhost"):
+        raise ValueError(
+            f"merge_into_saved_index mutates the index with local "
+            f"filesystem renames; {path!r} is not a local path. On a "
+            f"shared store, write a new generation (build_base_index + "
+            f"save_base_index) or keep the index in a transactional "
+            f"table format."
+        )
+    return url2pathname(parsed.path)
 
 
 def ingest_batch(batch, index: BaseIndex, keep=tracked_persist):

@@ -742,15 +742,30 @@ def test_merge_guards_fail_loud(spark, tmp_path):
     merged = load_base_index(spark, p)
     assert merged.counts.filter(F.col("doc_id") == 4).count() == 1
 
-    # crashed-merge markers block further merges
+    # crashed-merge markers block further merges: __old = mid-swap
+    # (rebuild), __new = pre-mutation (safe to remove), and the
+    # _MERGE_INPROGRESS marker covers every other mutation-window crash
+    probe = spark.createDataFrame([(99, "x y z w v")], "doc_id int, text string")
     os.makedirs(os.path.join(p, "digests__old"))
-    with pytest.raises(ValueError, match="interrupted merge"):
-        merge_into_saved_index(
-            spark,
-            p,
-            spark.createDataFrame([(99, "x y z w v")], "doc_id int, text string"),
-        )
+    with pytest.raises(ValueError, match="crashed mid-swap"):
+        merge_into_saved_index(spark, p, probe)
     os.rmdir(os.path.join(p, "digests__old"))
+    os.makedirs(os.path.join(p, "prefix__new"))
+    with pytest.raises(ValueError, match="remove the .*__new"):
+        merge_into_saved_index(spark, p, probe)
+    os.rmdir(os.path.join(p, "prefix__new"))
+    with open(os.path.join(p, "_MERGE_INPROGRESS"), "w") as fh:
+        fh.write("x\n")
+    with pytest.raises(ValueError, match="mutation window"):
+        merge_into_saved_index(spark, p, probe)
+    with pytest.raises(ValueError, match="mutation window"):
+        load_base_index(spark, p)
+    # a full save IS the prescribed rebuild recovery: it must unblock
+    idx2 = build_base_index(base, tracked=False)
+    save_base_index(idx2, p)
+    idx2.release()
+    assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+    load_base_index(spark, p)  # no longer refuses
 
     with pytest.raises(ValueError, match="not a local path"):
         merge_into_saved_index(
@@ -817,8 +832,10 @@ def test_merge_saved_file_uri_and_crash_detection(spark, tmp_path):
 
 
 def test_merge_check_false_skips_guard(spark):
-    """check=False: callers with structural doc_id disjointness can
-    skip the guard job; the merge itself still works."""
+    """check=False really skips the guard: an admit set the guard
+    would REJECT (intra-batch duplicate doc_id) merges without error —
+    proving the parameter isn't silently ignored — and a legit merge
+    still classifies correctly."""
     from presto_on_ray_spark.operators.dedup import (
         build_base_index,
         ingest_batch,
@@ -827,6 +844,13 @@ def test_merge_check_false_skips_guard(spark):
 
     ten, base, admitted, batch = _merge_fixture(spark)
     idx = build_base_index(base, tracked=False)
+    # guard-rejected shape, check=False: no ValueError (caller owns it)
+    dup_batch = spark.createDataFrame(
+        [(98, "k l m n o"), (98, "k l m n o")], "doc_id int, text string"
+    )
+    skipped = merge_into_base_index(idx, dup_batch, tracked=False, check=False)
+    skipped.release()
+
     merged = merge_into_base_index(idx, admitted, tracked=False, check=False)
     try:
         got = {
