@@ -1335,13 +1335,15 @@ def save_base_index(index: BaseIndex, path: str) -> None:
     import os
     import shutil
 
+    try:
+        path, os_path = _index_paths(path)
+    except ValueError:
+        os_path = None
     for name in BaseIndex._fields:
         getattr(index, name).write.mode("overwrite").parquet(
             os.path.join(path, name)
         )
-    try:
-        os_path = _local_index_path(path)
-    except ValueError:
+    if os_path is None:
         return
     for name in BaseIndex._fields:
         for suffix in ("__new", "__old"):
@@ -1367,7 +1369,7 @@ def load_base_index(spark, path: str) -> BaseIndex:
     import os
 
     try:
-        os_path = _local_index_path(path)
+        path, os_path = _index_paths(path)
     except ValueError:
         os_path = None
     if os_path and os.path.exists(os.path.join(os_path, "_MERGE_INPROGRESS")):
@@ -1634,10 +1636,21 @@ def merge_into_saved_index(
     import os
     import shutil
 
-    # Spark keeps the caller's path/URI verbatim (it resolves against
-    # fs.defaultFS exactly as save/load do); the os-level guard and
-    # swap need the DECODED local form of the same location.
-    os_path = _local_index_path(path)
+    # Spark and the os-level guard/swap must act on the byte-exact
+    # same directory; _index_paths yields the canonical local pair.
+    path, os_path = _index_paths(path)
+    # the marker dominates every other leftover: its presence proves
+    # the mutation window was entered, so it must be diagnosed FIRST —
+    # a mid-append crash leaves marker AND __new dirs, and the __new
+    # message's "index is intact, remove and retry" would be wrong
+    inprog = os.path.join(os_path, "_MERGE_INPROGRESS")
+    if os.path.exists(inprog):
+        raise ValueError(
+            f"saved index at {path!r} has a _MERGE_INPROGRESS marker: a "
+            f"previous merge crashed inside its mutation window (appends "
+            f"or swap may be partial). The index is inconsistent; rebuild "
+            f"it (build_base_index + save_base_index over the corpus)"
+        )
     for name in BaseIndex._fields:
         if os.path.exists(os.path.join(os_path, name + "__old")):
             raise ValueError(
@@ -1653,14 +1666,6 @@ def merge_into_saved_index(
                 f"anything; the index itself is intact — remove the "
                 f"*__new directories and retry the merge"
             )
-    inprog = os.path.join(os_path, "_MERGE_INPROGRESS")
-    if os.path.exists(inprog):
-        raise ValueError(
-            f"saved index at {path!r} has a _MERGE_INPROGRESS marker: a "
-            f"previous merge crashed inside its mutation window (appends "
-            f"or swap may be partial). The index is inconsistent; rebuild "
-            f"it (build_base_index + save_base_index over the corpus)"
-        )
 
     tn, td = _INGEST_T_NUM, _INGEST_T_DEN
     index = load_base_index(spark, path)
@@ -1687,8 +1692,12 @@ def merge_into_saved_index(
             rel.write.mode("overwrite").parquet(os.path.join(path, name + "__new"))
 
         # phases 2-3 are the mutation window: marked on disk so ANY
-        # crash inside it is loudly detected by the next merge/load
-        with open(inprog, "w", encoding="utf-8") as fh:
+        # crash inside it is loudly detected by the next merge/load.
+        # Exclusive create ('x'): a concurrent merge racing this one
+        # (an orchestrator retrying a hung run) fails HERE, before its
+        # appends can double-count, instead of both passing the
+        # earlier exists() check and the winner erasing the evidence.
+        with open(inprog, "x", encoding="utf-8") as fh:
             fh.write("merge in progress; if this file survives, rebuild\n")
 
         # phase 2: appends — counts first (the re-admission guard's
@@ -1717,20 +1726,29 @@ def merge_into_saved_index(
         new_sho.unpersist()
 
 
-def _local_index_path(path: str) -> str:
-    """Decoded local-filesystem form of a saved-index location, or a
+def _index_paths(path: str) -> tuple:
+    """(spark_path, os_path) for a local saved-index location, or a
     loud ValueError for non-local URIs. Accepts plain paths, Windows
     drive paths (single-letter 'schemes'), and the file:/x /
-    file:///x / file://localhost/x URI forms — percent-decoded via
-    url2pathname, so Hadoop-produced URIs (which encode spaces etc.)
-    resolve to the real directory rather than silently no-opping the
-    os-level guards."""
+    file:///x / file://localhost/x URI forms.
+
+    NO percent-decoding happens anywhere: Hadoop treats %XX in a
+    file: URI literally (verified against pyspark 4.1.2 — writing to
+    'file:/x%20y' creates a directory literally named 'x%20y'), so
+    the os-level side must use the byte-exact same path or every
+    guard silently checks a different directory than Spark mutates.
+    The Spark side gets the canonical 'file:<path>' form: Hadoop
+    rejects the file://localhost authority spelling ('Wrong FS'),
+    and keeping an explicit file: scheme stops a non-file
+    fs.defaultFS from capturing the writes. Plain schemeless paths
+    pass through verbatim for both sides (their defaultFS semantics
+    are the caller's choice, exactly as in save/load)."""
+    import re as _re
     from urllib.parse import urlparse
-    from urllib.request import url2pathname
 
     parsed = urlparse(path)
     if len(parsed.scheme) <= 1:  # plain path or Windows drive letter
-        return path
+        return path, path
     if parsed.scheme != "file" or parsed.netloc not in ("", "localhost"):
         raise ValueError(
             f"merge_into_saved_index mutates the index with local "
@@ -1739,7 +1757,10 @@ def _local_index_path(path: str) -> str:
             f"save_base_index) or keep the index in a transactional "
             f"table format."
         )
-    return url2pathname(parsed.path)
+    p = parsed.path
+    if _re.match(r"^/[A-Za-z]:[/\\]", p):  # file:///C:/x -> C:/x
+        return p[1:], p[1:]
+    return "file:" + p, p
 
 
 def ingest_batch(batch, index: BaseIndex, keep=tracked_persist):

@@ -813,9 +813,25 @@ def test_merge_saved_file_uri_and_crash_detection(spark, tmp_path):
     merged = load_base_index(spark, p)
     assert merged.counts.filter(F.col("doc_id") == 4).count() == 1
     # and the guard still fires through the URI form (marker check +
-    # re-admission both resolve the real directory)
+    # re-admission both resolve the real directory) — including the
+    # file://localhost authority spelling, which must be normalized
+    # for Spark too (Hadoop rejects it verbatim with 'Wrong FS')
     with pytest.raises(ValueError, match="already present"):
         merge_into_saved_index(spark, "file:" + p, admitted)
+    with pytest.raises(ValueError, match="already present"):
+        merge_into_saved_index(spark, "file://localhost" + p, admitted)
+
+    # (1b) NO percent-decoding anywhere: Hadoop treats %XX in a file:
+    # URI literally, so a directory literally named 'a%20b' must be
+    # the one both Spark and the os-level guards operate on
+    lit = str(tmp_path / "a%20b" / "bidx")
+    idx2 = build_base_index(base, tracked=False)
+    save_base_index(idx2, lit)
+    idx2.release()
+    merge_into_saved_index(spark, "file:" + lit, admitted)
+    assert load_base_index(spark, lit).counts.filter(
+        F.col("doc_id") == 4
+    ).count() == 1
 
     # (2) simulate a crash between the counts and shingles appends
     import os
