@@ -1693,12 +1693,42 @@ def merge_into_saved_index(
 
         # phases 2-3 are the mutation window: marked on disk so ANY
         # crash inside it is loudly detected by the next merge/load.
-        # Exclusive create ('x'): a concurrent merge racing this one
-        # (an orchestrator retrying a hung run) fails HERE, before its
-        # appends can double-count, instead of both passing the
-        # earlier exists() check and the winner erasing the evidence.
-        with open(inprog, "x", encoding="utf-8") as fh:
-            fh.write("merge in progress; if this file survives, rebuild\n")
+        # Exclusive create ('x'): a concurrent merge whose mutation
+        # window would overlap this one fails HERE, before its appends
+        # can double-count, instead of both passing the earlier
+        # exists() check and the winner erasing the evidence.
+        try:
+            with open(inprog, "x", encoding="utf-8") as fh:
+                fh.write("merge in progress; if this file survives, rebuild\n")
+        except FileExistsError:
+            raise ValueError(
+                f"saved index at {path!r}: another merge holds the "
+                f"_MERGE_INPROGRESS marker (a concurrent merge is running, "
+                f"or one crashed since this one started); nothing from "
+                f"this merge was applied — wait or rebuild, then retry"
+            ) from None
+        # Re-run the admission guard INSIDE the marker: a racer that
+        # passed the early check before a winner's appends, then
+        # acquired the marker after the winner finished, would
+        # otherwise append the same batch twice with no overlap of
+        # mutation windows. Fresh reads (not the pre-marker frames,
+        # whose file listings are pinned at load time) see the
+        # winner's rows. A failure here precedes any mutation, so the
+        # marker is removed rather than demanding a rebuild.
+        if check:
+            try:
+                _check_new_doc_ids(
+                    index._replace(
+                        shingles=spark.read.parquet(
+                            os.path.join(path, "shingles")
+                        ),
+                        counts=spark.read.parquet(os.path.join(path, "counts")),
+                    ),
+                    new_docs,
+                )
+            except Exception:
+                os.remove(inprog)
+                raise
 
         # phase 2: appends — counts first (the re-admission guard's
         # sentinel), so a partially-appended batch makes any retry
@@ -1757,9 +1787,20 @@ def _index_paths(path: str) -> tuple:
             f"save_base_index) or keep the index in a transactional "
             f"table format."
         )
+    if parsed.query or parsed.fragment:
+        # urlparse truncates at '?'/'#', but Hadoop treats both
+        # literally in paths — silently operating on the truncated
+        # directory would redirect the whole index
+        raise ValueError(
+            f"saved-index URI {path!r} contains '?' or '#'; these are "
+            f"literal path bytes to Hadoop but URI separators to this "
+            f"parser — pass the location as a plain path instead"
+        )
     p = parsed.path
-    if _re.match(r"^/[A-Za-z]:[/\\]", p):  # file:///C:/x -> C:/x
-        return p[1:], p[1:]
+    if _re.match(r"^/[A-Za-z]:[/\\]", p):  # file:///C:/x
+        # keep the explicit scheme on the Spark side here too (a bare
+        # 'C:/x' re-resolves against fs.defaultFS); os side gets C:/x
+        return "file:" + p, p[1:]
     return "file:" + p, p
 
 

@@ -774,6 +774,15 @@ def test_merge_guards_fail_loud(spark, tmp_path):
             spark.createDataFrame([(99, "x y z w v")], "doc_id int, text string"),
         )
 
+    # '?'/'#' are literal path bytes to Hadoop but URI separators to
+    # urlparse; silently truncating would redirect the whole index
+    with pytest.raises(ValueError, match="plain path"):
+        merge_into_saved_index(
+            spark,
+            "file:" + p + "#frag",
+            spark.createDataFrame([(99, "x y z w v")], "doc_id int, text string"),
+        )
+
     # a doc_id duplicated WITHIN the admit batch is the same
     # double-count corruption as re-delivery — loud, not silent
     with pytest.raises(ValueError, match="more than once"):
