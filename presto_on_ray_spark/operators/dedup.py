@@ -1337,6 +1337,8 @@ def save_base_index(index: BaseIndex, path: str) -> None:
 
     try:
         path, os_path = _index_paths(path)
+    except AmbiguousIndexPath:
+        raise
     except ValueError:
         os_path = None
     for name in BaseIndex._fields:
@@ -1350,9 +1352,10 @@ def save_base_index(index: BaseIndex, path: str) -> None:
             leftover = os.path.join(os_path, name + suffix)
             if os.path.exists(leftover):
                 shutil.rmtree(leftover)
-    marker = os.path.join(os_path, "_MERGE_INPROGRESS")
-    if os.path.exists(marker):
-        os.remove(marker)
+    for marker in ("_MERGE_MUTATING", "_MERGE_INPROGRESS"):
+        m = os.path.join(os_path, marker)
+        if os.path.exists(m):
+            os.remove(m)
 
 
 def load_base_index(spark, path: str) -> BaseIndex:
@@ -1362,22 +1365,28 @@ def load_base_index(spark, path: str) -> BaseIndex:
     base outgrows the cache. round-trip == in-session equality is
     pinned in tests/test_dedup.py.
 
-    Refuses an index a merge crashed inside (its _MERGE_INPROGRESS
-    marker survives): reading it would classify against partially
-    admitted relations with no error anywhere. Best-effort for local
-    paths; on a shared store the caller owns that invariant."""
+    Refuses an index whose _MERGE_MUTATING marker is present — a
+    merge is mid-mutation or crashed there, and reading would
+    classify against partially admitted relations with no error
+    anywhere. (The _MERGE_INPROGRESS lock alone is fine for readers:
+    a lock-holding merge has not touched the index before it raises
+    the mutating marker.) Best-effort for local paths; on a shared
+    store the caller owns that invariant."""
     import os
 
     try:
         path, os_path = _index_paths(path)
+    except AmbiguousIndexPath:
+        raise
     except ValueError:
         os_path = None
-    if os_path and os.path.exists(os.path.join(os_path, "_MERGE_INPROGRESS")):
+    if os_path and os.path.exists(os.path.join(os_path, "_MERGE_MUTATING")):
         raise ValueError(
-            f"saved index at {path!r} has a _MERGE_INPROGRESS marker: a "
-            f"merge crashed inside its mutation window and the relations "
-            f"may be mutually inconsistent. Rebuild the index "
-            f"(build_base_index + save_base_index over the corpus)"
+            f"saved index at {path!r} has a _MERGE_MUTATING marker: a "
+            f"merge is mid-mutation or crashed there, and the relations "
+            f"may be mutually inconsistent. If no merge is running, "
+            f"rebuild the index (build_base_index + save_base_index over "
+            f"the corpus)"
         )
     return BaseIndex(
         **{
@@ -1606,26 +1615,30 @@ def merge_into_saved_index(
       distinct over all document text, which is the dominant stage of
       build_base_index.
 
-    Failure contract (plain parquet has no transactions; the ordering
-    below minimizes what a crash can corrupt, and every bad state is
+    Concurrency + failure contract (plain parquet has no
+    transactions, so concurrency control is pessimistic —
+    SINGLE-WRITER, one merge at a time — and every bad state is
     detected LOUDLY rather than silently misclassifying):
 
-    1. All new generations (``digests__new``, ``df__new``, strict
-       ``prefix__new``) are written FIRST, reading only the old
-       directories — a crash here leaves the index untouched (stray
-       ``__new`` directories; the next merge refuses until they are
-       removed, and says removal is safe).
-    2. A ``_MERGE_INPROGRESS`` marker file is created before the
-       first mutation and removed after the last — ANY crash inside
-       the mutation window (appends or swap) leaves it behind, and
-       both the next merge and load_base_index then refuse with a
-       rebuild instruction. No crash point in phases 2-3 can be
-       mistaken for a clean state or a clean re-delivery.
-    3. Appends run ``counts`` first (the re-admission guard's
-       sentinel — defense in depth under the marker), then the swap
-       runs rename-aside (``name`` -> ``name__old``, ``name__new``
-       -> ``name``, drop ``__old``): two renames, not a recursive
-       delete, inside the marked window.
+    1. ``_MERGE_INPROGRESS`` is the merge LOCK, acquired by exclusive
+       create before ANYTHING runs — a concurrent merge fails at
+       acquisition having computed and written nothing, so no two
+       merges can interleave generation writes or derive generations
+       from each other's pre-merge snapshots.
+    2. Under the lock, the admission guard runs once, then all new
+       generations (``digests__new``, ``df__new``, strict
+       ``prefix__new``) are written reading only the old directories.
+       Any failure up to here aborts cleanly: the merge removes its
+       own ``__new`` output and releases the lock — the index was
+       never touched.
+    3. ``_MERGE_MUTATING`` brackets the actual mutation (appends,
+       counts first, then the rename-aside swap: ``name`` ->
+       ``name__old``, ``name__new`` -> ``name``, drop ``__old``).
+       A crash inside it strands the marker, and both the next merge
+       and load_base_index refuse with a rebuild instruction. A
+       stranded lock WITHOUT the mutating marker means the index is
+       intact: the error says so, and says removal is safe once no
+       merge is running.
 
     Re-admitting doc_ids already in the index raises (see
     _check_new_doc_ids; check=False skips the guard job for callers
@@ -1639,43 +1652,52 @@ def merge_into_saved_index(
     # Spark and the os-level guard/swap must act on the byte-exact
     # same directory; _index_paths yields the canonical local pair.
     path, os_path = _index_paths(path)
-    # the marker dominates every other leftover: its presence proves
-    # the mutation window was entered, so it must be diagnosed FIRST —
-    # a mid-append crash leaves marker AND __new dirs, and the __new
-    # message's "index is intact, remove and retry" would be wrong
-    inprog = os.path.join(os_path, "_MERGE_INPROGRESS")
-    if os.path.exists(inprog):
+    mutating = os.path.join(os_path, "_MERGE_MUTATING")
+    if os.path.exists(mutating):
         raise ValueError(
-            f"saved index at {path!r} has a _MERGE_INPROGRESS marker: a "
-            f"previous merge crashed inside its mutation window (appends "
-            f"or swap may be partial). The index is inconsistent; rebuild "
-            f"it (build_base_index + save_base_index over the corpus)"
+            f"saved index at {path!r} has a _MERGE_MUTATING marker: a "
+            f"merge crashed inside its mutation window (appends or swap "
+            f"may be partial). The index is inconsistent; rebuild it "
+            f"(build_base_index + save_base_index over the corpus)"
         )
-    for name in BaseIndex._fields:
-        if os.path.exists(os.path.join(os_path, name + "__old")):
-            raise ValueError(
-                f"saved index at {path!r} has a leftover {name}__old "
-                f"directory: a previous merge crashed mid-swap, inside its "
-                f"mutation window. The index is inconsistent; rebuild it "
-                f"(build_base_index + save_base_index over the corpus)"
-            )
-        if os.path.exists(os.path.join(os_path, name + "__new")):
-            raise ValueError(
-                f"saved index at {path!r} has a leftover {name}__new "
-                f"directory from a merge that crashed before mutating "
-                f"anything; the index itself is intact — remove the "
-                f"*__new directories and retry the merge"
-            )
+    inprog = os.path.join(os_path, "_MERGE_INPROGRESS")
+    try:
+        lock = open(inprog, "x", encoding="utf-8")
+    except FileExistsError:
+        raise ValueError(
+            f"saved index at {path!r}: _MERGE_INPROGRESS is held — a "
+            f"concurrent merge is running, or one crashed before reaching "
+            f"its mutation window. Nothing from this merge was applied, "
+            f"and the index itself is intact; once no merge is running, "
+            f"remove _MERGE_INPROGRESS and any *__new directories, then "
+            f"retry"
+        ) from None
+    with lock:
+        lock.write("merge lock; stale + no _MERGE_MUTATING => index intact\n")
 
     tn, td = _INGEST_T_NUM, _INGEST_T_DEN
-    index = load_base_index(spark, path)
     new_docs = new_docs.filter(F.col("text").isNotNull())
-    if check:
-        _check_new_doc_ids(index, new_docs)
     new_sho = new_docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
     ).persist()
+    swaps = {}
+    mutated = False
     try:
+        # under the lock: leftovers, guard, and generation writes are
+        # all race-free against other merges
+        for name in BaseIndex._fields:
+            if os.path.exists(os.path.join(os_path, name + "__old")):
+                raise ValueError(
+                    f"saved index at {path!r} has a leftover {name}__old "
+                    f"directory with no mutation marker (manual tampering "
+                    f"or a pre-protocol crash); rebuild it "
+                    f"(build_base_index + save_base_index over the corpus)"
+                )
+            # stale __new from an older crash: ours to overwrite below
+        index = load_base_index(spark, path)
+        if check:
+            _check_new_doc_ids(index, new_docs)
+
         # phase 1: write every new generation, reading ONLY the old
         # directories (the strict prefix ranks over the saved shingles
         # UNION the batch — not the appended files — so no step here
@@ -1691,44 +1713,10 @@ def merge_into_saved_index(
         for name, rel in swaps.items():
             rel.write.mode("overwrite").parquet(os.path.join(path, name + "__new"))
 
-        # phases 2-3 are the mutation window: marked on disk so ANY
-        # crash inside it is loudly detected by the next merge/load.
-        # Exclusive create ('x'): a concurrent merge whose mutation
-        # window would overlap this one fails HERE, before its appends
-        # can double-count, instead of both passing the earlier
-        # exists() check and the winner erasing the evidence.
-        try:
-            with open(inprog, "x", encoding="utf-8") as fh:
-                fh.write("merge in progress; if this file survives, rebuild\n")
-        except FileExistsError:
-            raise ValueError(
-                f"saved index at {path!r}: another merge holds the "
-                f"_MERGE_INPROGRESS marker (a concurrent merge is running, "
-                f"or one crashed since this one started); nothing from "
-                f"this merge was applied — wait or rebuild, then retry"
-            ) from None
-        # Re-run the admission guard INSIDE the marker: a racer that
-        # passed the early check before a winner's appends, then
-        # acquired the marker after the winner finished, would
-        # otherwise append the same batch twice with no overlap of
-        # mutation windows. Fresh reads (not the pre-marker frames,
-        # whose file listings are pinned at load time) see the
-        # winner's rows. A failure here precedes any mutation, so the
-        # marker is removed rather than demanding a rebuild.
-        if check:
-            try:
-                _check_new_doc_ids(
-                    index._replace(
-                        shingles=spark.read.parquet(
-                            os.path.join(path, "shingles")
-                        ),
-                        counts=spark.read.parquet(os.path.join(path, "counts")),
-                    ),
-                    new_docs,
-                )
-            except Exception:
-                os.remove(inprog)
-                raise
+        # phases 2-3 are the mutation window
+        with open(mutating, "x", encoding="utf-8") as fh:
+            fh.write("mutation in progress; if this file survives, rebuild\n")
+        mutated = True
 
         # phase 2: appends — counts first (the re-admission guard's
         # sentinel), so a partially-appended batch makes any retry
@@ -1751,9 +1739,29 @@ def merge_into_saved_index(
             os.rename(old, old + "__old")
             os.rename(old + "__new", old)
             shutil.rmtree(old + "__old")
+        os.remove(mutating)
         os.remove(inprog)
+    except BaseException:
+        if not mutated:
+            # nothing was mutated: clean our own output and release
+            # the lock so the caller can simply retry (a failure here
+            # is secondary to the real exception — never mask it)
+            import contextlib
+
+            for name in swaps:
+                with contextlib.suppress(OSError):
+                    shutil.rmtree(os.path.join(os_path, name + "__new"))
+            with contextlib.suppress(OSError):
+                os.remove(inprog)
+        # if mutated: strand both markers — that IS the loud signal
+        raise
     finally:
         new_sho.unpersist()
+
+
+class AmbiguousIndexPath(ValueError):
+    """A saved-index URI that urlparse would silently truncate
+    ('?'/'#' present): never downgraded to best-effort handling."""
 
 
 def _index_paths(path: str) -> tuple:
@@ -1790,8 +1798,12 @@ def _index_paths(path: str) -> tuple:
     if parsed.query or parsed.fragment:
         # urlparse truncates at '?'/'#', but Hadoop treats both
         # literally in paths — silently operating on the truncated
-        # directory would redirect the whole index
-        raise ValueError(
+        # directory would redirect the whole index. A DISTINCT class:
+        # save/load downgrade generic non-local ValueErrors to
+        # "skip the os-level extras", but this one must surface there
+        # too (swallowing it would skip the crash-marker guard for
+        # exactly the URIs it deems dangerous).
+        raise AmbiguousIndexPath(
             f"saved-index URI {path!r} contains '?' or '#'; these are "
             f"literal path bytes to Hadoop but URI separators to this "
             f"parser — pass the location as a plain path instead"

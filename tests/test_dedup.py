@@ -742,30 +742,47 @@ def test_merge_guards_fail_loud(spark, tmp_path):
     merged = load_base_index(spark, p)
     assert merged.counts.filter(F.col("doc_id") == 4).count() == 1
 
-    # crashed-merge markers block further merges: __old = mid-swap
-    # (rebuild), __new = pre-mutation (safe to remove), and the
-    # _MERGE_INPROGRESS marker covers every other mutation-window crash
+    # crash/concurrency markers: __old without a mutation marker =
+    # tampered/pre-protocol state (rebuild); a held _MERGE_INPROGRESS
+    # lock = concurrent merge or pre-mutation crash (index intact,
+    # loud, does not block readers); _MERGE_MUTATING = mid-mutation
+    # crash (rebuild; load refuses too)
     probe = spark.createDataFrame([(99, "x y z w v")], "doc_id int, text string")
     os.makedirs(os.path.join(p, "digests__old"))
-    with pytest.raises(ValueError, match="crashed mid-swap"):
+    with pytest.raises(ValueError, match="rebuild"):
         merge_into_saved_index(spark, p, probe)
     os.rmdir(os.path.join(p, "digests__old"))
-    os.makedirs(os.path.join(p, "prefix__new"))
-    with pytest.raises(ValueError, match="remove the .*__new"):
-        merge_into_saved_index(spark, p, probe)
-    os.rmdir(os.path.join(p, "prefix__new"))
+    # the aborted merge released its lock and left no __new litter
+    assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+
     with open(os.path.join(p, "_MERGE_INPROGRESS"), "w") as fh:
         fh.write("x\n")
-    with pytest.raises(ValueError, match="mutation window"):
+    with pytest.raises(ValueError, match="intact"):
         merge_into_saved_index(spark, p, probe)
-    with pytest.raises(ValueError, match="mutation window"):
+    load_base_index(spark, p)  # the lock alone does not block readers
+    os.remove(os.path.join(p, "_MERGE_INPROGRESS"))
+
+    with open(os.path.join(p, "_MERGE_MUTATING"), "w") as fh:
+        fh.write("x\n")
+    with pytest.raises(ValueError, match="rebuild"):
+        merge_into_saved_index(spark, p, probe)
+    with pytest.raises(ValueError, match="inconsistent"):
         load_base_index(spark, p)
     # a full save IS the prescribed rebuild recovery: it must unblock
     idx2 = build_base_index(base, tracked=False)
     save_base_index(idx2, p)
     idx2.release()
-    assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+    assert not os.path.exists(os.path.join(p, "_MERGE_MUTATING"))
     load_base_index(spark, p)  # no longer refuses
+
+    # a stale __new generation from an aborted pre-protocol merge is
+    # consumed under the lock, not an error
+    os.makedirs(os.path.join(p, "prefix__new"))
+    merge_into_saved_index(spark, p, probe)
+    assert (
+        load_base_index(spark, p).counts.filter(F.col("doc_id") == 99).count()
+        == 1
+    )
 
     with pytest.raises(ValueError, match="not a local path"):
         merge_into_saved_index(
@@ -790,7 +807,7 @@ def test_merge_guards_fail_loud(spark, tmp_path):
             spark,
             p,
             spark.createDataFrame(
-                [(99, "x y z w v"), (99, "x y z w v")], "doc_id int, text string"
+                [(101, "q r s t u"), (101, "q r s t u")], "doc_id int, text string"
             ),
         )
 
