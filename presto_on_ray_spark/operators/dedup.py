@@ -17,6 +17,7 @@ Four tiers, all scale-first designs:
 
 from __future__ import annotations
 
+import contextlib
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, functions as F
@@ -1191,13 +1192,60 @@ def dedup_substring_cut(spark, sf_dir):
 _INGEST_T_NUM, _INGEST_T_DEN = 3, 5  # Jaccard threshold 3/5
 
 
-def _incremental_ingest_oracle() -> str:
+def _ingest_status_ctes(sfx: str, batch_src: str, base_src: str) -> str:
+    """The DuckDB CTE block computing ingest classification of
+    ``batch_src`` against ``base_src`` (both (doc_id, text) CTEs),
+    ending in ``cls{sfx}`` with (doc_id, status, n_base_matches).
+    Parameterized by a name suffix so the chained-admission oracle
+    can instantiate it once per generation — one source of truth for
+    the classification SQL across every ingest oracle."""
     tri = (
         "UNNEST(LIST_DISTINCT(LIST_TRANSFORM("
         "RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 2, 0) + 1), "
         "g -> STRING_SPLIT(text,' ')[g] || ' ' || STRING_SPLIT(text,' ')[g+1]"
         " || ' ' || STRING_SPLIT(text,' ')[g+2]))) AS sh"
     )
+    return f"""
+    ex{sfx} AS (
+      SELECT b.doc_id, COUNT(*) AS m
+      FROM {batch_src} b JOIN {base_src} o ON md5(b.text) = md5(o.text)
+      GROUP BY b.doc_id
+    ),
+    shb{sfx} AS (
+      SELECT doc_id, {tri} FROM {batch_src}
+      WHERE doc_id NOT IN (SELECT doc_id FROM ex{sfx})
+    ),
+    sho{sfx} AS (SELECT doc_id, {tri} FROM {base_src}),
+    nb{sfx} AS (SELECT doc_id, COUNT(*) AS n FROM shb{sfx} GROUP BY doc_id),
+    no{sfx} AS (SELECT doc_id, COUNT(*) AS n FROM sho{sfx} GROUP BY doc_id),
+    common{sfx} AS (
+      SELECT a.doc_id AS db, b.doc_id AS do_, COUNT(*) AS c
+      FROM shb{sfx} a JOIN sho{sfx} b ON a.sh = b.sh
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near{sfx} AS (
+      SELECT db AS doc_id, COUNT(*) AS m
+      FROM common{sfx}
+      JOIN nb{sfx} ON nb{sfx}.doc_id = db
+      JOIN no{sfx} ON no{sfx}.doc_id = do_
+      WHERE ({_INGEST_T_DEN} + {_INGEST_T_NUM}) * c
+            >= {_INGEST_T_NUM} * (nb{sfx}.n + no{sfx}.n)
+      GROUP BY db
+    ),
+    cls{sfx} AS (
+      SELECT b.doc_id,
+             CASE WHEN ex{sfx}.m IS NOT NULL THEN 'exact'
+                  WHEN near{sfx}.m IS NOT NULL THEN 'near'
+                  ELSE 'new' END AS status,
+             CAST(COALESCE(ex{sfx}.m, near{sfx}.m, 0) AS BIGINT)
+               AS n_base_matches
+      FROM {batch_src} b
+      LEFT JOIN ex{sfx} ON ex{sfx}.doc_id = b.doc_id
+      LEFT JOIN near{sfx} ON near{sfx}.doc_id = b.doc_id
+    )"""
+
+
+def _incremental_ingest_oracle() -> str:
     return f"""
     WITH batch AS (
       SELECT doc_id, text FROM documents
@@ -1207,41 +1255,41 @@ def _incremental_ingest_oracle() -> str:
       SELECT doc_id, text FROM documents
       WHERE doc_id % 10 != 0 AND text IS NOT NULL
     ),
-    ex AS (
-      SELECT b.doc_id, COUNT(*) AS m
-      FROM batch b JOIN base o ON md5(b.text) = md5(o.text)
-      GROUP BY b.doc_id
+    {_ingest_status_ctes("", "batch", "base")}
+    SELECT doc_id, status, n_base_matches FROM cls
+    ORDER BY doc_id
+    """
+
+
+def _ingest_chain_oracle() -> str:
+    """Two chained admissions in plain SQL: classify b1 against base,
+    admit b1's 'new' docs, classify b2 against the grown base."""
+    return f"""
+    WITH base1 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 % 5 != 0 AND text IS NOT NULL
     ),
-    shb AS (
-      SELECT doc_id, {tri} FROM batch
-      WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+    b1 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 = 5 AND text IS NOT NULL
     ),
-    sho AS (SELECT doc_id, {tri} FROM base),
-    nb AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY doc_id),
-    no AS (SELECT doc_id, COUNT(*) AS n FROM sho GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS db, b.doc_id AS do_, COUNT(*) AS c
-      FROM shb a JOIN sho b ON a.sh = b.sh
-      GROUP BY a.doc_id, b.doc_id
+    b2 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 = 0 AND text IS NOT NULL
     ),
-    near AS (
-      SELECT db AS doc_id, COUNT(*) AS m
-      FROM common
-      JOIN nb ON nb.doc_id = db
-      JOIN no ON no.doc_id = do_
-      WHERE ({_INGEST_T_DEN} + {_INGEST_T_NUM}) * c
-            >= {_INGEST_T_NUM} * (nb.n + no.n)
-      GROUP BY db
-    )
-    SELECT batch.doc_id,
-           CASE WHEN ex.m IS NOT NULL THEN 'exact'
-                WHEN near.m IS NOT NULL THEN 'near'
-                ELSE 'new' END AS status,
-           CAST(COALESCE(ex.m, near.m, 0) AS BIGINT) AS n_base_matches
-    FROM batch
-    LEFT JOIN ex ON ex.doc_id = batch.doc_id
-    LEFT JOIN near ON near.doc_id = batch.doc_id
-    ORDER BY batch.doc_id
+    {_ingest_status_ctes("1", "b1", "base1")},
+    base2 AS (
+      SELECT doc_id, text FROM base1
+      UNION ALL
+      SELECT b1.doc_id, b1.text FROM b1
+      JOIN cls1 ON cls1.doc_id = b1.doc_id
+      WHERE cls1.status = 'new'
+    ),
+    {_ingest_status_ctes("2", "b2", "base2")}
+    SELECT 1 AS batch_no, doc_id, status, n_base_matches FROM cls1
+    UNION ALL
+    SELECT 2 AS batch_no, doc_id, status, n_base_matches FROM cls2
+    ORDER BY batch_no, doc_id
     """
 
 
@@ -1588,8 +1636,165 @@ def _merged_aggregates(index: BaseIndex, new_docs, new_sho):
     return digests, df_rel, df_delta
 
 
+class _SavedIndexMutation:
+    """One writer's handle on a saved-index directory, yielded by
+    _saved_index_mutation: phase-1 generation writes (write_new),
+    the mutation-window marker (enter_mutation_window), the
+    rename-aside swap, and the exactly-once commit token."""
+
+    def __init__(self, path: str, os_path: str, mutating: str):
+        self.path, self.os_path = path, os_path
+        self._mutating = mutating
+        self.swaps: list = []
+        self.mutated = False
+
+    def write_new(self, name: str, rel) -> None:
+        """Phase 1: write ``name``'s next generation to ``name__new``,
+        reading only existing directories. Recorded BEFORE the write,
+        so an abort cleans a partially-written generation too."""
+        import os
+
+        self.swaps.append(name)
+        rel.write.mode("overwrite").parquet(os.path.join(self.path, name + "__new"))
+
+    def enter_mutation_window(self) -> None:
+        """Raise the _MERGE_MUTATING marker: from here until the
+        protocol completes, a crash strands the marker and both the
+        next writer and load_base_index refuse with a rebuild
+        instruction."""
+        with open(self._mutating, "x", encoding="utf-8") as fh:
+            fh.write("mutation in progress; if this file survives, rebuild\n")
+        self.mutated = True
+
+    def swap(self) -> None:
+        """Phase 3: rename-aside swap of every generation written with
+        write_new (``name`` -> ``name__old``, ``name__new`` ->
+        ``name``, drop ``__old``) — two renames per relation, not a
+        recursive delete, inside the marked window."""
+        import os
+        import shutil
+
+        for name in self.swaps:
+            old = os.path.join(self.os_path, name)
+            os.rename(old, old + "__old")
+            os.rename(old + "__new", old)
+            shutil.rmtree(old + "__old")
+
+    def commit(self, token: str) -> None:
+        """Create an exactly-once receipt file INSIDE the mutation
+        window (after swap): token present means the admission
+        committed in full; a crash between swap and token strands
+        _MERGE_MUTATING, so the gap is loud, never ambiguous.
+        Exclusive create — a pre-existing token is a protocol
+        violation (the caller skips committed tokens)."""
+        import os
+
+        parent = os.path.dirname(token)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        try:
+            fh = open(token, "x", encoding="utf-8")
+        except FileExistsError:
+            raise ValueError(
+                f"commit token {token!r} already exists — the caller must "
+                f"skip deliveries whose token is present BEFORE merging. "
+                f"The admission itself was applied (swap done), so the "
+                f"stranded _MERGE_MUTATING marker now demands a rebuild: "
+                f"loud beats a silent double-admission"
+            ) from None
+        with fh:
+            fh.write("admission committed with the index swap\n")
+
+
+@contextlib.contextmanager
+def _saved_index_mutation(path: str):
+    """Single-writer mutation protocol for a saved-index directory,
+    shared by merge_into_saved_index and compact_saved_index so the
+    two writers cannot drift (plain parquet has no transactions;
+    concurrency control is pessimistic and every bad state is
+    detected LOUDLY rather than silently misclassifying):
+
+    1. ``_MERGE_INPROGRESS`` is the writer LOCK, acquired by exclusive
+       create before ANYTHING runs — a concurrent writer fails at
+       acquisition having computed and written nothing, so no two
+       writers can interleave generation writes or derive generations
+       from each other's pre-mutation snapshots.
+    2. Under the lock, the body writes new generations reading only
+       the old directories. Any failure before the mutation window
+       aborts cleanly: the writer removes its own ``__new`` output
+       and releases the lock — the index was never touched.
+    3. ``_MERGE_MUTATING`` brackets the actual mutation (appends and
+       the rename-aside swap). A crash inside it strands the marker,
+       and both the next writer and load_base_index refuse with a
+       rebuild instruction. A stranded lock WITHOUT the mutating
+       marker means the index is intact: the error says so, and says
+       removal is safe once no writer is running."""
+    import os
+    import shutil
+
+    # Spark and the os-level guard/swap must act on the byte-exact
+    # same directory; _index_paths yields the canonical local pair.
+    spark_path, os_path = _index_paths(path)
+    mutating = os.path.join(os_path, "_MERGE_MUTATING")
+    if os.path.exists(mutating):
+        raise ValueError(
+            f"saved index at {spark_path!r} has a _MERGE_MUTATING marker: a "
+            f"merge crashed inside its mutation window (appends or swap "
+            f"may be partial). The index is inconsistent; rebuild it "
+            f"(build_base_index + save_base_index over the corpus)"
+        )
+    inprog = os.path.join(os_path, "_MERGE_INPROGRESS")
+    try:
+        lock = open(inprog, "x", encoding="utf-8")
+    except FileExistsError:
+        raise ValueError(
+            f"saved index at {spark_path!r}: _MERGE_INPROGRESS is held — a "
+            f"concurrent merge is running, or one crashed before reaching "
+            f"its mutation window. Nothing from this merge was applied, "
+            f"and the index itself is intact; once no merge is running, "
+            f"remove _MERGE_INPROGRESS and any *__new directories, then "
+            f"retry"
+        ) from None
+    with lock:
+        lock.write("merge lock; stale + no _MERGE_MUTATING => index intact\n")
+
+    mut = _SavedIndexMutation(spark_path, os_path, mutating)
+    try:
+        # under the lock: leftover diagnosis and every generation
+        # write are race-free against other writers
+        for name in BaseIndex._fields:
+            if os.path.exists(os.path.join(os_path, name + "__old")):
+                raise ValueError(
+                    f"saved index at {spark_path!r} has a leftover {name}__old "
+                    f"directory with no mutation marker (manual tampering "
+                    f"or a pre-protocol crash); rebuild it "
+                    f"(build_base_index + save_base_index over the corpus)"
+                )
+            # stale __new from an older crash: ours to overwrite
+        yield mut
+        os.remove(mutating)
+        os.remove(inprog)
+    except BaseException:
+        if not mut.mutated:
+            # nothing was mutated: clean our own output and release
+            # the lock so the caller can simply retry (a failure here
+            # is secondary to the real exception — never mask it)
+            for name in mut.swaps:
+                with contextlib.suppress(OSError):
+                    shutil.rmtree(os.path.join(os_path, name + "__new"))
+            with contextlib.suppress(OSError):
+                os.remove(inprog)
+        # if mutated: strand both markers — that IS the loud signal
+        raise
+
+
 def merge_into_saved_index(
-    spark, path: str, new_docs, rerank: bool = True, check: bool = True
+    spark,
+    path: str,
+    new_docs,
+    rerank: bool = True,
+    check: bool = True,
+    commit_token: str | None = None,
 ) -> None:
     """Admit ``new_docs`` into a parquet-materialized index (the
     save_base_index layout) IN PLACE — the production form of
@@ -1615,30 +1820,23 @@ def merge_into_saved_index(
       distinct over all document text, which is the dominant stage of
       build_base_index.
 
-    Concurrency + failure contract (plain parquet has no
-    transactions, so concurrency control is pessimistic —
-    SINGLE-WRITER, one merge at a time — and every bad state is
-    detected LOUDLY rather than silently misclassifying):
+    Concurrency + failure contract: the _saved_index_mutation
+    single-writer protocol (SINGLE-WRITER lock, clean pre-mutation
+    abort, loud _MERGE_MUTATING strand on a mid-mutation crash —
+    see its docstring). This merge's mutation window runs the
+    appends COUNTS FIRST (the re-admission guard's sentinel, so a
+    partially-appended batch makes any retry fail loudly instead of
+    double-counting), then the rename-aside swap.
 
-    1. ``_MERGE_INPROGRESS`` is the merge LOCK, acquired by exclusive
-       create before ANYTHING runs — a concurrent merge fails at
-       acquisition having computed and written nothing, so no two
-       merges can interleave generation writes or derive generations
-       from each other's pre-merge snapshots.
-    2. Under the lock, the admission guard runs once, then all new
-       generations (``digests__new``, ``df__new``, strict
-       ``prefix__new``) are written reading only the old directories.
-       Any failure up to here aborts cleanly: the merge removes its
-       own ``__new`` output and releases the lock — the index was
-       never touched.
-    3. ``_MERGE_MUTATING`` brackets the actual mutation (appends,
-       counts first, then the rename-aside swap: ``name`` ->
-       ``name__old``, ``name__new`` -> ``name``, drop ``__old``).
-       A crash inside it strands the marker, and both the next merge
-       and load_base_index refuse with a rebuild instruction. A
-       stranded lock WITHOUT the mutating marker means the index is
-       intact: the error says so, and says removal is safe once no
-       merge is running.
+    ``commit_token``: optional path of a receipt file created inside
+    the mutation window, AFTER the swap — the exactly-once admission
+    handshake for at-least-once callers (the streaming admit loop,
+    streaming/ingest.py): a replayed delivery whose token exists was
+    fully admitted and must be skipped; a crash between swap and
+    token strands _MERGE_MUTATING, so that gap is loud, never
+    silently re-admitted. Exclusive create — a pre-existing token
+    raises (inside the window: pessimistic, but a duplicate token is
+    a caller protocol violation, not a retryable state).
 
     Re-admitting doc_ids already in the index raises (see
     _check_new_doc_ids; check=False skips the guard job for callers
@@ -1647,116 +1845,103 @@ def merge_into_saved_index(
     generation (build + save) or use a transactional table format,
     where digests/df become MERGE INTOs and the swap is a commit."""
     import os
-    import shutil
-
-    # Spark and the os-level guard/swap must act on the byte-exact
-    # same directory; _index_paths yields the canonical local pair.
-    path, os_path = _index_paths(path)
-    mutating = os.path.join(os_path, "_MERGE_MUTATING")
-    if os.path.exists(mutating):
-        raise ValueError(
-            f"saved index at {path!r} has a _MERGE_MUTATING marker: a "
-            f"merge crashed inside its mutation window (appends or swap "
-            f"may be partial). The index is inconsistent; rebuild it "
-            f"(build_base_index + save_base_index over the corpus)"
-        )
-    inprog = os.path.join(os_path, "_MERGE_INPROGRESS")
-    try:
-        lock = open(inprog, "x", encoding="utf-8")
-    except FileExistsError:
-        raise ValueError(
-            f"saved index at {path!r}: _MERGE_INPROGRESS is held — a "
-            f"concurrent merge is running, or one crashed before reaching "
-            f"its mutation window. Nothing from this merge was applied, "
-            f"and the index itself is intact; once no merge is running, "
-            f"remove _MERGE_INPROGRESS and any *__new directories, then "
-            f"retry"
-        ) from None
-    with lock:
-        lock.write("merge lock; stale + no _MERGE_MUTATING => index intact\n")
 
     tn, td = _INGEST_T_NUM, _INGEST_T_DEN
     new_docs = new_docs.filter(F.col("text").isNotNull())
-    new_sho = new_docs.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
-    ).persist()
-    swaps = {}
-    mutated = False
-    try:
-        # under the lock: leftovers, guard, and generation writes are
-        # all race-free against other merges
-        for name in BaseIndex._fields:
-            if os.path.exists(os.path.join(os_path, name + "__old")):
-                raise ValueError(
-                    f"saved index at {path!r} has a leftover {name}__old "
-                    f"directory with no mutation marker (manual tampering "
-                    f"or a pre-protocol crash); rebuild it "
-                    f"(build_base_index + save_base_index over the corpus)"
+    with _saved_index_mutation(path) as mut:
+        path = mut.path  # canonical spark-side form of the location
+        new_sho = new_docs.select(
+            "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+        ).persist()
+        try:
+            index = load_base_index(spark, path)
+            if check:
+                _check_new_doc_ids(index, new_docs)
+
+            # phase 1: write every new generation, reading ONLY the old
+            # directories (the strict prefix ranks over the saved shingles
+            # UNION the batch — not the appended files — so no step here
+            # depends on a mutation having happened)
+            digests, df_rel, _ = _merged_aggregates(index, new_docs, new_sho)
+            mut.write_new("digests", digests)
+            mut.write_new("df", df_rel)
+            if rerank:
+                # strict: order-dependent, so a new generation — but from
+                # the saved shingles, never by re-shingling document text
+                mut.write_new(
+                    "prefix",
+                    _ranked_prefix(
+                        index.shingles.unionByName(new_sho), df_rel, tn, td
+                    ),
                 )
-            # stale __new from an older crash: ours to overwrite below
-        index = load_base_index(spark, path)
-        if check:
-            _check_new_doc_ids(index, new_docs)
 
-        # phase 1: write every new generation, reading ONLY the old
-        # directories (the strict prefix ranks over the saved shingles
-        # UNION the batch — not the appended files — so no step here
-        # depends on a mutation having happened)
-        digests, df_rel, _ = _merged_aggregates(index, new_docs, new_sho)
-        swaps = {"digests": digests, "df": df_rel}
-        if rerank:
-            # strict: order-dependent, so a new generation — but from
-            # the saved shingles, never by re-shingling document text
-            swaps["prefix"] = _ranked_prefix(
-                index.shingles.unionByName(new_sho), df_rel, tn, td
-            )
-        for name, rel in swaps.items():
-            rel.write.mode("overwrite").parquet(os.path.join(path, name + "__new"))
+            # phases 2-3 are the mutation window
+            mut.enter_mutation_window()
 
-        # phases 2-3 are the mutation window
-        with open(mutating, "x", encoding="utf-8") as fh:
-            fh.write("mutation in progress; if this file survives, rebuild\n")
-        mutated = True
+            # phase 2: appends — counts first
+            new_sho.groupBy("doc_id").agg(F.count("*").alias("n_o")).write.mode(
+                "append"
+            ).parquet(os.path.join(path, "counts"))
+            new_sho.write.mode("append").parquet(os.path.join(path, "shingles"))
+            if not rerank:
+                # stale: append only the new docs' prefix rows, ranked
+                # under the merged df (df_rel still reads the old df
+                # directory — the swap has not happened yet)
+                _ranked_prefix(new_sho, df_rel, tn, td).write.mode(
+                    "append"
+                ).parquet(os.path.join(path, "prefix"))
 
-        # phase 2: appends — counts first (the re-admission guard's
-        # sentinel), so a partially-appended batch makes any retry
-        # fail loudly instead of double-counting
-        new_sho.groupBy("doc_id").agg(F.count("*").alias("n_o")).write.mode(
-            "append"
-        ).parquet(os.path.join(path, "counts"))
-        new_sho.write.mode("append").parquet(os.path.join(path, "shingles"))
-        if not rerank:
-            # stale: append only the new docs' prefix rows, ranked
-            # under the merged df (df_rel still reads the old df
-            # directory — the swap has not happened yet)
-            _ranked_prefix(new_sho, df_rel, tn, td).write.mode("append").parquet(
-                os.path.join(path, "prefix")
-            )
+            # phase 3: rename-aside swap, then the admission receipt
+            mut.swap()
+            if commit_token is not None:
+                mut.commit(commit_token)
+        finally:
+            new_sho.unpersist()
 
-        # phase 3: rename-aside swap
-        for name in swaps:
-            old = os.path.join(os_path, name)
-            os.rename(old, old + "__old")
-            os.rename(old + "__new", old)
-            shutil.rmtree(old + "__old")
-        os.remove(mutating)
-        os.remove(inprog)
-    except BaseException:
-        if not mutated:
-            # nothing was mutated: clean our own output and release
-            # the lock so the caller can simply retry (a failure here
-            # is secondary to the real exception — never mask it)
-            import contextlib
 
-            for name in swaps:
-                with contextlib.suppress(OSError):
-                    shutil.rmtree(os.path.join(os_path, name + "__new"))
-            with contextlib.suppress(OSError):
-                os.remove(inprog)
-        # if mutated: strand both markers — that IS the loud signal
-        raise
-    finally:
-        new_sho.unpersist()
+def compact_saved_index(spark, path: str) -> None:
+    """Rewrite a saved index as one fresh, self-consistent generation
+    WITHOUT re-reading any document text — the periodic compaction
+    the stale merge policy (merge_into_saved_index(rerank=False))
+    contracts to: it cures prefix staleness exactly and collapses the
+    per-admission small files that appends accumulate.
+
+    The stored ``shingles`` relation is the single source of truth:
+    ``df``, ``counts``, and the ranked ``prefix`` are recomputed from
+    it, so a compacted index equals a from-scratch build_base_index
+    over the same corpus relation-for-relation (pinned in
+    tests/test_dedup.py) — except that build's dominant stage,
+    re-shingling all document text, never runs. ``digests`` cannot be
+    derived from shingles (it needs text) but needs no cure: merges
+    maintain it exactly (union + re-aggregate), so it is rewritten
+    as-is. Total cost is one pass over the index's own relations —
+    O(index), not O(corpus text); at 100 TB this is the scheduled
+    maintenance job between which rerank=False admissions are free to
+    let prefix ranks drift.
+
+    Same _saved_index_mutation single-writer protocol as the merge;
+    compaction's mutation window contains ONLY the five renames (all
+    generations are written before the window opens), so its
+    crash-demands-rebuild exposure is a few syscalls wide."""
+    import os
+
+    tn, td = _INGEST_T_NUM, _INGEST_T_DEN
+    with _saved_index_mutation(path) as mut:
+        index = load_base_index(spark, mut.path)
+        # snapshot shingles first; every recomputation below reads the
+        # written __new generation, not the live directory, so one
+        # file listing defines the whole compaction
+        mut.write_new("shingles", index.shingles)
+        sho = spark.read.parquet(os.path.join(mut.path, "shingles__new"))
+        mut.write_new("df", sho.groupBy("sh").agg(F.count("*").alias("df")))
+        df_rel = spark.read.parquet(os.path.join(mut.path, "df__new"))
+        mut.write_new(
+            "counts", sho.groupBy("doc_id").agg(F.count("*").alias("n_o"))
+        )
+        mut.write_new("prefix", _ranked_prefix(sho, df_rel, tn, td))
+        mut.write_new("digests", index.digests)
+        mut.enter_mutation_window()
+        mut.swap()
 
 
 class AmbiguousIndexPath(ValueError):
@@ -1789,11 +1974,11 @@ def _index_paths(path: str) -> tuple:
         return path, path
     if parsed.scheme != "file" or parsed.netloc not in ("", "localhost"):
         raise ValueError(
-            f"merge_into_saved_index mutates the index with local "
-            f"filesystem renames; {path!r} is not a local path. On a "
-            f"shared store, write a new generation (build_base_index + "
-            f"save_base_index) or keep the index in a transactional "
-            f"table format."
+            f"saved-index mutation (merge_into_saved_index / "
+            f"compact_saved_index) uses local filesystem renames; "
+            f"{path!r} is not a local path. On a shared store, write a "
+            f"new generation (build_base_index + save_base_index) or "
+            f"keep the index in a transactional table format."
         )
     if parsed.query or parsed.fragment:
         # urlparse truncates at '?'/'#', but Hadoop treats both
@@ -1935,3 +2120,42 @@ def dedup_ingest_after_merge(spark, sf_dir):
     idx = build_base_index(d.filter(F.col("doc_id") % 10 % 5 != 0))
     merged = merge_into_base_index(idx, d.filter(F.col("doc_id") % 10 == 5))
     return ingest_batch(d.filter(F.col("doc_id") % 10 == 0), merged)
+
+
+@query("dedup_ingest_chain", oracle=_ingest_chain_oracle())
+def dedup_ingest_chain(spark, sf_dir):
+    """The full self-growing admit loop (the batch twin of
+    streaming/ingest.py's stream_ingest_admit): classify batch 1
+    (doc_id % 10 == 5) against the base (the rest), ADMIT exactly its
+    'new' docs via merge_into_base_index, then classify batch 2
+    (doc_id % 10 == 0) against the GROWN base — so batch 2's verdicts
+    can depend on batch 1's admissions, which is the property the
+    chained oracle pins in plain SQL (cls1 -> base2 := base1 + new(b1)
+    -> cls2). Returns both classifications tagged by batch_no.
+
+    Scale shape: each link pays batch-sized work (digest join + the
+    asymmetric AllPairs prefix filter against the maintained index);
+    the admission is merge_into_base_index, whose work is bounded by
+    the batch's shingle postings, never a corpus rebuild — the loop a
+    100 TB corpus runs forever."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.filter(F.col("doc_id") % 10 % 5 != 0)
+    b1 = d.filter(F.col("doc_id") % 10 == 5)
+    b2 = d.filter(F.col("doc_id") % 10 == 0)
+    idx = build_base_index(base)
+    c1 = tracked_persist(ingest_batch(b1, idx))
+    new1 = b1.join(
+        c1.filter(F.col("status") == "new").select("doc_id"), "doc_id", "left_semi"
+    )
+    c2 = ingest_batch(b2, merge_into_base_index(idx, new1))
+    return (
+        c1.select(
+            F.lit(1).alias("batch_no"), "doc_id", "status", "n_base_matches"
+        )
+        .unionByName(
+            c2.select(
+                F.lit(2).alias("batch_no"), "doc_id", "status", "n_base_matches"
+            )
+        )
+        .orderBy("batch_no", "doc_id")
+    )

@@ -1,4 +1,7 @@
-from presto_on_ray_spark.streaming.ingest import stream_ingest_dedup
+from presto_on_ray_spark.streaming.ingest import (
+    stream_ingest_admit,
+    stream_ingest_dedup,
+)
 from presto_on_ray_spark.streaming.windows import (
     sessionize_events,
     tumbling_window_counts,
@@ -10,4 +13,5 @@ __all__ = [
     "tumbling_window_counts_batch",
     "sessionize_events",
     "stream_ingest_dedup",
+    "stream_ingest_admit",
 ]

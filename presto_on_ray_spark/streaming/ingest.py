@@ -22,7 +22,13 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
-from presto_on_ray_spark.operators.dedup import BaseIndex, ingest_batch
+from presto_on_ray_spark.operators.dedup import (
+    BaseIndex,
+    _index_paths,
+    ingest_batch,
+    load_base_index,
+    merge_into_saved_index,
+)
 
 
 def stream_ingest_dedup(
@@ -79,7 +85,13 @@ def stream_ingest_dedup(
                 with contextlib.suppress(Exception):
                     df.unpersist()
 
-    writer = docs_stream.writeStream.foreachBatch(_classify)
+    return _start(docs_stream, _classify, checkpoint_dir, available_now,
+                  await_termination)
+
+
+def _start(docs_stream, classify, checkpoint_dir, available_now,
+           await_termination):
+    writer = docs_stream.writeStream.foreachBatch(classify)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if available_now:
@@ -90,3 +102,104 @@ def stream_ingest_dedup(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_ingest_admit(
+    docs_stream: DataFrame,
+    index_path: str,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str | None = None,
+    rerank: bool = False,
+    admit_log: str | None = None,
+    available_now: bool = True,
+    await_termination: bool | None = None,
+):
+    """The production admit loop over a SAVED index (the
+    save_base_index parquet layout): every micro-batch is classified
+    against the CURRENT index state, handed to ``sink(classified_df,
+    batch_id)``, and then its 'new' docs are ADMITTED via
+    merge_into_saved_index — so they are base for the NEXT batch, and
+    the stream deduplicates against everything it has already
+    accepted, not just a frozen snapshot (the gap stream_ingest_dedup
+    deliberately leaves to its caller).
+
+    Exactly-once admission under at-least-once foreachBatch delivery:
+    each batch's merge writes a commit token (``admit_log/batch-<id>``,
+    default ``<index>/_ADMITTED/``) INSIDE the merge's mutation
+    window, after the swap. A re-delivered batch whose token exists
+    was fully admitted and is skipped outright — re-running it would
+    classify its docs against an index that now CONTAINS them (every
+    doc its own exact dup), so the skip also keeps sink deliveries
+    semantically stable: a batch's classification is always computed
+    against the pre-admission state. A crash between swap and token
+    strands the merge's _MERGE_MUTATING marker, which fails the next
+    batch loudly instead of guessing. Batches with nothing to admit
+    write the token directly (their replay is a pure re-read:
+    classify-then-sink repeats, which is ordinary at-least-once).
+
+    Couplings the caller owns: token names are ``batch-<batch_id>``,
+    and batch ids restart at 0 with a fresh checkpoint — reusing an
+    admit_log across checkpoint lineages makes a NEW batch 0 look
+    already-admitted. Starting a new checkpoint against an existing
+    index means passing a new admit_log (or clearing the old one).
+    One stream per index: the merge's single-writer lock refuses
+    concurrent admitters loudly.
+
+    rerank=False (the default) is deliberate: strict re-ranking
+    inside every micro-batch re-ranks all base docs sharing a shingle
+    with the batch — unbounded per-batch work on drift-heavy
+    vocabularies. The streaming loop keeps per-batch work
+    batch-sized and leaves rank freshness to the scheduled
+    compact_saved_index (exact-tier verdicts never depend on ranks).
+
+    Cache lifecycle matches stream_ingest_dedup: per-batch persists
+    are local to the worker thread and dropped in a finally; the
+    global registry is never touched from this path."""
+    import os
+
+    _, index_os_path = _index_paths(index_path)
+    tokens = admit_log if admit_log is not None else os.path.join(
+        index_os_path, "_ADMITTED"
+    )
+
+    def _classify_admit(batch_df: DataFrame, batch_id: int) -> None:
+        token = os.path.join(tokens, f"batch-{batch_id}")
+        if os.path.exists(token):
+            return  # committed with a previous delivery's merge
+        batch_persists: list[DataFrame] = []
+
+        def keep(df: DataFrame) -> DataFrame:
+            batch_persists.append(df.persist())
+            return df
+
+        try:
+            batch = batch_df.filter(F.col("text").isNotNull())
+            index = load_base_index(batch_df.sparkSession, index_path)
+            classified = keep(ingest_batch(batch, index, keep=keep))
+            sink(classified, batch_id)
+            new_docs = batch.join(
+                classified.filter(F.col("status") == "new").select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            if new_docs.limit(1).count():
+                merge_into_saved_index(
+                    batch_df.sparkSession,
+                    index_path,
+                    new_docs,
+                    rerank=rerank,
+                    commit_token=token,
+                )
+            else:
+                # nothing to admit: no index mutation to make the
+                # token atomic with — record the receipt directly
+                os.makedirs(tokens, exist_ok=True)
+                with open(token, "x", encoding="utf-8") as fh:
+                    fh.write("admission committed (empty admit set)\n")
+        finally:
+            for df in batch_persists:
+                with contextlib.suppress(Exception):
+                    df.unpersist()
+
+    return _start(docs_stream, _classify_admit, checkpoint_dir, available_now,
+                  await_termination)

@@ -934,3 +934,134 @@ def test_merge_eager_survives_old_index_release(spark):
         30: ("near", 1),
         40: ("new", 0),
     }
+
+
+def test_compact_saved_index_equals_rebuild(spark, tmp_path):
+    """compact_saved_index after STALE merges: the compacted on-disk
+    index is relation-for-relation multiset-equal to
+    save(build(base + everything admitted)) — the prefix drift the
+    stale policy accumulated is provably present beforehand and cured
+    exactly — and the maintenance markers / generation directories
+    are all gone afterwards."""
+    import os
+
+    from presto_on_ray_spark.operators.dedup import (
+        BaseIndex,
+        build_base_index,
+        compact_saved_index,
+        ingest_batch,
+        load_base_index,
+        merge_into_saved_index,
+        save_base_index,
+    )
+
+    ten, base, admitted, batch = _merge_fixture(spark)
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+    idx.release()
+    # two stale admissions: appended small files + base-prefix drift
+    merge_into_saved_index(spark, p, admitted, rerank=False)
+    extra = spark.createDataFrame(
+        [(7, "a b c d qq ww ee rr tt yy")], "doc_id int, text string"
+    )
+    merge_into_saved_index(spark, p, extra, rerank=False)
+
+    full_rows = (
+        base.collect()
+        + [r for r in admitted.collect() if r["text"]]
+        + extra.collect()
+    )
+    rebuilt = build_base_index(
+        spark.createDataFrame(full_rows, base.schema), tracked=False
+    )
+    try:
+        want_prefix = sorted(map(tuple, rebuilt.prefix.collect()))
+        stale_prefix = sorted(
+            map(tuple, load_base_index(spark, p).prefix.collect())
+        )
+        assert stale_prefix != want_prefix  # there IS drift to cure
+
+        compact_saved_index(spark, p)
+        for name in BaseIndex._fields:
+            assert not os.path.exists(os.path.join(p, name + "__new"))
+            assert not os.path.exists(os.path.join(p, name + "__old"))
+        assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+        assert not os.path.exists(os.path.join(p, "_MERGE_MUTATING"))
+
+        compacted = load_base_index(spark, p)
+        for name in BaseIndex._fields:
+            got = sorted(map(tuple, getattr(compacted, name).collect()))
+            want = sorted(map(tuple, getattr(rebuilt, name).collect()))
+            assert got == want, f"compacted.{name} != rebuilt.{name}"
+        via_c = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(batch, compacted).collect()
+        }
+        via_r = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(batch, rebuilt).collect()
+        }
+    finally:
+        rebuilt.release()
+    assert via_c == via_r
+    assert via_c[30] == ("near", 1)
+
+    # compaction respects the writer protocol: a held lock refuses it
+    with open(os.path.join(p, "_MERGE_INPROGRESS"), "w") as fh:
+        fh.write("x\n")
+    with pytest.raises(ValueError, match="intact"):
+        compact_saved_index(spark, p)
+    os.remove(os.path.join(p, "_MERGE_INPROGRESS"))
+    compact_saved_index(spark, p)  # idempotent: compacting twice is fine
+    again = load_base_index(spark, p)
+    assert sorted(map(tuple, again.prefix.collect())) == want_prefix
+
+
+def test_merge_commit_token_exactly_once(spark, tmp_path):
+    """commit_token: the admission receipt is created inside the
+    mutation window AFTER the swap, so token-present == fully
+    admitted; a duplicate token (caller failed to skip a committed
+    delivery) raises loudly and strands the markers rather than
+    silently double-admitting."""
+    import os
+
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        load_base_index,
+        merge_into_saved_index,
+        save_base_index,
+    )
+
+    ten, base, admitted, batch = _merge_fixture(spark)
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+    idx.release()
+
+    token = os.path.join(p, "_ADMITTED", "batch-0")
+    merge_into_saved_index(spark, p, admitted, commit_token=token)
+    assert os.path.exists(token)
+    assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+    assert not os.path.exists(os.path.join(p, "_MERGE_MUTATING"))
+    assert load_base_index(spark, p).counts.filter(
+        F.col("doc_id") == 4
+    ).count() == 1
+
+    # duplicate token: loud, and the mutation marker strands (the
+    # swap already happened — silence would hide a double-admission)
+    extra = spark.createDataFrame(
+        [(8, "entirely different things here now")], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        merge_into_saved_index(spark, p, extra, commit_token=token)
+    assert os.path.exists(os.path.join(p, "_MERGE_MUTATING"))
+    with pytest.raises(ValueError, match="rebuild"):
+        load_base_index(spark, p)
+    # prescribed recovery: a full save unblocks (tokens survive it —
+    # the admission log's lifetime is the caller's, not the save's)
+    idx2 = build_base_index(base, tracked=False)
+    save_base_index(idx2, p)
+    idx2.release()
+    assert os.path.exists(token)
+    load_base_index(spark, p)

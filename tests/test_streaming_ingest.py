@@ -196,3 +196,182 @@ def test_stream_ingest_checkpoint_recovery(spark, tmp_path):
     assert second_docs == {30: ("exact", 1)}  # f1 NOT re-classified
     assert 10 not in second_docs and 20 not in second_docs
     assert max(second_batches) > max(first_batches)  # batch ids continue
+
+
+def test_stream_ingest_admit_grows_the_base(spark, tmp_path):
+    """stream_ingest_admit: batch 2's docs are classified against the
+    base PLUS batch 1's admitted docs (the production loop
+    stream_ingest_dedup deliberately does not run), and the final
+    saved index equals the sequential in-session classify+merge loop
+    over the same batches."""
+    import os
+
+    from presto_on_ray_spark.operators.dedup import (
+        BaseIndex,
+        build_base_index,
+        ingest_batch,
+        load_base_index,
+        merge_into_base_index,
+        save_base_index,
+    )
+    from presto_on_ray_spark.streaming.ingest import stream_ingest_admit
+
+    ten = "a b c d e f g h i j"
+    base = spark.createDataFrame(
+        [(1, ten), (2, "p q r s t u v w x y")], "doc_id int, text string"
+    )
+    f1 = [
+        (10, ten),                        # exact vs base doc 1
+        (20, "q w e r t y u i o p"),      # new -> admitted
+        (30, None),                       # excluded (null text)
+    ]
+    f2 = [
+        (40, "q w e r t y u i o p"),      # exact vs ADMITTED doc 20
+        # near vs admitted doc 20: c=6 common trigrams of 8 each,
+        # integer threshold (5+3)*6 >= 3*(8+8) holds with equality
+        (50, "q w e r t y u i o z"),
+        (60, "other words appear over here"),  # new -> admitted
+    ]
+    src = tmp_path / "arrivals"
+    spark.createDataFrame(f1, "doc_id int, text string").write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(f2, "doc_id int, text string").write.parquet(
+        str(src / "f2")
+    )
+
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+    idx.release()
+
+    got: dict[int, tuple] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[r["doc_id"]] = (r["status"], r["n_base_matches"])
+
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    # rerank=True so the sequential reference (strict in-session
+    # merge) is an exact semantic twin
+    stream_ingest_admit(
+        stream, p, sink, checkpoint_dir=str(tmp_path / "ckpt"), rerank=True
+    )
+
+    assert got[10] == ("exact", 1)
+    assert got[20] == ("new", 0)
+    assert 30 not in got
+    assert got[40] == ("exact", 1)  # saw batch 1's admission
+    assert got[50] == ("near", 1)
+    assert got[60] == ("new", 0)
+    # both batches committed their admission receipts
+    assert os.path.exists(os.path.join(p, "_ADMITTED", "batch-0"))
+    assert os.path.exists(os.path.join(p, "_ADMITTED", "batch-1"))
+
+    # sequential in-session reference over the same two batches
+    expect: dict[int, tuple] = {}
+    idx = build_base_index(base, tracked=False)
+    gens = [idx]
+    try:
+        for rows in (f1, f2):
+            b = spark.createDataFrame(
+                [r for r in rows if r[1] is not None], "doc_id int, text string"
+            )
+            cls = ingest_batch(b, gens[-1]).collect()
+            for r in cls:
+                expect[r["doc_id"]] = (r["status"], r["n_base_matches"])
+            new_b = b.join(
+                spark.createDataFrame(
+                    [(r["doc_id"],) for r in cls if r["status"] == "new"],
+                    "doc_id int",
+                ),
+                "doc_id",
+                "left_semi",
+            )
+            gens.append(merge_into_base_index(gens[-1], new_b, tracked=False))
+        assert got == expect
+        # and the saved index state equals the in-session final state
+        saved = load_base_index(spark, p)
+        for name in BaseIndex._fields:
+            got_rel = sorted(map(tuple, getattr(saved, name).collect()))
+            want_rel = sorted(map(tuple, getattr(gens[-1], name).collect()))
+            assert got_rel == want_rel, f"saved.{name} != sequential.{name}"
+    finally:
+        for g in gens:
+            g.release()
+
+
+def test_stream_ingest_admit_replay_is_exactly_once(spark, tmp_path):
+    """Re-delivery of already-admitted batches (a FRESH checkpoint
+    over the same files and admit log — the harshest replay) is
+    skipped outright: the index is byte-identically unchanged and the
+    sink sees nothing."""
+    import os
+
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        save_base_index,
+    )
+    from presto_on_ray_spark.streaming.ingest import stream_ingest_admit
+
+    ten = "a b c d e f g h i j"
+    base = spark.createDataFrame([(1, ten)], "doc_id int, text string")
+    src = tmp_path / "arrivals"
+    spark.createDataFrame(
+        [(10, ten), (20, "some new words arrive here")],
+        "doc_id int, text string",
+    ).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(30, "even more novel material lands")], "doc_id int, text string"
+    ).write.parquet(str(src / "f2"))
+
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+    idx.release()
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id int, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    first: dict[int, tuple] = {}
+    stream_ingest_admit(
+        make_stream(),
+        p,
+        lambda df, _bid: first.update(
+            {r["doc_id"]: (r["status"], r["n_base_matches"]) for r in df.collect()}
+        ),
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    assert first == {10: ("exact", 1), 20: ("new", 0), 30: ("new", 0)}
+
+    def tree_state(root):
+        out = {}
+        for d, _, files in os.walk(root):
+            for f in files:
+                fp = os.path.join(d, f)
+                out[os.path.relpath(fp, root)] = os.path.getsize(fp)
+        return out
+
+    before = tree_state(p)
+    second: dict[int, tuple] = {}
+    # fresh checkpoint: every batch is re-delivered from scratch
+    stream_ingest_admit(
+        make_stream(),
+        p,
+        lambda df, _bid: second.update(
+            {r["doc_id"]: (r["status"], r["n_base_matches"]) for r in df.collect()}
+        ),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert second == {}  # tokens skipped every re-delivered batch
+    assert tree_state(p) == before  # the index was not touched at all
