@@ -1636,17 +1636,60 @@ def _merged_aggregates(index: BaseIndex, new_docs, new_sho):
     return digests, df_rel, df_delta
 
 
+class DuplicateAdmitToken(ValueError):
+    """A commit token that already exists: the delivery was committed
+    by a previous admission. A dedicated class because commit()'s
+    release-vs-strand decision dispatches on it — a generic
+    ValueError from open/makedirs (e.g. NUL byte in the path) means
+    NO token was written and must strand, not release."""
+
+
+def _admit_receipt(token: str) -> None:
+    """Create an exactly-once admission receipt by exclusive create
+    (shared by _SavedIndexMutation.commit and the streaming admit
+    loop's empty-admit branch, so the two cannot drift). A
+    pre-existing token is a caller protocol violation — deliveries
+    whose token exists must be skipped BEFORE admitting — and raises
+    the same explanatory DuplicateAdmitToken from both paths."""
+    import os
+
+    parent = os.path.dirname(token)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    try:
+        fh = open(token, "x", encoding="utf-8")
+    except FileExistsError:
+        raise DuplicateAdmitToken(
+            f"commit token {token!r} already exists — the caller must "
+            f"skip deliveries whose token is present BEFORE admitting "
+            f"(token names are per batch_id; reusing an admit log across "
+            f"checkpoint lineages collides them). Replays of this "
+            f"delivery will be skipped by the pre-existing token."
+        ) from None
+    with fh:
+        fh.write("admission committed\n")
+
+
 class _SavedIndexMutation:
     """One writer's handle on a saved-index directory, yielded by
     _saved_index_mutation: phase-1 generation writes (write_new),
     the mutation-window marker (enter_mutation_window), the
-    rename-aside swap, and the exactly-once commit token."""
+    rename-aside swap, and the exactly-once commit token. The
+    ordering the protocol's guarantees rest on is ENFORCED, not
+    assumed: generations are written only before the window opens,
+    the swap and the commit token only inside it — a future writer
+    that mis-sequences fails here instead of mutating unmarked."""
 
     def __init__(self, path: str, os_path: str, mutating: str):
         self.path, self.os_path = path, os_path
         self._mutating = mutating
         self.swaps: list = []
         self.mutated = False
+        # True once the on-disk index is fully consistent again
+        # (post-swap): failures after this point are bookkeeping, and
+        # the protocol releases its markers instead of demanding a
+        # rebuild of an index that is provably fine
+        self.consistent = False
 
     def write_new(self, name: str, rel) -> None:
         """Phase 1: write ``name``'s next generation to ``name__new``,
@@ -1654,56 +1697,102 @@ class _SavedIndexMutation:
         so an abort cleans a partially-written generation too."""
         import os
 
+        if self.mutated:
+            raise RuntimeError(
+                "saved-index protocol violation: write_new() inside the "
+                "mutation window — generations must be written (reading "
+                "only old directories) before enter_mutation_window()"
+            )
         self.swaps.append(name)
         rel.write.mode("overwrite").parquet(os.path.join(self.path, name + "__new"))
 
     def enter_mutation_window(self) -> None:
-        """Raise the _MERGE_MUTATING marker: from here until the
-        protocol completes, a crash strands the marker and both the
-        next writer and load_base_index refuse with a rebuild
+        """Raise the _MERGE_MUTATING marker: from here until the swap
+        completes, a crash strands the marker and both the next
+        writer and load_base_index refuse with a rebuild
         instruction."""
-        with open(self._mutating, "x", encoding="utf-8") as fh:
-            fh.write("mutation in progress; if this file survives, rebuild\n")
+        import os
+
+        if self.mutated:
+            raise RuntimeError(
+                "saved-index protocol violation: the mutation window was "
+                "already entered"
+            )
+        try:
+            with open(self._mutating, "x", encoding="utf-8") as fh:
+                fh.write("mutation in progress; if this file survives, rebuild\n")
+        except FileExistsError:
+            # not ours to remove: the file predates this writer
+            raise
+        except BaseException:
+            # write/flush failed AFTER the exclusive create: nothing
+            # was mutated yet, so unlink our marker or an intact index
+            # would falsely demand a rebuild
+            with contextlib.suppress(OSError):
+                os.remove(self._mutating)
+            raise
         self.mutated = True
 
     def swap(self) -> None:
         """Phase 3: rename-aside swap of every generation written with
         write_new (``name`` -> ``name__old``, ``name__new`` ->
         ``name``, drop ``__old``) — two renames per relation, not a
-        recursive delete, inside the marked window."""
+        recursive delete, inside the marked window. After the last
+        rename the index is consistent again; post-swap failures
+        release the markers rather than stranding them."""
         import os
         import shutil
 
+        if not self.mutated:
+            raise RuntimeError(
+                "saved-index protocol violation: swap() outside the "
+                "mutation window — an unmarked crash mid-swap would be "
+                "silent corruption; call enter_mutation_window() first"
+            )
         for name in self.swaps:
             old = os.path.join(self.os_path, name)
             os.rename(old, old + "__old")
             os.rename(old + "__new", old)
             shutil.rmtree(old + "__old")
+        self.consistent = True
 
     def commit(self, token: str) -> None:
-        """Create an exactly-once receipt file INSIDE the mutation
-        window (after swap): token present means the admission
-        committed in full; a crash between swap and token strands
-        _MERGE_MUTATING, so the gap is loud, never ambiguous.
-        Exclusive create — a pre-existing token is a protocol
-        violation (the caller skips committed tokens)."""
-        import os
-
-        parent = os.path.dirname(token)
-        if parent:
-            os.makedirs(parent, exist_ok=True)
+        """Create the exactly-once receipt INSIDE the mutation window,
+        after swap(): token present means the admission committed in
+        full. A failure here (duplicate token, unwritable log) leaves
+        a CONSISTENT index — the swap already applied — so the
+        protocol releases its markers and surfaces the error loudly;
+        a replayed delivery then either skips (token exists) or fails
+        the admission guard (docs already indexed), never silently
+        double-admits."""
+        if not self.consistent:
+            raise RuntimeError(
+                "saved-index protocol violation: commit() before swap() — "
+                "the receipt must attest a completed admission"
+            )
         try:
-            fh = open(token, "x", encoding="utf-8")
-        except FileExistsError:
-            raise ValueError(
-                f"commit token {token!r} already exists — the caller must "
-                f"skip deliveries whose token is present BEFORE merging. "
-                f"The admission itself was applied (swap done), so the "
-                f"stranded _MERGE_MUTATING marker now demands a rebuild: "
-                f"loud beats a silent double-admission"
-            ) from None
-        with fh:
-            fh.write("admission committed with the index swap\n")
+            _admit_receipt(token)
+        except DuplicateAdmitToken:
+            # the PRE-EXISTING token already skips replays, so
+            # releasing the markers is safe — the index and the
+            # replay contract are both intact
+            raise
+        except BaseException:
+            # receipt write failed. If a token file nonetheless exists
+            # (exclusive create succeeded, payload write failed),
+            # replays are already skipped and release is safe. If NO
+            # token exists, a replay would re-classify the batch
+            # against the post-admission index — every doc its own
+            # exact dup, silently — so strand the markers: that
+            # window stays loud, exactly like a crash here.
+            import os
+
+            token_on_disk = False
+            with contextlib.suppress(Exception):
+                token_on_disk = os.path.exists(token)
+            if not token_on_disk:
+                self.consistent = False
+            raise
 
 
 @contextlib.contextmanager
@@ -1755,8 +1844,25 @@ def _saved_index_mutation(path: str):
             f"remove _MERGE_INPROGRESS and any *__new directories, then "
             f"retry"
         ) from None
-    with lock:
-        lock.write("merge lock; stale + no _MERGE_MUTATING => index intact\n")
+    try:
+        with lock:
+            lock.write("merge lock; stale + no _MERGE_MUTATING => index intact\n")
+    except BaseException:
+        # an I/O failure on the informational write must not strand
+        # the freshly-acquired lock
+        with contextlib.suppress(OSError):
+            os.remove(inprog)
+        raise
+
+    def _sweep_new_generations():
+        # any __new directory under the lock is dead output (this
+        # writer's abort, or an older writer killed pre-window):
+        # full-size copies of the largest relations — remove them
+        # rather than leaving unbounded litter for the NEXT writer
+        # that happens to rewrite the same relation
+        for name in BaseIndex._fields:
+            with contextlib.suppress(OSError):
+                shutil.rmtree(os.path.join(os_path, name + "__new"))
 
     mut = _SavedIndexMutation(spark_path, os_path, mutating)
     try:
@@ -1770,21 +1876,27 @@ def _saved_index_mutation(path: str):
                     f"or a pre-protocol crash); rebuild it "
                     f"(build_base_index + save_base_index over the corpus)"
                 )
-            # stale __new from an older crash: ours to overwrite
+            # stale __new from an older crash: overwritten or swept
         yield mut
-        os.remove(mutating)
+        if mut.mutated:
+            os.remove(mutating)
+        _sweep_new_generations()
         os.remove(inprog)
     except BaseException:
-        if not mut.mutated:
-            # nothing was mutated: clean our own output and release
-            # the lock so the caller can simply retry (a failure here
-            # is secondary to the real exception — never mask it)
-            for name in mut.swaps:
+        if not mut.mutated or mut.consistent:
+            # the index was never touched (pre-window failure), or the
+            # swap completed and only post-swap bookkeeping failed —
+            # either way the on-disk index is consistent: clean up and
+            # release so the caller can retry / keep reading, keeping
+            # the real exception loud (cleanup failures never mask it)
+            _sweep_new_generations()
+            if mut.consistent:
                 with contextlib.suppress(OSError):
-                    shutil.rmtree(os.path.join(os_path, name + "__new"))
+                    os.remove(mutating)
             with contextlib.suppress(OSError):
                 os.remove(inprog)
-        # if mutated: strand both markers — that IS the loud signal
+        # a crash INSIDE the window (mutated, not yet consistent)
+        # strands both markers — that IS the loud signal
         raise
 
 
@@ -1832,11 +1944,13 @@ def merge_into_saved_index(
     the mutation window, AFTER the swap — the exactly-once admission
     handshake for at-least-once callers (the streaming admit loop,
     streaming/ingest.py): a replayed delivery whose token exists was
-    fully admitted and must be skipped; a crash between swap and
+    fully admitted and must be skipped; a CRASH between swap and
     token strands _MERGE_MUTATING, so that gap is loud, never
-    silently re-admitted. Exclusive create — a pre-existing token
-    raises (inside the window: pessimistic, but a duplicate token is
-    a caller protocol violation, not a retryable state).
+    silently re-admitted. A non-crash failure there (duplicate
+    token, unwritable log) leaves a consistent index — the swap
+    already applied — so the protocol releases its markers and
+    raises: a replay then either skips (token exists) or fails the
+    admission guard (docs already indexed).
 
     Re-admitting doc_ids already in the index raises (see
     _check_new_doc_ids; check=False skips the guard job for callers

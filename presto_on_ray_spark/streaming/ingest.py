@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from presto_on_ray_spark.operators.dedup import (
     BaseIndex,
+    _admit_receipt,
     _index_paths,
     ingest_batch,
     load_base_index,
@@ -134,8 +135,11 @@ def stream_ingest_admit(
     against the pre-admission state. A crash between swap and token
     strands the merge's _MERGE_MUTATING marker, which fails the next
     batch loudly instead of guessing. Batches with nothing to admit
-    write the token directly (their replay is a pure re-read:
-    classify-then-sink repeats, which is ordinary at-least-once).
+    write the token directly, so their replays are skipped exactly
+    like admitting ones: the sink sees each COMMITTED batch once —
+    re-delivery only happens for the crash window between sink and
+    token, where classify-then-sink repeats (ordinary
+    at-least-once).
 
     Couplings the caller owns: token names are ``batch-<batch_id>``,
     and batch ids restart at 0 with a fresh checkpoint — reusing an
@@ -193,9 +197,8 @@ def stream_ingest_admit(
             else:
                 # nothing to admit: no index mutation to make the
                 # token atomic with — record the receipt directly
-                os.makedirs(tokens, exist_ok=True)
-                with open(token, "x", encoding="utf-8") as fh:
-                    fh.write("admission committed (empty admit set)\n")
+                # (same exclusive-create helper the merge uses)
+                _admit_receipt(token)
         finally:
             for df in batch_persists:
                 with contextlib.suppress(Exception):
