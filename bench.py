@@ -91,6 +91,9 @@ HEADLINE = [
     # verdict + cut), completing the family in the headline set
     "dedup_substring_keep",
     "dedup_substring_cut",
+    # round-11: the self-growing admit loop (classify b1, admit its
+    # new docs, classify b2 against the grown base)
+    "dedup_ingest_chain",
 ]
 
 
