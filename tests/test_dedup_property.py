@@ -214,3 +214,71 @@ def test_merge_classify_matches_python_reference(spark, base, admitted, batch):
     release_cached()  # drop the classify call's tracked persists
     for d, expect in enumerate(ref):
         assert got[d] == expect, (d, batch, admitted, base)
+
+
+@settings(
+    max_examples=4,  # each example pays save + merge + compact + classify
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(_doc, min_size=1, max_size=3),
+    admitted=st.lists(_doc, min_size=1, max_size=3),
+    batch=st.lists(_doc, min_size=1, max_size=3),
+)
+def test_saved_lifecycle_matches_python_reference(spark, base, admitted, batch):
+    """The full saved-index maintenance lifecycle under random
+    corpora: save(build(base)) -> STALE merge_into_saved_index of the
+    admitted docs -> compact_saved_index -> classify the batch from
+    the loaded index. Must equal the brute-force Python reference
+    over base + admitted — pinning that compaction restores exact
+    near-tier semantics after the stale policy's rank drift, with
+    code the pipeline shares nothing with."""
+    import shutil
+    import tempfile
+
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        compact_saved_index,
+        ingest_batch,
+        load_base_index,
+        merge_into_saved_index,
+        save_base_index,
+    )
+
+    ref = _py_ingest_reference(batch, base + admitted)
+    p = tempfile.mkdtemp(prefix="bidx_prop_")
+    try:
+        idx = build_base_index(
+            spark.createDataFrame(
+                [(i + 1000, t) for i, t in enumerate(base)],
+                "doc_id int, text string",
+            ),
+            tracked=False,
+        )
+        save_base_index(idx, p)
+        idx.release()
+        merge_into_saved_index(
+            spark,
+            p,
+            spark.createDataFrame(
+                [(i + 2000, t) for i, t in enumerate(admitted)],
+                "doc_id int, text string",
+            ),
+            rerank=False,
+        )
+        compact_saved_index(spark, p)
+        got = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(
+                spark.createDataFrame(
+                    list(enumerate(batch)), "doc_id int, text string"
+                ),
+                load_base_index(spark, p),
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(p, ignore_errors=True)
+    release_cached()  # drop the classify call's tracked persists
+    for d, expect in enumerate(ref):
+        assert got[d] == expect, (d, batch, admitted, base)

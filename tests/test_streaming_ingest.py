@@ -375,3 +375,83 @@ def test_stream_ingest_admit_replay_is_exactly_once(spark, tmp_path):
     )
     assert second == {}  # tokens skipped every re-delivered batch
     assert tree_state(p) == before  # the index was not touched at all
+
+
+def test_stream_ingest_admit_with_mid_stream_compaction(spark, tmp_path):
+    """The production maintenance schedule end-to-end: admit a batch
+    via the stream, compact the index between runs (the scheduled
+    stale-drift cure), then resume the SAME checkpoint and admit
+    more — later batches classify against the compacted base and the
+    admission log still prevents re-admission across the compaction."""
+    import os
+
+    from presto_on_ray_spark.operators.dedup import (
+        BaseIndex,
+        build_base_index,
+        compact_saved_index,
+        load_base_index,
+        save_base_index,
+    )
+    from presto_on_ray_spark.streaming.ingest import stream_ingest_admit
+
+    ten = "a b c d e f g h i j"
+    base = spark.createDataFrame([(1, ten)], "doc_id int, text string")
+    src = tmp_path / "arrivals"
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(10, "q w e r t y u i o p")], "doc_id int, text string"
+    ).write.parquet(str(src / "f1"))
+
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+    idx.release()
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id int, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    got: dict[int, tuple] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[r["doc_id"]] = (r["status"], r["n_base_matches"])
+
+    stream_ingest_admit(make_stream(), p, sink, checkpoint_dir=ckpt)
+    assert got == {10: ("new", 0)}
+
+    compact_saved_index(spark, p)  # scheduled maintenance between runs
+
+    # f2 arrives: a near-dup of the ADMITTED doc 10 and a new doc
+    spark.createDataFrame(
+        [(20, "q w e r t y u i o z"), (30, "wholly different words land")],
+        "doc_id int, text string",
+    ).write.parquet(str(src / "f2"))
+    stream_ingest_admit(make_stream(), p, sink, checkpoint_dir=ckpt)
+    assert got[20] == ("near", 1)  # admitted-then-compacted base found it
+    assert got[30] == ("new", 0)
+
+    # final index equals a rebuild over base + everything admitted
+    rebuilt = build_base_index(
+        spark.createDataFrame(
+            [(1, ten), (10, "q w e r t y u i o p"),
+             (30, "wholly different words land")],
+            "doc_id int, text string",
+        ),
+        tracked=False,
+    )
+    saved = load_base_index(spark, p)
+    try:
+        for name in BaseIndex._fields:
+            got_rel = sorted(map(tuple, getattr(saved, name).collect()))
+            want_rel = sorted(map(tuple, getattr(rebuilt, name).collect()))
+            assert got_rel == want_rel, f"saved.{name} != rebuilt.{name}"
+    finally:
+        rebuilt.release()
+    # both admissions receipted; the compaction did not disturb the log
+    assert os.path.exists(os.path.join(p, "_ADMITTED", "batch-0"))
+    assert os.path.exists(os.path.join(p, "_ADMITTED", "batch-1"))
