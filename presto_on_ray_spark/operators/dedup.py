@@ -1140,10 +1140,20 @@ def substring_cut(docs, w: int = _SUBSTR_W):
     word array against the bounded span array); words are never
     exploded into rows."""
     d = tracked_persist(docs.filter(F.col("text").isNotNull()))
-    spans_per_doc = (
-        _dup_runs(_dup_positions(d, w))
-        .groupBy("doc_id")
-        .agg(F.collect_list(F.struct(F.col("a"), F.col("b"))).alias("sps"))
+    return _cut_spans(d, _dup_runs(_dup_positions(d, w)), w)
+
+
+def _cut_spans(d, runs, w: int):
+    """The span-cut tail shared by substring_cut and the
+    decontamination cut: given non-null (doc_id, text) docs and a
+    maximal-run relation (doc_id, a, b) in window coordinates, emit
+    every doc with words covered by any run [a, b + w - 1] removed.
+    The per-doc span list is the only grouped buffer (two longs per
+    maximal span, ≤ one span per two window positions — strictly
+    smaller than the word array split() materializes per row); the
+    cut is per-row exists() in codegen, never an explode per word."""
+    spans_per_doc = runs.groupBy("doc_id").agg(
+        F.collect_list(F.struct(F.col("a"), F.col("b"))).alias("sps")
     )
     kept = F.filter(
         F.split("text", " "),

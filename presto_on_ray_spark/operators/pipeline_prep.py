@@ -304,6 +304,122 @@ def decontaminate_train_eval(spark, sf_dir):
     )
 
 
+def _win_at_sql(n: int) -> str:
+    """DuckDB n-word window STARTING at the outer column ``i`` (the
+    positional form of _gram_sql — no lambda, so no variable-capture
+    hazard against the column it reads)."""
+    return " || ' ' || ".join(f"STRING_SPLIT(text,' ')[i+{j}]" for j in range(n))
+
+
+@query(
+    "decontaminate_cut_spans",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, {_bucket_sql('doc_id')} AS bucket FROM documents
+      WHERE text IS NOT NULL
+    ),
+    train AS (SELECT doc_id, text FROM b WHERE bucket < 80),
+    egr AS (
+      SELECT DISTINCT UNNEST({_gram_sql(_DECON_N)}) AS win
+      FROM b WHERE bucket >= 90
+    ),
+    tpos AS (
+      SELECT doc_id, i, {_win_at_sql(_DECON_N)} AS win
+      FROM (SELECT doc_id, text,
+                   UNNEST(RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' '))
+                                            - {_DECON_N - 1}, 0) + 1)) AS i
+            FROM train)
+    ),
+    dup AS (SELECT t.doc_id, t.i FROM tpos t JOIN egr e ON t.win = e.win),
+    runs AS (
+      SELECT doc_id, MIN(i) AS a, MAX(i) AS b
+      FROM (SELECT doc_id, i,
+                   i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+            FROM dup)
+      GROUP BY doc_id, g
+    ),
+    words AS (
+      SELECT doc_id, i, (STRING_SPLIT(text,' '))[i] AS wd
+      FROM (SELECT doc_id, text,
+                   UNNEST(RANGE(1, LEN(STRING_SPLIT(text,' ')) + 1)) AS i
+            FROM train)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, UNNEST(RANGE(a, b + {_DECON_N})) AS i FROM runs
+    ),
+    keptagg AS (
+      SELECT wo.doc_id, STRING_AGG(wo.wd, ' ' ORDER BY wo.i) AS clean_text
+      FROM words wo LEFT JOIN covered c
+        ON c.doc_id = wo.doc_id AND c.i = wo.i
+      WHERE c.i IS NULL
+      GROUP BY wo.doc_id
+    )
+    SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text
+    FROM train d LEFT JOIN keptagg k ON k.doc_id = d.doc_id
+    """,
+)
+def decontaminate_cut_spans(spark, sf_dir):
+    """Span-level benchmark decontamination (the action to
+    decontaminate_train_eval's verdict): every TRAIN document with the
+    word spans covered by any eval-set {n}-gram CUT OUT — the
+    production policy that salvages a contaminated document's clean
+    remainder instead of dropping it (the Lee et al. ExactSubstr cut,
+    pointed at a reference corpus instead of the corpus itself).
+
+    Composition of audited pieces: positional {n}-word windows on the
+    train side (hashed to 8-byte keys, the dedup substring-family
+    contract), a left-semi join against the eval set's DISTINCT gram
+    hashes — benchmark suites are tiny next to a 100 TB corpus, so
+    that side is broadcast: the corpus never shuffles — then
+    gaps-and-islands to maximal spans (_dup_runs) and the shared
+    bounded-span cut (_cut_spans: per-row exists() in codegen, words
+    never exploded into rows; the only grouped buffer is two longs
+    per maximal span). Train docs with no contaminated window pass
+    through verbatim."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bucket = F.floor(_bucket_col(F.col("doc_id"))).cast("long")
+    base = d.select("doc_id", "text", bucket.alias("bucket"))
+    return decontaminate_cut(
+        base.filter(F.col("bucket") < 80).select("doc_id", "text"),
+        base.filter(F.col("bucket") >= 90).select("doc_id", "text"),
+        _DECON_N,
+    )
+
+
+def decontaminate_cut(train, eval_docs, n: int = _DECON_N, keep=None):
+    """Span-level decontamination over arbitrary (doc_id, text)
+    DataFrames (the query body of decontaminate_cut_spans): cut from
+    every train doc the word spans covered by any n-gram that occurs
+    anywhere in eval_docs. keep= overrides the persist lifecycle
+    (defaults to the session cache registry)."""
+    from presto_on_ray_spark.caching import tracked_persist
+    from presto_on_ray_spark.operators.dedup import (
+        _cut_spans,
+        _dup_runs,
+        _rolling_windows,
+    )
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    keep = keep or tracked_persist
+    train = keep(train.filter(F.col("text").isNotNull()))
+    eval_grams = F.broadcast(
+        eval_docs.filter(F.col("text").isNotNull())
+        .select(F.explode(_rolling_windows(F.col("text"), n)).alias("win"))
+        .select(_portable_h60(F.col("win")).alias("h"))
+        .distinct()
+    )
+    tpos = train.select(
+        "doc_id",
+        F.posexplode(_rolling_windows(F.col("text"), n)).alias("p", "win"),
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("long").alias("i"),
+        _portable_h60(F.col("win")).alias("h"),
+    )
+    dup = tpos.join(eval_grams, "h", "left_semi").select("doc_id", "i")
+    return _cut_spans(train, _dup_runs(dup), n)
+
+
 @query(
     "text_repetition",
     oracle=f"""

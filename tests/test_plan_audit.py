@@ -63,6 +63,9 @@ COLLECT_LIST_ALLOWED = {
     # than the doc's own word array that split() materializes per row
     # in the same operator. Bounded by construction, per document.
     "dedup_substring_cut",
+    # same shared _cut_spans tail (two longs per maximal contaminated
+    # span, <= one span per two window positions, per document)
+    "decontaminate_cut_spans",
 }
 
 # Cartesian/broadcast-nested-loop is legitimate only for deliberately
