@@ -237,12 +237,20 @@ def pii_redact(spark, sf_dir):
 _DECON_N = 8  # contamination n-gram width (rare enough to be meaningful)
 
 
+def _win_terms_sql(n: int) -> str:
+    """The n-word window expression starting at ``i`` — shared by the
+    lambda form (_gram_sql, where ``i`` is the lambda variable) and
+    the positional form (decontaminate_cut_spans' oracle, where ``i``
+    is an outer column), so the two oracle window shapes cannot
+    desynchronize."""
+    return " || ' ' || ".join(f"STRING_SPLIT(text,' ')[i+{j}]" for j in range(n))
+
+
 def _gram_sql(n: int) -> str:
     """DuckDB n-gram list over STRING_SPLIT(text,' ') (same construction
     as the dedup oracles)."""
-    terms = " || ' ' || ".join(f"STRING_SPLIT(text,' ')[i+{j}]" for j in range(n))
     return (
-        f"LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - {n - 1}, 0) + 1), i -> {terms}))"
+        f"LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - {n - 1}, 0) + 1), i -> {_win_terms_sql(n)}))"
     )
 
 
@@ -308,7 +316,7 @@ def _win_at_sql(n: int) -> str:
     """DuckDB n-word window STARTING at the outer column ``i`` (the
     positional form of _gram_sql — no lambda, so no variable-capture
     hazard against the column it reads)."""
-    return " || ' ' || ".join(f"STRING_SPLIT(text,' ')[i+{j}]" for j in range(n))
+    return _win_terms_sql(n)
 
 
 @query(

@@ -279,6 +279,7 @@ def test_saved_lifecycle_matches_python_reference(spark, base, admitted, batch):
         }
     finally:
         shutil.rmtree(p, ignore_errors=True)
-    release_cached()  # drop the classify call's tracked persists
+        release_cached()  # drop this example's tracked persists even
+        # when the lifecycle raised mid-example
     for d, expect in enumerate(ref):
         assert got[d] == expect, (d, batch, admitted, base)
