@@ -1,4 +1,5 @@
 from presto_on_ray_spark.streaming.ingest import (
+    prune_admit_log,
     stream_ingest_admit,
     stream_ingest_dedup,
 )
@@ -14,4 +15,5 @@ __all__ = [
     "sessionize_events",
     "stream_ingest_dedup",
     "stream_ingest_admit",
+    "prune_admit_log",
 ]

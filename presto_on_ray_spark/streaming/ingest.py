@@ -206,3 +206,32 @@ def stream_ingest_admit(
 
     return _start(docs_stream, _classify_admit, checkpoint_dir, available_now,
                   await_termination)
+
+
+def prune_admit_log(admit_log: str, keep_from_batch_id: int) -> int:
+    """Remove admission receipts below ``keep_from_batch_id`` so the
+    token log stays bounded on a long-running stream (one file per
+    micro-batch otherwise accumulates forever). Returns the number
+    removed; files that are not ``batch-<n>`` receipts are left
+    alone.
+
+    Safety contract: pruning batch N's token is safe once the
+    stream's CHECKPOINT has durably committed batch N — Structured
+    Streaming never re-delivers batches below the committed offset
+    for the same checkpoint lineage, so the token can no longer be
+    consulted. Pruning below a checkpoint you intend to RESET
+    re-opens exactly the re-admission window the tokens close (the
+    merge's admission guard still fails loudly rather than
+    double-counting, but committed batches would re-sink)."""
+    import os
+    import re
+
+    if not os.path.isdir(admit_log):
+        return 0
+    removed = 0
+    for f in os.listdir(admit_log):
+        m = re.fullmatch(r"batch-(\d+)", f)
+        if m and int(m.group(1)) < keep_from_batch_id:
+            os.remove(os.path.join(admit_log, f))
+            removed += 1
+    return removed

@@ -455,3 +455,25 @@ def test_stream_ingest_admit_with_mid_stream_compaction(spark, tmp_path):
     # both admissions receipted; the compaction did not disturb the log
     assert os.path.exists(os.path.join(p, "_ADMITTED", "batch-0"))
     assert os.path.exists(os.path.join(p, "_ADMITTED", "batch-1"))
+
+
+def test_prune_admit_log(tmp_path):
+    """Receipts below the durably-committed batch id are removed;
+    newer receipts and non-receipt files are untouched; a missing log
+    directory is a no-op."""
+    import os
+
+    from presto_on_ray_spark.streaming.ingest import prune_admit_log
+
+    log = str(tmp_path / "_ADMITTED")
+    os.makedirs(log)
+    for i in (0, 1, 2, 7, 10):
+        open(os.path.join(log, f"batch-{i}"), "w").close()
+    open(os.path.join(log, "README"), "w").close()
+    open(os.path.join(log, "batch-x"), "w").close()
+
+    assert prune_admit_log(log, 7) == 3  # 0, 1, 2
+    left = sorted(os.listdir(log))
+    assert left == ["README", "batch-10", "batch-7", "batch-x"]
+    assert prune_admit_log(log, 7) == 0  # idempotent
+    assert prune_admit_log(str(tmp_path / "absent"), 99) == 0
