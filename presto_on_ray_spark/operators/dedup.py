@@ -2125,53 +2125,44 @@ def _index_paths(path: str) -> tuple:
     return "file:" + p, p
 
 
-def ingest_batch(batch, index: BaseIndex, keep=tracked_persist):
-    """Phase 2: classify one batch against a prebuilt BaseIndex —
-    only batch-sized relations are computed here; every base-side
-    input is read from the index. ``keep`` receives the batch-scoped
-    persist (the multi-consumed shingle relation): the default
-    registers it with the session cache registry; a caller managing
-    its own lifecycle (e.g. the streaming ingest loop, which must
-    release per micro-batch without touching the global registry from
-    its worker thread) passes a local collector."""
-    tn, td = _INGEST_T_NUM, _INGEST_T_DEN
+def _ingest_exact_tier(batch, index: BaseIndex):
+    """The digest tier shared by every ingest classifier: (ex,
+    batch_rest) where ex = (doc_id, me) exact-match counts and
+    batch_rest = the docs that continue to the near tier."""
     ex = (
         batch.select("doc_id", F.md5("text").alias("dig"))
         .join(index.digests, "dig")
         .select("doc_id", "me")
     )
-    batch_rest = batch.join(ex, "doc_id", "left_anti")
-    shb = keep(
-        batch_rest.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
-    )
-    sho = index.shingles
-    pb, po = _ranked_prefix(shb, index.df, tn, td).alias("pb"), index.prefix.alias("po")
-    cand = (
-        pb.join(
-            po,
-            (F.col("pb.sh") == F.col("po.sh"))
-            & (F.col("po.n") * tn <= F.col("pb.n") * td)
-            & (F.col("pb.n") * tn <= F.col("po.n") * td),
-        )
-        .select(
-            F.col("pb.doc_id").alias("db"), F.col("po.doc_id").alias("do")
-        )
-        .distinct()
-    )
+    return ex, batch.join(ex, "doc_id", "left_anti")
+
+
+def _ingest_near_verify(cand, shb, index: BaseIndex):
+    """Exact co-occurrence verification shared by every ingest near
+    tier: given candidate pairs (db, do), count shared shingles and
+    keep pairs with Jaccard >= tn/td via the integer form
+    (td + tn)·c >= tn·(n_b + n_o) — no float boundary. Returns
+    (doc_id, mn) verified-match counts per batch doc. Precision is
+    exact regardless of how candidates were generated."""
+    tn, td = _INGEST_T_NUM, _INGEST_T_DEN
     nb = shb.groupBy("doc_id").agg(F.count("*").alias("n_b"))
-    no = index.counts
-    near = (
+    return (
         cand.join(shb.select(F.col("doc_id").alias("db"), "sh"), "db")
-        .join(sho.select(F.col("doc_id").alias("do"), "sh"), ["do", "sh"])
+        .join(index.shingles.select(F.col("doc_id").alias("do"), "sh"), ["do", "sh"])
         .groupBy("db", "do")
         .agg(F.count("*").alias("c"))
         .join(nb.withColumnRenamed("doc_id", "db"), "db")
-        .join(no.withColumnRenamed("doc_id", "do"), "do")
+        .join(index.counts.withColumnRenamed("doc_id", "do"), "do")
         .filter((td + tn) * F.col("c") >= tn * (F.col("n_b") + F.col("n_o")))
         .groupBy("db")
         .agg(F.count("*").alias("mn"))
         .withColumnRenamed("db", "doc_id")
     )
+
+
+def _ingest_verdicts(batch, ex, near):
+    """The shared classification select: exact beats near beats new,
+    n_base_matches = the winning tier's match count."""
     return (
         batch.select("doc_id")
         .join(ex, "doc_id", "left")
@@ -2186,6 +2177,139 @@ def ingest_batch(batch, index: BaseIndex, keep=tracked_persist):
         )
         .orderBy("doc_id")
     )
+
+
+def ingest_batch(batch, index: BaseIndex, keep=tracked_persist):
+    """Phase 2: classify one batch against a prebuilt BaseIndex —
+    only batch-sized relations are computed here; every base-side
+    input is read from the index. ``keep`` receives the batch-scoped
+    persist (the multi-consumed shingle relation): the default
+    registers it with the session cache registry; a caller managing
+    its own lifecycle (e.g. the streaming ingest loop, which must
+    release per micro-batch without touching the global registry from
+    its worker thread) passes a local collector.
+
+    Near-tier candidates come from the asymmetric AllPairs prefix
+    filter (exact recall). On corpora whose shingle space has
+    SATURATED (fixed vocabulary, avg df growing with corpus size) the
+    prefix join's candidate count grows like df² — use
+    ingest_batch_lsh / ingest_batch_adaptive there."""
+    tn, td = _INGEST_T_NUM, _INGEST_T_DEN
+    ex, batch_rest = _ingest_exact_tier(batch, index)
+    shb = keep(
+        batch_rest.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    )
+    pb, po = _ranked_prefix(shb, index.df, tn, td).alias("pb"), index.prefix.alias("po")
+    cand = (
+        pb.join(
+            po,
+            (F.col("pb.sh") == F.col("po.sh"))
+            & (F.col("po.n") * tn <= F.col("pb.n") * td)
+            & (F.col("pb.n") * tn <= F.col("po.n") * td),
+        )
+        .select(
+            F.col("pb.doc_id").alias("db"), F.col("po.doc_id").alias("do")
+        )
+        .distinct()
+    )
+    return _ingest_verdicts(batch, ex, _ingest_near_verify(cand, shb, index))
+
+
+def lsh_bands(sh):
+    """Banded MinHash over an exploded (doc_id, sh) shingle relation:
+    (doc_id, band, bucket), one row per band. The signature is the
+    grouped form of minhash_signature (per-lane MIN of the same
+    permutations over the same xxhash64 shingle space — lane-for-lane
+    equality with the array fold is pinned in tests/test_dedup.py),
+    which is the right shape when the shingles already live as an
+    exploded relation (the BaseIndex): ONE groupBy with k map-combined
+    min aggregates, no array materialization. Docs with no shingle
+    rows (< n words) produce no bands — they can never be near-tier
+    candidates, exactly like the prefix tier."""
+    p = F.lit(_MERSENNE_P)
+    lanes = [
+        F.min(
+            F.pmod(
+                F.pmod(F.col("sh"), p) * F.lit(_perm_params(i)[0])
+                + F.lit(_perm_params(i)[1]),
+                p,
+            )
+        ).alias(f"l{i}")
+        for i in range(_NUM_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*lanes)
+    r = _NUM_HASHES // _LSH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"l{b * r + j}").cast("string")
+                            for j in range(r)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(_LSH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+
+
+def ingest_batch_lsh(batch, index: BaseIndex, bands=None, keep=tracked_persist):
+    """ingest_batch with MinHash-LSH candidate generation — the tier
+    for SATURATED shingle spaces, where the AllPairs prefix join's
+    candidate count grows like df² (measured at the .scale/sf1 rung,
+    saturation 70.6: classifying 5k docs against a 40k-doc base takes
+    44.4 s via the prefix tier vs 5.1 s here, with the base bands a
+    2.0 s one-time build; this tier's candidates are bounded by band-
+    bucket sizes instead). Exact tier and the exact co-occurrence
+    verification are IDENTICAL to ingest_batch — precision is exact;
+    only candidate recall is S-curve-bounded (8×4 banding: ~67% per
+    pair at J exactly 0.6, →1 rapidly above; measured 1.0 on every
+    fixture SF, pinned in tests/test_dedup.py).
+
+    ``bands``: the base side's (doc_id, band, bucket) relation from
+    lsh_bands(index.shingles) — pass a persisted/materialized one for
+    repeated ingests (the two-phase pattern: built once, batch pays
+    batch-sized work); defaults to deriving it from the index's
+    shingle relation in-plan."""
+    ex, batch_rest = _ingest_exact_tier(batch, index)
+    shb = keep(
+        batch_rest.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    )
+    base_bands = bands if bands is not None else lsh_bands(index.shingles)
+    cand = (
+        lsh_bands(shb)
+        .withColumnRenamed("doc_id", "db")
+        .join(
+            base_bands.withColumnRenamed("doc_id", "do"),
+            ["band", "bucket"],
+        )
+        .select("db", "do")
+        .distinct()
+    )
+    return _ingest_verdicts(batch, ex, _ingest_near_verify(cand, shb, index))
+
+
+def ingest_batch_adaptive(batch, index: BaseIndex, bands=None, keep=tracked_persist):
+    """Ingest-time tier dispatch — the ingest form of
+    dedup_neardup_adaptive's round-7 tiering rule: ONE bounded
+    aggregate over the index's shingle relation (rows /
+    approx_count_distinct = average shingle df) picks the candidate
+    tier. Below the saturation threshold (growing vocabulary), the
+    exact AllPairs prefix filter — full recall, no precondition; at
+    or above it (templated/fixed vocabulary, where the prefix join
+    goes df²), banded MinHash-LSH. Both tiers share the digest exact
+    tier and the exact verification, so precision is always exact."""
+    if shingle_saturation(index.shingles) < _SATURATION_AVG_DF:
+        return ingest_batch(batch, index, keep=keep)
+    return ingest_batch_lsh(batch, index, bands=bands, keep=keep)
 
 
 def incremental_ingest_status(batch, base):
@@ -2283,3 +2407,24 @@ def dedup_ingest_chain(spark, sf_dir):
         )
         .orderBy("batch_no", "doc_id")
     )
+
+
+@query("dedup_ingest_adaptive", oracle=_incremental_ingest_oracle())
+def dedup_ingest_adaptive(spark, sf_dir):
+    """Adaptive-tier ingest classification — dedup_incremental_ingest
+    with ingest_batch_adaptive picking the near-tier candidate
+    generator from the index's measured shingle saturation (the
+    ingest twin of dedup_neardup_adaptive). Oracle: the exact-tier
+    SQL — valid because precision is exact on BOTH tiers (shared
+    digest tier + shared exact co-occurrence verification), and on
+    every fixture SF candidate recall is measured at 1.0 with the
+    dispatch itself choosing the full-recall prefix tier (saturation
+    1.5-8.8, threshold 24); tier-equality across all fixture SFs is
+    pinned in tests/test_dedup.py. On the saturated synthetic rung
+    (.scale/sf1, saturation 70.6) the dispatch flips to LSH: 5.1 s
+    vs the prefix tier's 44.4 s for 5k docs against a 40k-doc base,
+    with the S-curve recall tail (3/5000 borderline J~=0.6 verdicts)
+    documented in SCALING.md."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    idx = build_base_index(d.filter(F.col("doc_id") % 10 != 0))
+    return ingest_batch_adaptive(d.filter(F.col("doc_id") % 10 == 0), idx)

@@ -1084,3 +1084,153 @@ def test_merge_commit_token_exactly_once(spark, tmp_path):
     assert os.path.exists(token)
     assert os.path.exists(os.path.join(p, "_ADMITTED", "batch-1"))
     load_base_index(spark, p)
+
+
+def test_ingest_lsh_tier_equals_prefix_tier(spark, sf_dir):
+    """The oracle precondition for dedup_ingest_adaptive (the ingest
+    twin of test_lsh_candidates_cover_all_true_pairs): on the fixture
+    corpus the LSH candidate tier must classify every batch doc
+    exactly as the full-recall AllPairs prefix tier does — precision
+    is shared (same digest tier, same exact verification), so any
+    difference is a banding recall miss. Also pins that the prebuilt
+    base-bands path (the two-phase form) equals the derived-in-plan
+    path, and that the adaptive dispatcher agrees with both."""
+    from presto_on_ray_spark.operators.dedup import (
+        _SATURATION_AVG_DF,
+        build_base_index,
+        ingest_batch,
+        ingest_batch_adaptive,
+        ingest_batch_lsh,
+        lsh_bands,
+        shingle_saturation,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    idx = build_base_index(d.filter(F.col("doc_id") % 10 != 0), tracked=False)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    try:
+        def verdicts(df):
+            return {
+                r["doc_id"]: (r["status"], r["n_base_matches"])
+                for r in df.collect()
+            }
+
+        prefix = verdicts(ingest_batch(batch, idx))
+        assert prefix  # non-degenerate fixture
+        lsh = verdicts(ingest_batch_lsh(batch, idx))
+        assert lsh == prefix
+        bands = lsh_bands(idx.shingles).persist()
+        try:
+            assert verdicts(ingest_batch_lsh(batch, idx, bands=bands)) == prefix
+        finally:
+            bands.unpersist()
+        assert verdicts(ingest_batch_adaptive(batch, idx)) == prefix
+        # fixture shingle spaces are unsaturated — the dispatcher
+        # chooses the full-recall prefix tier here (measured 1.5-8.8
+        # vs threshold 24); the LSH branch dispatch is pinned on a
+        # saturated synthetic base below.
+        assert shingle_saturation(idx.shingles) < _SATURATION_AVG_DF
+    finally:
+        idx.release()
+
+
+def test_lsh_bands_equals_signature_banding(spark):
+    """lsh_bands (the grouped form over an exploded shingle relation,
+    used by the ingest LSH tier over BaseIndex.shingles) must produce
+    row-for-row the same (doc_id, band, bucket) relation as the
+    array-fold construction dedup_minhash_lsh builds from
+    minhash_signature — one banding, two equivalent plans."""
+    from presto_on_ray_spark.operators.dedup import (
+        _LSH_BANDS,
+        _NUM_HASHES,
+        lsh_bands,
+        minhash_signature,
+        shingles,
+    )
+
+    d = t(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    grouped = {(r.doc_id, r.band, r.bucket) for r in lsh_bands(sh).collect()}
+
+    r_per = _NUM_HASHES // _LSH_BANDS
+    sig = d.select("doc_id", minhash_signature(shingles(F.col("text"))).alias("sig"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("sig"), b * r_per + j + 1).cast("string")
+                            for j in range(r_per)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(_LSH_BANDS)
+        ]
+    )
+    arrayed = {
+        (r.doc_id, r.band, r.bucket)
+        for r in sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bucket")
+        .collect()
+    }
+    # lsh_bands' grouped form emits no rows for shingle-less docs
+    # (< n words); restrict the array form to the same doc set.
+    with_sh = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
+    arrayed = {t3 for t3 in arrayed if t3[0] in with_sh}
+    assert grouped == arrayed
+
+
+def test_ingest_adaptive_dispatches_lsh_on_saturated_base(spark):
+    """On a SATURATED base (fixed tiny vocabulary, avg shingle df >=
+    the round-7 threshold) ingest_batch_adaptive must flip to the LSH
+    candidate tier and still classify identically to the prefix tier
+    — the deterministic banding catches every verified pair on this
+    corpus, and precision is exact by construction on both tiers."""
+    from presto_on_ray_spark.operators.dedup import (
+        _SATURATION_AVG_DF,
+        build_base_index,
+        ingest_batch,
+        ingest_batch_adaptive,
+        shingle_saturation,
+    )
+
+    vocab = ["w%d" % i for i in range(6)]
+    # 120 base docs over a 6-word vocabulary: the trigram space has
+    # ~6^3 possible shingles but docs reuse a handful, so avg df
+    # blows far past the threshold — the df² regime in miniature.
+    base_rows = [
+        (i, " ".join(vocab[(i + j) % 6] for j in range(10)))
+        for i in range(120)
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [
+            (1000, base_rows[0][1]),                      # exact dup
+            (1001, base_rows[1][1] + " w0"),              # near dup
+            (1002, "totally fresh words nothing shared xx yy zz qq rr"),
+        ],
+        "doc_id int, text string",
+    )
+    idx = build_base_index(base, tracked=False)
+    try:
+        assert shingle_saturation(idx.shingles) >= _SATURATION_AVG_DF
+        adaptive = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch_adaptive(batch, idx).collect()
+        }
+        prefix = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(batch, idx).collect()
+        }
+        assert adaptive == prefix
+        assert adaptive[1000][0] == "exact"
+        assert adaptive[1001][0] == "near"
+        assert adaptive[1002] == ("new", 0)
+    finally:
+        idx.release()
