@@ -116,6 +116,31 @@ def minhash_signature(shingle_col):
     )
 
 
+def _band_structs(lane):
+    """THE banding layout — the one definition shared by every LSH
+    construction (dedup_minhash_lsh's array-signature form, lsh_bands'
+    grouped form, and the cross-construction equality test): an array
+    of _LSH_BANDS structs where band b's bucket is xxhash64 over the
+    comma-joined decimal strings of signature lanes [b*r, (b+1)*r).
+    ``lane``: i -> Column producing signature lane i (element_at for
+    the array form, the grouped min alias for the relation form)."""
+    r = _NUM_HASHES // _LSH_BANDS
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[lane(b * r + j).cast("string") for j in range(r)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(_LSH_BANDS)
+        ]
+    )
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -326,26 +351,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     sig = tracked_persist(
         d.select("doc_id", minhash_signature(shingles(F.col("text"))).alias("sig"))
     )
-    rows_per_band = _NUM_HASHES // _LSH_BANDS
     # Band structs built with literal indices (python loop, no nested
-    # lambdas): band b hashes signature rows [b*r, (b+1)*r).
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(_LSH_BANDS)
-        ]
-    )
+    # lambdas) via the shared _band_structs layout.
+    band_structs = _band_structs(lambda i: F.element_at(F.col("sig"), i + 1))
     banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
@@ -2227,35 +2235,23 @@ def lsh_bands(sh):
     rows (< n words) produce no bands — they can never be near-tier
     candidates, exactly like the prefix tier."""
     p = F.lit(_MERSENNE_P)
+    # fold the 64-bit hash into [0, p) ONCE per shingle row before the
+    # groupBy (same reduction minhash_signature makes outside its
+    # k-lane zip) — Catalyst does not dedupe subexpressions across
+    # separate aggregate functions, so embedding the inner pmod in all
+    # k lanes would pay 2k pmods per row instead of k+1.
+    reduced = sh.select("doc_id", F.pmod(F.col("sh"), p).alias("shp"))
     lanes = [
         F.min(
             F.pmod(
-                F.pmod(F.col("sh"), p) * F.lit(_perm_params(i)[0])
-                + F.lit(_perm_params(i)[1]),
+                F.col("shp") * F.lit(_perm_params(i)[0]) + F.lit(_perm_params(i)[1]),
                 p,
             )
         ).alias(f"l{i}")
         for i in range(_NUM_HASHES)
     ]
-    sig = sh.groupBy("doc_id").agg(*lanes)
-    r = _NUM_HASHES // _LSH_BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"l{b * r + j}").cast("string")
-                            for j in range(r)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(_LSH_BANDS)
-        ]
-    )
+    sig = reduced.groupBy("doc_id").agg(*lanes)
+    band_structs = _band_structs(lambda i: F.col(f"l{i}"))
     return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
@@ -2278,7 +2274,11 @@ def ingest_batch_lsh(batch, index: BaseIndex, bands=None, keep=tracked_persist):
     lsh_bands(index.shingles) — pass a persisted/materialized one for
     repeated ingests (the two-phase pattern: built once, batch pays
     batch-sized work); defaults to deriving it from the index's
-    shingle relation in-plan."""
+    shingle relation in-plan. A prebuilt bands relation MUST be kept
+    in lockstep with the index across admissions: after every
+    merge_into_base_index, append the admitted docs' rows with
+    merge_lsh_bands (append-only — cheap), or recall is silently lost
+    for exactly those docs."""
     ex, batch_rest = _ingest_exact_tier(batch, index)
     shb = keep(
         batch_rest.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
@@ -2297,7 +2297,9 @@ def ingest_batch_lsh(batch, index: BaseIndex, bands=None, keep=tracked_persist):
     return _ingest_verdicts(batch, ex, _ingest_near_verify(cand, shb, index))
 
 
-def ingest_batch_adaptive(batch, index: BaseIndex, bands=None, keep=tracked_persist):
+def ingest_batch_adaptive(
+    batch, index: BaseIndex, bands=None, keep=tracked_persist, saturation=None
+):
     """Ingest-time tier dispatch — the ingest form of
     dedup_neardup_adaptive's round-7 tiering rule: ONE bounded
     aggregate over the index's shingle relation (rows /
@@ -2306,10 +2308,42 @@ def ingest_batch_adaptive(batch, index: BaseIndex, bands=None, keep=tracked_pers
     exact AllPairs prefix filter — full recall, no precondition; at
     or above it (templated/fixed vocabulary, where the prefix join
     goes df²), banded MinHash-LSH. Both tiers share the digest exact
-    tier and the exact verification, so precision is always exact."""
-    if shingle_saturation(index.shingles) < _SATURATION_AVG_DF:
+    tier and the exact verification, so precision is always exact.
+
+    ``saturation``: the statistic is a property of the INDEX, not the
+    batch — repeated-ingest callers (the two-phase pattern) compute
+    shingle_saturation(index.shingles) once per index generation and
+    pass it here, so per-batch work stays batch-sized; the default
+    (None) computes it in-call, which is right only for one-shot use
+    (it is an index-sized aggregate plus a blocking collect)."""
+    sat = saturation if saturation is not None else shingle_saturation(index.shingles)
+    if sat < _SATURATION_AVG_DF:
         return ingest_batch(batch, index, keep=keep)
     return ingest_batch_lsh(batch, index, bands=bands, keep=keep)
+
+
+def merge_lsh_bands(bands, admitted):
+    """Append-only maintenance for a caller-held base bands relation
+    (the prebuilt ``bands=`` of ingest_batch_lsh): a doc's band rows
+    depend only on its OWN shingles — unlike the prefix ranks, which
+    merge_into_base_index must re-rank because they depend on global
+    df — so keeping bands fresh across admissions is a pure union of
+    the admitted docs' (doc_id, text) band rows; no existing row ever
+    changes. The caller owns the lifecycle (persist the returned
+    relation, unpersist the old one), exactly like the index.
+
+    This call is NOT optional in an admit loop: a bands relation left
+    stale across merge_into_base_index has no rows for admitted docs,
+    so a later near-dup of an admitted doc finds zero LSH candidates
+    and is silently re-admitted as 'new' — the recall loss pinned in
+    tests/test_dedup.py::test_merge_lsh_bands_keeps_admitted_docs."""
+    return bands.unionByName(
+        lsh_bands(
+            admitted.select(
+                "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+            )
+        )
+    )
 
 
 def incremental_ingest_status(batch, base):

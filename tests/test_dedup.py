@@ -1134,45 +1134,26 @@ def test_ingest_lsh_tier_equals_prefix_tier(spark, sf_dir):
         idx.release()
 
 
-def test_lsh_bands_equals_signature_banding(spark):
+def test_lsh_bands_equals_signature_banding(spark, sf_dir):
     """lsh_bands (the grouped form over an exploded shingle relation,
     used by the ingest LSH tier over BaseIndex.shingles) must produce
     row-for-row the same (doc_id, band, bucket) relation as the
-    array-fold construction dedup_minhash_lsh builds from
-    minhash_signature — one banding, two equivalent plans."""
+    array-fold signature path dedup_minhash_lsh uses — one banding
+    layout (_band_structs), two equivalent lane constructions
+    (groupBy-min vs in-array fold)."""
     from presto_on_ray_spark.operators.dedup import (
-        _LSH_BANDS,
-        _NUM_HASHES,
+        _band_structs,
         lsh_bands,
         minhash_signature,
         shingles,
     )
 
-    d = t(spark, "/root/testdata/sf0.001", "documents").filter(
-        F.col("text").isNotNull()
-    )
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
     grouped = {(r.doc_id, r.band, r.bucket) for r in lsh_bands(sh).collect()}
 
-    r_per = _NUM_HASHES // _LSH_BANDS
     sig = d.select("doc_id", minhash_signature(shingles(F.col("text"))).alias("sig"))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(F.col("sig"), b * r_per + j + 1).cast("string")
-                            for j in range(r_per)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(_LSH_BANDS)
-        ]
-    )
+    band_structs = _band_structs(lambda i: F.element_at(F.col("sig"), i + 1))
     arrayed = {
         (r.doc_id, r.band, r.bucket)
         for r in sig.select("doc_id", F.explode(band_structs).alias("bb"))
@@ -1232,5 +1213,88 @@ def test_ingest_adaptive_dispatches_lsh_on_saturated_base(spark):
         assert adaptive[1000][0] == "exact"
         assert adaptive[1001][0] == "near"
         assert adaptive[1002] == ("new", 0)
+        # precomputed-saturation path (the two-phase caller's form):
+        # an explicitly passed statistic must dispatch identically on
+        # both sides of the threshold — tiers agree on this corpus.
+        for forced in (0.0, 1e9):
+            got = {
+                r["doc_id"]: (r["status"], r["n_base_matches"])
+                for r in ingest_batch_adaptive(
+                    batch, idx, saturation=forced
+                ).collect()
+            }
+            assert got == prefix
     finally:
+        idx.release()
+
+
+def test_merge_lsh_bands_keeps_admitted_docs(spark):
+    """The band-maintenance contract for the two-phase LSH ingest
+    pattern: after merge_into_base_index admits new docs, a prebuilt
+    bands relation is STALE (no rows for the admitted docs) and a
+    near-dup of an admitted doc silently classifies 'new' — the
+    recall-loss hazard; merge_lsh_bands' append restores it to
+    exactly the from-scratch relation and the near-dup is found."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch,
+        ingest_batch_lsh,
+        lsh_bands,
+        merge_into_base_index,
+        merge_lsh_bands,
+        shingles,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "p q r s t u v w x y"),
+        ],
+        "doc_id int, text string",
+    )
+    admitted = spark.createDataFrame(
+        [(100, "n0 n1 n2 n3 n4 n5 n6 n7 n8 n9")],
+        "doc_id int, text string",
+    )
+    # near-dup of the ADMITTED doc: J = 8/9 >= 3/5
+    batch2 = spark.createDataFrame(
+        [(200, "n0 n1 n2 n3 n4 n5 n6 n7 n8 n9 n0")],
+        "doc_id int, text string",
+    )
+    idx = build_base_index(base, tracked=False)
+    bands = lsh_bands(idx.shingles).persist()
+    try:
+        merged = merge_into_base_index(idx, admitted)
+
+        def verdict(bnds):
+            rows = {
+                r["doc_id"]: (r["status"], r["n_base_matches"])
+                for r in ingest_batch_lsh(batch2, merged, bands=bnds).collect()
+            }
+            return rows[200]
+
+        # stale bands: the admitted doc has no band rows -> recall loss
+        assert verdict(bands) == ("new", 0)
+        # maintained bands: append-only merge restores full coverage
+        grown = merge_lsh_bands(bands, admitted)
+        assert verdict(grown) == ("near", 1)
+        # and agrees with the full-recall prefix tier on the merged index
+        prefix = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch(batch2, merged).collect()
+        }
+        assert prefix[200] == ("near", 1)
+        # the grown relation IS the from-scratch one, row for row —
+        # bands are per-doc and df-independent, so append == rebuild
+        corpus = base.unionByName(admitted)
+        scratch = lsh_bands(
+            corpus.select(
+                "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+            )
+        )
+        assert {tuple(r) for r in grown.collect()} == {
+            tuple(r) for r in scratch.collect()
+        }
+    finally:
+        bands.unpersist()
         idx.release()
