@@ -2257,7 +2257,17 @@ def lsh_bands(sh):
     )
 
 
-def ingest_batch_lsh(batch, index: BaseIndex, bands=None, keep=tracked_persist):
+class StaleLshBands(ValueError):
+    """A prebuilt bands relation whose doc set has drifted from the
+    index it is passed with — the admit loop merged the index but not
+    the bands (or vice versa). A dedicated class because the caller's
+    correct reaction is specific: re-derive the bands (merge_lsh_bands
+    after every admission, or rebuild from index.shingles), not retry."""
+
+
+def ingest_batch_lsh(
+    batch, index: BaseIndex, bands=None, keep=tracked_persist, check=True
+):
     """ingest_batch with MinHash-LSH candidate generation — the tier
     for SATURATED shingle spaces, where the AllPairs prefix join's
     candidate count grows like df² (measured at the .scale/sf1 rung,
@@ -2278,7 +2288,26 @@ def ingest_batch_lsh(batch, index: BaseIndex, bands=None, keep=tracked_persist):
     in lockstep with the index across admissions: after every
     merge_into_base_index, append the admitted docs' rows with
     merge_lsh_bands (append-only — cheap), or recall is silently lost
-    for exactly those docs."""
+    for exactly those docs.
+
+    ``check=True`` (default) makes that staleness loud instead of
+    silent: one guard job compares the bands' distinct doc count to
+    the index's (equal by construction — both relations cover exactly
+    the docs with >= 1 shingle) and raises StaleLshBands on drift.
+    The guard is doc-count-sized, not corpus-text-sized; a high-rate
+    caller whose lockstep is structural (e.g. the same code path
+    always merges both) may pass check=False and own the invariant."""
+    if bands is not None and check:
+        n_bands = bands.select("doc_id").distinct().count()
+        n_index = index.counts.count()
+        if n_bands != n_index:
+            raise StaleLshBands(
+                f"prebuilt bands cover {n_bands} docs but the index has "
+                f"{n_index}: the bands relation was not maintained in "
+                f"lockstep with the index (merge_lsh_bands after every "
+                f"merge_into_base_index), so near-tier recall would be "
+                f"silently lost for the missing docs"
+            )
     ex, batch_rest = _ingest_exact_tier(batch, index)
     shb = keep(
         batch_rest.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
@@ -2298,7 +2327,12 @@ def ingest_batch_lsh(batch, index: BaseIndex, bands=None, keep=tracked_persist):
 
 
 def ingest_batch_adaptive(
-    batch, index: BaseIndex, bands=None, keep=tracked_persist, saturation=None
+    batch,
+    index: BaseIndex,
+    bands=None,
+    keep=tracked_persist,
+    saturation=None,
+    check=True,
 ):
     """Ingest-time tier dispatch — the ingest form of
     dedup_neardup_adaptive's round-7 tiering rule: ONE bounded
@@ -2319,10 +2353,10 @@ def ingest_batch_adaptive(
     sat = saturation if saturation is not None else shingle_saturation(index.shingles)
     if sat < _SATURATION_AVG_DF:
         return ingest_batch(batch, index, keep=keep)
-    return ingest_batch_lsh(batch, index, bands=bands, keep=keep)
+    return ingest_batch_lsh(batch, index, bands=bands, keep=keep, check=check)
 
 
-def merge_lsh_bands(bands, admitted):
+def merge_lsh_bands(bands, admitted, admitted_sh=None):
     """Append-only maintenance for a caller-held base bands relation
     (the prebuilt ``bands=`` of ingest_batch_lsh): a doc's band rows
     depend only on its OWN shingles — unlike the prefix ranks, which
@@ -2336,14 +2370,22 @@ def merge_lsh_bands(bands, admitted):
     stale across merge_into_base_index has no rows for admitted docs,
     so a later near-dup of an admitted doc finds zero LSH candidates
     and is silently re-admitted as 'new' — the recall loss pinned in
-    tests/test_dedup.py::test_merge_lsh_bands_keeps_admitted_docs."""
-    return bands.unionByName(
-        lsh_bands(
-            admitted.select(
-                "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
-            )
+    tests/test_dedup.py::test_merge_lsh_bands_keeps_admitted_docs
+    (and made loud by ingest_batch_lsh's check= guard).
+
+    ``admitted_sh``: the admitted docs' exploded (doc_id, sh) shingle
+    relation, if the caller already has one — the lockstep admit loop
+    shingles the same docs for merge_into_base_index, so passing it
+    here avoids tokenizing and hashing the batch text twice; the
+    default derives it from ``admitted`` (doc_id, text)."""
+    sh = (
+        admitted_sh
+        if admitted_sh is not None
+        else admitted.select(
+            "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
         )
     )
+    return bands.unionByName(lsh_bands(sh))
 
 
 def incremental_ingest_status(batch, base):

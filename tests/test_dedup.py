@@ -1236,6 +1236,7 @@ def test_merge_lsh_bands_keeps_admitted_docs(spark):
     recall-loss hazard; merge_lsh_bands' append restores it to
     exactly the from-scratch relation and the near-dup is found."""
     from presto_on_ray_spark.operators.dedup import (
+        StaleLshBands,
         build_base_index,
         ingest_batch,
         ingest_batch_lsh,
@@ -1263,21 +1264,36 @@ def test_merge_lsh_bands_keeps_admitted_docs(spark):
     )
     idx = build_base_index(base, tracked=False)
     bands = lsh_bands(idx.shingles).persist()
+    merged = None
     try:
-        merged = merge_into_base_index(idx, admitted)
+        merged = merge_into_base_index(idx, admitted, tracked=False)
 
-        def verdict(bnds):
+        def verdict(bnds, **kw):
             rows = {
                 r["doc_id"]: (r["status"], r["n_base_matches"])
-                for r in ingest_batch_lsh(batch2, merged, bands=bnds).collect()
+                for r in ingest_batch_lsh(
+                    batch2, merged, bands=bnds, **kw
+                ).collect()
             }
             return rows[200]
 
-        # stale bands: the admitted doc has no band rows -> recall loss
-        assert verdict(bands) == ("new", 0)
+        # stale bands: the default guard makes the drift loud
+        with pytest.raises(StaleLshBands):
+            verdict(bands)
+        # ... and with the guard opted out, the hazard it guards is
+        # real: the admitted doc has no band rows -> silent recall loss
+        assert verdict(bands, check=False) == ("new", 0)
         # maintained bands: append-only merge restores full coverage
+        # (and passes the guard)
         grown = merge_lsh_bands(bands, admitted)
         assert verdict(grown) == ("near", 1)
+        # the admitted_sh reuse path produces the same relation
+        adm_sh = admitted.select(
+            "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+        )
+        assert {tuple(r) for r in merge_lsh_bands(bands, None, adm_sh).collect()} == {
+            tuple(r) for r in grown.collect()
+        }
         # and agrees with the full-recall prefix tier on the merged index
         prefix = {
             r["doc_id"]: (r["status"], r["n_base_matches"])
@@ -1297,4 +1313,6 @@ def test_merge_lsh_bands_keeps_admitted_docs(spark):
         }
     finally:
         bands.unpersist()
+        if merged is not None:
+            merged.release()
         idx.release()
