@@ -2291,22 +2291,49 @@ def ingest_batch_lsh(
     for exactly those docs.
 
     ``check=True`` (default) makes that staleness loud instead of
-    silent: one guard job compares the bands' distinct doc count to
-    the index's (equal by construction — both relations cover exactly
-    the docs with >= 1 shingle) and raises StaleLshBands on drift.
-    The guard is doc-count-sized, not corpus-text-sized; a high-rate
+    silent: one guard job full-outer-joins the bands' doc set against
+    index.shingles' doc set (the relation bands is DEFINED over — not
+    counts, which can orphan-drift from shingles in the crash state
+    _check_new_doc_ids diagnoses) and raises StaleLshBands naming the
+    drift direction, since the two directions have opposite remedies.
+    The guard is set-exact, one job, doc-set-sized; a high-rate
     caller whose lockstep is structural (e.g. the same code path
     always merges both) may pass check=False and own the invariant."""
     if bands is not None and check:
-        n_bands = bands.select("doc_id").distinct().count()
-        n_index = index.counts.count()
-        if n_bands != n_index:
+        drift = (
+            bands.select("doc_id")
+            .distinct()
+            .withColumn("in_bands", F.lit(1))
+            .join(
+                index.shingles.select("doc_id")
+                .distinct()
+                .withColumn("in_index", F.lit(1)),
+                "doc_id",
+                "full_outer",
+            )
+            .filter(F.col("in_bands").isNull() | F.col("in_index").isNull())
+            .limit(1)
+            .collect()
+        )
+        if drift:
+            r = drift[0]
+            if r["in_bands"] is None:
+                raise StaleLshBands(
+                    f"prebuilt bands have no rows for indexed doc_id "
+                    f"{r['doc_id']} (and possibly others): the bands were "
+                    f"not maintained across an admission, so near-tier "
+                    f"recall would be silently lost for those docs — append "
+                    f"them with merge_lsh_bands after every "
+                    f"merge_into_base_index, or rebuild the bands from "
+                    f"lsh_bands(index.shingles)"
+                )
             raise StaleLshBands(
-                f"prebuilt bands cover {n_bands} docs but the index has "
-                f"{n_index}: the bands relation was not maintained in "
-                f"lockstep with the index (merge_lsh_bands after every "
-                f"merge_into_base_index), so near-tier recall would be "
-                f"silently lost for the missing docs"
+                f"prebuilt bands contain doc_id {r['doc_id']} (and possibly "
+                f"others) that the index's shingle relation does not: the "
+                f"bands are AHEAD of (or from a different generation than) "
+                f"this index — pass the matching index, or rebuild the "
+                f"bands from lsh_bands(index.shingles); running "
+                f"merge_lsh_bands again would compound the drift, not fix it"
             )
     ex, batch_rest = _ingest_exact_tier(batch, index)
     shb = keep(
@@ -2377,7 +2404,15 @@ def merge_lsh_bands(bands, admitted, admitted_sh=None):
     relation, if the caller already has one — the lockstep admit loop
     shingles the same docs for merge_into_base_index, so passing it
     here avoids tokenizing and hashing the batch text twice; the
-    default derives it from ``admitted`` (doc_id, text)."""
+    default derives it from ``admitted`` (doc_id, text). Exactly one
+    of the two must be provided (``admitted`` may be None only when
+    ``admitted_sh`` is given)."""
+    if admitted is None and admitted_sh is None:
+        raise ValueError(
+            "merge_lsh_bands: pass the admitted docs as (doc_id, text) "
+            "via `admitted` or as an exploded (doc_id, sh) shingle "
+            "relation via `admitted_sh`"
+        )
     sh = (
         admitted_sh
         if admitted_sh is not None

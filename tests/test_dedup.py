@@ -1294,6 +1294,13 @@ def test_merge_lsh_bands_keeps_admitted_docs(spark):
         assert {tuple(r) for r in merge_lsh_bands(bands, None, adm_sh).collect()} == {
             tuple(r) for r in grown.collect()
         }
+        with pytest.raises(ValueError, match="merge_lsh_bands"):
+            merge_lsh_bands(bands, None)
+        # the reverse drift — bands AHEAD of the index (e.g. paired
+        # with the pre-merge generation) — is loud too, with the
+        # direction-specific diagnosis
+        with pytest.raises(StaleLshBands, match="AHEAD"):
+            ingest_batch_lsh(batch2, idx, bands=grown)
         # and agrees with the full-recall prefix tier on the merged index
         prefix = {
             r["doc_id"]: (r["status"], r["n_base_matches"])
