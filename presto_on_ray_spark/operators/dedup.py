@@ -2262,7 +2262,77 @@ class StaleLshBands(ValueError):
     index it is passed with — the admit loop merged the index but not
     the bands (or vice versa). A dedicated class because the caller's
     correct reaction is specific: re-derive the bands (merge_lsh_bands
-    after every admission, or rebuild from index.shingles), not retry."""
+    after every admission, or rebuild from index.shingles), not retry.
+    NOT raised when the index itself is internally inconsistent
+    (counts drifted from shingles) — that is the index's problem, not
+    the bands', and surfaces as a plain ValueError so a
+    rebuild-the-bands handler cannot mis-dispatch on it."""
+
+
+def _raise_band_drift(bands, index: BaseIndex):
+    """The bands guard's cold path — only runs once the doc-sized
+    bands-vs-counts comparison has already failed, and always raises.
+    Diagnoses against index.shingles, the relation bands is DEFINED
+    over (counts can orphan-drift from shingles in the crash state
+    _check_new_doc_ids diagnoses), aggregating BOTH drift directions
+    in one job so the diagnosis is deterministic — a bidirectional
+    mismatch must be named as such, because each direction's remedy
+    ('append the missing docs' vs 'use the matching index') would
+    compound the other direction's drift."""
+    flags = (
+        bands.select("doc_id")
+        .distinct()
+        .withColumn("in_bands", F.lit(1))
+        .join(
+            index.shingles.select("doc_id")
+            .distinct()
+            .withColumn("in_index", F.lit(1)),
+            "doc_id",
+            "full_outer",
+        )
+        .agg(
+            F.max(F.col("in_index").isNull().cast("int")).alias("ahead"),
+            F.max(F.col("in_bands").isNull().cast("int")).alias("behind"),
+        )
+        .collect()[0]
+    )
+    ahead, behind = bool(flags["ahead"]), bool(flags["behind"])
+    if ahead and behind:
+        raise StaleLshBands(
+            "prebuilt bands and the index's shingle relation each contain "
+            "docs the other lacks — they are from different index "
+            "generations entirely; rebuild the bands from "
+            "lsh_bands(index.shingles) (appending with merge_lsh_bands "
+            "would compound the drift, not fix it)"
+        )
+    if behind:
+        raise StaleLshBands(
+            "prebuilt bands have no rows for some indexed docs: the bands "
+            "were not maintained across an admission, so near-tier recall "
+            "would be silently lost for those docs — append them with "
+            "merge_lsh_bands after every merge_into_base_index, or rebuild "
+            "the bands from lsh_bands(index.shingles)"
+        )
+    if ahead:
+        raise StaleLshBands(
+            "prebuilt bands contain docs the index's shingle relation does "
+            "not: the bands are AHEAD of (or from a different generation "
+            "than) this index — pass the matching index, or rebuild the "
+            "bands from lsh_bands(index.shingles); running merge_lsh_bands "
+            "again would compound the drift, not fix it"
+        )
+    # bands match index.shingles' doc set exactly, yet the doc-sized
+    # comparison against counts failed: the INDEX is internally
+    # inconsistent (counts drifted from shingles — a merge crashed
+    # between its appends). Plain ValueError: the bands are fine, and
+    # a StaleLshBands handler that rebuilds bands must not swallow it.
+    raise ValueError(
+        "the prebuilt bands match index.shingles' doc set exactly, but "
+        "index.counts does not: the index is internally inconsistent (a "
+        "previous merge crashed between its appends) — rebuild it "
+        "(build_base_index + save_base_index over the corpus); the bands "
+        "are not the problem"
+    )
 
 
 def ingest_batch_lsh(
@@ -2291,50 +2361,31 @@ def ingest_batch_lsh(
     for exactly those docs.
 
     ``check=True`` (default) makes that staleness loud instead of
-    silent: one guard job full-outer-joins the bands' doc set against
-    index.shingles' doc set (the relation bands is DEFINED over — not
-    counts, which can orphan-drift from shingles in the crash state
-    _check_new_doc_ids diagnoses) and raises StaleLshBands naming the
-    drift direction, since the two directions have opposite remedies.
-    The guard is set-exact, one job, doc-set-sized; a high-rate
-    caller whose lockstep is structural (e.g. the same code path
-    always merges both) may pass check=False and own the invariant."""
+    silent. The hot path is one set-exact job over the two DOC-sized
+    relations (the bands' distinct doc_ids vs index.counts — never a
+    scan of the exploded shingle relation, so checked ingests stay
+    batch-plus-doc-set-sized); only after a mismatch does the cold
+    diagnostic consult index.shingles (the relation bands is defined
+    over) to name the drift direction deterministically, since the
+    directions have opposite remedies. A high-rate caller whose
+    lockstep is structural (e.g. the same code path always merges
+    both) may pass check=False and own the invariant."""
     if bands is not None and check:
         drift = (
             bands.select("doc_id")
             .distinct()
             .withColumn("in_bands", F.lit(1))
             .join(
-                index.shingles.select("doc_id")
-                .distinct()
-                .withColumn("in_index", F.lit(1)),
+                index.counts.select("doc_id").withColumn("in_counts", F.lit(1)),
                 "doc_id",
                 "full_outer",
             )
-            .filter(F.col("in_bands").isNull() | F.col("in_index").isNull())
+            .filter(F.col("in_bands").isNull() | F.col("in_counts").isNull())
             .limit(1)
-            .collect()
+            .count()
         )
         if drift:
-            r = drift[0]
-            if r["in_bands"] is None:
-                raise StaleLshBands(
-                    f"prebuilt bands have no rows for indexed doc_id "
-                    f"{r['doc_id']} (and possibly others): the bands were "
-                    f"not maintained across an admission, so near-tier "
-                    f"recall would be silently lost for those docs — append "
-                    f"them with merge_lsh_bands after every "
-                    f"merge_into_base_index, or rebuild the bands from "
-                    f"lsh_bands(index.shingles)"
-                )
-            raise StaleLshBands(
-                f"prebuilt bands contain doc_id {r['doc_id']} (and possibly "
-                f"others) that the index's shingle relation does not: the "
-                f"bands are AHEAD of (or from a different generation than) "
-                f"this index — pass the matching index, or rebuild the "
-                f"bands from lsh_bands(index.shingles); running "
-                f"merge_lsh_bands again would compound the drift, not fix it"
-            )
+            _raise_band_drift(bands, index)
     ex, batch_rest = _ingest_exact_tier(batch, index)
     shb = keep(
         batch_rest.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
@@ -2404,9 +2455,10 @@ def merge_lsh_bands(bands, admitted, admitted_sh=None):
     relation, if the caller already has one — the lockstep admit loop
     shingles the same docs for merge_into_base_index, so passing it
     here avoids tokenizing and hashing the batch text twice; the
-    default derives it from ``admitted`` (doc_id, text). Exactly one
-    of the two must be provided (``admitted`` may be None only when
-    ``admitted_sh`` is given)."""
+    default derives it from ``admitted`` (doc_id, text). At least one
+    of the two must be provided — passing both is fine (``admitted``
+    is simply ignored when ``admitted_sh`` is given); ``admitted``
+    may be None only when ``admitted_sh`` is given."""
     if admitted is None and admitted_sh is None:
         raise ValueError(
             "merge_lsh_bands: pass the admitted docs as (doc_id, text) "

@@ -1301,6 +1301,18 @@ def test_merge_lsh_bands_keeps_admitted_docs(spark):
         # direction-specific diagnosis
         with pytest.raises(StaleLshBands, match="AHEAD"):
             ingest_batch_lsh(batch2, idx, bands=grown)
+        # bidirectional drift (bands and index each have a doc the
+        # other lacks) must be named as such — neither single-direction
+        # remedy is safe, so the diagnosis must be deterministic, not
+        # whichever drifting row a limit(1) happens to return
+        mixed = merge_lsh_bands(
+            bands,
+            spark.createDataFrame(
+                [(300, "m0 m1 m2 m3 m4 m5 m6 m7")], "doc_id int, text string"
+            ),
+        )
+        with pytest.raises(StaleLshBands, match="each contain"):
+            ingest_batch_lsh(batch2, merged, bands=mixed)
         # and agrees with the full-recall prefix tier on the merged index
         prefix = {
             r["doc_id"]: (r["status"], r["n_base_matches"])
