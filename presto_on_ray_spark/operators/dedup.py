@@ -1578,6 +1578,38 @@ def merge_into_base_index(
             new_sho.unpersist()
 
 
+def verify_index_consistency(index: BaseIndex) -> None:
+    """One explicit job asserting the index's internal invariant:
+    every doc_id in counts has shingle rows. counts is derived from
+    shingles, so a counts row with no shingle rows is the
+    half-appended crash state of a saved merge (counts is written
+    before shingles) — the doc would silently never be a near-tier
+    candidate again. Raises ValueError with the rebuild prescription.
+
+    Where this invariant is enforced: automatically at merge time
+    (_check_new_doc_ids runs it when diagnosing an already-indexed
+    doc_id) and at load time for local paths (the _MERGE_MUTATING
+    marker check in load_base_index). Per-ingest guards — notably
+    ingest_batch_lsh's check= — deliberately do NOT rescan the
+    shingle relation every call (that would make checked ingests
+    shingle-scan-sized, not batch-sized), so an ingest-only workload
+    over an index on a SHARED store, where the marker check cannot
+    run, should call this on a schedule (it is one shingle-scan-sized
+    job, the same cost as one cold classify)."""
+    orphaned = (
+        index.counts.join(index.shingles.select("doc_id"), "doc_id", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if orphaned:
+        raise ValueError(
+            "the index contains doc_ids in counts with no shingle rows — "
+            "a previous merge crashed between its appends. The index is "
+            "inconsistent; rebuild it (build_base_index + save_base_index "
+            "over the corpus) before classifying or admitting more batches"
+        )
+
+
 def _check_new_doc_ids(index: BaseIndex, new_docs) -> None:
     """Loudly reject the admit-set shapes that would silently corrupt
     the index: a doc_id duplicated WITHIN the batch, and a doc_id
@@ -1616,18 +1648,7 @@ def _check_new_doc_ids(index: BaseIndex, new_docs) -> None:
     # them leaves counts rows with no shingle rows — a state only a
     # rebuild repairs (the doc would otherwise never be a near-tier
     # candidate again).
-    orphaned = (
-        index.counts.join(index.shingles.select("doc_id"), "doc_id", "left_anti")
-        .limit(1)
-        .count()
-    )
-    if orphaned:
-        raise ValueError(
-            "merge: the index contains doc_ids in counts with no shingle "
-            "rows — a previous merge crashed between its appends. The index "
-            "is inconsistent; rebuild it (build_base_index + "
-            "save_base_index over the corpus) before admitting more batches"
-        )
+    verify_index_consistency(index)
     raise ValueError(
         f"merge: doc_id {r['doc_id']} in new_docs is already present in the "
         f"index (re-admitting a batch would double-count shingles/digests "
@@ -2269,20 +2290,19 @@ class StaleLshBands(ValueError):
     rebuild-the-bands handler cannot mis-dispatch on it."""
 
 
-def _raise_band_drift(bands, index: BaseIndex):
+def _raise_band_drift(band_docs, index: BaseIndex):
     """The bands guard's cold path — only runs once the doc-sized
     bands-vs-counts comparison has already failed, and always raises.
-    Diagnoses against index.shingles, the relation bands is DEFINED
-    over (counts can orphan-drift from shingles in the crash state
-    _check_new_doc_ids diagnoses), aggregating BOTH drift directions
-    in one job so the diagnosis is deterministic — a bidirectional
-    mismatch must be named as such, because each direction's remedy
-    ('append the missing docs' vs 'use the matching index') would
-    compound the other direction's drift."""
+    ``band_docs`` is the distinct bands doc-set frame the hot path
+    already built. Diagnoses against index.shingles, the relation
+    bands is DEFINED over (counts can orphan-drift from shingles in
+    the crash state _check_new_doc_ids diagnoses), aggregating BOTH
+    drift directions in one job so the diagnosis is deterministic —
+    a bidirectional mismatch must be named as such, because each
+    direction's remedy ('append the missing docs' vs 'use the
+    matching index') would compound the other direction's drift."""
     flags = (
-        bands.select("doc_id")
-        .distinct()
-        .withColumn("in_bands", F.lit(1))
+        band_docs.withColumn("in_bands", F.lit(1))
         .join(
             index.shingles.select("doc_id")
             .distinct()
@@ -2360,21 +2380,26 @@ def ingest_batch_lsh(
     merge_lsh_bands (append-only — cheap), or recall is silently lost
     for exactly those docs.
 
-    ``check=True`` (default) makes that staleness loud instead of
+    ``check=True`` (default) makes maintenance drift loud instead of
     silent. The hot path is one set-exact job over the two DOC-sized
     relations (the bands' distinct doc_ids vs index.counts — never a
     scan of the exploded shingle relation, so checked ingests stay
     batch-plus-doc-set-sized); only after a mismatch does the cold
     diagnostic consult index.shingles (the relation bands is defined
     over) to name the drift direction deterministically, since the
-    directions have opposite remedies. A high-rate caller whose
-    lockstep is structural (e.g. the same code path always merges
-    both) may pass check=False and own the invariant."""
+    directions have opposite remedies. Scope: the guard detects
+    bands-vs-index LOCKSTEP drift through the counts proxy; it does
+    NOT re-verify the index's own counts/shingles consistency each
+    call — that invariant is enforced at merge time
+    (_check_new_doc_ids), at load time (_MERGE_MUTATING), and on
+    demand via verify_index_consistency for shared-store ingest-only
+    workloads where neither runs. A high-rate caller whose lockstep
+    is structural (e.g. the same code path always merges both) may
+    pass check=False and own the invariant."""
     if bands is not None and check:
+        band_docs = bands.select("doc_id").distinct()
         drift = (
-            bands.select("doc_id")
-            .distinct()
-            .withColumn("in_bands", F.lit(1))
+            band_docs.withColumn("in_bands", F.lit(1))
             .join(
                 index.counts.select("doc_id").withColumn("in_counts", F.lit(1)),
                 "doc_id",
@@ -2385,7 +2410,7 @@ def ingest_batch_lsh(
             .count()
         )
         if drift:
-            _raise_band_drift(bands, index)
+            _raise_band_drift(band_docs, index)
     ex, batch_rest = _ingest_exact_tier(batch, index)
     shb = keep(
         batch_rest.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))

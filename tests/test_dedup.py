@@ -1335,3 +1335,34 @@ def test_merge_lsh_bands_keeps_admitted_docs(spark):
         if merged is not None:
             merged.release()
         idx.release()
+
+
+def test_verify_index_consistency(spark):
+    """The explicit index-invariant check for shared-store ingest-only
+    workloads (where neither the merge-time nor the load-time
+    enforcement runs): a counts row with no shingle rows — the
+    half-appended crash state — raises the rebuild prescription; a
+    healthy index passes. The per-ingest bands guard deliberately
+    does not cover this state (it never rescans the shingle
+    relation), so this is the scheduled complement."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        verify_index_consistency,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "p q r s t u v w x y")],
+        "doc_id int, text string",
+    )
+    idx = build_base_index(base, tracked=False)
+    try:
+        verify_index_consistency(idx)  # healthy: no raise
+        crashed = idx._replace(
+            counts=idx.counts.unionByName(
+                spark.createDataFrame([(999, 8)], "doc_id int, n_o long")
+            )
+        )
+        with pytest.raises(ValueError, match="inconsistent"):
+            verify_index_consistency(crashed)
+    finally:
+        idx.release()
