@@ -1647,8 +1647,12 @@ def _check_new_doc_ids(index: BaseIndex, new_docs) -> None:
     # saved merge appends counts BEFORE shingles, so a crash between
     # them leaves counts rows with no shingle rows — a state only a
     # rebuild repairs (the doc would otherwise never be a near-tier
-    # candidate again).
-    verify_index_consistency(index)
+    # candidate again). Re-prefix with the raising operation, like
+    # every other error this guard emits.
+    try:
+        verify_index_consistency(index)
+    except ValueError as e:
+        raise ValueError(f"merge: {e}") from None
     raise ValueError(
         f"merge: doc_id {r['doc_id']} in new_docs is already present in the "
         f"index (re-admitting a batch would double-count shingles/digests "

@@ -39,6 +39,7 @@ def stream_ingest_dedup(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     await_termination: bool | None = None,
+    classify: Callable = ingest_batch,
 ):
     """Run ingest-time classification over a streaming (doc_id, text)
     source: every micro-batch is filtered to non-null text (the same
@@ -63,6 +64,19 @@ def stream_ingest_dedup(
     explicit True only if you want to block on a continuous stream,
     e.g. to hold a driver process open). Returns the StreamingQuery
     either way.
+
+    ``classify`` picks the candidate tier — any (batch, index,
+    keep=...) -> DataFrame classifier with ingest_batch's output
+    contract. Default is the full-recall AllPairs prefix tier; a
+    stream over a SATURATED corpus (where that tier's candidate join
+    is the measured df² cliff — SCALING.md round 11) passes the LSH
+    or adaptive tier instead, e.g.
+    ``functools.partial(ingest_batch_lsh, bands=bands)`` with bands
+    prebuilt ONCE from the frozen index (this loop never mutates the
+    index, so prebuilt bands cannot go stale here) or
+    ``functools.partial(ingest_batch_adaptive, bands=bands,
+    saturation=sat)`` with the saturation statistic precomputed the
+    same way — per-batch work stays batch-sized either way.
     """
 
     def _classify(batch_df: DataFrame, batch_id: int) -> None:
@@ -74,7 +88,7 @@ def stream_ingest_dedup(
 
         try:
             sink(
-                ingest_batch(
+                classify(
                     batch_df.filter(F.col("text").isNotNull()), index, keep=keep
                 ),
                 batch_id,
@@ -114,6 +128,7 @@ def stream_ingest_admit(
     admit_log: str | None = None,
     available_now: bool = True,
     await_termination: bool | None = None,
+    classify: Callable = ingest_batch,
 ):
     """The production admit loop over a SAVED index (the
     save_base_index parquet layout): every micro-batch is classified
@@ -158,7 +173,18 @@ def stream_ingest_admit(
 
     Cache lifecycle matches stream_ingest_dedup: per-batch persists
     are local to the worker thread and dropped in a finally; the
-    global registry is never touched from this path."""
+    global registry is never touched from this path.
+
+    ``classify`` picks the candidate tier, as in stream_ingest_dedup
+    — but here the index GROWS every batch, so prebuilt LSH bands
+    would go stale on every admission (ingest_batch_lsh's check=
+    guard would refuse them): for a saturated corpus pass
+    ``ingest_batch_lsh`` WITHOUT bands (they derive in-plan from the
+    freshly loaded index's shingles — an index-sized term per batch,
+    but still far below the prefix tier's df² candidate join on such
+    corpora: 2.0 s bands vs a 44 s candidate join at the sf1 rung)
+    or ``ingest_batch_adaptive`` to let the measured saturation
+    decide per batch."""
     import os
 
     _, index_os_path = _index_paths(index_path)
@@ -179,7 +205,7 @@ def stream_ingest_admit(
         try:
             batch = batch_df.filter(F.col("text").isNotNull())
             index = load_base_index(batch_df.sparkSession, index_path)
-            classified = keep(ingest_batch(batch, index, keep=keep))
+            classified = keep(classify(batch, index, keep=keep))
             sink(classified, batch_id)
             new_docs = batch.join(
                 classified.filter(F.col("status") == "new").select("doc_id"),

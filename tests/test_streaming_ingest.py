@@ -477,3 +477,156 @@ def test_prune_admit_log(tmp_path):
     assert left == ["README", "batch-10", "batch-7", "batch-x"]
     assert prune_admit_log(log, 7) == 0  # idempotent
     assert prune_admit_log(str(tmp_path / "absent"), 99) == 0
+
+
+def test_stream_ingest_classify_tier_hook(spark, tmp_path):
+    """The classify= hook (tier selection for saturated corpora): the
+    streaming loop with the LSH tier and ONCE-prebuilt bands/saturation
+    — the two-phase form, valid here because this loop never mutates
+    the index — classifies every arriving doc exactly as the one-shot
+    LSH classification does, and identically to the default prefix
+    tier on this corpus (recall 1.0, pinned in test_dedup)."""
+    import functools
+
+    from presto_on_ray_spark.operators.dedup import (
+        ingest_batch_adaptive,
+        ingest_batch_lsh,
+        lsh_bands,
+        shingle_saturation,
+    )
+    from presto_on_ray_spark.streaming.ingest import stream_ingest_dedup
+
+    ten, idx = _mini_index(spark)
+    arriving = [
+        (10, ten),                        # exact
+        (20, "a b c d e f g h i k"),      # near (J = 7/9 vs doc 1)
+        (30, "totally novel words only"),  # new
+    ]
+    src = tmp_path / "arrivals"
+    spark.createDataFrame(arriving, "doc_id int, text string").write.parquet(
+        str(src / "f1")
+    )
+    bands = lsh_bands(idx.shingles).persist()
+    sat = shingle_saturation(idx.shingles)
+    got: dict[int, tuple] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[r["doc_id"]] = (r["status"], r["n_base_matches"])
+
+    try:
+        stream = (
+            spark.readStream.schema("doc_id int, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        stream_ingest_dedup(
+            stream,
+            idx,
+            sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            classify=functools.partial(
+                ingest_batch_adaptive, bands=bands, saturation=sat
+            ),
+        )
+        one_shot = {
+            r["doc_id"]: (r["status"], r["n_base_matches"])
+            for r in ingest_batch_lsh(
+                spark.createDataFrame(arriving, "doc_id int, text string"),
+                idx,
+                bands=bands,
+            ).collect()
+        }
+    finally:
+        bands.unpersist()
+        idx.release()
+    assert got == one_shot
+    assert got[10] == ("exact", 1)
+    assert got[30] == ("new", 0)
+
+
+def test_stream_ingest_admit_lsh_tier(spark, tmp_path):
+    """The admit loop with classify=ingest_batch_lsh (bands derived
+    in-plan per batch — the valid LSH form when the index grows every
+    admission): batch 2 still sees batch 1's admissions, and the
+    stream's verdicts equal the sequential in-session LSH loop."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch_lsh,
+        merge_into_base_index,
+        save_base_index,
+    )
+    from presto_on_ray_spark.streaming.ingest import stream_ingest_admit
+
+    ten = "a b c d e f g h i j"
+    base = spark.createDataFrame(
+        [(1, ten), (2, "p q r s t u v w x y")], "doc_id int, text string"
+    )
+    f1 = [(10, ten), (20, "q w e r t y u i o p")]          # exact, new
+    f2 = [
+        (40, "q w e r t y u i o p"),      # exact vs ADMITTED doc 20
+        (50, "q w e r t y u i o z"),      # candidate-near vs doc 20
+        (60, "other words appear over here"),  # new
+    ]
+    src = tmp_path / "arrivals"
+    spark.createDataFrame(f1, "doc_id int, text string").write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(f2, "doc_id int, text string").write.parquet(
+        str(src / "f2")
+    )
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+    idx.release()
+
+    got: dict[int, tuple] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[r["doc_id"]] = (r["status"], r["n_base_matches"])
+
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    stream_ingest_admit(
+        stream,
+        p,
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        rerank=True,
+        classify=ingest_batch_lsh,
+    )
+
+    # exact-tier verdicts are band-independent (digest join): the
+    # admitted doc MUST be seen by the next batch
+    assert got[10] == ("exact", 1)
+    assert got[20] == ("new", 0)
+    assert got[40] == ("exact", 1)
+    assert got[60] == ("new", 0)
+
+    # sequential in-session reference under the SAME tier
+    expect: dict[int, tuple] = {}
+    gens = [build_base_index(base, tracked=False)]
+    try:
+        for rows in (f1, f2):
+            b = spark.createDataFrame(rows, "doc_id int, text string")
+            cls = ingest_batch_lsh(b, gens[-1]).collect()
+            for r in cls:
+                expect[r["doc_id"]] = (r["status"], r["n_base_matches"])
+            new_b = b.join(
+                spark.createDataFrame(
+                    [(r["doc_id"],) for r in cls if r["status"] == "new"],
+                    "doc_id int",
+                ),
+                "doc_id",
+                "left_semi",
+            )
+            gens.append(merge_into_base_index(gens[-1], new_b, tracked=False))
+        assert got == expect
+    finally:
+        for g in gens:
+            g.release()
