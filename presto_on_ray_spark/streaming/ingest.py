@@ -44,7 +44,8 @@ def stream_ingest_dedup(
     """Run ingest-time classification over a streaming (doc_id, text)
     source: every micro-batch is filtered to non-null text (the same
     contract as the dedup_incremental_ingest query path), classified
-    against ``index`` with ingest_batch, and handed to
+    against ``index`` with ``classify`` (default ingest_batch — see
+    below for tier selection), and handed to
     ``sink(classified_df, batch_id)``. Each batch's OWN persists (the
     multi-consumed shingle relation) are collected locally and
     unpersisted after the sink returns — even when it raises — so the

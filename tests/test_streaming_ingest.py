@@ -485,7 +485,12 @@ def test_stream_ingest_classify_tier_hook(spark, tmp_path):
     — the two-phase form, valid here because this loop never mutates
     the index — classifies every arriving doc exactly as the one-shot
     LSH classification does, and identically to the default prefix
-    tier on this corpus (recall 1.0, pinned in test_dedup)."""
+    tier on this corpus (recall 1.0, pinned in test_dedup). Both hook
+    shapes run the REAL LSH path: the direct partial(ingest_batch_lsh,
+    bands=...) with the drift guard on, and the adaptive partial with
+    a forced-saturated statistic (this tiny index's true saturation is
+    ~1, which would dispatch to the prefix tier and leave the bands
+    silently unused)."""
     import functools
 
     from presto_on_ray_spark.operators.dedup import (
@@ -507,28 +512,42 @@ def test_stream_ingest_classify_tier_hook(spark, tmp_path):
         str(src / "f1")
     )
     bands = lsh_bands(idx.shingles).persist()
-    sat = shingle_saturation(idx.shingles)
-    got: dict[int, tuple] = {}
+    # shingle_saturation(idx.shingles) is ~1 on this tiny index; the
+    # adaptive hook below forces a saturated statistic so it actually
+    # dispatches to the LSH branch (exercising the real bands path)
+    assert shingle_saturation(idx.shingles) < 24.0
+    results: dict[str, dict[int, tuple]] = {}
 
-    def sink(df, batch_id):
-        for r in df.collect():
-            got[r["doc_id"]] = (r["status"], r["n_base_matches"])
+    def make_sink(key):
+        def sink(df, batch_id):
+            for r in df.collect():
+                results.setdefault(key, {})[r["doc_id"]] = (
+                    r["status"],
+                    r["n_base_matches"],
+                )
 
+        return sink
+
+    hooks = {
+        "lsh": functools.partial(ingest_batch_lsh, bands=bands),
+        "adaptive": functools.partial(
+            ingest_batch_adaptive, bands=bands, saturation=1e9
+        ),
+    }
     try:
-        stream = (
-            spark.readStream.schema("doc_id int, text string")
-            .option("recursiveFileLookup", "true")
-            .parquet(str(src))
-        )
-        stream_ingest_dedup(
-            stream,
-            idx,
-            sink,
-            checkpoint_dir=str(tmp_path / "ckpt"),
-            classify=functools.partial(
-                ingest_batch_adaptive, bands=bands, saturation=sat
-            ),
-        )
+        for key, hook in hooks.items():
+            stream = (
+                spark.readStream.schema("doc_id int, text string")
+                .option("recursiveFileLookup", "true")
+                .parquet(str(src))
+            )
+            stream_ingest_dedup(
+                stream,
+                idx,
+                make_sink(key),
+                checkpoint_dir=str(tmp_path / f"ckpt_{key}"),
+                classify=hook,
+            )
         one_shot = {
             r["doc_id"]: (r["status"], r["n_base_matches"])
             for r in ingest_batch_lsh(
@@ -540,9 +559,11 @@ def test_stream_ingest_classify_tier_hook(spark, tmp_path):
     finally:
         bands.unpersist()
         idx.release()
-    assert got == one_shot
-    assert got[10] == ("exact", 1)
-    assert got[30] == ("new", 0)
+    assert results["lsh"] == one_shot
+    assert results["adaptive"] == one_shot
+    assert one_shot[10] == ("exact", 1)
+    assert one_shot[20] == ("near", 1)
+    assert one_shot[30] == ("new", 0)
 
 
 def test_stream_ingest_admit_lsh_tier(spark, tmp_path):
