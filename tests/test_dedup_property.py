@@ -161,6 +161,53 @@ def test_incremental_ingest_matches_python_reference(spark, batch, base):
 
 
 @settings(
+    max_examples=8,  # each example pays an index build + LSH classify
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batch=st.lists(_doc, min_size=1, max_size=3),
+    base=st.lists(_doc, min_size=1, max_size=4),
+)
+def test_ingest_lsh_tier_precision_matches_python_reference(spark, batch, base):
+    """The LSH candidate tier's one-sided contract, property-pinned:
+    PRECISION is exact (the digest tier and the exact co-occurrence
+    verification are shared with the prefix tier); only candidate
+    recall is banding-bounded. So against the brute-force reference:
+    exact verdicts are identical (digest-joined, band-independent),
+    every 'near' the LSH tier reports is a true near whose match
+    count never exceeds the true count, and a 'new' may under-ride
+    only a true 'near' (a banding recall miss) — never an 'exact',
+    and never the other way around (no invented matches)."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch_lsh,
+    )
+
+    ref = _py_ingest_reference(batch, base)
+    bdf = spark.createDataFrame(
+        list(enumerate(batch)), "doc_id int, text string"
+    )
+    odf = spark.createDataFrame(
+        [(i + 1000, t) for i, t in enumerate(base)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["n_base_matches"])
+        for r in ingest_batch_lsh(bdf, build_base_index(odf)).collect()
+    }
+    release_cached()  # drop this example's tracked base index
+    for d, (r_status, r_n) in enumerate(ref):
+        g_status, g_n = got[d]
+        if r_status == "exact":
+            assert (g_status, g_n) == (r_status, r_n), (d, batch, base)
+        elif g_status == "near":
+            assert r_status == "near" and 1 <= g_n <= r_n, (d, batch, base)
+        else:
+            assert g_status == "new" and g_n == 0, (d, batch, base)
+            assert r_status in ("near", "new"), (d, batch, base)
+
+
+@settings(
     max_examples=6,  # each example pays index build + merge + classify
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
