@@ -205,5 +205,51 @@ def test_substring_spans_two_exchange_shape(spark, sf_dir):
 
     for name in ("dedup_substring_spans", "dedup_substring_span_list"):
         plan = explain_formatted(suite.QUERIES[name](spark, sf_dir))
-        n = len(re.findall(r"Exchange hashpartitioning", plan))
-        assert n <= 2, f"{name}: {n} hash exchanges\n{plan[:3000]}"
+        # formatted mode prints exchanges as "(n) Exchange" with the
+        # partitioning in an Arguments line — the old adjacent
+        # "Exchange hashpartitioning" pattern matched NOTHING in this
+        # mode, so the pin was vacuous (always 0 <= 2); measured
+        # shape is exactly 2 (window digest, then doc_id)
+        n = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert 1 <= n <= 2, f"{name}: {n} exchanges\n{plan[:3000]}"
+
+
+def test_ingest_lsh_plan_shape(spark, sf_dir):
+    """The LSH ingest tier's scale contract: candidate generation is a
+    hash join keyed on (band, bucket) — NEVER a cartesian/nested-loop
+    pairing of the batch against the base — and lsh_bands' grouped
+    signature is ONE hash exchange (a single groupBy with k
+    map-combined min aggregates, no array materialization)."""
+    import re
+
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch_lsh,
+        lsh_bands,
+        shingles,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    band_plan = explain_formatted(lsh_bands(sh))
+    # formatted mode prints exchanges as "(n) Exchange" with the
+    # hashpartitioning in an Arguments line
+    n = len(re.findall(r"\(\d+\) Exchange", band_plan))
+    assert n == 1, f"lsh_bands: {n} exchanges\n{band_plan[:3000]}"
+    assert "hashpartitioning(doc_id" in band_plan
+
+    idx = build_base_index(d.filter(F.col("doc_id") % 10 != 0), tracked=False)
+    try:
+        plan = explain_formatted(
+            ingest_batch_lsh(
+                d.filter(F.col("doc_id") % 10 == 0), idx, keep=lambda x: x
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the candidate join really is keyed on the band bucket
+        assert re.search(r"hashpartitioning\(band#\d+", plan) or re.search(
+            r"\[band#\d+[L]?, bucket#\d+", plan
+        ), plan[:3000]
+    finally:
+        idx.release()
