@@ -143,6 +143,28 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Multi-dimensional layout (z-order): same 2-d box over a
+    # ts-clustered vs a (ts, user) z-ordered copy of events.
+    from presto_on_ray_spark.layout import layout_zorder_demo
+
+    with tempfile.TemporaryDirectory(prefix="layout_zorder_") as tmp:
+        zd = layout_zorder_demo(spark, sf_dir, tmp)
+    timings["layout_scan_zorder"] = zd["scan_zorder_sec"]
+    print(
+        f"# zorder: box scan {zd['scan_zorder_sec']}s (1-d clustered "
+        f"{zd['scan_clustered_sec']}s); box pruning "
+        f"{zd['pruning_box_zorder']['row_groups_pruned']}/"
+        f"{zd['pruning_box_zorder']['row_groups']} zorder vs "
+        f"{zd['pruning_box_clustered']['row_groups_pruned']}/"
+        f"{zd['pruning_box_clustered']['row_groups']} clustered; "
+        f"single-dim pruned (ts, user): zorder "
+        f"({zd['pruning_ts_zorder']['row_groups_pruned']}, "
+        f"{zd['pruning_user_zorder']['row_groups_pruned']}) vs clustered "
+        f"({zd['pruning_ts_clustered']['row_groups_pruned']}, "
+        f"{zd['pruning_user_clustered']['row_groups_pruned']})",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     import re as _re
 

