@@ -248,27 +248,81 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
     per-column bucket boundaries come from ONE approxQuantile call
     (2^bits - 1 cut points per column, relative error ``rel_err`` —
     quantile buckets, not min-max scaling, so skew cannot collapse the
-    key space); each row's bucket is the count of boundaries <= value
-    (an array-filter expression, whole-stage codegen); the Morton
+    key space); each row's bucket comes from pyspark.ml's Bucketizer
+    (JVM binary search over the deduplicated splits — O(bits) per
+    value, not a linear scan of 2^bits literals); the Morton
     interleave is bits x len(cols) shift/or terms on longs. NULLs
     bucket to 0 (the quantile sketch ignores them — they cluster
-    together at the low corner). Returns (df_with_key, key_col_name).
+    together at the low corner). Returns (df_with_key, key_col_name);
+    the key name is collision-checked against df's columns.
+
+    bits * len(cols) must stay below 64: position 63 is the long's
+    sign bit (negative keys would range-sort before everything) and
+    shifts past 63 silently wrap (Java masks the shift amount mod
+    64), scrambling buckets across columns — refused loudly.
 
     At 100 TB: the approxQuantile sketch is a bounded single pass
     (exactly how Delta's OPTIMIZE ZORDER BY computes its range ids);
     everything after is map-side expression work feeding the same
     repartitionByRange + sortWithinPartitions write as
     write_clustered."""
+    from pyspark.ml.feature import Bucketizer
     from pyspark.sql import functions as F
 
-    n_cuts = (1 << bits) - 1
+    if not cols:
+        raise ValueError("zorder_key: at least one column required")
+    if bits < 1 or bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_key: bits * len(cols) must be in [1, 63] "
+            f"(got {bits} * {len(cols)} = {bits * len(cols)}): bit 63 is "
+            f"the long sign bit and Java shift amounts wrap mod 64, so "
+            f"wider keys silently destroy z-order locality"
+        )
+
+    used = set(df.columns)
+
+    def fresh(name: str) -> str:
+        while name in used:
+            name += "_"
+        used.add(name)
+        return name
+
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     boundaries = df.stat.approxQuantile(cols, probs, rel_err)
+    work = df
+    bucket_cols = []
+    tmp_cols = []
+    for c, cuts in zip(cols, boundaries):
+        # Bucketizer wants strictly increasing splits; duplicate
+        # quantiles (heavy skew) just mean fewer distinct buckets,
+        # which still fits in `bits` bits.
+        splits = [float("-inf")] + sorted(set(cuts)) + [float("inf")]
+        lo = splits[1] if len(splits) > 2 else 0.0
+        src = fresh(f"_z_in_{c}")
+        dst = fresh(f"_z_b_{c}")
+        # NULL -> the lowest bucket, keeping the documented corner
+        # placement (Bucketizer itself would reject nulls)
+        work = work.withColumn(
+            src, F.coalesce(F.col(c).cast("double"), F.lit(float(lo) - 1.0))
+        )
+        work = Bucketizer(splits=splits, inputCol=src, outputCol=dst).transform(
+            work
+        )
+        # deduping the splits shrinks a low-cardinality column's
+        # bucket index range to [0, n_distinct_cuts]; left unscaled,
+        # those indices occupy only the LOW interleave bits and the
+        # column's locality vanishes from the key's high bits. Scale
+        # each index back onto the full [0, 2^bits - 1] range (exact
+        # in doubles: both factors are tiny).
+        bucket_cols.append((dst, len(splits) - 2))
+        tmp_cols.append(src)
     key = F.lit(0).cast("long")
-    for j, (c, cuts) in enumerate(zip(cols, boundaries)):
-        arr = F.array(*[F.lit(float(v)) for v in cuts[:n_cuts]])
-        x = F.col(c).cast("double")
-        bucket = F.size(F.filter(arr, lambda b: b <= x)).cast("long")
+    for j, (dst, max_idx) in enumerate(bucket_cols):
+        bucket = F.col(dst).cast("long")
+        if max_idx > 0:
+            bucket = F.floor(
+                F.col(dst) * ((1 << bits) - 1) / max_idx
+            ).cast("long")
         for i in range(bits):
             key = key.bitwiseOR(
                 F.shiftleft(
@@ -276,7 +330,11 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
                     i * len(cols) + j,
                 )
             )
-    return df.withColumn("_zkey", key), "_zkey"
+    k = fresh("_zkey")
+    out = work.withColumn(k, key)
+    for tmp in [dst for dst, _ in bucket_cols] + tmp_cols:
+        out = out.drop(tmp)
+    return out, k
 
 
 def write_zordered(
@@ -312,11 +370,10 @@ def layout_zorder_demo(spark, sf_dir: str, base_dir: str, num_files: int = 32) -
     trade: the 1-d layout is perfect on its leading key and BLIND on
     user_id (every row group spans all users); the z-order prunes on
     both. Measured at sf0.1 / 32 row groups with the middle-20% box:
-    box pruning 23/32 (z-order) vs 24/32 (ts-clustered) — effectively
-    equal — while single-dimension pruning is ts 12 + user 18 for
-    z-order vs ts 24 + user 0 for the 1-d layout. Scan times and
-    row-count equality (layouts are semantics-preserving) are
-    returned alongside."""
+    box pruning 24/32 for BOTH layouts, while single-dimension
+    pruning is ts 12 + user 19 for z-order vs ts 24 + user 0 for the
+    1-d layout. Scan times and row-count equality (layouts are
+    semantics-preserving) are returned alongside."""
     import os
     import time
 

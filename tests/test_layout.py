@@ -95,22 +95,50 @@ def test_zorder_key_interleaves_quantile_buckets(spark):
     equal in both get equal keys."""
     from presto_on_ray_spark.layout import zorder_key
 
-    rows = [(i, float(i % 10), float(i // 10)) for i in range(100)]
+    # a 10x10 grid where every coordinate pair appears TWICE (ids
+    # 0-99 and 100-199), so equal-coordinates-equal-keys is a real
+    # comparison, not vacuous
+    rows = [
+        (i + 100 * dup, float(i % 10), float(i // 10))
+        for i in range(100)
+        for dup in (0, 1)
+    ]
     df = spark.createDataFrame(rows, "id int, x double, y double")
     zdf, k = zorder_key(df, ["x", "y"], bits=4)
     got = {r["id"]: r[k] for r in zdf.collect()}
     # deterministic across evaluation
     again = {r["id"]: r[k] for r in zdf.collect()}
     assert got == again
-    # equal coordinates -> equal keys
-    assert got[0] == got[0]
-    by_xy = {}
-    for i, x, y in rows:
-        by_xy.setdefault((x, y), set()).add(got[i])
-    assert all(len(s) == 1 for s in by_xy.values())
+    # equal coordinates -> equal keys (each pair has two distinct ids)
+    for i in range(100):
+        assert got[i] == got[i + 100], (i, got[i], got[i + 100])
+    # distinct coordinates -> distinct keys on this exact grid (10x10
+    # fits 4 bits per dim exactly, so the bucketization is injective)
+    assert len({got[i] for i in range(100)}) == 100
     # monotone corner ordering: the (min,min) corner is the smallest
     # key, the (max,max) corner the largest
-    corner_lo = got[0]            # (0, 0)
-    corner_hi = got[99]           # (9, 9)
-    assert corner_lo == min(got.values())
-    assert corner_hi == max(got.values())
+    assert got[0] == min(got.values())      # (0, 0)
+    assert got[99] == max(got.values())     # (9, 9)
+
+
+def test_zorder_key_guards(spark):
+    """The loud-refusal contract: key widths past 63 bits would set
+    the sign bit / wrap Java shift amounts and silently destroy
+    locality; a pre-existing _zkey column must not be clobbered."""
+    import pytest
+
+    from presto_on_ray_spark.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0)], "id int, x double, y double"
+    )
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(df, ["x", "y"], bits=32)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key(df, [])
+    # caller data already owns '_zkey': the generated key must pick a
+    # fresh name and leave the user's column intact
+    df2 = df.withColumn("_zkey", df.id * 10)
+    zdf, key = zorder_key(df2, ["x", "y"], bits=4)
+    assert key != "_zkey" and key in zdf.columns
+    assert [r["_zkey"] for r in zdf.collect()] == [10]
