@@ -271,55 +271,67 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
 
     if not cols:
         raise ValueError("zorder_key: at least one column required")
-    if bits < 1 or bits * len(cols) > 63:
+    if bits < 1 or bits > 20 or bits * len(cols) > 63:
         raise ValueError(
-            f"zorder_key: bits * len(cols) must be in [1, 63] "
-            f"(got {bits} * {len(cols)} = {bits * len(cols)}): bit 63 is "
-            f"the long sign bit and Java shift amounts wrap mod 64, so "
-            f"wider keys silently destroy z-order locality"
+            f"zorder_key: need 1 <= bits <= 20 and bits * len(cols) <= 63 "
+            f"(got bits={bits}, cols={len(cols)}): bit 63 is the long "
+            f"sign bit and Java shift amounts wrap mod 64, so wider keys "
+            f"silently destroy z-order locality; past 20 bits the "
+            f"2^bits - 1 quantile probes and the rescale product also "
+            f"stop being practical/exact"
         )
 
-    used = set(df.columns)
+    # Spark column resolution is case-INSENSITIVE by default, so the
+    # collision check must be too, or a user column differing only in
+    # case would be silently clobbered and dropped.
+    used = {c.lower() for c in df.columns}
 
     def fresh(name: str) -> str:
-        while name in used:
+        while name.lower() in used:
             name += "_"
-        used.add(name)
+        used.add(name.lower())
         return name
 
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     boundaries = df.stat.approxQuantile(cols, probs, rel_err)
-    work = df
-    bucket_cols = []
-    tmp_cols = []
+    import math
+
+    neg_inf = F.lit(float("-inf"))
+    splits_arr, srcs, dsts, max_idxs = [], [], [], []
+    sentinels = []
     for c, cuts in zip(cols, boundaries):
-        # Bucketizer wants strictly increasing splits; duplicate
-        # quantiles (heavy skew) just mean fewer distinct buckets,
-        # which still fits in `bits` bits.
-        splits = [float("-inf")] + sorted(set(cuts)) + [float("inf")]
-        lo = splits[1] if len(splits) > 2 else 0.0
-        src = fresh(f"_z_in_{c}")
-        dst = fresh(f"_z_b_{c}")
-        # NULL -> the lowest bucket, keeping the documented corner
-        # placement (Bucketizer itself would reject nulls)
-        work = work.withColumn(
-            src, F.coalesce(F.col(c).cast("double"), F.lit(float(lo) - 1.0))
+        # Bucketizer wants strictly increasing FINITE interior splits:
+        # duplicate quantiles (heavy skew) just mean fewer distinct
+        # buckets, and +/-inf cuts (a column with many infinities)
+        # would collide with the outer sentinels — both filtered here.
+        interior = sorted({float(v) for v in cuts if math.isfinite(v)})
+        splits_arr.append([float("-inf")] + interior + [float("inf")])
+        max_idxs.append(len(interior))
+        srcs.append(fresh(f"_z_in_{c}"))
+        dsts.append(fresh(f"_z_b_{c}"))
+        # NULL and NaN -> -inf -> always bucket 0, the documented
+        # low-corner placement. -inf cannot be absorbed by float
+        # rounding (a finite sentinel like lowest_cut - 1 silently
+        # equals the cut once |cut| >= 2^53) and Bucketizer would
+        # reject NULL/NaN outright.
+        sentinels.append(
+            F.coalesce(F.nanvl(F.col(c).cast("double"), neg_inf), neg_inf)
         )
-        work = Bucketizer(splits=splits, inputCol=src, outputCol=dst).transform(
-            work
-        )
-        # deduping the splits shrinks a low-cardinality column's
-        # bucket index range to [0, n_distinct_cuts]; left unscaled,
-        # those indices occupy only the LOW interleave bits and the
-        # column's locality vanishes from the key's high bits. Scale
-        # each index back onto the full [0, 2^bits - 1] range (exact
-        # in doubles: both factors are tiny).
-        bucket_cols.append((dst, len(splits) - 2))
-        tmp_cols.append(src)
+    work = df.select("*", *[s.alias(n) for s, n in zip(sentinels, srcs)])
+    work = Bucketizer(
+        splitsArray=splits_arr, inputCols=srcs, outputCols=dsts
+    ).transform(work)
     key = F.lit(0).cast("long")
-    for j, (dst, max_idx) in enumerate(bucket_cols):
+    for j, (dst, max_idx) in enumerate(zip(dsts, max_idxs)):
         bucket = F.col(dst).cast("long")
         if max_idx > 0:
+            # deduping the splits shrinks a low-cardinality column's
+            # bucket index range to [0, n_distinct_cuts]; left
+            # unscaled, those indices occupy only the LOW interleave
+            # bits and the column's locality vanishes from the key's
+            # high bits. Scale each index back onto the full
+            # [0, 2^bits - 1] range (exact in doubles under the
+            # bits <= 20 cap: idx * M <= 2^40 < 2^53).
             bucket = F.floor(
                 F.col(dst) * ((1 << bits) - 1) / max_idx
             ).cast("long")
@@ -332,7 +344,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
             )
     k = fresh("_zkey")
     out = work.withColumn(k, key)
-    for tmp in [dst for dst, _ in bucket_cols] + tmp_cols:
+    for tmp in dsts + srcs:
         out = out.drop(tmp)
     return out, k
 
