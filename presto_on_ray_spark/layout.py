@@ -251,15 +251,20 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
     key space); each row's bucket comes from pyspark.ml's Bucketizer
     (JVM binary search over the deduplicated splits — O(bits) per
     value, not a linear scan of 2^bits literals); the Morton
-    interleave is bits x len(cols) shift/or terms on longs. NULLs
-    bucket to 0 (the quantile sketch ignores them — they cluster
-    together at the low corner). Returns (df_with_key, key_col_name);
-    the key name is collision-checked against df's columns.
+    interleave is bits x len(cols) shift/or terms on longs. NULL and
+    NaN both bucket to 0 via a -inf sentinel (the quantile sketch
+    ignores them — they cluster together at the low corner); a column
+    with NO finite values (empty input, all NULL/NaN/inf) buckets
+    constant 0. Returns (df_with_key, key_col_name); the key name is
+    collision-checked (case-insensitively, matching Spark's column
+    resolution) against df's columns.
 
-    bits * len(cols) must stay below 64: position 63 is the long's
-    sign bit (negative keys would range-sort before everything) and
-    shifts past 63 silently wrap (Java masks the shift amount mod
-    64), scrambling buckets across columns — refused loudly.
+    Width contract, refused loudly outside it: 1 <= bits <= 20 AND
+    bits * len(cols) <= 63. Position 63 is the long's sign bit
+    (negative keys would range-sort before everything) and shifts
+    past 63 silently wrap (Java masks the shift amount mod 64);
+    past 20 bits the 2^bits - 1 quantile probes and the exactness of
+    the bucket rescale stop holding.
 
     At 100 TB: the approxQuantile sketch is a bounded single pass
     (exactly how Delta's OPTIMIZE ZORDER BY computes its range ids);
@@ -297,18 +302,27 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
     import math
 
     neg_inf = F.lit(float("-inf"))
-    splits_arr, srcs, dsts, max_idxs = [], [], [], []
+    splits_arr, srcs, dsts = [], [], []
     sentinels = []
+    buckets: list = []  # per input column: dst name, or None (constant 0)
     for c, cuts in zip(cols, boundaries):
         # Bucketizer wants strictly increasing FINITE interior splits:
         # duplicate quantiles (heavy skew) just mean fewer distinct
         # buckets, and +/-inf cuts (a column with many infinities)
         # would collide with the outer sentinels — both filtered here.
         interior = sorted({float(v) for v in cuts if math.isfinite(v)})
+        if not interior:
+            # no finite values anywhere (empty input, all NULL/NaN/
+            # inf): Bucketizer rejects a 2-element [-inf, inf] splits
+            # array, and there is nothing to order on — constant 0.
+            buckets.append((None, 0))
+            continue
         splits_arr.append([float("-inf")] + interior + [float("inf")])
-        max_idxs.append(len(interior))
-        srcs.append(fresh(f"_z_in_{c}"))
-        dsts.append(fresh(f"_z_b_{c}"))
+        src = fresh(f"_z_in_{c}")
+        dst = fresh(f"_z_b_{c}")
+        srcs.append(src)
+        dsts.append(dst)
+        buckets.append((dst, len(interior)))
         # NULL and NaN -> -inf -> always bucket 0, the documented
         # low-corner placement. -inf cannot be absorbed by float
         # rounding (a finite sentinel like lowest_cut - 1 silently
@@ -318,11 +332,14 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
             F.coalesce(F.nanvl(F.col(c).cast("double"), neg_inf), neg_inf)
         )
     work = df.select("*", *[s.alias(n) for s, n in zip(sentinels, srcs)])
-    work = Bucketizer(
-        splitsArray=splits_arr, inputCols=srcs, outputCols=dsts
-    ).transform(work)
+    if srcs:
+        work = Bucketizer(
+            splitsArray=splits_arr, inputCols=srcs, outputCols=dsts
+        ).transform(work)
     key = F.lit(0).cast("long")
-    for j, (dst, max_idx) in enumerate(zip(dsts, max_idxs)):
+    for j, (dst, max_idx) in enumerate(buckets):
+        if dst is None:
+            continue  # constant-0 bucket contributes no set bits
         bucket = F.col(dst).cast("long")
         if max_idx > 0:
             # deduping the splits shrinks a low-cardinality column's

@@ -142,3 +142,27 @@ def test_zorder_key_guards(spark):
     zdf, key = zorder_key(df2, ["x", "y"], bits=4)
     assert key != "_zkey" and key in zdf.columns
     assert [r["_zkey"] for r in zdf.collect()] == [10]
+
+
+def test_zorder_key_degenerate_columns(spark):
+    """Columns with no finite values (all NULL / empty input) bucket
+    constant 0 instead of crashing Bucketizer with a 2-element splits
+    array, NaN/NULL land in the low corner alongside real minima, and
+    the remaining finite columns still order the key."""
+    from presto_on_ray_spark.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.0, None, float("nan")),
+            (2, 9.0, None, 5.0),
+        ],
+        "id int, x double, dead double, y double",
+    )
+    zdf, k = zorder_key(df, ["x", "dead", "y"], bits=4)
+    got = {r["id"]: r[k] for r in zdf.collect()}
+    # the all-NULL column contributes nothing; x and y still order:
+    # row 1 is the (min, NaN->low corner) point -> strictly smaller key
+    assert got[1] < got[2]
+    # fully empty input must not crash
+    empty, k2 = zorder_key(df.filter("id < 0"), ["x", "y"], bits=4)
+    assert empty.count() == 0
