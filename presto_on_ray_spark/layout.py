@@ -254,8 +254,11 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
     interleave is bits x len(cols) shift/or terms on longs. NULL and
     NaN both bucket to 0 via a -inf sentinel (the quantile sketch
     ignores them — they cluster together at the low corner); a column
-    with NO finite values (empty input, all NULL/NaN/inf) buckets
-    constant 0. Returns (df_with_key, key_col_name); the key name is
+    whose quantile sketch yields NO finite cuts (empty input, all
+    NULL/NaN/inf — or so inf-heavy that every probe lands on inf)
+    buckets constant 0, with a warning, since it can no longer order
+    the key (and an all-degenerate key range-partitions into one
+    file). Returns (df_with_key, key_col_name); the key name is
     collision-checked (case-insensitively, matching Spark's column
     resolution) against df's columns.
 
@@ -304,7 +307,8 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
     neg_inf = F.lit(float("-inf"))
     splits_arr, srcs, dsts = [], [], []
     sentinels = []
-    buckets: list = []  # per input column: dst name, or None (constant 0)
+    # per input column: (dst name, max_idx), or (None, 0) = constant 0
+    buckets: list = []
     for c, cuts in zip(cols, boundaries):
         # Bucketizer wants strictly increasing FINITE interior splits:
         # duplicate quantiles (heavy skew) just mean fewer distinct
@@ -312,9 +316,18 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
         # would collide with the outer sentinels — both filtered here.
         interior = sorted({float(v) for v in cuts if math.isfinite(v)})
         if not interior:
-            # no finite values anywhere (empty input, all NULL/NaN/
-            # inf): Bucketizer rejects a 2-element [-inf, inf] splits
-            # array, and there is nothing to order on — constant 0.
+            # no finite quantile cuts (empty input, all NULL/NaN/inf,
+            # or inf-heavy enough that every probe lands on inf):
+            # Bucketizer rejects a 2-element [-inf, inf] splits array,
+            # and there is nothing to order on — constant 0, loudly.
+            import warnings
+
+            warnings.warn(
+                f"zorder_key: column {c!r} produced no finite quantile "
+                f"cuts and cannot contribute to the z-order key "
+                f"(bucketed constant 0)",
+                stacklevel=2,
+            )
             buckets.append((None, 0))
             continue
         splits_arr.append([float("-inf")] + interior + [float("inf")])
@@ -340,18 +353,16 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
     for j, (dst, max_idx) in enumerate(buckets):
         if dst is None:
             continue  # constant-0 bucket contributes no set bits
-        bucket = F.col(dst).cast("long")
-        if max_idx > 0:
-            # deduping the splits shrinks a low-cardinality column's
-            # bucket index range to [0, n_distinct_cuts]; left
-            # unscaled, those indices occupy only the LOW interleave
-            # bits and the column's locality vanishes from the key's
-            # high bits. Scale each index back onto the full
-            # [0, 2^bits - 1] range (exact in doubles under the
-            # bits <= 20 cap: idx * M <= 2^40 < 2^53).
-            bucket = F.floor(
-                F.col(dst) * ((1 << bits) - 1) / max_idx
-            ).cast("long")
+        # deduping the splits shrinks a low-cardinality column's
+        # bucket index range to [0, n_distinct_cuts]; left unscaled,
+        # those indices occupy only the LOW interleave bits and the
+        # column's locality vanishes from the key's high bits. Scale
+        # each index back onto the full [0, 2^bits - 1] range (exact
+        # in doubles under the bits <= 20 cap: idx * M <= 2^40 <
+        # 2^53). max_idx >= 1 here — empty interiors continued above.
+        bucket = F.floor(F.col(dst) * ((1 << bits) - 1) / max_idx).cast(
+            "long"
+        )
         for i in range(bits):
             key = key.bitwiseOR(
                 F.shiftleft(

@@ -165,4 +165,5 @@ def test_zorder_key_degenerate_columns(spark):
     assert got[1] < got[2]
     # fully empty input must not crash
     empty, k2 = zorder_key(df.filter("id < 0"), ["x", "y"], bits=4)
+    assert k2 in empty.columns
     assert empty.count() == 0
