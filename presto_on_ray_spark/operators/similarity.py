@@ -484,3 +484,263 @@ def embedding_centroids(spark, sf_dir):
         F.count("*").alias("n_vectors"),
         F.round(F.sum("q") / (F.lit(1000.0) * F.count("*")), 6).alias("centroid"),
     )
+
+
+# Product quantization (Jégou, Douze, Schmid, "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011): split each vector into
+# _PQ_M subvectors, represent each by the id of its nearest codeword,
+# and score queries against the m-byte codes via asymmetric distance
+# (ADC) lookup tables — the memory-bounded ANN layout at 100 TB
+# (codes are _PQ_M small ints per vector instead of the full float
+# array; the scan reads codes, never raw vectors).
+_PQ_M = 8          # subspaces (64-dim fixture embeddings -> 8 dims each)
+_PQ_K = 16         # codewords per subspace
+_PQ_SUB = 8        # dims per subspace
+
+
+def _pq_subvectors(df, vec_col: str = "qv"):
+    """(vec_id, j, s): the _PQ_M quantized subvector slices per
+    vector, exploded with literal slice bounds (a python loop over j,
+    like the banding layouts — no column-typed slice starts)."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(F.col(vec_col), j * _PQ_SUB + 1, _PQ_SUB).alias("s"),
+            )
+            for j in range(_PQ_M)
+        ]
+    )
+    return df.select("vec_id", F.explode(structs).alias("ss")).select(
+        "vec_id", "ss.j", "ss.s"
+    )
+
+
+def _pq_l2sq(a, b):
+    """Exact integer squared L2 between two quantized subvectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "similarity_pq_adc_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, j, qv[(j * 8 + 1):(j * 8 + 8)] AS s
+      FROM e, (SELECT UNNEST(RANGE(0, 8)) AS j)
+    ),
+    cb AS (
+      SELECT j, vec_id AS c, s AS cw FROM sub WHERE vec_id < 16
+    ),
+    dists AS (
+      SELECT sub.vec_id, sub.j, cb.c,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+                      i -> (s[i] - cw[i]) * (s[i] - cw[i]))) AS d2
+      FROM sub JOIN cb ON sub.j = cb.j
+    ),
+    enc AS (
+      SELECT vec_id, j, c
+      FROM (SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, c) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    qt AS (
+      SELECT vec_id AS qid, j, c, d2 AS qd2 FROM dists WHERE vec_id < 8
+    ),
+    score AS (
+      SELECT qt.qid, enc.vec_id AS cid, SUM(qt.qd2) AS adc_dist
+      FROM enc JOIN qt ON enc.j = qt.j AND enc.c = qt.c
+      GROUP BY qt.qid, enc.vec_id
+    )
+    SELECT qid, cid, adc_dist
+    FROM (SELECT qid, cid, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY adc_dist, cid) AS rn
+          FROM score
+          WHERE qid <> cid)
+    WHERE rn <= 4
+    """,
+)
+def similarity_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN, hash-verified end-to-end: encode
+    every vector as _PQ_M codeword ids, score 8 queries against the
+    CODES ONLY via asymmetric-distance lookup tables, return the
+    ADC top-4 per query.
+
+    Exactness design (the module's quantized-i64 convention): the
+    codebook is DETERMINISTIC — subspace j's codewords are the
+    subvectors of the first _PQ_K vectors by vec_id (sampled-codebook
+    PQ; kmeans-refined codebooks change quality, not machinery, and
+    would be float/seed-sensitive across engines) — and every
+    distance in the pipeline is an integer squared-L2 on the
+    round(x*1000) quantization, so encode (argmin with smallest-id
+    tie-break), the ADC tables, and the summed scores are
+    bit-identical in DuckDB: the oracle recomputes the WHOLE pipeline
+    in SQL. The NumPy property twin (tests/test_similarity.py) pins
+    the same semantics against shared-code-free Python; ADC-vs-true
+    cosine recall is measured there and in SCALING.md.
+
+    Scale shape — the reason PQ exists at 100 TB: candidates are
+    scored by ONE groupBy over (j, c)-joined code rows against a
+    BROADCAST table of _PQ_M x _PQ_K query distances (here 8x16 rows
+    per query); raw vectors are read once at encode time and never
+    again. Encoding is a broadcast join against the _PQ_M x _PQ_K
+    codebook + a min-struct aggregate — one shuffle keyed by
+    (vec_id, j), no pairwise term anywhere."""
+    score, _ = _pq_adc_scores(spark, sf_dir, n_queries=8)
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select("qid", F.col("vec_id").alias("cid"), "adc_dist")
+    )
+
+
+def _pq_adc_scores(spark, sf_dir, n_queries: int):
+    """The shared PQ pipeline: quantize -> deterministic sampled
+    codebook -> encode (argmin, smallest-id ties) -> per-query ADC
+    tables -> summed integer scores. Returns (score, v) where score =
+    (qid, vec_id, adc_dist) for every query x candidate (the ADC
+    table has a row for every (j, c), so each candidate's M code rows
+    each find exactly one table entry; self-pairs excluded) and v =
+    the quantized vector relation for rerank stages."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    sub = tracked_persist(_pq_subvectors(v))
+    cb = (
+        sub.filter(F.col("vec_id") < _PQ_K)
+        .select("j", F.col("vec_id").alias("c"), F.col("s").alias("cw"))
+    )
+    dists = sub.join(F.broadcast(cb), "j").select(
+        "vec_id", "j", "c", _pq_l2sq(F.col("s"), F.col("cw")).alias("d2")
+    )
+    # encode: per (vec_id, j) the nearest codeword, smallest-id ties
+    enc = dists.groupBy("vec_id", "j").agg(
+        F.min(F.struct("d2", "c"))["c"].alias("c")
+    )
+    # ADC lookup tables for the query vectors: d2(query subvector,
+    # codeword) for every (j, c) — _PQ_M x _PQ_K rows per query
+    qt = dists.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), "j", "c", F.col("d2").alias("qd2")
+    )
+    score = (
+        enc.join(F.broadcast(qt), ["j", "c"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("adc_dist"))
+        .filter(F.col("qid") != F.col("vec_id"))
+    )
+    return score, v
+
+
+_PQ_SHORTLIST = 64
+
+
+@query(
+    "similarity_pq_rerank_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, j, qv[(j * 8 + 1):(j * 8 + 8)] AS s
+      FROM e, (SELECT UNNEST(RANGE(0, 8)) AS j)
+    ),
+    cb AS (
+      SELECT j, vec_id AS c, s AS cw FROM sub WHERE vec_id < 16
+    ),
+    dists AS (
+      SELECT sub.vec_id, sub.j, cb.c,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+                      i -> (s[i] - cw[i]) * (s[i] - cw[i]))) AS d2
+      FROM sub JOIN cb ON sub.j = cb.j
+    ),
+    enc AS (
+      SELECT vec_id, j, c
+      FROM (SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, c) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    qt AS (
+      SELECT vec_id AS qid, j, c, d2 AS qd2 FROM dists WHERE vec_id < 8
+    ),
+    shortlist AS (
+      SELECT qid, cid
+      FROM (SELECT qt.qid, enc.vec_id AS cid,
+                   ROW_NUMBER() OVER (PARTITION BY qt.qid
+                                      ORDER BY SUM(qt.qd2), enc.vec_id) AS rn
+            FROM enc JOIN qt ON enc.j = qt.j AND enc.c = qt.c
+            WHERE enc.vec_id <> qt.qid
+            GROUP BY qt.qid, enc.vec_id)
+      WHERE rn <= 64
+    ),
+    rer AS (
+      SELECT s.qid, s.cid,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.qv) + 1),
+                           i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+               / (SQRT(CAST(LIST_SUM(LIST_TRANSFORM(q.qv, x -> x * x)) AS DOUBLE))
+                  * SQRT(CAST(LIST_SUM(LIST_TRANSFORM(c.qv, x -> x * x)) AS DOUBLE))) AS cos
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.qid
+      JOIN e c ON c.vec_id = s.cid
+    )
+    SELECT qid, cid, ROUND(cos, 6) AS cosine
+    FROM (SELECT qid, cid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, cid) AS rn
+          FROM rer)
+    WHERE rn <= 4
+    """,
+)
+def similarity_pq_rerank_topk(spark, sf_dir):
+    """The production PQ pattern, hash-verified end-to-end: ADC over
+    the codes selects a _PQ_SHORTLIST-deep shortlist per query (raw
+    vectors untouched), then ONLY the shortlist is reranked by exact
+    cosine — so the scan-side cost is PQ's (codes + broadcast tables)
+    while the returned quality is exact-over-shortlist. The recall
+    dial is the shortlist depth: measured on fixtures in
+    tests/test_similarity.py / SCALING.md (the raw 16-codeword ADC
+    top-4 recall is ~0.3-0.45; the 64-deep shortlist + rerank
+    recovers ~1.0 vs the true cosine top-4 on the same data).
+
+    Exactness: the shortlist is the integer-deterministic ADC ranking
+    (same pipeline as similarity_pq_adc_topk, smallest-cid ties), and
+    the rerank is the module's quantized-i64 cosine — the oracle
+    recomputes both stages in SQL, so the key is hash-exact, not
+    rows-only. At 100 TB the rerank stage fetches _PQ_SHORTLIST raw
+    vectors per query by id — a semi-join against the vector store —
+    while the shortlist stage reads only the m-byte codes."""
+    n_queries, k = 8, 4
+    score, v = _pq_adc_scores(spark, sf_dir, n_queries=n_queries)
+    w_adc = Window.partitionBy("qid").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    shortlist = (
+        score.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("qid", F.col("vec_id").alias("cid"))
+    )
+    qv = v.select(F.col("vec_id").alias("qid"), F.col("qv").alias("q_vec"))
+    cv = v.select(F.col("vec_id").alias("cid"), F.col("qv").alias("c_vec"))
+    rer = (
+        shortlist.join(F.broadcast(qv.filter(F.col("qid") < n_queries)), "qid")
+        .join(cv, "cid")
+        .select("qid", "cid", cosine_q(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    w_cos = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w_cos))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("cos", 6).alias("cosine"))
+    )

@@ -145,3 +145,94 @@ def test_embedding_neardup_precision_and_recall(spark, sf_dir):
     if truth:
         recall = len(got) / len(truth)
         assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_pq_adc_matches_numpy_reference(spark, sf_dir):
+    """similarity_pq_adc_topk vs a shared-code-free NumPy reference:
+    the same deterministic sampled codebook (first 16 vec_ids'
+    subvectors), integer quantization, argmin encode with smallest-id
+    ties, ADC table sum, and top-4 — identical output. Also measures
+    recall of ADC against TRUE squared-L2 on the quantized vectors
+    (the metric PQ approximates) and pins a floor."""
+    import numpy as np
+
+    from presto_on_ray_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        similarity_pq_adc_topk,
+    )
+
+    rows = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    vecs = np.array(
+        [np.round(np.asarray(rows[i]["embedding"], dtype=np.float64) * 1000) for i in order],
+        dtype=np.int64,
+    )
+    subs = vecs.reshape(len(ids), _PQ_M, _PQ_SUB)
+    cb = subs[np.searchsorted(ids, np.arange(_PQ_K))]  # (K, M, SUB)
+    # encode: argmin over codewords, ties -> smallest codeword id
+    # (np.argmin already returns the first minimal index)
+    d_all = ((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)  # (n, K, M)
+    codes = d_all.argmin(axis=1)  # (n, M)
+    q_idx = np.searchsorted(ids, np.arange(8))
+    expect = {}
+    true_l2_top = {}
+    for qi in q_idx:
+        qid = int(ids[qi])
+        # ADC: per subspace, distance from the QUERY subvector to the
+        # candidate's codeword
+        qtab = ((subs[qi][None, :, :] - cb) ** 2).sum(axis=2)  # (K, M)
+        adc = qtab[codes, np.arange(_PQ_M)].sum(axis=1)  # (n,)
+        cand = [(int(adc[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != qid]
+        expect[qid] = sorted(cand)[:4]
+        true = ((vecs - vecs[qi]) ** 2).sum(axis=1)
+        true_top = [int(ids[i]) for i in np.argsort(true, kind="stable") if ids[i] != qid][:10]
+        true_l2_top[qid] = set(true_top)
+
+    got = {}
+    for r in similarity_pq_adc_topk(spark, sf_dir).collect():
+        got.setdefault(r["qid"], []).append((r["adc_dist"], r["cid"]))
+    assert {q: sorted(v) for q, v in got.items()} == expect
+
+    # recall floor: ADC top-4 against true-L2 top-10 (the sampled
+    # 16-codeword codebook is coarse; measured ~0.5-0.9 on fixtures —
+    # record the exact number in SCALING.md, pin a conservative floor)
+    hits = total = 0
+    for qid, top in got.items():
+        for _, cid in top:
+            total += 1
+            hits += cid in true_l2_top[qid]
+    recall = hits / total
+    print(f"pq adc recall@4-in-true10: {recall:.3f}")
+    assert recall >= 0.25
+
+
+def test_pq_rerank_recovers_true_topk(spark, sf_dir):
+    """The rerank stage's quality contract: ADC shortlist (64-deep)
+    + exact cosine rerank must recover (nearly all of) the TRUE
+    cosine top-4 that the coarse ADC top-4 alone misses — the recall
+    dial PQ deployments actually turn."""
+    from presto_on_ray_spark.operators.similarity import (
+        similarity_pq_rerank_topk,
+    )
+
+    true_top = {}
+    for r in suite.QUERIES["similarity_bruteforce_topk"](spark, sf_dir).collect():
+        true_top.setdefault(r["qid"], set()).add(r["cid"])
+    got = {}
+    for r in similarity_pq_rerank_topk(spark, sf_dir).collect():
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    common = [q for q in got if q in true_top]
+    assert common  # the two query sets overlap on fixtures
+    hits = sum(len(got[q] & true_top[q]) for q in common)
+    total = sum(min(len(got[q]), len(true_top[q])) for q in common)
+    recall = hits / total
+    print(f"pq rerank recall vs true cosine top-k: {recall:.3f}")
+    assert recall >= 0.7
