@@ -147,6 +147,30 @@ def test_embedding_neardup_precision_and_recall(spark, sf_dir):
         assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} true pairs"
 
 
+def _q1000(a):
+    """Quantize like the engine: round(x*1000) half-AWAY-FROM-ZERO,
+    matching Spark F.round (BigDecimal HALF_UP) and DuckDB ROUND.
+    np.round is half-to-even, and floor(abs+0.5) misrounds the
+    binade-crossing double 0.49999999999999994 (adding 0.5 rounds UP
+    in IEEE before floor) — the exact comparison form below cannot."""
+    import numpy as np
+
+    s = np.asarray(a, dtype=np.float64) * 1000
+    mag = np.abs(s)
+    f = np.floor(mag)
+    return (np.sign(s) * (f + (mag - f >= 0.5))).astype(np.int64)
+
+
+def _quantized_vecs(rows):
+    """(sorted ids, int64 matrix) from collected embedding rows."""
+    import numpy as np
+
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    return ids[order], np.array([_q1000(rows[i]["embedding"]) for i in order])
+
+
+
 def test_pq_adc_matches_numpy_reference(spark, sf_dir):
     """similarity_pq_adc_topk vs a shared-code-free NumPy reference:
     the same deterministic sampled codebook (first 16 vec_ids'
@@ -168,17 +192,7 @@ def test_pq_adc_matches_numpy_reference(spark, sf_dir):
         .select("vec_id", "embedding")
         .collect()
     )
-    ids = np.array([r["vec_id"] for r in rows])
-    order = np.argsort(ids)
-    ids = ids[order]
-    # half-AWAY-FROM-ZERO, matching Spark F.round / DuckDB ROUND —
-    # np.round is half-to-even and diverges on exact .5 boundaries
-    # (playbook oracle trap #1)
-    def q1000(a):
-        s = np.asarray(a, dtype=np.float64) * 1000
-        return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
-
-    vecs = np.array([q1000(rows[i]["embedding"]) for i in order])
+    ids, vecs = _quantized_vecs(rows)
     subs = vecs.reshape(len(ids), _PQ_M, _PQ_SUB)
     cb = subs[np.searchsorted(ids, np.arange(_PQ_K))]  # (K, M, SUB)
     # encode: argmin over codewords, ties -> smallest codeword id
@@ -234,15 +248,7 @@ def test_pq_rerank_recovers_true_topk(spark, sf_dir):
     rows = (
         t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
     )
-    ids = np.array([r["vec_id"] for r in rows])
-    order = np.argsort(ids)
-    ids = ids[order]
-
-    def q1000(a):
-        s = np.asarray(a, dtype=np.float64) * 1000
-        return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
-
-    vecs = np.array([q1000(rows[i]["embedding"]) for i in order])
+    ids, vecs = _quantized_vecs(rows)
     norms = np.sqrt((vecs * vecs).sum(axis=1).astype(np.float64))
     true_top = {}
     for qid in range(8):
@@ -261,4 +267,7 @@ def test_pq_rerank_recovers_true_topk(spark, sf_dir):
     total = sum(len(true_top[q]) for q in got)
     recall = hits / total
     print(f"pq rerank recall vs true cosine top-4: {recall:.3f}")
-    assert recall >= 0.6
+    # deterministic pipeline on fixed fixtures: measured 0.875
+    # (sf0.001) / 0.8125 (sf0.1); 0.75 clears both with margin while
+    # still catching a real shortlist/tie-break regression
+    assert recall >= 0.75
