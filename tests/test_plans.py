@@ -253,3 +253,15 @@ def test_ingest_lsh_plan_shape(spark, sf_dir):
         ), plan[:3000]
     finally:
         idx.release()
+
+
+def test_pq_plan_shape(spark, sf_dir):
+    """The PQ scale contract: codebook and ADC tables join as
+    BROADCAST hash joins (both are tiny by construction — M x K rows),
+    and nothing in either PQ query's plan degenerates to a cartesian
+    or nested-loop pairing of candidates against queries."""
+    for name in ("similarity_pq_adc_topk", "similarity_pq_rerank_topk"):
+        plan = explain_formatted(suite.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, (name, plan[:2000])
