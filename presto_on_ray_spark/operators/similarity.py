@@ -713,8 +713,9 @@ def similarity_pq_rerank_topk(spark, sf_dir):
     cosine — so the scan-side cost is PQ's (codes + broadcast tables)
     while the returned quality is exact-over-shortlist. The recall
     dial is the shortlist depth: measured on fixtures in
-    tests/test_similarity.py / SCALING.md: the raw 16-codeword ADC
-    top-4 recall is ~0.3-0.45, and the 64-deep shortlist + rerank
+    tests/test_similarity.py / SCALING.md — two distinct metrics:
+    the raw 16-codeword ADC top-4 scores ~0.3-0.45 on
+    recall-in-true-L2-top-10, while the 64-deep shortlist + rerank
     reaches recall@4 0.81-0.88 against the true cosine top-4 on the
     same (random-ish, PQ-hardest-case) fixture data — deeper
     shortlists / bigger codebooks move it toward 1.

@@ -260,8 +260,13 @@ def test_pq_plan_shape(spark, sf_dir):
     BROADCAST hash joins (both are tiny by construction — M x K rows),
     and nothing in either PQ query's plan degenerates to a cartesian
     or nested-loop pairing of candidates against queries."""
-    for name in ("similarity_pq_adc_topk", "similarity_pq_rerank_topk"):
-        plan = explain_formatted(suite.QUERIES[name](spark, sf_dir))
-        assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
-        assert "BroadcastHashJoin" in plan, (name, plan[:2000])
+    from presto_on_ray_spark.caching import release_cached
+
+    try:
+        for name in ("similarity_pq_adc_topk", "similarity_pq_rerank_topk"):
+            plan = explain_formatted(suite.QUERIES[name](spark, sf_dir))
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "BroadcastHashJoin" in plan, (name, plan[:2000])
+    finally:
+        release_cached()  # the PQ pipeline tracked-persists its subvectors

@@ -170,7 +170,6 @@ def _quantized_vecs(rows):
     return ids[order], np.array([_q1000(rows[i]["embedding"]) for i in order])
 
 
-
 def test_pq_adc_matches_numpy_reference(spark, sf_dir):
     """similarity_pq_adc_topk vs a shared-code-free NumPy reference:
     the same deterministic sampled codebook (first 16 vec_ids'
