@@ -2478,7 +2478,11 @@ def merge_lsh_bands(bands, admitted, admitted_sh=None):
     so a later near-dup of an admitted doc finds zero LSH candidates
     and is silently re-admitted as 'new' — the recall loss pinned in
     tests/test_dedup.py::test_merge_lsh_bands_keeps_admitted_docs
-    (and made loud by ingest_batch_lsh's check= guard).
+    (and made loud by ingest_batch_lsh's check= guard). Compaction is
+    the one maintenance event bands DON'T track: compact_saved_index
+    re-derives df/counts/prefix but never changes the doc set or the
+    shingles themselves, so an up-to-date bands relation stays valid
+    across it unchanged.
 
     ``admitted_sh``: the admitted docs' exploded (doc_id, sh) shingle
     relation, if the caller already has one — the lockstep admit loop
