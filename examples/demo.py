@@ -115,6 +115,54 @@ def main() -> None:
         F.col("pr_scaled").desc()
     ).show(4)
 
+    print("== Two-phase ingest dedup (r10-11): index once, batches cheap ==")
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch_adaptive,
+        lsh_bands,
+        shingle_saturation,
+    )
+
+    d = spark.table("documents").where("text IS NOT NULL")
+    idx = build_base_index(d.where("doc_id % 10 != 0"), tracked=False)
+    try:
+        bands = lsh_bands(idx.shingles).persist()
+        sat = shingle_saturation(idx.shingles)
+        print(f"index saturation {sat:.1f} (tier dispatch threshold 24)")
+        ingest_batch_adaptive(
+            d.where("doc_id % 10 = 0"), idx, bands=bands, saturation=sat
+        ).groupBy("status").count().orderBy("status").show()
+        bands.unpersist()
+    finally:
+        idx.release()
+
+    print("== PQ ANN (r11): codes-only shortlist, exact rerank ==")
+    suite.QUERIES["similarity_pq_rerank_topk"](spark, SF_DIR).show(8)
+
+    print("== Z-order layout (r11): multi-dimensional row-group pruning ==")
+    import tempfile
+
+    from presto_on_ray_spark.layout import layout_zorder_demo
+
+    with tempfile.TemporaryDirectory(prefix="demo_zorder_") as tmp:
+        zd = layout_zorder_demo(spark, SF_DIR, tmp, num_files=8)
+    print(
+        "box pruning:",
+        zd["pruning_box_zorder"]["row_groups_pruned"],
+        "/",
+        zd["pruning_box_zorder"]["row_groups"],
+        "| single-dim (ts, user): zorder",
+        (
+            zd["pruning_ts_zorder"]["row_groups_pruned"],
+            zd["pruning_user_zorder"]["row_groups_pruned"],
+        ),
+        "vs 1-d clustered",
+        (
+            zd["pruning_ts_clustered"]["row_groups_pruned"],
+            zd["pruning_user_clustered"]["row_groups_pruned"],
+        ),
+    )
+
     print("== Physical-plan introspection ==")
     from presto_on_ray_spark.plans import physical_summary
 
