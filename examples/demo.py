@@ -117,6 +117,7 @@ def main() -> None:
 
     print("== Two-phase ingest dedup (r10-11): index once, batches cheap ==")
     from presto_on_ray_spark.operators.dedup import (
+        _SATURATION_AVG_DF,
         build_base_index,
         ingest_batch_adaptive,
         lsh_bands,
@@ -125,15 +126,24 @@ def main() -> None:
 
     d = spark.table("documents").where("text IS NOT NULL")
     idx = build_base_index(d.where("doc_id % 10 != 0"), tracked=False)
+    bands = None
     try:
-        bands = lsh_bands(idx.shingles).persist()
+        # the two-phase pattern: measure the index's saturation ONCE,
+        # and maintain the (persisted) bands artifact only when the
+        # dispatch will actually use the LSH tier
         sat = shingle_saturation(idx.shingles)
-        print(f"index saturation {sat:.1f} (tier dispatch threshold 24)")
+        print(
+            f"index saturation {sat:.1f} "
+            f"(tier dispatch threshold {_SATURATION_AVG_DF:g})"
+        )
+        if sat >= _SATURATION_AVG_DF:
+            bands = lsh_bands(idx.shingles).persist()
         ingest_batch_adaptive(
             d.where("doc_id % 10 = 0"), idx, bands=bands, saturation=sat
         ).groupBy("status").count().orderBy("status").show()
-        bands.unpersist()
     finally:
+        if bands is not None:
+            bands.unpersist()
         idx.release()
 
     print("== PQ ANN (r11): codes-only shortlist, exact rerank ==")
