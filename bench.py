@@ -144,7 +144,10 @@ def main() -> None:
     )
 
     # Multi-dimensional layout (z-order): same 2-d box over a
-    # ts-clustered vs a (ts, user) z-ordered copy of events.
+    # ts-clustered vs a (ts, user) z-ordered copy of events. This
+    # writes its OWN ts-clustered copy (32 files) rather than reusing
+    # layout_scan_demo's 8-file one: the pruning comparison is only
+    # meaningful at equal row-group granularity.
     from presto_on_ray_spark.layout import layout_zorder_demo
 
     with tempfile.TemporaryDirectory(prefix="layout_zorder_") as tmp:

@@ -300,6 +300,15 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
         used.add(name.lower())
         return name
 
+    for c in cols:
+        if not all(ch.isalnum() or ch == "_" for ch in c):
+            raise ValueError(
+                f"zorder_key: column name {c!r} contains characters that "
+                f"Spark's name-based APIs parse specially (approxQuantile "
+                f"and Bucketizer both resolve dotted names as struct "
+                f"access) — rename or alias the column to an identifier "
+                f"first"
+            )
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     boundaries = df.stat.approxQuantile(cols, probs, rel_err)
     import math

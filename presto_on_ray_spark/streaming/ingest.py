@@ -72,12 +72,15 @@ def stream_ingest_dedup(
     stream over a SATURATED corpus (where that tier's candidate join
     is the measured df² cliff — SCALING.md round 11) passes the LSH
     or adaptive tier instead, e.g.
-    ``functools.partial(ingest_batch_lsh, bands=bands)`` with bands
-    prebuilt ONCE from the frozen index (this loop never mutates the
-    index, so prebuilt bands cannot go stale here) or
-    ``functools.partial(ingest_batch_adaptive, bands=bands,
-    saturation=sat)`` with the saturation statistic precomputed the
-    same way — per-batch work stays batch-sized either way.
+    ``functools.partial(ingest_batch_lsh, bands=bands, check=False)``
+    with bands prebuilt ONCE from the frozen index — this loop never
+    mutates the index, so prebuilt bands cannot go stale here, which
+    is exactly the structural-lockstep case check=False exists for
+    (leaving the guard on would add a doc-set-sized comparison job to
+    every micro-batch) — or ``functools.partial(ingest_batch_adaptive,
+    bands=bands, saturation=sat, check=False)`` with the saturation
+    statistic precomputed the same way; per-batch work then stays
+    batch-sized either way.
     """
 
     def _classify(batch_df: DataFrame, batch_id: int) -> None:

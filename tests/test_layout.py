@@ -142,6 +142,13 @@ def test_zorder_key_guards(spark):
     zdf, key = zorder_key(df2, ["x", "y"], bits=4)
     assert key != "_zkey" and key in zdf.columns
     assert [r["_zkey"] for r in zdf.collect()] == [10]
+    # non-identifier column names are refused loudly up front:
+    # Spark's name-based APIs (approxQuantile, Bucketizer) parse dots
+    # as struct access, so proceeding would die in an opaque
+    # AnalysisException deep in the pipeline
+    df3 = spark.createDataFrame([(1, 1.0), (2, 9.0)], ["id", "a.b"])
+    with pytest.raises(ValueError, match="identifier"):
+        zorder_key(df3, ["a.b"], bits=4)
 
 
 def test_zorder_key_degenerate_columns(spark):
