@@ -262,6 +262,12 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
     collision-checked (case-insensitively, matching Spark's column
     resolution) against df's columns.
 
+    Precision bound: bucketing runs in doubles end-to-end, so 64-bit
+    integer columns with |v| > 2^53 lose resolution (neighboring ids
+    collapse to one double) — cut points beyond that magnitude draw a
+    warning; pre-scale such id columns (right-shift constant low
+    bits) to restore locality.
+
     Width contract, refused loudly outside it: 1 <= bits <= 20 AND
     bits * len(cols) <= 63. Position 63 is the long's sign bit
     (negative keys would range-sort before everything) and shifts
@@ -312,6 +318,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     boundaries = df.stat.approxQuantile(cols, probs, rel_err)
     import math
+    import warnings
 
     neg_inf = F.lit(float("-inf"))
     splits_arr, srcs, dsts = [], [], []
@@ -324,6 +331,23 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
         # buckets, and +/-inf cuts (a column with many infinities)
         # would collide with the outer sentinels — both filtered here.
         interior = sorted({float(v) for v in cuts if math.isfinite(v)})
+        if interior and max(abs(interior[0]), abs(interior[-1])) >= float(1 << 53):
+            # the whole bucketing path (approxQuantile, the -inf
+            # sentinel cast, Bucketizer) runs in doubles: 64-bit
+            # integers beyond 2^53 collapse to shared doubles, so cut
+            # points — and the key's locality — silently lose
+            # resolution there (fine for unix_micros until year
+            # ~2255; wrong for e.g. snowflake ids). Layout is
+            # performance-only, so warn rather than refuse.
+            warnings.warn(
+                f"zorder_key: column {c!r} has quantile cuts beyond 2^53, "
+                f"where the double-based bucketing cannot distinguish "
+                f"neighboring 64-bit integers — bucket boundaries (and "
+                f"z-order locality on this column) lose resolution. "
+                f"Pre-scale such id columns (e.g. right-shift their "
+                f"constant low bits) before z-ordering",
+                stacklevel=2,
+            )
         if not interior:
             # no finite quantile cuts (empty input, all NULL/NaN/inf,
             # or inf-heavy enough that every probe lands on inf):

@@ -1343,6 +1343,14 @@ class BaseIndex(NamedTuple):
             rel.unpersist()
 
 
+# Every relation a SAVED index directory may contain: the five
+# BaseIndex fields plus the optional per-doc LSH ``bands`` relation
+# (save_index_bands) — directory sweeps, leftover diagnosis, and
+# generation swaps must cover all of them, or a crashed writer's
+# bands__new litter (for one) would survive every recovery path.
+_SAVED_RELATIONS = BaseIndex._fields + ("bands",)
+
+
 def _ranked_prefix(sh_df, df_rel, tn: int, td: int):
     """Keep each doc's n - ceil(t*n) + 1 rarest shingles under the
     shared (df, sh) order (integer ceil: (tn*n + td - 1) div td).
@@ -1386,18 +1394,25 @@ def build_base_index(base, tracked: bool = True) -> BaseIndex:
     return BaseIndex(digests, sho, df_rel, counts, prefix)
 
 
-def save_base_index(index: BaseIndex, path: str) -> None:
+def save_base_index(index: BaseIndex, path: str, force: bool = False) -> None:
     """Materialize every index relation as parquet under ``path`` —
     the production form at 100 TB: the index is a set of tables
     maintained alongside the corpus, not a session cache. Layout is
     one subdirectory per BaseIndex field.
 
-    A completed save also clears any crash leftovers a previous
-    merge_into_saved_index left at this location (_MERGE_INPROGRESS
-    marker, *__new / *__old generation dirs) — a full save IS the
-    prescribed rebuild recovery, so it must actually unblock the
-    location (local paths only; on a shared store save to a fresh
-    generation directory instead)."""
+    Concurrency (local paths): the save holds the SAME
+    _MERGE_INPROGRESS lock the mutation protocol uses, so a rebuild
+    can never interleave its relation overwrites with a live merge's
+    generation writes (two writers racing unlocked would silently
+    corrupt the index — the loud single-writer collision exists
+    precisely to prevent that). If merge markers are already present
+    the save REFUSES by default: a held lock may be a merge that is
+    actively running. Pass ``force=True`` once certain no writer is
+    live — a forced save clears the markers and crash leftovers
+    (*__new / *__old generation dirs) and IS the prescribed rebuild
+    recovery for a _MERGE_MUTATING strand. On a shared store (no
+    os-level view of the location) save to a fresh generation
+    directory instead."""
     import os
     import shutil
 
@@ -1407,21 +1422,56 @@ def save_base_index(index: BaseIndex, path: str) -> None:
         raise
     except ValueError:
         os_path = None
-    for name in BaseIndex._fields:
-        getattr(index, name).write.mode("overwrite").parquet(
-            os.path.join(path, name)
-        )
+
     if os_path is None:
+        for name in BaseIndex._fields:
+            getattr(index, name).write.mode("overwrite").parquet(
+                os.path.join(path, name)
+            )
         return
-    for name in BaseIndex._fields:
-        for suffix in ("__new", "__old"):
-            leftover = os.path.join(os_path, name + suffix)
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover)
-    for marker in ("_MERGE_MUTATING", "_MERGE_INPROGRESS"):
-        m = os.path.join(os_path, marker)
-        if os.path.exists(m):
-            os.remove(m)
+
+    markers = [
+        m
+        for m in ("_MERGE_MUTATING", "_MERGE_INPROGRESS")
+        if os.path.exists(os.path.join(os_path, m))
+    ]
+    if markers and not force:
+        raise ValueError(
+            f"saved index at {path!r} has merge markers "
+            f"({', '.join(markers)}): a merge may be RUNNING there, and a "
+            f"rebuild racing a live merge would silently interleave "
+            f"writes. Once certain no writer is running, pass force=True "
+            f"— a forced save clears the markers and crash leftovers and "
+            f"is the prescribed rebuild recovery"
+        )
+    if force:
+        for marker in markers:
+            os.remove(os.path.join(os_path, marker))
+    os.makedirs(os_path, exist_ok=True)
+    inprog = os.path.join(os_path, "_MERGE_INPROGRESS")
+    try:
+        lock = open(inprog, "x", encoding="utf-8")
+    except FileExistsError:
+        raise ValueError(
+            f"saved index at {path!r}: _MERGE_INPROGRESS appeared while "
+            f"acquiring the save lock — a concurrent writer is live; "
+            f"retry once it finishes"
+        ) from None
+    try:
+        with lock:
+            lock.write("rebuild (save_base_index) in progress\n")
+        for name in BaseIndex._fields:
+            getattr(index, name).write.mode("overwrite").parquet(
+                os.path.join(path, name)
+            )
+        for name in _SAVED_RELATIONS:
+            for suffix in ("__new", "__old"):
+                leftover = os.path.join(os_path, name + suffix)
+                if os.path.exists(leftover):
+                    shutil.rmtree(leftover)
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(inprog)
 
 
 def load_base_index(spark, path: str) -> BaseIndex:
@@ -1903,7 +1953,7 @@ def _saved_index_mutation(path: str):
         # full-size copies of the largest relations — remove them
         # rather than leaving unbounded litter for the NEXT writer
         # that happens to rewrite the same relation
-        for name in BaseIndex._fields:
+        for name in _SAVED_RELATIONS:
             with contextlib.suppress(OSError):
                 shutil.rmtree(os.path.join(os_path, name + "__new"))
 
@@ -1911,7 +1961,7 @@ def _saved_index_mutation(path: str):
     try:
         # under the lock: leftover diagnosis and every generation
         # write are race-free against other writers
-        for name in BaseIndex._fields:
+        for name in _SAVED_RELATIONS:
             if os.path.exists(os.path.join(os_path, name + "__old")):
                 raise ValueError(
                     f"saved index at {spark_path!r} has a leftover {name}__old "
@@ -1921,6 +1971,22 @@ def _saved_index_mutation(path: str):
                 )
             # stale __new from an older crash: overwritten or swept
         yield mut
+        if mut.mutated and not mut.consistent:
+            # the writer entered its mutation window, may have appended,
+            # and returned WITHOUT swap(): the keyed generations were
+            # never swapped in, so the on-disk relations can be mutually
+            # inconsistent. The class docstring promises the ordering is
+            # ENFORCED — honor it: raise, and let the exception path
+            # below strand both markers (mutated and not consistent), so
+            # the next writer and every reader refuse loudly.
+            raise RuntimeError(
+                "saved-index protocol violation: the writer entered its "
+                "mutation window but returned without swap() — appends may "
+                "have landed while the keyed generations were never "
+                "swapped in. The markers stay stranded; rebuild the index "
+                "(build_base_index + save_base_index(force=True) over the "
+                "corpus)"
+            )
         if mut.mutated:
             os.remove(mutating)
         _sweep_new_generations()

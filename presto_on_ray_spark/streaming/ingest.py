@@ -165,8 +165,14 @@ def stream_ingest_admit(
     admit_log across checkpoint lineages makes a NEW batch 0 look
     already-admitted. Starting a new checkpoint against an existing
     index means passing a new admit_log (or clearing the old one).
-    One stream per index: the merge's single-writer lock refuses
-    concurrent admitters loudly.
+    The one spelling of that trap a caller hits WITHOUT reaching for
+    it — checkpoint_dir=None (a fresh implicit checkpoint every run)
+    over the durable default admit_log — is refused up front: if the
+    log already holds batch receipts, this run's batch ids would
+    collide with them and its batches would be silently skipped (no
+    sink delivery, no admission, no error). One stream per index:
+    the merge's single-writer lock refuses concurrent admitters
+    loudly.
 
     rerank=False (the default) is deliberate: strict re-ranking
     inside every micro-batch re-ranks all base docs sharing a shingle
@@ -195,6 +201,25 @@ def stream_ingest_admit(
     tokens = admit_log if admit_log is not None else os.path.join(
         index_os_path, "_ADMITTED"
     )
+    if checkpoint_dir is None:
+        import re
+
+        stale = []
+        with contextlib.suppress(OSError):
+            stale = [
+                f for f in os.listdir(tokens) if re.fullmatch(r"batch-\d+", f)
+            ]
+        if stale:
+            raise ValueError(
+                f"stream_ingest_admit: checkpoint_dir is None but the admit "
+                f"log {tokens!r} already holds {len(stale)} batch receipt(s) "
+                f"(e.g. {sorted(stale)[0]!r}). Without a checkpoint, batch "
+                f"ids restart at 0 on every run, so this run's batches "
+                f"would match those stale receipts and be silently skipped "
+                f"— no sink delivery, no admission, no error. Pass the "
+                f"checkpoint_dir the receipts were written under, or a "
+                f"fresh admit_log (prune_admit_log clears a retired one)."
+            )
 
     def _classify_admit(batch_df: DataFrame, batch_id: int) -> None:
         token = os.path.join(tokens, f"batch-{batch_id}")

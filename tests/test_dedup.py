@@ -768,11 +768,17 @@ def test_merge_guards_fail_loud(spark, tmp_path):
         merge_into_saved_index(spark, p, probe)
     with pytest.raises(ValueError, match="inconsistent"):
         load_base_index(spark, p)
-    # a full save IS the prescribed rebuild recovery: it must unblock
+    # a save over merge markers refuses by default (the markers may be
+    # a LIVE merge — racing it would silently interleave writes)...
     idx2 = build_base_index(base, tracked=False)
-    save_base_index(idx2, p)
+    with pytest.raises(ValueError, match="force=True"):
+        save_base_index(idx2, p)
+    assert os.path.exists(os.path.join(p, "_MERGE_MUTATING"))
+    # ...and with force=True it IS the prescribed rebuild recovery
+    save_base_index(idx2, p, force=True)
     idx2.release()
     assert not os.path.exists(os.path.join(p, "_MERGE_MUTATING"))
+    assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
     load_base_index(spark, p)  # no longer refuses
 
     # a stale __new generation from an aborted pre-protocol merge is
@@ -1366,3 +1372,68 @@ def test_verify_index_consistency(spark):
             verify_index_consistency(crashed)
     finally:
         idx.release()
+
+
+def test_saved_mutation_protocol_enforces_swap(spark, tmp_path):
+    """ADVICE r11: the mutation protocol's ordering really is ENFORCED
+    — a writer that enters its window and returns WITHOUT swap() may
+    have appended while the keyed generations never swapped in, so the
+    clean-exit path must raise and strand the markers, not release an
+    index it cannot prove consistent. Also pins save_base_index's
+    writer-lock behavior (refuse over markers; force = recovery; hold
+    the lock while writing)."""
+    import os
+
+    from presto_on_ray_spark.operators.dedup import (
+        _saved_index_mutation,
+        build_base_index,
+        load_base_index,
+        save_base_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id int, text string"
+    )
+    idx = build_base_index(base, tracked=False)
+    p = str(tmp_path / "bidx")
+    save_base_index(idx, p)
+    idx.release()
+
+    with pytest.raises(RuntimeError, match="without swap"):
+        with _saved_index_mutation(p) as mut:
+            mut.enter_mutation_window()
+    # both markers stranded: writers and readers refuse loudly
+    assert os.path.exists(os.path.join(p, "_MERGE_MUTATING"))
+    assert os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+    with pytest.raises(ValueError, match="inconsistent"):
+        load_base_index(spark, p)
+
+    # recovery path: unforced save refuses, forced save unblocks
+    idx2 = build_base_index(base, tracked=False)
+    with pytest.raises(ValueError, match="force=True"):
+        save_base_index(idx2, p)
+    save_base_index(idx2, p, force=True)
+    load_base_index(spark, p)
+
+    # a writer that never enters the window releases cleanly (no-op
+    # body), and an EMPTY swap (append-only writers) is still a valid
+    # completion — no strand either way
+    with _saved_index_mutation(p) as mut:
+        pass
+    assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+    with _saved_index_mutation(p) as mut:
+        mut.enter_mutation_window()
+        mut.swap()
+    assert not os.path.exists(os.path.join(p, "_MERGE_MUTATING"))
+    assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+
+    # a held lock alone (no mutating marker) also refuses an unforced
+    # save — it may be a LIVE merge mid-generation-write
+    with open(os.path.join(p, "_MERGE_INPROGRESS"), "w") as fh:
+        fh.write("x\n")
+    with pytest.raises(ValueError, match="force=True"):
+        save_base_index(idx2, p)
+    save_base_index(idx2, p, force=True)
+    idx2.release()
+    assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+    load_base_index(spark, p)

@@ -174,3 +174,28 @@ def test_zorder_key_degenerate_columns(spark):
     empty, k2 = zorder_key(df.filter("id < 0"), ["x", "y"], bits=4)
     assert k2 in empty.columns
     assert empty.count() == 0
+
+
+def test_zorder_key_warns_past_2_53(spark):
+    """ADVICE r11: the bucketing path runs in doubles, so integer
+    columns beyond 2^53 lose resolution (neighboring ids collapse to
+    one double) — the key still computes, but loudly."""
+    import warnings
+
+    from presto_on_ray_spark.layout import zorder_key
+
+    big = 1 << 60  # double spacing here is 2^7: ids 0..63 all collapse
+    df = spark.createDataFrame(
+        [(big + i, i % 7) for i in range(64)], "snowflake long, x int"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        zdf, k = zorder_key(df, ["snowflake", "x"], bits=4)
+        assert zdf.count() == 64  # key computes despite the collapse
+    assert any("2^53" in str(x.message) for x in w)
+
+    # small-magnitude columns stay silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        zorder_key(df, ["x"], bits=4)
+    assert not [x for x in w if "2^53" in str(x.message)]

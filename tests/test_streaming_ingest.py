@@ -651,3 +651,65 @@ def test_stream_ingest_admit_lsh_tier(spark, tmp_path):
     finally:
         for g in gens:
             g.release()
+
+
+def test_stream_ingest_admit_requires_checkpoint_over_stale_log(spark, tmp_path):
+    """ADVICE r11 (medium): checkpoint_dir=None over an admit log that
+    already holds receipts is refused BEFORE the stream starts —
+    without a checkpoint, batch ids restart at 0 every run, so a new
+    run's batch-0 would match a stale token and be silently skipped
+    (no sink delivery, no admission, no error anywhere)."""
+    import pytest
+
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        save_base_index,
+    )
+    from presto_on_ray_spark.streaming.ingest import stream_ingest_admit
+
+    base = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id int, text string"
+    )
+    src = tmp_path / "arrivals"
+    spark.createDataFrame(
+        [(10, "k l m n o p q r s t")], "doc_id int, text string"
+    ).write.parquet(str(src / "f1"))
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+    idx.release()
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id int, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    got: dict[int, str] = {}
+
+    def sink(df, _bid):
+        got.update({r["doc_id"]: r["status"] for r in df.collect()})
+
+    # the FIRST run without a checkpoint is legitimate: no receipts yet
+    stream_ingest_admit(make_stream(), p, sink, checkpoint_dir=None)
+    assert got == {10: "new"}
+
+    # a second checkpoint-less run would re-deliver under colliding
+    # batch ids: refused up front, nothing delivered or admitted
+    got.clear()
+    with pytest.raises(ValueError, match="restart at 0"):
+        stream_ingest_admit(make_stream(), p, sink, checkpoint_dir=None)
+    assert got == {}
+
+    # the documented pairing — fresh checkpoint + fresh admit log —
+    # proceeds: the re-delivered doc classifies as its own exact dup
+    # (it was admitted in run 1), which is correct, not a silent skip
+    stream_ingest_admit(
+        make_stream(),
+        p,
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        admit_log=str(tmp_path / "fresh_log"),
+    )
+    assert got == {10: "exact"}
