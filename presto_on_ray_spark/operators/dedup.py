@@ -1394,11 +1394,27 @@ def build_base_index(base, tracked: bool = True) -> BaseIndex:
     return BaseIndex(digests, sho, df_rel, counts, prefix)
 
 
-def save_base_index(index: BaseIndex, path: str, force: bool = False) -> None:
+def save_base_index(
+    index: BaseIndex, path: str, force: bool = False, with_bands: bool = False
+) -> None:
     """Materialize every index relation as parquet under ``path`` —
     the production form at 100 TB: the index is a set of tables
     maintained alongside the corpus, not a session cache. Layout is
     one subdirectory per BaseIndex field.
+
+    ``with_bands=True`` additionally materializes the optional sixth
+    relation, ``bands`` = lsh_bands(index.shingles) — the per-doc
+    banded-MinHash rows the LSH ingest tier joins against. Saved
+    bands are maintained by merge_into_saved_index (append inside the
+    same mutation window, so the lockstep guard passes by
+    construction) and rewritten by compact_saved_index; the streaming
+    admit loop picks them up automatically, paying O(batch) band
+    derivation per micro-batch instead of re-deriving the whole
+    index's bands in-plan. A save WITHOUT with_bands onto a location
+    that has a bands relation REMOVES it (local paths): a rebuild is
+    a new doc-set generation, and bands not regenerated with it would
+    silently drop recall for every doc the rebuild added. Attach
+    bands to an existing saved index with save_index_bands.
 
     Concurrency (local paths): the save holds the SAME
     _MERGE_INPROGRESS lock the mutation protocol uses, so a rebuild
@@ -1427,6 +1443,10 @@ def save_base_index(index: BaseIndex, path: str, force: bool = False) -> None:
         for name in BaseIndex._fields:
             getattr(index, name).write.mode("overwrite").parquet(
                 os.path.join(path, name)
+            )
+        if with_bands:
+            lsh_bands(index.shingles).write.mode("overwrite").parquet(
+                os.path.join(path, "bands")
             )
         return
 
@@ -1464,6 +1484,16 @@ def save_base_index(index: BaseIndex, path: str, force: bool = False) -> None:
             getattr(index, name).write.mode("overwrite").parquet(
                 os.path.join(path, name)
             )
+        bands_dir = os.path.join(os_path, "bands")
+        if with_bands:
+            lsh_bands(index.shingles).write.mode("overwrite").parquet(
+                os.path.join(path, "bands")
+            )
+        elif os.path.exists(bands_dir):
+            # the rebuild changed the doc-set generation; bands not
+            # regenerated with it would silently lose LSH recall for
+            # every doc the rebuild added — remove, never keep stale
+            shutil.rmtree(bands_dir)
         for name in _SAVED_RELATIONS:
             for suffix in ("__new", "__old"):
                 leftover = os.path.join(os_path, name + suffix)
@@ -1510,6 +1540,57 @@ def load_base_index(spark, path: str) -> BaseIndex:
             for name in BaseIndex._fields
         }
     )
+
+
+def save_index_bands(spark, path: str) -> None:
+    """Attach (or regenerate) the optional ``bands`` relation of a
+    saved index: lsh_bands over its stored shingles, written as a new
+    generation under the same single-writer mutation protocol the
+    merge and compaction use — so attaching bands to a live index
+    location cannot interleave with an admission. One pass over the
+    shingle relation, no document text read. After this, every
+    merge_into_saved_index appends the admitted docs' band rows inside
+    its mutation window and compact_saved_index rewrites them, so the
+    bands stay in lockstep with the index by construction — the
+    property ingest_batch_lsh's check= guard verifies per ingest."""
+    with _saved_index_mutation(path) as mut:
+        index = load_base_index(spark, mut.path)
+        mut.write_new("bands", lsh_bands(index.shingles))
+        mut.enter_mutation_window()
+        mut.swap()
+
+
+def load_saved_bands(spark, path: str):
+    """The saved ``bands`` relation of a save_base_index layout, or
+    None when the index was saved without one. Same _MERGE_MUTATING
+    refusal as load_base_index — bands appended by a crashed merge are
+    exactly as untrustworthy as its other appends."""
+    import os
+
+    try:
+        spark_path, os_path = _index_paths(path)
+    except AmbiguousIndexPath:
+        raise
+    except ValueError:
+        spark_path, os_path = path, None
+    if os_path is not None:
+        if os.path.exists(os.path.join(os_path, "_MERGE_MUTATING")):
+            raise ValueError(
+                f"saved index at {spark_path!r} has a _MERGE_MUTATING "
+                f"marker: a merge is mid-mutation or crashed there. "
+                f"Rebuild the index before reading its bands"
+            )
+        if not os.path.isdir(os.path.join(os_path, "bands")):
+            return None
+        return spark.read.parquet(os.path.join(spark_path, "bands"))
+    # shared store: no os-level existence probe — try the read and map
+    # only the path-missing failure to None
+    try:
+        return spark.read.parquet(os.path.join(spark_path, "bands"))
+    except Exception as e:  # AnalysisException: PATH_NOT_FOUND
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def merge_into_base_index(
@@ -1830,9 +1911,11 @@ class _SavedIndexMutation:
         """Phase 3: rename-aside swap of every generation written with
         write_new (``name`` -> ``name__old``, ``name__new`` ->
         ``name``, drop ``__old``) — two renames per relation, not a
-        recursive delete, inside the marked window. After the last
-        rename the index is consistent again; post-swap failures
-        release the markers rather than stranding them."""
+        recursive delete, inside the marked window. A FIRST generation
+        (the live directory does not exist yet — e.g. attaching the
+        optional bands relation to an existing index) is one rename.
+        After the last rename the index is consistent again; post-swap
+        failures release the markers rather than stranding them."""
         import os
         import shutil
 
@@ -1844,9 +1927,12 @@ class _SavedIndexMutation:
             )
         for name in self.swaps:
             old = os.path.join(self.os_path, name)
-            os.rename(old, old + "__old")
+            had_old = os.path.exists(old)
+            if had_old:
+                os.rename(old, old + "__old")
             os.rename(old + "__new", old)
-            shutil.rmtree(old + "__old")
+            if had_old:
+                shutil.rmtree(old + "__old")
         self.consistent = True
 
     def commit(self, token: str) -> None:
@@ -2026,6 +2112,12 @@ def merge_into_saved_index(
     base's files untouched — O(batch) data written):
 
     - ``shingles`` / ``counts``: append the batch's rows.
+    - ``bands`` (optional sixth relation — save_base_index
+      with_bands=True or save_index_bands): append the batch's band
+      rows. Band rows depend only on a doc's own shingles, so the
+      append IS exact maintenance; doing it inside this mutation
+      window keeps bands in lockstep with the index by construction
+      (ingest_batch_lsh's check= guard passes across admissions).
     - ``prefix`` with rerank=False: append the new docs' prefix rows
       ranked under the merged df (the stale policy — near-tier recall
       for drifted base docs degrades until the next strict merge or
@@ -2098,6 +2190,12 @@ def merge_into_saved_index(
                     ),
                 )
 
+            # the optional bands relation is maintained in the SAME
+            # mutation window as everything else, so ingest_batch_lsh's
+            # lockstep guard passes by construction across admissions
+            # (probed before the window: reading only old directories)
+            has_bands = os.path.isdir(os.path.join(mut.os_path, "bands"))
+
             # phases 2-3 are the mutation window
             mut.enter_mutation_window()
 
@@ -2106,6 +2204,13 @@ def merge_into_saved_index(
                 "append"
             ).parquet(os.path.join(path, "counts"))
             new_sho.write.mode("append").parquet(os.path.join(path, "shingles"))
+            if has_bands:
+                # band rows depend only on a doc's OWN shingles (see
+                # merge_lsh_bands): appending the batch's rows IS the
+                # exact maintenance — O(batch), no existing row changes
+                lsh_bands(new_sho).write.mode("append").parquet(
+                    os.path.join(path, "bands")
+                )
             if not rerank:
                 # stale: append only the new docs' prefix rows, ranked
                 # under the merged df (df_rel still reads the old df
@@ -2142,9 +2247,14 @@ def compact_saved_index(spark, path: str) -> None:
     maintenance job between which rerank=False admissions are free to
     let prefix ranks drift.
 
+    The optional ``bands`` relation, when present, is rewritten from
+    the same shingle snapshot (it stays VALID across compaction — the
+    doc set never changes — but rewriting collapses its per-admission
+    small files too).
+
     Same _saved_index_mutation single-writer protocol as the merge;
-    compaction's mutation window contains ONLY the five renames (all
-    generations are written before the window opens), so its
+    compaction's mutation window contains ONLY the relation renames
+    (all generations are written before the window opens), so its
     crash-demands-rebuild exposure is a few syscalls wide."""
     import os
 
@@ -2163,6 +2273,12 @@ def compact_saved_index(spark, path: str) -> None:
         )
         mut.write_new("prefix", _ranked_prefix(sho, df_rel, tn, td))
         mut.write_new("digests", index.digests)
+        if os.path.isdir(os.path.join(mut.os_path, "bands")):
+            # bands stay VALID across compaction (the doc set and the
+            # shingles themselves never change — merge_lsh_bands'
+            # contract), but rewriting them from the snapshot collapses
+            # the per-admission small files exactly like the others
+            mut.write_new("bands", lsh_bands(sho))
         mut.enter_mutation_window()
         mut.swap()
 

@@ -186,21 +186,37 @@ def stream_ingest_admit(
     global registry is never touched from this path.
 
     ``classify`` picks the candidate tier, as in stream_ingest_dedup
-    — but here the index GROWS every batch, so prebuilt LSH bands
-    would go stale on every admission (ingest_batch_lsh's check=
-    guard would refuse them): for a saturated corpus pass
-    ``ingest_batch_lsh`` WITHOUT bands (they derive in-plan from the
-    freshly loaded index's shingles — an index-sized term per batch,
-    but still far below the prefix tier's df² candidate join on such
-    corpora: 2.0 s bands vs a 44 s candidate join at the sf1 rung)
-    or ``ingest_batch_adaptive`` to let the measured saturation
-    decide per batch."""
+    — but here the index GROWS every batch, so a caller-prebuilt
+    bands relation would go stale on every admission. The saved
+    layout solves this: when the index carries the optional ``bands``
+    relation (save_base_index with_bands=True / save_index_bands) and
+    ``classify`` accepts a ``bands`` parameter (ingest_batch_lsh,
+    ingest_batch_adaptive), each batch gets the SAVED bands injected
+    — maintained inside every merge's mutation window, so they are in
+    lockstep with the index by construction and the per-batch band
+    work is O(batch) (derive the batch's rows, join against the
+    maintained relation) instead of re-deriving the whole index's
+    bands in-plan. Injection overrides any partial-bound bands= —
+    those are exactly the relation that goes stale here. Without
+    saved bands, ``ingest_batch_lsh`` derives them from the freshly
+    loaded index's shingles (an index-sized term per batch, but still
+    far below the prefix tier's df² candidate join on saturated
+    corpora: 2.0 s bands vs a 44 s candidate join at the sf1 rung);
+    ``ingest_batch_adaptive`` lets the measured saturation decide per
+    batch."""
+    import inspect
     import os
 
-    _, index_os_path = _index_paths(index_path)
+    index_spark_path, index_os_path = _index_paths(index_path)
     tokens = admit_log if admit_log is not None else os.path.join(
         index_os_path, "_ADMITTED"
     )
+    bands_os_dir = os.path.join(index_os_path, "bands")
+    bands_spark_dir = os.path.join(index_spark_path, "bands")
+    try:
+        accepts_bands = "bands" in inspect.signature(classify).parameters
+    except (TypeError, ValueError):  # C callables etc.: no injection
+        accepts_bands = False
     if checkpoint_dir is None:
         import re
 
@@ -234,7 +250,16 @@ def stream_ingest_admit(
         try:
             batch = batch_df.filter(F.col("text").isNotNull())
             index = load_base_index(batch_df.sparkSession, index_path)
-            classified = keep(classify(batch, index, keep=keep))
+            extra = {}
+            if accepts_bands and os.path.isdir(bands_os_dir):
+                # the saved bands relation — maintained inside every
+                # merge's mutation window, so lockstep with the index
+                # this batch classifies against (call-time kwargs
+                # override any partial-bound stale bands=)
+                extra["bands"] = batch_df.sparkSession.read.parquet(
+                    bands_spark_dir
+                )
+            classified = keep(classify(batch, index, keep=keep, **extra))
             sink(classified, batch_id)
             new_docs = batch.join(
                 classified.filter(F.col("status") == "new").select("doc_id"),

@@ -1437,3 +1437,115 @@ def test_saved_mutation_protocol_enforces_swap(spark, tmp_path):
     idx2.release()
     assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
     load_base_index(spark, p)
+
+
+def test_saved_bands_lifecycle(spark, tmp_path):
+    """VERDICT r11 #1: the optional sixth saved-index relation. Bands
+    attach to an existing index (save_index_bands) or at save time
+    (with_bands=True), are appended inside every merge's mutation
+    window (lockstep by construction — the ingest_batch_lsh guard
+    passes and verdicts equal the in-plan derivation), are rewritten
+    by compaction, and a rebuild WITHOUT with_bands removes them
+    rather than leaving a silently-stale relation."""
+    import os
+
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        compact_saved_index,
+        ingest_batch_lsh,
+        load_base_index,
+        load_saved_bands,
+        lsh_bands,
+        merge_into_saved_index,
+        save_base_index,
+        save_index_bands,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    ten = "a b c d e f g h i j"
+    base = spark.createDataFrame(
+        [(1, ten), (2, "p q r s t u v w x y")], "doc_id int, text string"
+    )
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+    assert load_saved_bands(spark, p) is None  # optional: absent by default
+
+    # attach to the existing saved index (first-generation swap)
+    save_index_bands(spark, p)
+    want = rows(lsh_bands(idx.shingles))
+    assert rows(load_saved_bands(spark, p)) == want
+    idx.release()
+    assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+    assert not os.path.exists(os.path.join(p, "bands__new"))
+
+    # stale-policy merge appends the admitted docs' band rows
+    admitted = spark.createDataFrame(
+        [(4, "q w e r t y u i o p")], "doc_id int, text string"
+    )
+    merge_into_saved_index(spark, p, admitted, rerank=False)
+    loaded = load_base_index(spark, p)
+    assert rows(load_saved_bands(spark, p)) == rows(lsh_bands(loaded.shingles))
+
+    # lockstep guard green with the saved bands; verdicts equal in-plan
+    batch = spark.createDataFrame(
+        [
+            (10, ten),
+            (20, "q w e r t y u i o z"),
+            (30, "novel stuff entirely here"),
+        ],
+        "doc_id int, text string",
+    )
+    via_saved = {
+        r["doc_id"]: (r["status"], r["n_base_matches"])
+        for r in ingest_batch_lsh(
+            batch, loaded, bands=load_saved_bands(spark, p)
+        ).collect()
+    }
+    via_plan = {
+        r["doc_id"]: (r["status"], r["n_base_matches"])
+        for r in ingest_batch_lsh(batch, loaded).collect()
+    }
+    assert via_saved == via_plan
+    assert via_saved[10] == ("exact", 1)
+
+    # strict merge maintains them identically (band rows are
+    # df-independent — no re-rank analogue exists for them)
+    merge_into_saved_index(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(5, "m n b v c x z l k j")], "doc_id int, text string"
+        ),
+        rerank=True,
+    )
+    loaded = load_base_index(spark, p)
+    assert rows(load_saved_bands(spark, p)) == rows(lsh_bands(loaded.shingles))
+
+    # compaction rewrites bands from the same shingle snapshot: equal
+    # rows, per-admission small files collapsed
+    bands_dir = os.path.join(p, "bands")
+    parts_before = len(
+        [f for f in os.listdir(bands_dir) if f.endswith(".parquet")]
+    )
+    compact_saved_index(spark, p)
+    loaded = load_base_index(spark, p)
+    assert rows(load_saved_bands(spark, p)) == rows(lsh_bands(loaded.shingles))
+    parts_after = len(
+        [f for f in os.listdir(bands_dir) if f.endswith(".parquet")]
+    )
+    assert parts_after <= parts_before
+
+    # rebuild WITHOUT with_bands: stale bands removed, not kept
+    idx2 = build_base_index(base, tracked=False)
+    save_base_index(idx2, p)
+    assert load_saved_bands(spark, p) is None
+    # a merge on a bands-less layout creates none
+    merge_into_saved_index(spark, p, admitted, rerank=False)
+    assert load_saved_bands(spark, p) is None
+    # and with_bands=True regenerates them at save time
+    save_base_index(idx2, p, with_bands=True)
+    assert rows(load_saved_bands(spark, p)) == rows(lsh_bands(idx2.shingles))
+    idx2.release()
