@@ -94,6 +94,10 @@ HEADLINE = [
     # round-11: the self-growing admit loop (classify b1, admit its
     # new docs, classify b2 against the grown base)
     "dedup_ingest_chain",
+    # round-12: the PRODUCTION admit chain (stale merge + scheduled
+    # compaction — the path stream_ingest_admit defaults to); the
+    # strict chain above prices the saturated-vocabulary worst case
+    "dedup_ingest_chain_stale",
 ]
 
 

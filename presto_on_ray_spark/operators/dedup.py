@@ -2806,3 +2806,67 @@ def dedup_ingest_adaptive(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     idx = build_base_index(d.filter(F.col("doc_id") % 10 != 0))
     return ingest_batch_adaptive(d.filter(F.col("doc_id") % 10 == 0), idx)
+
+
+@query("dedup_ingest_chain_stale", oracle=_ingest_chain_oracle())
+def dedup_ingest_chain_stale(spark, sf_dir):
+    """The PRODUCTION admit chain — the path stream_ingest_admit
+    actually defaults to (rerank=False + scheduled compaction), as a
+    bench-headline twin of dedup_ingest_chain, which deliberately
+    prices the strict worst case (VERDICT r11 'What's wrong' #2):
+    save the base index, classify batch 1 (doc_id % 10 == 5) against
+    the loaded (parquet-backed) index, admit its 'new' docs with a
+    STALE merge_into_saved_index (O(batch) appends — counts, shingles,
+    and the new docs' prefix rows; the keyed digests/df re-aggregate),
+    run the scheduled compact_saved_index (cures the prefix drift
+    exactly, O(index), no text re-read), then classify batch 2
+    (doc_id % 10 == 0) against the compacted index.
+
+    Batch 1 classifies against the in-session build (relation-equal
+    to the freshly saved form) rather than the loaded one: the merge
+    and compaction REPLACE the saved generations, and a lazily
+    evaluated c1 plan over the original files would re-read deleted
+    parquet at collect time. Batch 2's load happens after the last
+    mutation, so its plan reads stable files.
+
+    Oracle: the SAME chained SQL as the strict chain — valid because
+    a compacted index is relation-for-relation equal to a rebuild
+    over base + admissions (pinned in tests/test_dedup.py), which is
+    in turn equal to the strict merge; so cls2 is identical while the
+    per-admission cost is O(batch) instead of the strict re-rank that
+    degenerates on saturated vocabularies. The saved index lives in a
+    fresh tempdir (removed at interpreter exit — the result plan
+    reads its parquet lazily, so it cannot be removed in-query)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.filter(F.col("doc_id") % 10 % 5 != 0)
+    b1 = d.filter(F.col("doc_id") % 10 == 5)
+    b2 = d.filter(F.col("doc_id") % 10 == 0)
+
+    tmp = tempfile.mkdtemp(prefix="ingest_chain_stale_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    p = os.path.join(tmp, "bidx")
+    idx = build_base_index(base)
+    save_base_index(idx, p)
+    c1 = tracked_persist(ingest_batch(b1, idx))
+    new1 = b1.join(
+        c1.filter(F.col("status") == "new").select("doc_id"), "doc_id", "left_semi"
+    )
+    merge_into_saved_index(spark, p, new1, rerank=False)
+    compact_saved_index(spark, p)
+    c2 = ingest_batch(b2, load_base_index(spark, p))
+    return (
+        c1.select(
+            F.lit(1).alias("batch_no"), "doc_id", "status", "n_base_matches"
+        )
+        .unionByName(
+            c2.select(
+                F.lit(2).alias("batch_no"), "doc_id", "status", "n_base_matches"
+            )
+        )
+        .orderBy("batch_no", "doc_id")
+    )
