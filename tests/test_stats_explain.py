@@ -422,3 +422,54 @@ def test_explain_io_write_renders_output_table(eng):
     assert any("nation.parquet" in loc for loc in locs)
     assert locs[-1] == "output-table: nation"
     assert rows[-1].files is None  # no footer facts for the sink
+
+
+def test_explain_io_zorder_box_matches_footer_stats(eng, spark, tmp_path):
+    """VERDICT r11 #5: a multi-predicate box query against a Z-ORDERED
+    location predicts per-dimension row-group pruning through EXPLAIN
+    (TYPE IO), and the prediction equals layout.footer_stats over the
+    same box — the introspection surface and the storage layout agree
+    on what a scan will skip BEFORE it runs. The secondary dimension
+    alone must also predict pruning on this layout (the property a
+    1-d clustering lacks — tests/test_layout.py pins that contrast)."""
+    from pyspark.sql import functions as F
+
+    from presto_on_ray_spark.layout import footer_stats, write_zordered
+    from presto_on_ray_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    path = str(tmp_path / "events_z")
+    write_zordered(ev, path, ["ts_us", "user_id"], num_files=8)
+    t_lo, t_hi, u_lo, u_hi = ev.select(
+        F.percentile_approx("ts_us", 0.4),
+        F.percentile_approx("ts_us", 0.6),
+        F.percentile_approx("user_id", 0.4),
+        F.percentile_approx("user_id", 0.6),
+    ).first()
+    spark.read.parquet(path).createOrReplaceTempView("events_zorder")
+    try:
+        rows = eng.sql(
+            f"EXPLAIN (TYPE IO) SELECT * FROM events_zorder"
+            f" WHERE ts_us BETWEEN {t_lo} AND {t_hi}"
+            f" AND user_id BETWEEN {u_lo} AND {u_hi}"
+        ).collect()
+        r = next(r for r in rows if "events_z" in r.input_location)
+        st = footer_stats(
+            path, {"ts_us": (t_lo, t_hi), "user_id": (u_lo, u_hi)}
+        )
+        assert r.row_groups == st["row_groups"]
+        assert r.row_groups_pruned == st["row_groups_pruned"] > 0
+        assert "ts_us in [" in r.pushed_ranges
+        assert "user_id in [" in r.pushed_ranges
+
+        rows = eng.sql(
+            f"EXPLAIN (TYPE IO) SELECT * FROM events_zorder"
+            f" WHERE user_id BETWEEN {u_lo} AND {u_hi}"
+        ).collect()
+        r = next(r for r in rows if "events_z" in r.input_location)
+        st_u = footer_stats(path, {"user_id": (u_lo, u_hi)})
+        assert r.row_groups_pruned == st_u["row_groups_pruned"] > 0
+    finally:
+        spark.catalog.dropTempView("events_zorder")
