@@ -607,20 +607,28 @@ def similarity_pq_adc_topk(spark, sf_dir):
     )
 
 
-def _pq_adc_scores(spark, sf_dir, n_queries: int):
-    """The shared PQ pipeline: quantize -> deterministic sampled
-    codebook -> encode (argmin, smallest-id ties) -> per-query ADC
-    tables -> summed integer scores. Returns (score, v) where score =
-    (qid, vec_id, adc_dist) for every query x candidate (the ADC
-    table has a row for every (j, c), so each candidate's M code rows
-    each find exactly one table entry; self-pairs excluded) and v =
-    the quantized vector relation for rerank stages."""
+def _pq_adc_scores(spark, sf_dir, n_queries: int, codebook=None):
+    """The shared PQ pipeline: quantize -> codebook -> encode (argmin,
+    smallest-id ties) -> per-query ADC tables -> summed integer
+    scores. Returns (score, v) where score = (qid, vec_id, adc_dist)
+    for every query x candidate (the ADC table has a row for every
+    (j, c), so each candidate's M code rows each find exactly one
+    table entry; self-pairs excluded) and v = the quantized vector
+    relation for rerank stages.
+
+    ``codebook``: an optional (j, c, cw) relation replacing the
+    default deterministic sampled codebook — the quality dial
+    (pq_codebook's k-means refinement). Everything downstream of the
+    codebook is IDENTICAL either way; the two frozen oracle keys pass
+    None, so their plans are unchanged by this parameter."""
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
     sub = tracked_persist(_pq_subvectors(v))
     cb = (
         sub.filter(F.col("vec_id") < _PQ_K)
         .select("j", F.col("vec_id").alias("c"), F.col("s").alias("cw"))
+        if codebook is None
+        else codebook
     )
     dists = sub.join(F.broadcast(cb), "j").select(
         "vec_id", "j", "c", _pq_l2sq(F.col("s"), F.col("cw")).alias("d2")
@@ -729,6 +737,16 @@ def similarity_pq_rerank_topk(spark, sf_dir):
     while the shortlist stage reads only the m-byte codes."""
     n_queries, k = 8, 4
     score, v = _pq_adc_scores(spark, sf_dir, n_queries=n_queries)
+    return _pq_shortlist_rerank(score, v, n_queries, k)
+
+
+def _pq_shortlist_rerank(score, v, n_queries: int, k: int):
+    """The shared shortlist + exact-rerank tail: ADC-rank to
+    _PQ_SHORTLIST per query (smallest-cid ties), fetch ONLY the
+    shortlist's raw vectors by id, rerank by quantized-i64 cosine.
+    One body for the frozen sampled-codebook key and the
+    k-means-refined variant — the codebook changes recall, never this
+    machinery."""
     w_adc = Window.partitionBy("qid").orderBy(F.col("adc_dist"), F.col("vec_id"))
     shortlist = (
         score.withColumn("rn", F.row_number().over(w_adc))
@@ -748,3 +766,108 @@ def similarity_pq_rerank_topk(spark, sf_dir):
         .filter(F.col("rn") <= k)
         .select("qid", "cid", F.round("cos", 6).alias("cosine"))
     )
+
+
+def _round_div_half_away(s: int, n: int) -> int:
+    """round(s / n) half away from zero in pure integers (n > 0) —
+    the module's determinism convention: no float division anywhere
+    in the codebook update, so the NumPy property twin reproduces it
+    bit-for-bit."""
+    q = (2 * abs(s) + n) // (2 * n)
+    return q if s >= 0 else -q
+
+
+def pq_codebook(df, k: int = _PQ_K, iters: int = 5, vec_col: str = "qv"):
+    """K-means-refined PQ codebooks (VERDICT r11 #4): Lloyd's
+    algorithm per subspace, run relationally over ALL subspaces at
+    once — each iteration is ONE assign job (broadcast codebook join +
+    min-struct argmin, the exact encode machinery) and ONE update
+    aggregate (per-(j, c) integer component sums + count), with the
+    tiny M x k centroid set collected to the driver between
+    iterations (8 x 16 x 8 ints — the only driver-side state).
+
+    Integer-deterministic end to end: init is the SAMPLED codebook
+    (subvectors of the first k vec_ids — iters=0 reproduces the
+    frozen oracle keys' codebook exactly), assignment is integer
+    squared-L2 with smallest-c ties, and centroid updates are exact
+    integer sums divided half-away-from-zero — so the refined
+    codebook is reproducible bit-for-bit by the NumPy twin in
+    tests/test_similarity.py, and early convergence (new == old) is
+    exact, not epsilon-based. Empty codewords keep their previous
+    centroid (standard Lloyd practice; k-means++ reseeding would
+    break determinism for no fixture benefit).
+
+    Returns a (j, c, cw) relation that drops into _pq_adc_scores'
+    ``codebook`` parameter: the refinement changes RECALL (measured in
+    SCALING.md), never the encode/ADC/rerank machinery. At 100 TB:
+    train on a sampled df (PQ codebooks are universally sample-
+    trained), each iteration is one bounded shuffle keyed (vec_id, j)
+    plus an M*k-row aggregate — no pairwise term, no driver-sized
+    state."""
+    spark = df.sparkSession
+    sub = tracked_persist(_pq_subvectors(df, vec_col))
+    init = (
+        sub.filter(F.col("vec_id") < k)
+        .select("j", F.col("vec_id").alias("c"), F.col("s").alias("cw"))
+        .collect()
+    )
+    cb = {(r["j"], r["c"]): [int(x) for x in r["cw"]] for r in init}
+
+    def cb_df():
+        return spark.createDataFrame(
+            [(j, c, cw) for (j, c), cw in sorted(cb.items())],
+            "j int, c int, cw array<bigint>",
+        )
+
+    for _ in range(iters):
+        best = (
+            sub.join(F.broadcast(cb_df()), "j")
+            .select(
+                "vec_id", "j", "s",
+                _pq_l2sq(F.col("s"), F.col("cw")).alias("d2"),
+                "c",
+            )
+            .groupBy("vec_id", "j")
+            .agg(F.min(F.struct("d2", "c"))["c"].alias("c"))
+        )
+        stats = (
+            sub.join(best, ["vec_id", "j"])
+            .groupBy("j", "c")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(_PQ_SUB)],
+            )
+            .collect()
+        )
+        new_cb = dict(cb)  # empty codewords keep their centroid
+        for r in stats:
+            new_cb[(r["j"], r["c"])] = [
+                _round_div_half_away(int(r[f"s{i}"]), int(r["n"]))
+                for i in range(_PQ_SUB)
+            ]
+        if new_cb == cb:
+            break
+        cb = new_cb
+    return cb_df()
+
+
+@query("similarity_pq_refined_topk")
+def similarity_pq_refined_topk(spark, sf_dir):
+    """The PQ quality dial turned: shortlist + exact rerank with a
+    k-means-REFINED codebook (pq_codebook, 5 Lloyd iterations) in
+    place of the sampled one — same encode/ADC/shortlist/rerank
+    machinery (_pq_adc_scores + _pq_shortlist_rerank, shared with the
+    two frozen hash-exact keys), different codeword quality. Rows-only
+    by design: the refined pipeline is still integer-deterministic
+    (pinned bit-for-bit against the NumPy Lloyd twin in
+    tests/test_similarity.py, where its recall gain over the sampled
+    codebook is also measured), but reproducing a 5-iteration Lloyd
+    loop in one SQL oracle would be a recursive-CTE contortion that
+    checks nothing the twin does not."""
+    n_queries, k = 8, 4
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    score, v = _pq_adc_scores(
+        spark, sf_dir, n_queries=n_queries, codebook=pq_codebook(v)
+    )
+    return _pq_shortlist_rerank(score, v, n_queries, k)
