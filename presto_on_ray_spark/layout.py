@@ -265,8 +265,10 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
     Precision bound: bucketing runs in doubles end-to-end, so 64-bit
     integer columns with |v| > 2^53 lose resolution (neighboring ids
     collapse to one double) — cut points beyond that magnitude draw a
-    warning; pre-scale such id columns (right-shift constant low
-    bits) to restore locality.
+    warning for LONG/DECIMAL columns; pre-scale such id columns
+    (right-shift constant low bits) to restore locality. Native
+    double columns past 2^53 are already at their stored precision
+    and stay silent.
 
     Width contract, refused loudly outside it: 1 <= bits <= 20 AND
     bits * len(cols) <= 63. Position 63 is the long's sign bit
@@ -325,13 +327,27 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
     sentinels = []
     # per input column: (dst name, max_idx), or (None, 0) = constant 0
     buckets: list = []
+    from pyspark.sql.types import DecimalType, LongType
+
+    dtypes = {f.name.lower(): f.dataType for f in df.schema.fields}
     for c, cuts in zip(cols, boundaries):
         # Bucketizer wants strictly increasing FINITE interior splits:
         # duplicate quantiles (heavy skew) just mean fewer distinct
         # buckets, and +/-inf cuts (a column with many infinities)
         # would collide with the outer sentinels — both filtered here.
         interior = sorted({float(v) for v in cuts if math.isfinite(v)})
-        if interior and max(abs(interior[0]), abs(interior[-1])) >= float(1 << 53):
+        # only LONG/DECIMAL columns can hold values a double cannot
+        # distinguish: a native double column past 2^53 loses nothing
+        # relative to its stored values, so warning there would be a
+        # false alarm that trains users to ignore the real id case
+        exact_past_2_53 = isinstance(
+            dtypes.get(c.lower()), (LongType, DecimalType)
+        )
+        if (
+            exact_past_2_53
+            and interior
+            and max(abs(interior[0]), abs(interior[-1])) >= float(1 << 53)
+        ):
             # the whole bucketing path (approxQuantile, the -inf
             # sentinel cast, Bucketizer) runs in doubles: 64-bit
             # integers beyond 2^53 collapse to shared doubles, so cut

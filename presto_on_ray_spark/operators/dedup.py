@@ -1416,19 +1416,27 @@ def save_base_index(
     silently drop recall for every doc the rebuild added. Attach
     bands to an existing saved index with save_index_bands.
 
-    Concurrency (local paths): the save holds the SAME
-    _MERGE_INPROGRESS lock the mutation protocol uses, so a rebuild
-    can never interleave its relation overwrites with a live merge's
-    generation writes (two writers racing unlocked would silently
-    corrupt the index — the loud single-writer collision exists
-    precisely to prevent that). If merge markers are already present
-    the save REFUSES by default: a held lock may be a merge that is
-    actively running. Pass ``force=True`` once certain no writer is
-    live — a forced save clears the markers and crash leftovers
-    (*__new / *__old generation dirs) and IS the prescribed rebuild
-    recovery for a _MERGE_MUTATING strand. On a shared store (no
-    os-level view of the location) save to a fresh generation
-    directory instead."""
+    Concurrency + failure contract (local paths): the save holds the
+    SAME _MERGE_INPROGRESS lock the mutation protocol uses, so a
+    rebuild can never interleave its relation overwrites with a live
+    merge's generation writes — and because the overwrites mutate the
+    LIVE directories in place (not rename-aside generations), the
+    save also raises _MERGE_MUTATING for the whole write phase:
+    readers refuse while a rebuild is in flight (load_base_index's
+    "lock alone does not block readers" contract stays true — the
+    lock alone never accompanies in-place mutation), and a save that
+    FAILS mid-write strands both markers, leaving the torn index loud
+    instead of silently readable. The marker comes off only after
+    every relation (and the crash-leftover sweep) has completed.
+
+    If merge markers are already present the save REFUSES by default:
+    a held lock may be a merge that is actively running. Pass
+    ``force=True`` once certain no writer is live — the forced save
+    is the prescribed rebuild recovery for a stranded marker: it
+    keeps the location marked through its own writes and clears the
+    markers and crash leftovers (*__new / *__old generation dirs)
+    only on success. On a shared store (no os-level view of the
+    location) save to a fresh generation directory instead."""
     import os
     import shutil
 
@@ -1464,9 +1472,13 @@ def save_base_index(
             f"— a forced save clears the markers and crash leftovers and "
             f"is the prescribed rebuild recovery"
         )
-    if force:
-        for marker in markers:
-            os.remove(os.path.join(os_path, marker))
+    if force and "_MERGE_INPROGRESS" in markers:
+        # the caller certified no writer is live: the stale lock comes
+        # off so we can acquire a fresh one. A stranded _MERGE_MUTATING
+        # deliberately STAYS through the writes — the index is
+        # inconsistent until this rebuild completes, and removing it
+        # early would make a failed recovery silently readable.
+        os.remove(os.path.join(os_path, "_MERGE_INPROGRESS"))
     os.makedirs(os_path, exist_ok=True)
     inprog = os.path.join(os_path, "_MERGE_INPROGRESS")
     try:
@@ -1480,28 +1492,42 @@ def save_base_index(
     try:
         with lock:
             lock.write("rebuild (save_base_index) in progress\n")
-        for name in BaseIndex._fields:
-            getattr(index, name).write.mode("overwrite").parquet(
-                os.path.join(path, name)
-            )
-        bands_dir = os.path.join(os_path, "bands")
-        if with_bands:
-            lsh_bands(index.shingles).write.mode("overwrite").parquet(
-                os.path.join(path, "bands")
-            )
-        elif os.path.exists(bands_dir):
-            # the rebuild changed the doc-set generation; bands not
-            # regenerated with it would silently lose LSH recall for
-            # every doc the rebuild added — remove, never keep stale
-            shutil.rmtree(bands_dir)
-        for name in _SAVED_RELATIONS:
-            for suffix in ("__new", "__old"):
-                leftover = os.path.join(os_path, name + suffix)
-                if os.path.exists(leftover):
-                    shutil.rmtree(leftover)
-    finally:
+    except BaseException:
         with contextlib.suppress(OSError):
             os.remove(inprog)
+        raise
+    # the write phase mutates the LIVE directories: mark the location
+    # mutating so readers refuse mid-rebuild and a failure here leaves
+    # the torn index LOUD (both markers stranded), never readable
+    mutating = os.path.join(os_path, "_MERGE_MUTATING")
+    if not os.path.exists(mutating):
+        with open(mutating, "w", encoding="utf-8") as fh:
+            fh.write("rebuild in progress; if this file survives, re-run "
+                     "save_base_index(force=True)\n")
+    for name in BaseIndex._fields:
+        getattr(index, name).write.mode("overwrite").parquet(
+            os.path.join(path, name)
+        )
+    bands_dir = os.path.join(os_path, "bands")
+    if with_bands:
+        lsh_bands(index.shingles).write.mode("overwrite").parquet(
+            os.path.join(path, "bands")
+        )
+    elif os.path.exists(bands_dir):
+        # the rebuild changed the doc-set generation; bands not
+        # regenerated with it would silently lose LSH recall for
+        # every doc the rebuild added — remove, never keep stale
+        shutil.rmtree(bands_dir)
+    for name in _SAVED_RELATIONS:
+        for suffix in ("__new", "__old"):
+            leftover = os.path.join(os_path, name + suffix)
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+    # success: unmark, then release the lock (same order the mutation
+    # protocol uses — a crash between the two leaves an intact index
+    # with a stale lock, the already-diagnosed recoverable state)
+    os.remove(mutating)
+    os.remove(inprog)
 
 
 def load_base_index(spark, path: str) -> BaseIndex:

@@ -607,7 +607,7 @@ def similarity_pq_adc_topk(spark, sf_dir):
     )
 
 
-def _pq_adc_scores(spark, sf_dir, n_queries: int, codebook=None):
+def _pq_adc_scores(spark, sf_dir, n_queries: int, codebook=None, prepared=None):
     """The shared PQ pipeline: quantize -> codebook -> encode (argmin,
     smallest-id ties) -> per-query ADC tables -> summed integer
     scores. Returns (score, v) where score = (qid, vec_id, adc_dist)
@@ -618,12 +618,19 @@ def _pq_adc_scores(spark, sf_dir, n_queries: int, codebook=None):
 
     ``codebook``: an optional (j, c, cw) relation replacing the
     default deterministic sampled codebook — the quality dial
-    (pq_codebook's k-means refinement). Everything downstream of the
-    codebook is IDENTICAL either way; the two frozen oracle keys pass
-    None, so their plans are unchanged by this parameter."""
-    e = t(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
-    sub = tracked_persist(_pq_subvectors(v))
+    (pq_codebook's k-means refinement). ``prepared``: an optional
+    (v, sub) pair from a caller that already built and persisted the
+    quantized/subvector relations (the refined key shares ONE
+    quantize+explode+persist between codebook training and scoring).
+    Everything downstream is IDENTICAL either way; the two frozen
+    oracle keys pass neither, so their plans are unchanged by both
+    parameters."""
+    if prepared is not None:
+        v, sub = prepared
+    else:
+        e = t(spark, sf_dir, "embeddings")
+        v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+        sub = tracked_persist(_pq_subvectors(v))
     cb = (
         sub.filter(F.col("vec_id") < _PQ_K)
         .select("j", F.col("vec_id").alias("c"), F.col("s").alias("cw"))
@@ -777,7 +784,7 @@ def _round_div_half_away(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
-def pq_codebook(df, k: int = _PQ_K, iters: int = 5, vec_col: str = "qv"):
+def pq_codebook(df, k: int = _PQ_K, iters: int = 5, vec_col: str = "qv", sub=None):
     """K-means-refined PQ codebooks (VERDICT r11 #4): Lloyd's
     algorithm per subspace, run relationally over ALL subspaces at
     once — each iteration is ONE assign job (broadcast codebook join +
@@ -803,9 +810,14 @@ def pq_codebook(df, k: int = _PQ_K, iters: int = 5, vec_col: str = "qv"):
     train on a sampled df (PQ codebooks are universally sample-
     trained), each iteration is one bounded shuffle keyed (vec_id, j)
     plus an M*k-row aggregate — no pairwise term, no driver-sized
-    state."""
+    state.
+
+    ``sub``: an optional precomputed (and caller-persisted)
+    _pq_subvectors relation, so a caller that also scores (the
+    refined query) pays the quantize+explode+persist once."""
     spark = df.sparkSession
-    sub = tracked_persist(_pq_subvectors(df, vec_col))
+    if sub is None:
+        sub = tracked_persist(_pq_subvectors(df, vec_col))
     init = (
         sub.filter(F.col("vec_id") < k)
         .select("j", F.col("vec_id").alias("c"), F.col("s").alias("cw"))
@@ -867,7 +879,15 @@ def similarity_pq_refined_topk(spark, sf_dir):
     n_queries, k = 8, 4
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    # one quantize+explode+persist shared by codebook training and
+    # scoring (without this, training and scoring would each build and
+    # persist an identical subvector relation)
+    sub = tracked_persist(_pq_subvectors(v))
     score, v = _pq_adc_scores(
-        spark, sf_dir, n_queries=n_queries, codebook=pq_codebook(v)
+        spark,
+        sf_dir,
+        n_queries=n_queries,
+        codebook=pq_codebook(v, sub=sub),
+        prepared=(v, sub),
     )
     return _pq_shortlist_rerank(score, v, n_queries, k)

@@ -1549,3 +1549,48 @@ def test_saved_bands_lifecycle(spark, tmp_path):
     save_base_index(idx2, p, with_bands=True)
     assert rows(load_saved_bands(spark, p)) == rows(lsh_bands(idx2.shingles))
     idx2.release()
+
+
+def test_save_base_index_failure_strands_markers(spark, tmp_path):
+    """Code-review r12: the rebuild mutates LIVE directories, so a
+    save that fails mid-write must leave the location LOUD (both
+    merge markers stranded, readers refuse) instead of a silently
+    readable torn index — and the forced re-save is the recovery."""
+    import os
+
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        load_base_index,
+        save_base_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id int, text string"
+    )
+    idx = build_base_index(base, tracked=False)
+    p = str(tmp_path / "bidx")
+    save_base_index(idx, p)
+
+    # poison the THIRD relation: digests and shingles overwrite, then
+    # the df write raises at runtime — a mid-rebuild failure
+    poisoned = idx._replace(
+        df=spark.createDataFrame([(1,)], "x int").select(
+            F.raise_error(F.lit("boom")).cast("string").alias("sh")
+        )
+    )
+    with pytest.raises(Exception, match="boom"):
+        save_base_index(poisoned, p)
+    assert os.path.exists(os.path.join(p, "_MERGE_MUTATING"))
+    assert os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+    with pytest.raises(ValueError, match="inconsistent"):
+        load_base_index(spark, p)
+
+    # recovery: unforced refuses, forced rebuild clears and unblocks
+    with pytest.raises(ValueError, match="force=True"):
+        save_base_index(idx, p)
+    save_base_index(idx, p, force=True)
+    assert not os.path.exists(os.path.join(p, "_MERGE_MUTATING"))
+    assert not os.path.exists(os.path.join(p, "_MERGE_INPROGRESS"))
+    loaded = load_base_index(spark, p)
+    assert loaded.counts.count() == 1
+    idx.release()

@@ -199,3 +199,22 @@ def test_zorder_key_warns_past_2_53(spark):
         warnings.simplefilter("always")
         zorder_key(df, ["x"], bits=4)
     assert not [x for x in w if "2^53" in str(x.message)]
+
+
+def test_zorder_2_53_warning_is_type_gated(spark):
+    """Code-review r12: a native DOUBLE column past 2^53 is already at
+    its stored precision — the integer-resolution warning must not
+    fire for it (false alarms train users to ignore the id case)."""
+    import warnings
+
+    from presto_on_ray_spark.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(float(2**60) * (1 + i / 50.0), i) for i in range(64)],
+        "measurement double, x int",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        zdf, k = zorder_key(df, ["measurement", "x"], bits=4)
+        assert zdf.count() == 64
+    assert not [x for x in w if "2^53" in str(x.message)]
