@@ -329,39 +329,58 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0
     buckets: list = []
     from pyspark.sql.types import DecimalType, LongType
 
-    dtypes = {f.name.lower(): f.dataType for f in df.schema.fields}
+    def _dtype_of(name: str):
+        # exact-name match first (correct under spark.sql.caseSensitive
+        # = true, where two columns may differ only in case), then the
+        # default case-insensitive resolution
+        for f in df.schema.fields:
+            if f.name == name:
+                return f.dataType
+        for f in df.schema.fields:
+            if f.name.lower() == name.lower():
+                return f.dataType
+        return None
+
+    def _double_loss_threshold(dt):
+        # the magnitude past which the double path stops distinguishing
+        # neighboring EXACT values of this type: longs step by 1 (ulp
+        # exceeds 1 at 2^53); decimal(p, s) steps by 10^-s, so the
+        # threshold scales down by 10^s. Native floats/doubles are
+        # already at their stored precision — no threshold, no warning.
+        if isinstance(dt, LongType):
+            return float(1 << 53)
+        if isinstance(dt, DecimalType):
+            return float(1 << 53) * (10.0 ** -dt.scale)
+        return None
+
     for c, cuts in zip(cols, boundaries):
         # Bucketizer wants strictly increasing FINITE interior splits:
         # duplicate quantiles (heavy skew) just mean fewer distinct
         # buckets, and +/-inf cuts (a column with many infinities)
         # would collide with the outer sentinels — both filtered here.
         interior = sorted({float(v) for v in cuts if math.isfinite(v)})
-        # only LONG/DECIMAL columns can hold values a double cannot
-        # distinguish: a native double column past 2^53 loses nothing
-        # relative to its stored values, so warning there would be a
-        # false alarm that trains users to ignore the real id case
-        exact_past_2_53 = isinstance(
-            dtypes.get(c.lower()), (LongType, DecimalType)
-        )
+        threshold = _double_loss_threshold(_dtype_of(c))
         if (
-            exact_past_2_53
+            threshold is not None
             and interior
-            and max(abs(interior[0]), abs(interior[-1])) >= float(1 << 53)
+            and max(abs(interior[0]), abs(interior[-1])) >= threshold
         ):
             # the whole bucketing path (approxQuantile, the -inf
-            # sentinel cast, Bucketizer) runs in doubles: 64-bit
-            # integers beyond 2^53 collapse to shared doubles, so cut
-            # points — and the key's locality — silently lose
-            # resolution there (fine for unix_micros until year
-            # ~2255; wrong for e.g. snowflake ids). Layout is
+            # sentinel cast, Bucketizer) runs in doubles: exact values
+            # past the type's threshold collapse to shared doubles
+            # (longs past 2^53 — fine for unix_micros until year
+            # ~2255, wrong for snowflake ids; decimal(p, s) past
+            # 2^53 / 10^s), so cut points — and the key's locality —
+            # silently lose resolution there. Layout is
             # performance-only, so warn rather than refuse.
             warnings.warn(
-                f"zorder_key: column {c!r} has quantile cuts beyond 2^53, "
-                f"where the double-based bucketing cannot distinguish "
-                f"neighboring 64-bit integers — bucket boundaries (and "
-                f"z-order locality on this column) lose resolution. "
-                f"Pre-scale such id columns (e.g. right-shift their "
-                f"constant low bits) before z-ordering",
+                f"zorder_key: column {c!r} has quantile cuts past "
+                f"{threshold:.4g}, where the double-based bucketing "
+                f"cannot distinguish this exact type's neighboring "
+                f"values — bucket boundaries (and z-order locality on "
+                f"this column) lose resolution. Pre-scale such id "
+                f"columns (e.g. right-shift their constant low bits) "
+                f"before z-ordering",
                 stacklevel=2,
             )
         if not interior:

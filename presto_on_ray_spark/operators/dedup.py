@@ -1469,8 +1469,9 @@ def save_base_index(
             f"({', '.join(markers)}): a merge may be RUNNING there, and a "
             f"rebuild racing a live merge would silently interleave "
             f"writes. Once certain no writer is running, pass force=True "
-            f"— a forced save clears the markers and crash leftovers and "
-            f"is the prescribed rebuild recovery"
+            f"— the forced save is the prescribed rebuild recovery: it "
+            f"keeps the location marked through its own writes and clears "
+            f"the markers and crash leftovers on success"
         )
     if force and "_MERGE_INPROGRESS" in markers:
         # the caller certified no writer is live: the stale lock comes
@@ -1498,12 +1499,22 @@ def save_base_index(
         raise
     # the write phase mutates the LIVE directories: mark the location
     # mutating so readers refuse mid-rebuild and a failure here leaves
-    # the torn index LOUD (both markers stranded), never readable
+    # the torn index LOUD (both markers stranded), never readable. A
+    # failure CREATING the marker mutated nothing — release the lock
+    # (like the merge protocol's pre-window abort) instead of forcing
+    # a needless force=True recovery on an intact index.
     mutating = os.path.join(os_path, "_MERGE_MUTATING")
     if not os.path.exists(mutating):
-        with open(mutating, "w", encoding="utf-8") as fh:
-            fh.write("rebuild in progress; if this file survives, re-run "
-                     "save_base_index(force=True)\n")
+        try:
+            with open(mutating, "w", encoding="utf-8") as fh:
+                fh.write("rebuild in progress; if this file survives, "
+                         "re-run save_base_index(force=True)\n")
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.remove(mutating)
+            with contextlib.suppress(OSError):
+                os.remove(inprog)
+            raise
     for name in BaseIndex._fields:
         getattr(index, name).write.mode("overwrite").parquet(
             os.path.join(path, name)

@@ -192,13 +192,13 @@ def test_zorder_key_warns_past_2_53(spark):
         warnings.simplefilter("always")
         zdf, k = zorder_key(df, ["snowflake", "x"], bits=4)
         assert zdf.count() == 64  # key computes despite the collapse
-    assert any("2^53" in str(x.message) for x in w)
+    assert any("lose resolution" in str(x.message) for x in w)
 
     # small-magnitude columns stay silent
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         zorder_key(df, ["x"], bits=4)
-    assert not [x for x in w if "2^53" in str(x.message)]
+    assert not [x for x in w if "lose resolution" in str(x.message)]
 
 
 def test_zorder_2_53_warning_is_type_gated(spark):
@@ -217,4 +217,34 @@ def test_zorder_2_53_warning_is_type_gated(spark):
         warnings.simplefilter("always")
         zdf, k = zorder_key(df, ["measurement", "x"], bits=4)
         assert zdf.count() == 64
-    assert not [x for x in w if "2^53" in str(x.message)]
+    assert not [x for x in w if "lose resolution" in str(x.message)]
+
+
+def test_zorder_decimal_scale_threshold_warns(spark):
+    """Code-review r12 #2: decimal(p, s) loses double resolution past
+    2^53 / 10^s, far below 2^53 for fractional scales — the warning
+    threshold must scale with the type."""
+    import decimal
+    import warnings
+
+    from presto_on_ray_spark.layout import zorder_key
+
+    # decimal(20, 6) around 1e10: double ULP there (~2e-6) exceeds the
+    # type's 1e-6 step, so neighboring values collapse — must warn
+    rows = [
+        (decimal.Decimal("10000000000.%06d" % i), i % 7) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "d decimal(20,6), x int")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        zdf, k = zorder_key(df, ["d", "x"], bits=4)
+        assert zdf.count() == 64
+    assert any("lose resolution" in str(x.message) for x in w)
+
+    # the same scale at small magnitudes is exactly representable
+    small = [(decimal.Decimal("1.%06d" % i), i % 7) for i in range(64)]
+    df2 = spark.createDataFrame(small, "d decimal(20,6), x int")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        zorder_key(df2, ["d", "x"], bits=4)
+    assert not [x for x in w if "lose resolution" in str(x.message)]
