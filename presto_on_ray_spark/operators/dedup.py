@@ -663,6 +663,22 @@ def shingle_saturation(sh) -> float:
     return float(row["rows"]) / max(float(row["distinct_sh"]), 1.0)
 
 
+def shingle_saturation_from_df(df_rel) -> float:
+    """The same statistic computed from the index's maintained
+    (sh, df) relation: sum(df) = total shingle rows, count(*) =
+    distinct shingles EXACTLY (the relation is already deduplicated —
+    no sketch needed). One aggregate over the index's SMALLEST big
+    relation instead of a scan of the exploded shingles, which is
+    what lets the streaming admit loop refresh the tier-dispatch
+    statistic per micro-batch against a growing index
+    (stream_ingest_admit injects it into saturation-accepting
+    classifiers such as ingest_batch_adaptive)."""
+    row = df_rel.agg(
+        F.sum("df").alias("rows"), F.count("*").alias("distinct_sh")
+    ).collect()[0]
+    return float(row["rows"] or 0) / max(float(row["distinct_sh"]), 1.0)
+
+
 @query("dedup_neardup_adaptive", oracle=_KEEPER_CC_ORACLE)
 def dedup_neardup_adaptive(spark, sf_dir):
     """Near-dup keepers with ADAPTIVE candidate-tier selection — the

@@ -29,6 +29,7 @@ from presto_on_ray_spark.operators.dedup import (
     ingest_batch,
     load_base_index,
     merge_into_saved_index,
+    shingle_saturation_from_df,
 )
 
 
@@ -203,7 +204,12 @@ def stream_ingest_admit(
     far below the prefix tier's df² candidate join on saturated
     corpora: 2.0 s bands vs a 44 s candidate join at the sf1 rung);
     ``ingest_batch_adaptive`` lets the measured saturation decide per
-    batch."""
+    batch — classifiers accepting a ``saturation`` parameter get it
+    injected per batch too, computed exactly from the index's
+    maintained (sh, df) relation (shingle_saturation_from_df — one
+    df-relation-sized aggregate, never an exploded-shingle scan, and
+    always fresh against the growing index, overriding any
+    partial-bound value)."""
     import inspect
     import os
 
@@ -214,9 +220,11 @@ def stream_ingest_admit(
     bands_os_dir = os.path.join(index_os_path, "bands")
     bands_spark_dir = os.path.join(index_spark_path, "bands")
     try:
-        accepts_bands = "bands" in inspect.signature(classify).parameters
+        params = inspect.signature(classify).parameters
     except (TypeError, ValueError):  # C callables etc.: no injection
-        accepts_bands = False
+        params = {}
+    accepts_bands = "bands" in params
+    accepts_saturation = "saturation" in params
     if checkpoint_dir is None:
         import re
 
@@ -259,6 +267,13 @@ def stream_ingest_admit(
                 extra["bands"] = batch_df.sparkSession.read.parquet(
                     bands_spark_dir
                 )
+            if accepts_saturation:
+                # the tier-dispatch statistic, refreshed per batch from
+                # the index's maintained (sh, df) relation — exact and
+                # df-relation-sized, never an exploded-shingle scan; a
+                # partial-bound saturation= would freeze the dispatch
+                # against a growing index, so the fresh value overrides
+                extra["saturation"] = shingle_saturation_from_df(index.df)
             classified = keep(classify(batch, index, keep=keep, **extra))
             sink(classified, batch_id)
             new_docs = batch.join(

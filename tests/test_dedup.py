@@ -1594,3 +1594,37 @@ def test_save_base_index_failure_strands_markers(spark, tmp_path):
     loaded = load_base_index(spark, p)
     assert loaded.counts.count() == 1
     idx.release()
+
+
+def test_shingle_saturation_from_df_is_exact(spark):
+    """shingle_saturation_from_df computes the tier-dispatch statistic
+    from the maintained (sh, df) relation: exactly sum(df) / count(*)
+    — the true rows/distinct ratio with no distinct sketch — and it
+    agrees with the exploded-relation form within the sketch's
+    tolerance."""
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        shingle_saturation,
+        shingle_saturation_from_df,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i k"),
+            (3, "p q r s t u v w x y"),
+        ],
+        "doc_id int, text string",
+    )
+    idx = build_base_index(base, tracked=False)
+    try:
+        rows = idx.shingles.count()
+        distinct = idx.shingles.select("sh").distinct().count()
+        exact = shingle_saturation_from_df(idx.df)
+        assert exact == rows / distinct
+        approx = shingle_saturation(idx.shingles)
+        assert abs(exact - approx) / exact < 0.1
+        # the empty relation degrades to 0, not a division error
+        assert shingle_saturation_from_df(idx.df.filter("df < 0")) == 0.0
+    finally:
+        idx.release()

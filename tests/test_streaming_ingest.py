@@ -834,3 +834,100 @@ def test_stream_ingest_admit_uses_saved_bands(spark, tmp_path):
     finally:
         for g in gens:
             g.release()
+
+
+def test_stream_ingest_admit_injects_fresh_saturation(spark, tmp_path):
+    """A saturation-accepting classify (ingest_batch_adaptive's
+    signature) gets the tier-dispatch statistic injected per batch,
+    computed from the maintained df relation of the index THAT BATCH
+    classifies against — so it refreshes as admissions grow the index
+    and overrides a partial-bound stale value. The wrapper records
+    what was injected; the expected values are recomputed from the
+    sequential in-session index generations."""
+    import functools
+
+    from presto_on_ray_spark.operators.dedup import (
+        build_base_index,
+        ingest_batch_adaptive,
+        merge_into_base_index,
+        save_base_index,
+        shingle_saturation_from_df,
+    )
+    from presto_on_ray_spark.streaming.ingest import stream_ingest_admit
+
+    ten = "a b c d e f g h i j"
+    base = spark.createDataFrame(
+        [(1, ten), (2, "p q r s t u v w x y")], "doc_id int, text string"
+    )
+    # doc 20 shares two trigrams with base doc 1 (J far below 3/5 ->
+    # classified 'new' and ADMITTED), so the admission bumps those
+    # shingles' df and the saturation statistic measurably moves
+    f1 = [(10, ten), (20, "a b c d zz ww ee rr tt yy")]  # exact, new
+    f2 = [(40, "fresh words roll in today")]              # new
+    src = tmp_path / "arrivals"
+    # one part file per directory -> exactly one micro-batch per file
+    # under maxFilesPerTrigger=1 (multi-part writes split into more
+    # batches and the expected injection sequence stops being 1:1)
+    spark.createDataFrame(f1, "doc_id int, text string").coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    spark.createDataFrame(f2, "doc_id int, text string").coalesce(
+        1
+    ).write.parquet(str(src / "f2"))
+    p = str(tmp_path / "bidx")
+    idx = build_base_index(base, tracked=False)
+    save_base_index(idx, p)
+
+    seen: list[float] = []
+
+    def classify(batch, index, keep, bands=None, saturation=None, check=True):
+        seen.append(saturation)
+        return ingest_batch_adaptive(
+            batch, index, bands=bands, keep=keep,
+            saturation=saturation, check=check,
+        )
+
+    got: dict[int, tuple] = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            got[r["doc_id"]] = (r["status"], r["n_base_matches"])
+
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    # a partial-bound stale statistic must be overridden by injection
+    stream_ingest_admit(
+        stream,
+        p,
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        classify=functools.partial(classify, saturation=-1.0),
+    )
+
+    assert got[10] == ("exact", 1)
+    assert got[20] == ("new", 0)
+    assert got[40] == ("new", 0)
+
+    # injected values = the per-generation statistic, fresh each batch
+    merged = merge_into_base_index(
+        idx,
+        spark.createDataFrame(
+            [(20, "a b c d zz ww ee rr tt yy")], "doc_id int, text string"
+        ),
+        tracked=False,
+    )
+    try:
+        want = [
+            shingle_saturation_from_df(idx.df),
+            shingle_saturation_from_df(merged.df),
+        ]
+        assert seen == want
+        assert all(s is not None and s > 0 for s in seen)
+        assert seen[0] != seen[1]  # it really refreshed across the admit
+    finally:
+        merged.release()
+        idx.release()
