@@ -13,6 +13,7 @@ cosine = dot / (sqrt(na)*sqrt(nb)) is a single IEEE expression.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -498,10 +499,14 @@ _PQ_K = 16         # codewords per subspace
 _PQ_SUB = 8        # dims per subspace
 
 
-def _pq_subvectors(df, vec_col: str = "qv"):
-    """(vec_id, j, s): the _PQ_M quantized subvector slices per
-    vector, exploded with literal slice bounds (a python loop over j,
-    like the banding layouts — no column-typed slice starts)."""
+def _pq_subvectors(df, vec_col: str = "qv", carry: tuple = ()):
+    """(vec_id, *carry, j, s): the _PQ_M quantized subvector slices
+    per vector, exploded with literal slice bounds (a python loop over
+    j, like the banding layouts — no column-typed slice starts).
+    ``carry`` names extra columns to keep through the explode (the
+    IVF-PQ pipeline carries the coarse cell so codes stay cell-keyed
+    without a post-encode join); the default produces the exact
+    relation the frozen PQ oracle keys were pinned on."""
     structs = F.array(
         *[
             F.struct(
@@ -511,8 +516,8 @@ def _pq_subvectors(df, vec_col: str = "qv"):
             for j in range(_PQ_M)
         ]
     )
-    return df.select("vec_id", F.explode(structs).alias("ss")).select(
-        "vec_id", "ss.j", "ss.s"
+    return df.select("vec_id", *carry, F.explode(structs).alias("ss")).select(
+        "vec_id", *carry, "ss.j", "ss.s"
     )
 
 
@@ -890,4 +895,345 @@ def similarity_pq_refined_topk(spark, sf_dir):
         codebook=pq_codebook(v, sub=sub),
         prepared=(v, sub),
     )
+    return _pq_shortlist_rerank(score, v, n_queries, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC — Jégou, Douze, Schmid, TPAMI 2011 §IV): the coarse
+# quantizer prunes to nprobe cells per query, and candidates inside the
+# probed cells are scored by PQ asymmetric distance over RESIDUALS
+# (vector minus its cell centroid) — the composed memory+compute layout
+# at 100 TB: the query touches nprobe/n_cells of the CODES (never raw
+# vectors), and the residual encoding concentrates codeword resolution
+# around cell centers. Everything here follows the module's
+# integer-determinism convention, so the full pipeline (centroids,
+# assignment, residuals, codebook, encode, probe selection, ADC) is
+# reproducible bit-for-bit in DuckDB SQL and in the NumPy twin.
+# ---------------------------------------------------------------------------
+_IVFPQ_CELLS = 8
+_IVFPQ_NPROBE = 3
+
+
+class AnnIndex(NamedTuple):
+    """The three IVF-PQ index relations — the on-disk ANN layout at
+    100 TB (see save_ann_index): raw vectors live in the vector
+    store; queries scan only ``codes``.
+
+    cents:    (cell, cv)              n_cells rows, broadcast-sized
+    codebook: (j, c, cw)              M x K rows, broadcast-sized
+    codes:    (vec_id, cell, j, code) M small ints per vector
+    """
+
+    cents: object
+    codebook: object
+    codes: object
+
+
+def _ivfpq_residuals(v, cents):
+    """Assign every quantized vector to its integer-L2-nearest
+    centroid (smallest-cell ties) and subtract that centroid: returns
+    (vec_id, cell, rv). Exact in integers — quantized vectors minus
+    quantized centroids — so residual encoding stays cross-engine
+    deterministic. One broadcast nested-loop pass over n_cells rows
+    plus one (vec_id)-keyed argmin shuffle."""
+    best = (
+        v.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "qv", "cell", _pq_l2sq(F.col("qv"), F.col("cv")).alias("d2")
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell", "qv")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.qv").alias("qv"))
+    )
+    return best.join(F.broadcast(cents), "cell").select(
+        "vec_id", "cell", F.zip_with("qv", "cv", lambda x, y: x - y).alias("rv")
+    )
+
+
+def build_ann_index(v, n_cells: int = _IVFPQ_CELLS) -> AnnIndex:
+    """Build the IVF-PQ index from a quantized vector relation
+    (vec_id, qv): sampled coarse centroids (the full quantized
+    vectors of the first n_cells vec_ids — deterministic, the same
+    design choice as the sampled PQ codebook; k-means-refined
+    centroids change cell QUALITY, never this machinery), a SHARED
+    residual codebook across cells (classic IVFADC — per-cell books
+    multiply codebook storage by n_cells for marginal fixture gain),
+    and the codes relation.
+
+    The residual-subvector relation is persisted (tracked): codebook
+    derivation and encoding both read it. At 100 TB the build is one
+    broadcast assignment pass + one (vec_id, j)-keyed encode shuffle —
+    no pairwise term; centroids/codebook are sample-trained artifacts
+    a production deployment freezes and ships with the index
+    (save_ann_index)."""
+    cents = v.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
+    )
+    asg = _ivfpq_residuals(v, cents)
+    sub = tracked_persist(_pq_subvectors(asg, vec_col="rv", carry=("cell",)))
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "j", F.col("vec_id").alias("c"), F.col("s").alias("cw")
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "j")
+        .select(
+            "vec_id", "cell", "j", "c", _pq_l2sq(F.col("s"), F.col("cw")).alias("d2")
+        )
+        .groupBy("vec_id", "cell", "j")
+        .agg(F.min(F.struct("d2", "c"))["c"].alias("code"))
+    )
+    return AnnIndex(cents, cb, codes)
+
+
+def _ivfpq_scores(v, index: AnnIndex, n_queries: int, nprobe: int):
+    """The IVFADC scoring pipeline against a built (or loaded) index:
+    probe the nprobe integer-L2-nearest cells per query (smallest-cell
+    ties), build per-(query, probed-cell) ADC tables from the QUERY
+    RESIDUAL against that cell's centroid, and score candidate codes
+    by one broadcast-table join + sum. Returns (qid, vec_id, adc_dist)
+    for every candidate in a probed cell (self-pairs excluded).
+
+    The cell-pruning is structural, not a filter: the codes relation
+    joins the broadcast table on (cell, j, code), so codes in
+    unprobed cells never match a table row — the scan-side work is
+    |probed cells| / n_cells of the codes, the IVF contract."""
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("q_qv")
+    )
+    pd_ = q.crossJoin(F.broadcast(index.cents)).select(
+        "qid",
+        "q_qv",
+        "cell",
+        "cv",
+        _pq_l2sq(F.col("q_qv"), F.col("cv")).alias("d2"),
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cell")
+    probe = (
+        pd_.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "qid", "cell", F.zip_with("q_qv", "cv", lambda x, y: x - y).alias("qr")
+        )
+    )
+    qstructs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(F.col("qr"), j * _PQ_SUB + 1, _PQ_SUB).alias("qs"),
+            )
+            for j in range(_PQ_M)
+        ]
+    )
+    qt = (
+        probe.select("qid", "cell", F.explode(qstructs).alias("ss"))
+        .select("qid", "cell", "ss.j", "ss.qs")
+        .join(F.broadcast(index.codebook), "j")
+        .select(
+            "qid",
+            "cell",
+            "j",
+            F.col("c").alias("code"),
+            _pq_l2sq(F.col("qs"), F.col("cw")).alias("qd2"),
+        )
+    )
+    return (
+        index.codes.join(F.broadcast(qt), ["cell", "j", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("adc_dist"))
+    )
+
+
+def ivfpq_topk(
+    spark,
+    sf_dir,
+    n_queries: int = 5,
+    k: int = 4,
+    nprobe: int = _IVFPQ_NPROBE,
+    index: AnnIndex | None = None,
+):
+    """IVF-PQ ADC top-k: build (or accept) the index, score via
+    _ivfpq_scores, rank per query by (adc_dist, vec_id)."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    if index is None:
+        index = build_ann_index(v)
+    score = _ivfpq_scores(v, index, n_queries, nprobe)
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("cid"), "adc_dist")
+    )
+
+
+_IVFPQ_ORACLE_PIPELINE = """
+    e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cell, qv AS cv FROM e WHERE vec_id < 8
+    ),
+    ad AS (
+      SELECT e.vec_id, e.qv, cent.cell, cent.cv,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.qv) + 1),
+                      i -> (e.qv[i] - cent.cv[i]) * (e.qv[i] - cent.cv[i]))) AS d2
+      FROM e CROSS JOIN cent
+    ),
+    res AS (
+      SELECT vec_id, cell,
+             LIST_TRANSFORM(RANGE(1, LEN(qv) + 1), i -> qv[i] - cv[i]) AS rv
+      FROM (SELECT vec_id, qv, cell, cv,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+            FROM ad)
+      WHERE rn = 1
+    ),
+    sub AS (
+      SELECT vec_id, cell, j, rv[(j * 8 + 1):(j * 8 + 8)] AS s
+      FROM res, (SELECT UNNEST(RANGE(0, 8)) AS j)
+    ),
+    cb AS (
+      SELECT j, vec_id AS c, s AS cw FROM sub WHERE vec_id < 16
+    ),
+    dists AS (
+      SELECT sub.vec_id, sub.cell, sub.j, cb.c,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+                      i -> (s[i] - cw[i]) * (s[i] - cw[i]))) AS d2
+      FROM sub JOIN cb ON sub.j = cb.j
+    ),
+    enc AS (
+      SELECT vec_id, cell, j, c
+      FROM (SELECT vec_id, cell, j, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, c) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT qid, cell, cv, qv
+      FROM (SELECT e.vec_id AS qid, e.qv, cent.cell, cent.cv,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.qv) + 1),
+                              i -> (e.qv[i] - cent.cv[i]) * (e.qv[i] - cent.cv[i]))),
+                     cent.cell) AS rn
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id < 5)
+      WHERE rn <= 3
+    ),
+    qsub AS (
+      SELECT qid, cell, j, qr[(j * 8 + 1):(j * 8 + 8)] AS qs
+      FROM (SELECT qid, cell,
+                   LIST_TRANSFORM(RANGE(1, LEN(qv) + 1), i -> qv[i] - cv[i]) AS qr
+            FROM probe),
+           (SELECT UNNEST(RANGE(0, 8)) AS j)
+    ),
+    qt AS (
+      SELECT qsub.qid, qsub.cell, qsub.j, cb.c,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+                      i -> (qs[i] - cw[i]) * (qs[i] - cw[i]))) AS qd2
+      FROM qsub JOIN cb ON qsub.j = cb.j
+    ),
+    score AS (
+      SELECT qt.qid, enc.vec_id AS cid, SUM(qt.qd2) AS adc_dist
+      FROM enc JOIN qt ON enc.cell = qt.cell AND enc.j = qt.j AND enc.c = qt.c
+      WHERE enc.vec_id <> qt.qid
+      GROUP BY qt.qid, enc.vec_id
+    )
+"""
+
+
+@query(
+    "similarity_ivfpq_adc_topk",
+    oracle="WITH "
+    + _IVFPQ_ORACLE_PIPELINE
+    + """
+    SELECT qid, cid, adc_dist
+    FROM (SELECT qid, cid, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY adc_dist, cid) AS rn
+          FROM score)
+    WHERE rn <= 4
+    """,
+)
+def similarity_ivfpq_adc_topk(spark, sf_dir):
+    """IVF-PQ ANN (IVFADC), hash-verified end-to-end: the coarse
+    quantizer assigns every vector to its nearest of _IVFPQ_CELLS
+    sampled centroids, PQ encodes the integer RESIDUAL against a
+    shared codebook, and each of 5 queries probes only its
+    _IVFPQ_NPROBE nearest cells — candidates outside probed cells are
+    never scored (the join on (cell, j, code) against the broadcast
+    ADC tables is the pruning), which is the whole point of IVF at
+    100 TB: query-side work is nprobe/n_cells of the CODES, raw
+    vectors untouched.
+
+    Exactness design (the module's quantized-i64 convention, the same
+    recipe as the two frozen PQ keys): centroids are the quantized
+    vectors of the first _IVFPQ_CELLS vec_ids, residuals are integer
+    subtractions, the residual codebook is the residual subvectors of
+    the first _PQ_K vec_ids, and every distance — assignment, probe
+    selection, encode, ADC — is an integer squared-L2 with
+    smallest-id tie-breaks, so the oracle recomputes the WHOLE
+    pipeline in SQL and the key is hash-exact, not rows-only. The
+    NumPy twin and the recall-vs-true-top-k measurement live in
+    tests/test_similarity.py; nprobe=n_cells equals exhaustive PQ
+    over residuals (pinned there too).
+
+    Scale shape: build = one broadcast assignment pass + one
+    (vec_id, j)-keyed encode shuffle; query = ONE groupBy over codes
+    joined to n_queries x nprobe x M x K broadcast table rows. No
+    pairwise term anywhere; the codes relation is M small ints per
+    vector (the 100 TB memory contract), maintained append-only under
+    frozen quantizers by merge_into_ann_index."""
+    return ivfpq_topk(spark, sf_dir)
+
+
+@query(
+    "similarity_ivfpq_rerank_topk",
+    oracle="WITH "
+    + _IVFPQ_ORACLE_PIPELINE
+    + """
+    , shortlist AS (
+      SELECT qid, cid
+      FROM (SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY adc_dist, cid) AS rn
+            FROM score)
+      WHERE rn <= 64
+    ),
+    rer AS (
+      SELECT s.qid, s.cid,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.qv) + 1),
+                           i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+               / (SQRT(CAST(LIST_SUM(LIST_TRANSFORM(q.qv, x -> x * x)) AS DOUBLE))
+                  * SQRT(CAST(LIST_SUM(LIST_TRANSFORM(c.qv, x -> x * x)) AS DOUBLE))) AS cos
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.qid
+      JOIN e c ON c.vec_id = s.cid
+    )
+    SELECT qid, cid, ROUND(cos, 6) AS cosine
+    FROM (SELECT qid, cid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, cid) AS rn
+          FROM rer)
+    WHERE rn <= 4
+    """,
+)
+def similarity_ivfpq_rerank_topk(spark, sf_dir):
+    """The production IVF-PQ pattern, hash-verified end-to-end: the
+    IVFADC scores (similarity_ivfpq_adc_topk's pipeline — cell-pruned
+    codes-only scan) select a _PQ_SHORTLIST-deep shortlist per query,
+    then ONLY the shortlist is reranked by exact quantized-i64 cosine
+    — scan-side cost is IVF-PQ's, returned quality is
+    exact-over-shortlist, and the recall dials are nprobe AND
+    shortlist depth (both measured in tests/test_similarity.py /
+    SCALING.md). The rerank tail is the same shared
+    _pq_shortlist_rerank the flat-PQ keys use: at 100 TB it fetches
+    _PQ_SHORTLIST raw vectors per query by id — a semi-join against
+    the vector store — while everything before it reads codes."""
+    n_queries, k = 5, 4
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    score = _ivfpq_scores(v, build_ann_index(v), n_queries, _IVFPQ_NPROBE)
     return _pq_shortlist_rerank(score, v, n_queries, k)

@@ -270,3 +270,33 @@ def test_pq_plan_shape(spark, sf_dir):
             assert "BroadcastHashJoin" in plan, (name, plan[:2000])
     finally:
         release_cached()  # the PQ pipeline tracked-persists its subvectors
+
+
+def test_ivfpq_plan_shape(spark, sf_dir):
+    """The IVF-PQ scale contract: the ONLY nested-loop passes are the
+    two bounded centroid argmins (vectors x n_cells and queries x
+    n_cells — an 8-row broadcast side by construction), codebook and
+    ADC-table joins are BROADCAST hash joins, no cartesian product
+    anywhere, and the exchange count stays bounded (assignment argmin,
+    encode argmin, probe window, score groupBy, final top-k window —
+    not one per cell or per query). Counts are taken from the
+    formatted plan's NUMBERED node section, where each physical node
+    appears exactly once (the tree rendering above it repeats shared
+    subtrees; counting there double-counts — the vacuous/inflated
+    plan-pin trap)."""
+    import re
+
+    from presto_on_ray_spark.caching import release_cached
+
+    try:
+        for name in ("similarity_ivfpq_adc_topk", "similarity_ivfpq_rerank_topk"):
+            plan = explain_formatted(suite.QUERIES[name](spark, sf_dir))
+            bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+            assert bnlj == 2, (name, bnlj)
+            assert len(re.findall(r"\(\d+\) CartesianProduct", plan)) == 0, name
+            assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2, name
+            assert "SortMergeJoin" not in plan, name
+            nx = len(re.findall(r"\(\d+\) Exchange", plan))
+            assert 3 <= nx <= 8, (name, nx)
+    finally:
+        release_cached()  # build_ann_index tracked-persists its subvectors

@@ -429,3 +429,160 @@ def test_pq_refined_rerank_machinery_unchanged(spark, sf_dir):
             ci = int(np.searchsorted(ids, r["cid"]))
             want = float(vecs[ci] @ vecs[qi]) / (norms[ci] * norms[qi])
             assert abs(r["cosine"] - round(want, 6)) < 1e-9, (qid, r["cid"])
+
+
+def _np_ivfpq(ids, vecs, n_cells, n_codewords, m, sub):
+    """Shared-code-free NumPy twin of the IVF-PQ index build: sampled
+    centroids (quantized vectors of vec_ids 0..n_cells-1), integer-L2
+    assignment with smallest-cell ties (argmin first-index over
+    cell-ascending rows), integer residuals, sampled residual codebook
+    (residual subvectors of vec_ids 0..n_codewords-1), argmin encode.
+    Returns (cents, cell, cb, codes)."""
+    import numpy as np
+
+    cents = vecs[np.searchsorted(ids, np.arange(n_cells))]  # (C, dim)
+    d_cent = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = d_cent.argmin(axis=1)  # (n,)
+    resid = vecs - cents[cell]
+    subs = resid.reshape(len(ids), m, sub)
+    cb = subs[np.searchsorted(ids, np.arange(n_codewords))]  # (K, M, SUB)
+    d_all = ((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    codes = d_all.argmin(axis=1)  # (n, M)
+    return cents, cell, cb, codes
+
+
+def test_ivfpq_adc_matches_numpy_reference(spark, sf_dir):
+    """similarity_ivfpq_adc_topk vs a shared-code-free NumPy twin of
+    the WHOLE IVFADC pipeline — sampled centroids, integer-L2
+    assignment, integer residuals, sampled residual codebook, encode,
+    3-of-8 probe selection (smallest-cell ties), per-(query, cell)
+    ADC tables from the query residual, candidate scoring restricted
+    to probed cells, top-4 with (adc, cid) ties — identical output.
+    Also measures ADC recall against TRUE squared-L2 (the metric the
+    residual quantizer approximates) and pins a floor."""
+    import numpy as np
+
+    from presto_on_ray_spark.caching import release_cached
+    from presto_on_ray_spark.operators.similarity import (
+        _IVFPQ_CELLS,
+        _IVFPQ_NPROBE,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        similarity_ivfpq_adc_topk,
+    )
+
+    rows = (
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    )
+    ids, vecs = _quantized_vecs(rows)
+    cents, cell, cb, codes = _np_ivfpq(
+        ids, vecs, _IVFPQ_CELLS, _PQ_K, _PQ_M, _PQ_SUB
+    )
+    expect = {}
+    true_l2_top = {}
+    for qid in range(5):
+        qi = int(np.searchsorted(ids, qid))
+        dq = ((cents - vecs[qi]) ** 2).sum(axis=1)
+        probed = np.argsort(dq, kind="stable")[:_IVFPQ_NPROBE]
+        cand = []
+        for c in probed:
+            qres = (vecs[qi] - cents[c]).reshape(_PQ_M, _PQ_SUB)
+            qtab = ((qres[None, :, :] - cb) ** 2).sum(axis=2)  # (K, M)
+            for i in np.flatnonzero(cell == c):
+                if ids[i] == qid:
+                    continue
+                adc = int(qtab[codes[i], np.arange(_PQ_M)].sum())
+                cand.append((adc, int(ids[i])))
+        expect[qid] = sorted(cand)[:4]
+        true = ((vecs - vecs[qi]) ** 2).sum(axis=1)
+        true_l2_top[qid] = {
+            int(ids[i])
+            for i in np.argsort(true, kind="stable")[:11]
+            if ids[i] != qid
+        }
+
+    got = {}
+    for r in similarity_ivfpq_adc_topk(spark, sf_dir).collect():
+        got.setdefault(r["qid"], []).append((r["adc_dist"], r["cid"]))
+    release_cached()
+    assert {q: sorted(v) for q, v in got.items()} == expect
+
+    # recall floor: IVFADC top-4 against true-L2 top-10 — BOTH the
+    # nprobe=3/8 pruning and the 16-codeword residual book cost recall
+    # (measured per-SF in SCALING.md; pin a conservative floor)
+    hits = total = 0
+    for qid, top in got.items():
+        for _, cid in top:
+            total += 1
+            hits += cid in true_l2_top[qid]
+    recall = hits / total
+    print(f"ivfpq adc recall@4-in-true10: {recall:.3f}")
+    assert recall >= 0.2
+
+
+def test_ivfpq_exhaustive_probe_scores_every_candidate(spark, sf_dir):
+    """With nprobe = n_cells the cell pruning is provably inert: every
+    non-self candidate receives exactly one ADC score (the structural
+    join on (cell, j, code) forms each candidate's M code rows against
+    exactly one probed-cell table), so the score relation has n-1 rows
+    per query — the IVF analogue of similarity_ivf_exact's
+    exhaustive-probe contract."""
+    from presto_on_ray_spark.caching import release_cached
+    from presto_on_ray_spark.operators.similarity import (
+        _IVFPQ_CELLS,
+        _ivfpq_scores,
+        build_ann_index,
+        quantized,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    n = v.count()
+    score = _ivfpq_scores(v, build_ann_index(v), n_queries=3, nprobe=_IVFPQ_CELLS)
+    per_q = {
+        r["qid"]: r["cnt"]
+        for r in score.groupBy("qid").agg(F.count("*").alias("cnt")).collect()
+    }
+    release_cached()
+    assert per_q == {0: n - 1, 1: n - 1, 2: n - 1}
+
+
+def test_ivfpq_rerank_recovers_true_topk(spark, sf_dir):
+    """similarity_ivfpq_rerank_topk's quality contract on the STATED
+    metric: recall of the 64-deep IVFADC shortlist + exact rerank
+    against the true quantized-cosine top-4 over ALL candidates.
+    Unlike the flat-PQ rerank, nprobe=3/8 cell pruning can exclude
+    true neighbors from the shortlist entirely — the measured gap IS
+    the IVF recall dial (record per-SF numbers in SCALING.md)."""
+    import numpy as np
+
+    from presto_on_ray_spark.caching import release_cached
+    from presto_on_ray_spark.operators.similarity import (
+        similarity_ivfpq_rerank_topk,
+    )
+
+    rows = (
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    )
+    ids, vecs = _quantized_vecs(rows)
+    norms = np.sqrt((vecs * vecs).sum(axis=1).astype(np.float64))
+    true_top = {}
+    for qid in range(5):
+        qi = int(np.searchsorted(ids, qid))
+        cos = (vecs @ vecs[qi]).astype(np.float64) / (norms * norms[qi])
+        ranked = sorted(
+            ((-cos[i], int(ids[i])) for i in range(len(ids)) if ids[i] != qid)
+        )
+        true_top[qid] = {cid for _, cid in ranked[:4]}
+
+    got = {}
+    for r in similarity_ivfpq_rerank_topk(spark, sf_dir).collect():
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    release_cached()
+    assert set(got) == set(true_top)
+    hits = sum(len(got[q] & true_top[q]) for q in got)
+    total = sum(len(true_top[q]) for q in got)
+    recall = hits / total
+    print(f"ivfpq rerank recall vs true cosine top-4: {recall:.3f}")
+    assert recall >= 0.5
