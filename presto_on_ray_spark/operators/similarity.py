@@ -957,8 +957,10 @@ def build_ann_index(v, n_cells: int = _IVFPQ_CELLS) -> AnnIndex:
     design choice as the sampled PQ codebook; k-means-refined
     centroids change cell QUALITY, never this machinery), a SHARED
     residual codebook across cells (classic IVFADC — per-cell books
-    multiply codebook storage by n_cells for marginal fixture gain),
-    and the codes relation.
+    multiply codebook storage by n_cells for marginal fixture gain)
+    sampled from the _PQ_K vec_ids AFTER the centroid sample (the
+    centroid vectors' own residuals are zero), and the codes
+    relation.
 
     The residual-subvector relation is persisted (tracked): codebook
     derivation and encoding both read it. At 100 TB the build is one
@@ -971,9 +973,13 @@ def build_ann_index(v, n_cells: int = _IVFPQ_CELLS) -> AnnIndex:
     )
     asg = _ivfpq_residuals(v, cents)
     sub = tracked_persist(_pq_subvectors(asg, vec_col="rv", carry=("cell",)))
-    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
-        "j", F.col("vec_id").alias("c"), F.col("s").alias("cw")
-    )
+    # codebook sample starts AFTER the centroid sample: vec_ids
+    # 0..n_cells-1 are their own centroids, so their residuals are
+    # identically zero — sampling them would degenerate half the book
+    # to duplicate zero codewords (review finding, round 12)
+    cb = sub.filter(
+        (F.col("vec_id") >= n_cells) & (F.col("vec_id") < n_cells + _PQ_K)
+    ).select("j", (F.col("vec_id") - n_cells).alias("c"), F.col("s").alias("cw"))
     codes = (
         sub.join(F.broadcast(cb), "j")
         .select(
@@ -1015,26 +1021,15 @@ def _ivfpq_scores(v, index: AnnIndex, n_queries: int, nprobe: int):
             "qid", "cell", F.zip_with("q_qv", "cv", lambda x, y: x - y).alias("qr")
         )
     )
-    qstructs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.slice(F.col("qr"), j * _PQ_SUB + 1, _PQ_SUB).alias("qs"),
-            )
-            for j in range(_PQ_M)
-        ]
-    )
-    qt = (
-        probe.select("qid", "cell", F.explode(qstructs).alias("ss"))
-        .select("qid", "cell", "ss.j", "ss.qs")
-        .join(F.broadcast(index.codebook), "j")
-        .select(
-            "qid",
-            "cell",
-            "j",
-            F.col("c").alias("code"),
-            _pq_l2sq(F.col("qs"), F.col("cw")).alias("qd2"),
-        )
+    qsub = _pq_subvectors(
+        probe.withColumnRenamed("qid", "vec_id"), vec_col="qr", carry=("cell",)
+    ).withColumnRenamed("vec_id", "qid")
+    qt = qsub.join(F.broadcast(index.codebook), "j").select(
+        "qid",
+        "cell",
+        "j",
+        F.col("c").alias("code"),
+        _pq_l2sq(F.col("s"), F.col("cw")).alias("qd2"),
     )
     return (
         index.codes.join(F.broadcast(qt), ["cell", "j", "code"])
@@ -1095,7 +1090,8 @@ _IVFPQ_ORACLE_PIPELINE = """
       FROM res, (SELECT UNNEST(RANGE(0, 8)) AS j)
     ),
     cb AS (
-      SELECT j, vec_id AS c, s AS cw FROM sub WHERE vec_id < 16
+      SELECT j, vec_id - 8 AS c, s AS cw
+      FROM sub WHERE vec_id >= 8 AND vec_id < 24
     ),
     dists AS (
       SELECT sub.vec_id, sub.cell, sub.j, cb.c,
@@ -1172,7 +1168,8 @@ def similarity_ivfpq_adc_topk(spark, sf_dir):
     recipe as the two frozen PQ keys): centroids are the quantized
     vectors of the first _IVFPQ_CELLS vec_ids, residuals are integer
     subtractions, the residual codebook is the residual subvectors of
-    the first _PQ_K vec_ids, and every distance — assignment, probe
+    the next _PQ_K vec_ids after the centroid sample (whose own
+    residuals are zero), and every distance — assignment, probe
     selection, encode, ADC — is an integer squared-L2 with
     smallest-id tie-breaks, so the oracle recomputes the WHOLE
     pipeline in SQL and the key is hash-exact, not rows-only. The

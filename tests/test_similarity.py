@@ -445,7 +445,9 @@ def _np_ivfpq(ids, vecs, n_cells, n_codewords, m, sub):
     cell = d_cent.argmin(axis=1)  # (n,)
     resid = vecs - cents[cell]
     subs = resid.reshape(len(ids), m, sub)
-    cb = subs[np.searchsorted(ids, np.arange(n_codewords))]  # (K, M, SUB)
+    # codebook sample starts after the centroid sample (vec_ids
+    # n_cells..n_cells+K-1): the first n_cells residuals are zero
+    cb = subs[np.searchsorted(ids, np.arange(n_cells, n_cells + n_codewords))]
     d_all = ((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
     codes = d_all.argmin(axis=1)  # (n, M)
     return cents, cell, cb, codes
