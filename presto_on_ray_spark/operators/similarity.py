@@ -980,7 +980,14 @@ def build_ann_index(v, n_cells: int = _IVFPQ_CELLS) -> AnnIndex:
     cb = sub.filter(
         (F.col("vec_id") >= n_cells) & (F.col("vec_id") < n_cells + _PQ_K)
     ).select("j", (F.col("vec_id") - n_cells).alias("c"), F.col("s").alias("cw"))
-    codes = (
+    return AnnIndex(cents, cb, _encode_sub(sub, cb))
+
+
+def _encode_sub(sub, cb):
+    """Encode a residual-subvector relation (vec_id, cell, j, s)
+    against a codebook: integer-L2 argmin with smallest-c ties —
+    one broadcast join + one (vec_id, cell, j)-keyed aggregate."""
+    return (
         sub.join(F.broadcast(cb), "j")
         .select(
             "vec_id", "cell", "j", "c", _pq_l2sq(F.col("s"), F.col("cw")).alias("d2")
@@ -988,7 +995,39 @@ def build_ann_index(v, n_cells: int = _IVFPQ_CELLS) -> AnnIndex:
         .groupBy("vec_id", "cell", "j")
         .agg(F.min(F.struct("d2", "c"))["c"].alias("code"))
     )
-    return AnnIndex(cents, cb, codes)
+
+
+def encode_into_ann_index(batch_v, index: AnnIndex):
+    """Encode NEW vectors (vec_id, qv) under an index's FROZEN
+    quantizers: assign to the existing centroids, PQ-encode the
+    residuals against the existing codebook. O(batch) — the index's
+    own codes are never read, which is what makes ANN maintenance an
+    append: quantizers are sample-trained artifacts that do not move
+    with corpus growth (retraining them is a REBUILD — a new index
+    generation — exactly like the dedup side's rebuild-vs-merge
+    split)."""
+    asg = _ivfpq_residuals(batch_v, index.cents)
+    return _encode_sub(
+        _pq_subvectors(asg, vec_col="rv", carry=("cell",)), index.codebook
+    )
+
+
+def merge_into_ann_index(index: AnnIndex, batch_v) -> AnnIndex:
+    """In-session append: a new AnnIndex whose codes are the old codes
+    plus the batch encoded under the frozen quantizers. When every
+    batch vec_id sorts after the sampled prefix (>= n_cells + _PQ_K),
+    the merged index equals a full rebuild over the union relation-
+    for-relation (pinned in tests/test_ann_index.py) — the sampled
+    quantizers of the union are the same rows. Callers must not
+    re-merge ids already in the index: a vector with duplicate code
+    rows matches each query table TWICE per subspace and its ADC
+    score silently doubles (the saved-path merge guards this; see
+    merge_into_saved_ann_index)."""
+    return AnnIndex(
+        index.cents,
+        index.codebook,
+        index.codes.unionByName(encode_into_ann_index(batch_v, index)),
+    )
 
 
 def _ivfpq_scores(v, index: AnnIndex, n_queries: int, nprobe: int):
@@ -1234,3 +1273,272 @@ def similarity_ivfpq_rerank_topk(spark, sf_dir):
     v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
     score = _ivfpq_scores(v, build_ann_index(v), n_queries, _IVFPQ_NPROBE)
     return _pq_shortlist_rerank(score, v, n_queries, k)
+
+
+# ---------------------------------------------------------------------------
+# Saved ANN index: the IVF-PQ relations maintained on disk — the
+# production form at 100 TB (codes are a table alongside the vector
+# store, not a session cache). The lifecycle mirrors the dedup side's
+# saved index where the semantics match and is deliberately LIGHTER
+# where they don't: ANN quantizers are frozen sample-trained artifacts,
+# so the ONLY mutation is appending codes for new vectors — there is no
+# re-rank analogue, no staleness dial, and no generation swap on merge.
+# Single-writer is still enforced (a lock marker around every write)
+# and torn writes are still loud (readers refuse while the marker is
+# up; a crashed writer strands it).
+# ---------------------------------------------------------------------------
+_ANN_RELATIONS = ("cents", "codebook", "codes")
+_ANN_WRITING = "_ANN_WRITING"
+
+
+def _ann_paths(path: str):
+    """(spark_path, os_path, locked) — local paths get the marker
+    protocol; non-local stores get (path, None, False) and the caller
+    documents that single-writer discipline is theirs (same contract
+    as the dedup save/load os-level extras)."""
+    from presto_on_ray_spark.operators.dedup import (
+        AmbiguousIndexPath,
+        _index_paths,
+    )
+
+    try:
+        spark_path, os_path = _index_paths(path)
+        return spark_path, os_path, True
+    except AmbiguousIndexPath:
+        raise
+    except ValueError:
+        return path, None, False
+
+
+def _ann_marker(os_path: str):
+    import os
+
+    return os.path.join(os_path, _ANN_WRITING)
+
+
+def _ann_acquire(os_path: str, what: str):
+    """Exclusive-create the writer marker; loud when already held —
+    a held marker is either a live writer (wait) or a crashed one
+    (the directory may be torn: verify with verify_ann_index, then
+    remove the marker or re-save with force=True)."""
+    import os
+
+    os.makedirs(os_path, exist_ok=True)
+    try:
+        fd = os.open(_ann_marker(os_path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise ValueError(
+            f"saved ANN index at {os_path!r}: {_ANN_WRITING} is held — "
+            f"a writer is live or crashed mid-{what}. If no writer is "
+            f"live, run verify_ann_index, then remove the marker (clean) "
+            f"or save_ann_index(force=True) (torn)."
+        )
+
+
+def save_ann_index(index: AnnIndex, path: str, force: bool = False) -> None:
+    """Materialize the three AnnIndex relations as parquet under
+    ``path`` (one subdirectory per relation). Holds the _ANN_WRITING
+    marker across all three writes on local paths: readers refuse
+    mid-save, and a failed save strands the marker — torn indexes are
+    loud, never silently readable. Refuses when the marker is already
+    held unless ``force=True`` (the prescribed recovery for a crashed
+    writer: the forced save rewrites every relation and clears the
+    marker only on success)."""
+    import os
+
+    import shutil
+
+    spark_path, os_path, locked = _ann_paths(path)
+    if locked:
+        if force and os.path.exists(_ann_marker(os_path)):
+            os.remove(_ann_marker(os_path))
+        _ann_acquire(os_path, "save")
+        # sweep a crashed compact's generation litter: left in place it
+        # would shadow the next compact's swap diagnosis
+        leftover = os.path.join(os_path, "codes__new")
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    for name, rel in zip(_ANN_RELATIONS, index):
+        rel.write.mode("overwrite").parquet(f"{spark_path}/{name}")
+    if locked:
+        os.remove(_ann_marker(os_path))
+
+
+def load_ann_index(spark, path: str) -> AnnIndex:
+    """Read the three relations back. Refuses while _ANN_WRITING is up
+    (live or crashed writer — the directory may be torn); the error
+    names the recovery. Lazy reads: scoring against a loaded index
+    scans codes only (ivfpq_topk(index=loaded))."""
+    import os
+
+    spark_path, os_path, locked = _ann_paths(path)
+    if locked and os.path.exists(_ann_marker(os_path)):
+        if not os.path.exists(
+            os.path.join(os_path, "codes")
+        ) and os.path.exists(os.path.join(os_path, "codes__new")):
+            # the compact swap window: the new generation is complete
+            # (written before the swap began) — name the exact recovery
+            raise ValueError(
+                f"saved ANN index at {path!r}: codes is missing but "
+                f"codes__new exists under a held {_ANN_WRITING} — a "
+                f"compact is mid-swap or crashed there. If no writer is "
+                f"live, rename codes__new to codes and remove the marker."
+            )
+        raise ValueError(
+            f"saved ANN index at {path!r}: {_ANN_WRITING} is held — a "
+            f"writer is live or crashed mid-write. If no writer is live, "
+            f"run verify_ann_index on the relations directly, then remove "
+            f"the marker (clean) or save_ann_index(force=True) (torn)."
+        )
+    return AnnIndex(
+        *[spark.read.parquet(f"{spark_path}/{name}") for name in _ANN_RELATIONS]
+    )
+
+
+def merge_into_saved_ann_index(spark, path: str, batch_v) -> None:
+    """Admit new vectors into a saved index: encode under the FROZEN
+    saved quantizers and APPEND to the codes relation — O(batch) work,
+    the index's own codes are read only by the duplicate guard's
+    limit-1 probe. Under the _ANN_WRITING marker (single-writer; a
+    crash mid-append strands the marker and the recovery is
+    compact_saved_ann_index(drop_torn=True), which keeps exactly the
+    fully-encoded vectors, then a re-merge of the batch).
+
+    REFUSES batch vec_ids already present in the index: duplicate code
+    rows silently DOUBLE a candidate's ADC score (each code row
+    matches the query table once) — the exact silent-corruption class
+    the dedup side guards with _check_new_doc_ids."""
+    index = load_ann_index(spark, path)
+    dup = (
+        index.codes.select("vec_id")
+        .join(batch_v.select("vec_id"), "vec_id")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_into_saved_ann_index: batch vec_id {dup[0]['vec_id']} "
+            f"is already in the saved index at {path!r} — re-merging "
+            f"duplicates code rows and silently doubles ADC scores. "
+            f"Deduplicate the batch against the index first."
+        )
+    new_codes = encode_into_ann_index(batch_v, index)
+    spark_path, os_path, locked = _ann_paths(path)
+    if locked:
+        _ann_acquire(os_path, "merge")
+    new_codes.write.mode("append").parquet(f"{spark_path}/codes")
+    if locked:
+        import os
+
+        os.remove(_ann_marker(os_path))
+
+
+def verify_ann_index(index: AnnIndex, n_cells: int = _IVFPQ_CELLS) -> dict:
+    """Bounded consistency checks over a (possibly loaded) index —
+    the explicit, scheduled integrity pass (the analogue of the dedup
+    side's verify_index_consistency): every vector has exactly _PQ_M
+    code rows covering subspaces 0.._PQ_M-1 with no duplicates (a
+    torn append OR a double-merge both surface here), every code row
+    references a live cell and codeword, and the quantizer relations
+    have their construction cardinalities. Returns the stats dict on
+    success; raises naming the first violated invariant."""
+    stats = index.codes.groupBy("vec_id").agg(
+        F.count("*").alias("rows"), F.count_distinct("j").alias("js")
+    )
+    bad = stats.filter(
+        (F.col("rows") != _PQ_M) | (F.col("js") != _PQ_M)
+    ).limit(1).collect()
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"ANN index codes are torn or duplicated: vec_id "
+            f"{r['vec_id']} has {r['rows']} code rows over {r['js']} "
+            f"distinct subspaces (want {_PQ_M}/{_PQ_M}) — a crashed "
+            f"append leaves partially-encoded vectors "
+            f"(compact_saved_ann_index(drop_torn=True) keeps the intact "
+            f"ones); duplicates mean a batch was merged twice (rebuild)."
+        )
+    n_cents = index.cents.count()
+    if n_cents != n_cells:
+        raise ValueError(
+            f"ANN index has {n_cents} centroids, expected {n_cells}"
+        )
+    n_cw = index.codebook.count()
+    if n_cw != _PQ_M * _PQ_K:
+        raise ValueError(
+            f"ANN codebook has {n_cw} codewords, expected "
+            f"{_PQ_M} x {_PQ_K} = {_PQ_M * _PQ_K}"
+        )
+    orphan = (
+        index.codes.join(
+            index.cents.select("cell"), "cell", "left_anti"
+        ).limit(1).collect()
+    )
+    if orphan:
+        raise ValueError(
+            f"ANN code row references unknown cell "
+            f"{orphan[0]['cell']} (vec_id {orphan[0]['vec_id']})"
+        )
+    orphan_cw = (
+        index.codes.join(
+            index.codebook.select(
+                "j", F.col("c").alias("code")
+            ),
+            ["j", "code"],
+            "left_anti",
+        ).limit(1).collect()
+    )
+    if orphan_cw:
+        raise ValueError(
+            f"ANN code row references unknown codeword "
+            f"(j={orphan_cw[0]['j']}, code={orphan_cw[0]['code']})"
+        )
+    return {
+        "vectors": stats.count(),
+        "cells": n_cents,
+        "codewords": n_cw,
+    }
+
+
+def compact_saved_ann_index(spark, path: str, drop_torn: bool = False) -> None:
+    """Rewrite the codes relation as one clean generation — the
+    file-count hygiene pass after many small appends, and the torn-
+    append recovery. Verifies first: a torn index REFUSES to compact
+    unless ``drop_torn=True``, which keeps exactly the vectors with a
+    complete, duplicate-free set of _PQ_M code rows (the crashed
+    batch's survivors) — the caller then re-merges the batch, whose
+    duplicate guard skips nothing because the dropped ids are gone.
+    The rewrite goes through a codes__new generation directory and a
+    rename swap under the _ANN_WRITING marker; load_ann_index refuses
+    mid-compact, and a crash between remove and rename is diagnosed
+    loudly at the next load (missing codes + codes__new present)."""
+    import os
+    import shutil
+
+    spark_path, os_path, locked = _ann_paths(path)
+    if not locked:
+        raise ValueError(
+            f"compact_saved_ann_index uses local filesystem renames; "
+            f"{path!r} is not a local path — rewrite a new generation "
+            f"with save_ann_index instead."
+        )
+    index = load_ann_index(spark, path)
+    try:
+        verify_ann_index(index)
+        keep = index.codes
+    except ValueError:
+        if not drop_torn:
+            raise
+        good = (
+            index.codes.groupBy("vec_id")
+            .agg(F.count("*").alias("rows"), F.count_distinct("j").alias("js"))
+            .filter((F.col("rows") == _PQ_M) & (F.col("js") == _PQ_M))
+            .select("vec_id")
+        )
+        keep = index.codes.join(good, "vec_id")
+    _ann_acquire(os_path, "compact")
+    keep.write.mode("overwrite").parquet(f"{spark_path}/codes__new")
+    shutil.rmtree(os.path.join(os_path, "codes"))
+    os.rename(os.path.join(os_path, "codes__new"), os.path.join(os_path, "codes"))
+    os.remove(_ann_marker(os_path))

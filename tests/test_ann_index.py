@@ -1,0 +1,207 @@
+"""Saved ANN (IVF-PQ) index lifecycle: round-trip, frozen-quantizer
+append semantics (merge == rebuild when the batch sorts after the
+sampled prefix), single-writer marker protocol, torn-write diagnosis,
+and compaction. The dedup saved index is the design reference
+(tests/test_dedup.py pins its heavier protocol); the ANN variant is
+deliberately lighter — quantizers are frozen, so append is the only
+mutation — but the loud-failure contracts are the same."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from presto_on_ray_spark.caching import release_cached
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.operators.similarity import (
+    _ANN_WRITING,
+    _IVFPQ_CELLS,
+    _PQ_K,
+    _PQ_M,
+    AnnIndex,
+    build_ann_index,
+    compact_saved_ann_index,
+    ivfpq_topk,
+    load_ann_index,
+    merge_into_ann_index,
+    merge_into_saved_ann_index,
+    quantized,
+    save_ann_index,
+    verify_ann_index,
+)
+
+
+def _vecs(spark, sf_dir):
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized(F.col("embedding")).alias("qv")
+    )
+
+
+def _codes_set(codes):
+    return {
+        (r["vec_id"], r["cell"], r["j"], r["code"]) for r in codes.collect()
+    }
+
+
+def test_ann_index_save_load_round_trip(spark, sf_dir, tmp_path):
+    """Saved relations reload byte-equal, and querying against the
+    LOADED index reproduces the in-session build's top-k exactly —
+    the scoring path genuinely runs off the on-disk codes."""
+    v = _vecs(spark, sf_dir)
+    idx = build_ann_index(v)
+    p = str(tmp_path / "ann")
+    save_ann_index(idx, p)
+    loaded = load_ann_index(spark, p)
+    assert _codes_set(loaded.codes) == _codes_set(idx.codes)
+    want = sorted(
+        (r["qid"], r["cid"], r["adc_dist"])
+        for r in ivfpq_topk(spark, sf_dir, index=idx).collect()
+    )
+    got = sorted(
+        (r["qid"], r["cid"], r["adc_dist"])
+        for r in ivfpq_topk(spark, sf_dir, index=loaded).collect()
+    )
+    assert got == want
+    assert verify_ann_index(loaded)["cells"] == _IVFPQ_CELLS
+    release_cached()
+
+
+def test_ann_merge_equals_rebuild_for_appended_ids(spark, sf_dir):
+    """The append contract: when every batch vec_id sorts after the
+    sampled prefix (>= n_cells + K), merging into an index built on
+    the base equals rebuilding over the union relation-for-relation —
+    the frozen quantizers ARE the union's sampled quantizers."""
+    v = _vecs(spark, sf_dir)
+    base = v.filter(F.col("vec_id") < 400)
+    batch = v.filter(F.col("vec_id") >= 400)
+    assert batch.count() > 0
+    merged = merge_into_ann_index(build_ann_index(base), batch)
+    rebuilt = build_ann_index(v)
+    assert _codes_set(merged.codes) == _codes_set(rebuilt.codes)
+    assert sorted(
+        (r["cell"], r["cv"]) for r in merged.cents.collect()
+    ) == sorted((r["cell"], r["cv"]) for r in rebuilt.cents.collect())
+    assert sorted(
+        (r["j"], r["c"], r["cw"]) for r in merged.codebook.collect()
+    ) == sorted((r["j"], r["c"], r["cw"]) for r in rebuilt.codebook.collect())
+    release_cached()
+
+
+def test_ann_saved_merge_appends_and_guards_duplicates(spark, sf_dir, tmp_path):
+    """merge_into_saved_ann_index appends O(batch) codes equal to the
+    in-session merge, releases the writer marker, and REFUSES a
+    re-merge of ids already present (duplicate code rows silently
+    double ADC scores — the guard is the loud alternative)."""
+    v = _vecs(spark, sf_dir)
+    base = v.filter(F.col("vec_id") < 400)
+    batch = v.filter(F.col("vec_id") >= 400)
+    idx = build_ann_index(base)
+    p = str(tmp_path / "ann")
+    save_ann_index(idx, p)
+    merge_into_saved_ann_index(spark, p, batch)
+    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
+    loaded = load_ann_index(spark, p)
+    assert _codes_set(loaded.codes) == _codes_set(
+        merge_into_ann_index(idx, batch).codes
+    )
+    verify_ann_index(loaded)
+    with pytest.raises(ValueError, match="already in the saved index"):
+        merge_into_saved_ann_index(spark, p, batch.limit(1))
+    release_cached()
+
+
+def test_ann_marker_blocks_readers_and_writers(spark, sf_dir, tmp_path):
+    """A held _ANN_WRITING marker: load refuses (torn-read guard),
+    save refuses without force, forced save rewrites and clears it."""
+    v = _vecs(spark, sf_dir)
+    idx = build_ann_index(v.filter(F.col("vec_id") < 100))
+    p = str(tmp_path / "ann")
+    save_ann_index(idx, p)
+    open(os.path.join(p, _ANN_WRITING), "w").close()
+    with pytest.raises(ValueError, match="_ANN_WRITING is held"):
+        load_ann_index(spark, p)
+    with pytest.raises(ValueError, match="_ANN_WRITING is held"):
+        save_ann_index(idx, p)
+    save_ann_index(idx, p, force=True)
+    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
+    verify_ann_index(load_ann_index(spark, p))
+    release_cached()
+
+
+def test_ann_verify_detects_torn_and_duplicated_codes(spark, sf_dir, tmp_path):
+    """verify_ann_index is the integrity pass: a vector missing a
+    subspace row (torn append) and a vector with doubled rows
+    (double-merge) both raise naming the vec_id; compaction refuses a
+    torn index unless drop_torn=True, which keeps exactly the intact
+    vectors and lets the batch re-merge cleanly."""
+    v = _vecs(spark, sf_dir)
+    idx = build_ann_index(v.filter(F.col("vec_id") < 200))
+    verify_ann_index(idx)
+
+    torn = AnnIndex(
+        idx.cents,
+        idx.codebook,
+        idx.codes.filter(
+            ~((F.col("vec_id") == 50) & (F.col("j") == 3))
+        ),
+    )
+    with pytest.raises(ValueError, match="torn or duplicated"):
+        verify_ann_index(torn)
+    doubled = AnnIndex(
+        idx.cents,
+        idx.codebook,
+        idx.codes.unionByName(idx.codes.filter(F.col("vec_id") == 7)),
+    )
+    with pytest.raises(ValueError, match="torn or duplicated"):
+        verify_ann_index(doubled)
+
+    p = str(tmp_path / "ann")
+    save_ann_index(torn, p)
+    with pytest.raises(ValueError, match="torn or duplicated"):
+        compact_saved_ann_index(spark, p)
+    compact_saved_ann_index(spark, p, drop_torn=True)
+    healed = load_ann_index(spark, p)
+    verify_ann_index(healed)
+    # exactly the torn vector was dropped; everyone else intact
+    ids = {r["vec_id"] for r in healed.codes.select("vec_id").distinct().collect()}
+    assert 50 not in ids and len(ids) == 199
+    # and the crashed batch re-merges cleanly (the dropped id is gone)
+    merge_into_saved_ann_index(spark, p, v.filter(F.col("vec_id") == 50))
+    verify_ann_index(load_ann_index(spark, p))
+    release_cached()
+
+
+def test_ann_compact_rewrites_one_generation(spark, sf_dir, tmp_path):
+    """Compaction after appends: same rows, fewer files, marker clear,
+    and the mid-swap crash window is diagnosed loudly at load."""
+    v = _vecs(spark, sf_dir)
+    p = str(tmp_path / "ann")
+    save_ann_index(build_ann_index(v.filter(F.col("vec_id") < 300)), p)
+    for lo, hi in ((300, 350), (350, 400)):
+        merge_into_saved_ann_index(
+            spark, p, v.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        )
+    before = _codes_set(load_ann_index(spark, p).codes)
+    n_files_before = len(
+        [f for f in os.listdir(os.path.join(p, "codes")) if f.endswith(".parquet")]
+    )
+    compact_saved_ann_index(spark, p)
+    after = load_ann_index(spark, p)
+    assert _codes_set(after.codes) == before
+    n_files_after = len(
+        [f for f in os.listdir(os.path.join(p, "codes")) if f.endswith(".parquet")]
+    )
+    assert n_files_after <= n_files_before
+    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
+
+    # the mid-swap crash: codes gone, codes__new present, marker held
+    os.rename(os.path.join(p, "codes"), os.path.join(p, "codes__new"))
+    open(os.path.join(p, _ANN_WRITING), "w").close()
+    with pytest.raises(ValueError, match="mid-swap"):
+        load_ann_index(spark, p)
+    os.rename(os.path.join(p, "codes__new"), os.path.join(p, "codes"))
+    os.remove(os.path.join(p, _ANN_WRITING))
+    verify_ann_index(load_ann_index(spark, p))
+    release_cached()
