@@ -1274,7 +1274,6 @@ def similarity_ivfpq_rerank_topk(spark, sf_dir):
     score = _ivfpq_scores(v, build_ann_index(v), n_queries, _IVFPQ_NPROBE)
     return _pq_shortlist_rerank(score, v, n_queries, k)
 
-
 # ---------------------------------------------------------------------------
 # Saved ANN index: the IVF-PQ relations maintained on disk — the
 # production form at 100 TB (codes are a table alongside the vector
@@ -1283,19 +1282,34 @@ def similarity_ivfpq_rerank_topk(spark, sf_dir):
 # where they don't: ANN quantizers are frozen sample-trained artifacts,
 # so the ONLY mutation is appending codes for new vectors — there is no
 # re-rank analogue, no staleness dial, and no generation swap on merge.
-# Single-writer is still enforced (a lock marker around every write)
-# and torn writes are still loud (readers refuse while the marker is
-# up; a crashed writer strands it).
+# Single-writer is still enforced (every check AND write runs inside
+# the _ANN_WRITING marker — a guard probed outside the lock is a
+# check-then-act race), failures BEFORE any byte moves release the
+# marker cleanly, and failures mid-write strand it: torn indexes are
+# loud, never silently readable.
 # ---------------------------------------------------------------------------
 _ANN_RELATIONS = ("cents", "codebook", "codes")
 _ANN_WRITING = "_ANN_WRITING"
 
 
+class TornAnnCodes(ValueError):
+    """The codes relation violates the per-vector invariant (exactly
+    _PQ_M rows over _PQ_M distinct subspaces): a crashed append left a
+    partially-encoded vector, or a batch was merged twice. This is the
+    ONE failure class compact_saved_ann_index(drop_torn=True) can
+    repair by keeping the intact vectors — every other verify failure
+    (cardinality, orphan references) must keep raising through the
+    recovery path, so it gets a dedicated class the recovery dispatches
+    on instead of a bare ValueError match."""
+
+
 def _ann_paths(path: str):
     """(spark_path, os_path, locked) — local paths get the marker
     protocol; non-local stores get (path, None, False) and the caller
-    documents that single-writer discipline is theirs (same contract
-    as the dedup save/load os-level extras)."""
+    documents that single-writer discipline (and atomic overwrite
+    semantics — Spark refuses overwrite-while-reading the same
+    location) is theirs, same contract as the dedup save/load
+    os-level extras."""
     from presto_on_ray_spark.operators.dedup import (
         AmbiguousIndexPath,
         _index_paths,
@@ -1316,14 +1330,19 @@ def _ann_marker(os_path: str):
     return os.path.join(os_path, _ANN_WRITING)
 
 
-def _ann_acquire(os_path: str, what: str):
-    """Exclusive-create the writer marker; loud when already held —
-    a held marker is either a live writer (wait) or a crashed one
-    (the directory may be torn: verify with verify_ann_index, then
-    remove the marker or re-save with force=True)."""
+def _ann_acquire(os_path: str, what: str, force: bool = False):
+    """Exclusive-create the writer marker; loud when already held.
+    ``force=True`` removes a pre-existing marker first — the takeover
+    path for a STRANDED marker (crashed writer), valid only when the
+    caller has established no writer is live."""
     import os
 
     os.makedirs(os_path, exist_ok=True)
+    if force:
+        try:
+            os.remove(_ann_marker(os_path))
+        except FileNotFoundError:
+            pass
     try:
         fd = os.open(_ann_marker(os_path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         os.close(fd)
@@ -1331,131 +1350,226 @@ def _ann_acquire(os_path: str, what: str):
         raise ValueError(
             f"saved ANN index at {os_path!r}: {_ANN_WRITING} is held — "
             f"a writer is live or crashed mid-{what}. If no writer is "
-            f"live, run verify_ann_index, then remove the marker (clean) "
-            f"or save_ann_index(force=True) (torn)."
+            f"live: a clean directory (verify_ann_index passes on the "
+            f"relations) just needs the marker removed; a torn one is "
+            f"recovered by compact_saved_ann_index(drop_torn=True, "
+            f"force=True) or save_ann_index(force=True)."
         )
 
 
-def save_ann_index(index: AnnIndex, path: str, force: bool = False) -> None:
-    """Materialize the three AnnIndex relations as parquet under
-    ``path`` (one subdirectory per relation). Holds the _ANN_WRITING
-    marker across all three writes on local paths: readers refuse
-    mid-save, and a failed save strands the marker — torn indexes are
-    loud, never silently readable. Refuses when the marker is already
-    held unless ``force=True`` (the prescribed recovery for a crashed
-    writer: the forced save rewrites every relation and clears the
-    marker only on success)."""
+def _ann_release(os_path: str):
     import os
 
-    import shutil
-
-    spark_path, os_path, locked = _ann_paths(path)
-    if locked:
-        if force and os.path.exists(_ann_marker(os_path)):
-            os.remove(_ann_marker(os_path))
-        _ann_acquire(os_path, "save")
-        # sweep a crashed compact's generation litter: left in place it
-        # would shadow the next compact's swap diagnosis
-        leftover = os.path.join(os_path, "codes__new")
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
-    for name, rel in zip(_ANN_RELATIONS, index):
-        rel.write.mode("overwrite").parquet(f"{spark_path}/{name}")
-    if locked:
-        os.remove(_ann_marker(os_path))
+    os.remove(_ann_marker(os_path))
 
 
-def load_ann_index(spark, path: str) -> AnnIndex:
-    """Read the three relations back. Refuses while _ANN_WRITING is up
-    (live or crashed writer — the directory may be torn); the error
-    names the recovery. Lazy reads: scoring against a loaded index
-    scans codes only (ivfpq_topk(index=loaded))."""
-    import os
-
-    spark_path, os_path, locked = _ann_paths(path)
-    if locked and os.path.exists(_ann_marker(os_path)):
-        if not os.path.exists(
-            os.path.join(os_path, "codes")
-        ) and os.path.exists(os.path.join(os_path, "codes__new")):
-            # the compact swap window: the new generation is complete
-            # (written before the swap began) — name the exact recovery
-            raise ValueError(
-                f"saved ANN index at {path!r}: codes is missing but "
-                f"codes__new exists under a held {_ANN_WRITING} — a "
-                f"compact is mid-swap or crashed there. If no writer is "
-                f"live, rename codes__new to codes and remove the marker."
-            )
-        raise ValueError(
-            f"saved ANN index at {path!r}: {_ANN_WRITING} is held — a "
-            f"writer is live or crashed mid-write. If no writer is live, "
-            f"run verify_ann_index on the relations directly, then remove "
-            f"the marker (clean) or save_ann_index(force=True) (torn)."
-        )
+def _load_ann_relations(spark, spark_path: str) -> AnnIndex:
     return AnnIndex(
         *[spark.read.parquet(f"{spark_path}/{name}") for name in _ANN_RELATIONS]
     )
 
 
-def merge_into_saved_ann_index(spark, path: str, batch_v) -> None:
-    """Admit new vectors into a saved index: encode under the FROZEN
-    saved quantizers and APPEND to the codes relation — O(batch) work,
-    the index's own codes are read only by the duplicate guard's
-    limit-1 probe. Under the _ANN_WRITING marker (single-writer; a
-    crash mid-append strands the marker and the recovery is
-    compact_saved_ann_index(drop_torn=True), which keeps exactly the
-    fully-encoded vectors, then a re-merge of the batch).
+def _ann_sweep_new(os_path: str):
+    """Remove {rel}__new generation litter (crashed save/compact)."""
+    import os
+    import shutil
 
-    REFUSES batch vec_ids already present in the index: duplicate code
-    rows silently DOUBLE a candidate's ADC score (each code row
-    matches the query table once) — the exact silent-corruption class
-    the dedup side guards with _check_new_doc_ids."""
-    index = load_ann_index(spark, path)
-    dup = (
-        index.codes.select("vec_id")
-        .join(batch_v.select("vec_id"), "vec_id")
+    for name in _ANN_RELATIONS:
+        leftover = os.path.join(os_path, f"{name}__new")
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+
+def save_ann_index(index: AnnIndex, path: str, force: bool = False) -> None:
+    """Materialize the three AnnIndex relations under ``path`` (one
+    subdirectory per relation). On local paths the write is
+    generation-swapped under the _ANN_WRITING marker: every relation
+    is written to {rel}__new FIRST (so an index loaded FROM this very
+    path can be saved back onto it — a direct overwrite would hit
+    Spark's overwrite-while-reading refusal and strand the marker on
+    an intact directory), then swapped in with os renames. A failure
+    during the __new writes releases the marker and leaves the live
+    index untouched; a failure during the swap strands the marker
+    (the directory is genuinely torn — loud). Refuses when the marker
+    is already held unless ``force=True`` (the crashed-writer
+    takeover).
+
+    Non-local paths get plain overwrite writes with no marker: the
+    store's own atomicity and the caller's single-writer discipline
+    apply, and saving onto the location an index is concurrently
+    being read from is the caller's hazard."""
+    import os
+    import shutil
+
+    spark_path, os_path, locked = _ann_paths(path)
+    if not locked:
+        for name, rel in zip(_ANN_RELATIONS, index):
+            rel.write.mode("overwrite").parquet(f"{spark_path}/{name}")
+        return
+    _ann_acquire(os_path, "save", force=force)
+    try:
+        _ann_sweep_new(os_path)
+        for name, rel in zip(_ANN_RELATIONS, index):
+            rel.write.mode("overwrite").parquet(f"{spark_path}/{name}__new")
+    except BaseException:
+        # nothing touched the live relations: clean up and release
+        _ann_sweep_new(os_path)
+        _ann_release(os_path)
+        raise
+    for name in _ANN_RELATIONS:  # swap phase: failures strand the marker
+        live = os.path.join(os_path, name)
+        if os.path.exists(live):
+            shutil.rmtree(live)
+        os.rename(os.path.join(os_path, f"{name}__new"), live)
+    _ann_release(os_path)
+
+
+def load_ann_index(spark, path: str) -> AnnIndex:
+    """Read the three relations back. Refuses while _ANN_WRITING is up
+    (live or crashed writer — the directory may be torn); the error
+    names the recovery, and the save/compact mid-swap window (a live
+    relation missing with its __new generation present) is diagnosed
+    specifically. Lazy reads: scoring against a loaded index scans
+    codes only (ivfpq_topk(index=loaded)); the file listing snapshots
+    at load, so codes appended later need a reload to become
+    visible."""
+    import os
+
+    spark_path, os_path, locked = _ann_paths(path)
+    if locked and os.path.exists(_ann_marker(os_path)):
+        for name in _ANN_RELATIONS:
+            if not os.path.exists(
+                os.path.join(os_path, name)
+            ) and os.path.exists(os.path.join(os_path, f"{name}__new")):
+                # the swap window: the new generation is complete (it
+                # was fully written before any swap began)
+                raise ValueError(
+                    f"saved ANN index at {path!r}: {name} is missing but "
+                    f"{name}__new exists under a held {_ANN_WRITING} — a "
+                    f"save/compact is mid-swap or crashed there. If no "
+                    f"writer is live, rename each remaining *__new over "
+                    f"its relation and remove the marker."
+                )
+        raise ValueError(
+            f"saved ANN index at {path!r}: {_ANN_WRITING} is held — a "
+            f"writer is live or crashed mid-write. If no writer is live, "
+            f"run verify_ann_index on the relations directly, then remove "
+            f"the marker (clean), or recover with "
+            f"compact_saved_ann_index(drop_torn=True, force=True) (torn "
+            f"append) / save_ann_index(force=True) (rebuild)."
+        )
+    return _load_ann_relations(spark, spark_path)
+
+
+def _ann_batch_guard(index: AnnIndex, batch_v, where: str):
+    """ONE bounded job dispatching both admission hazards: a batch
+    vec_id already in the index (re-merge → duplicate code rows →
+    silently DOUBLED ADC scores) and a vec_id duplicated WITHIN the
+    batch (the encode argmin would silently collapse the duplicates
+    to one arbitrary vector — the dedup side's _check_new_doc_ids
+    class). Same shape as that guard: counts + one left probe,
+    limit 1."""
+    bad = (
+        batch_v.groupBy("vec_id")
+        .agg(F.count("*").alias("k"))
+        .join(
+            index.codes.select("vec_id").distinct().withColumn(
+                "in_index", F.lit(True)
+            ),
+            "vec_id",
+            "left",
+        )
+        .filter((F.col("k") > 1) | F.col("in_index").isNotNull())
         .limit(1)
         .collect()
     )
-    if dup:
+    if bad:
+        r = bad[0]
+        if r["k"] > 1:
+            raise ValueError(
+                f"merge into {where}: batch vec_id {r['vec_id']} appears "
+                f"{r['k']} times in the batch — the encode argmin would "
+                f"silently keep one arbitrary vector. Deduplicate the "
+                f"batch first."
+            )
         raise ValueError(
-            f"merge_into_saved_ann_index: batch vec_id {dup[0]['vec_id']} "
-            f"is already in the saved index at {path!r} — re-merging "
-            f"duplicates code rows and silently doubles ADC scores. "
-            f"Deduplicate the batch against the index first."
+            f"merge into {where}: batch vec_id {r['vec_id']} is already "
+            f"in the saved index — re-merging duplicates code rows and "
+            f"silently doubles ADC scores. Deduplicate the batch against "
+            f"the index first."
         )
-    new_codes = encode_into_ann_index(batch_v, index)
+
+
+def merge_into_saved_ann_index(spark, path: str, batch_v) -> None:
+    """Admit new vectors into a saved index: encode under the FROZEN
+    saved quantizers and APPEND to the codes relation — O(batch) work;
+    the index's own codes are read only by the admission guard's
+    bounded probe. The load, the guard, and the append ALL run inside
+    the _ANN_WRITING marker (a guard probed before acquiring would
+    race a concurrent merge: both probes pass, both append, scores
+    silently double). A guard/encode failure releases the marker
+    (nothing was written); a failure during the append strands it —
+    the recovery is compact_saved_ann_index(drop_torn=True,
+    force=True), which keeps exactly the fully-encoded vectors, then
+    a re-merge of the batch."""
     spark_path, os_path, locked = _ann_paths(path)
     if locked:
         _ann_acquire(os_path, "merge")
+    try:
+        index = _load_ann_relations(spark, spark_path)
+        _ann_batch_guard(index, batch_v, path)
+        new_codes = encode_into_ann_index(batch_v, index)
+    except BaseException:
+        if locked:
+            _ann_release(os_path)  # nothing written: clean release
+        raise
+    # the append itself: a failure here leaves codes torn, so the
+    # marker STRANDS (no release) and the error text above applies
     new_codes.write.mode("append").parquet(f"{spark_path}/codes")
     if locked:
-        import os
+        _ann_release(os_path)
 
-        os.remove(_ann_marker(os_path))
+
+def _ann_code_stats(codes):
+    """Per-vector integrity stats — the ONE definition of the torn/
+    duplicated predicate, shared by verify_ann_index and the
+    drop_torn recovery so the two can never drift: (vec_id, rows,
+    js) where intact means rows == js == _PQ_M."""
+    return codes.groupBy("vec_id").agg(
+        F.count("*").alias("rows"), F.count_distinct("j").alias("js")
+    )
 
 
 def verify_ann_index(index: AnnIndex, n_cells: int = _IVFPQ_CELLS) -> dict:
     """Bounded consistency checks over a (possibly loaded) index —
     the explicit, scheduled integrity pass (the analogue of the dedup
-    side's verify_index_consistency): every vector has exactly _PQ_M
-    code rows covering subspaces 0.._PQ_M-1 with no duplicates (a
-    torn append OR a double-merge both surface here), every code row
-    references a live cell and codeword, and the quantizer relations
-    have their construction cardinalities. Returns the stats dict on
-    success; raises naming the first violated invariant."""
-    stats = index.codes.groupBy("vec_id").agg(
-        F.count("*").alias("rows"), F.count_distinct("j").alias("js")
-    )
-    bad = stats.filter(
-        (F.col("rows") != _PQ_M) | (F.col("js") != _PQ_M)
-    ).limit(1).collect()
-    if bad:
-        r = bad[0]
-        raise ValueError(
+    side's verify_index_consistency). Two scans of codes on the green
+    path (one stats aggregate that also yields the returned totals,
+    one broadcast-joined orphan probe) plus two tiny quantizer counts;
+    the per-violation limit-1 lookups run only on the already-failing
+    cold path. Raises TornAnnCodes for the per-vector M-row invariant
+    (repairable by compact_saved_ann_index(drop_torn=True)); plain
+    ValueError for quantizer cardinality and orphan cell/codeword
+    references (NOT repairable by dropping rows — rebuild)."""
+    stats = _ann_code_stats(index.codes)
+    totals = stats.agg(
+        F.count("*").alias("vectors"),
+        F.sum(
+            ((F.col("rows") != _PQ_M) | (F.col("js") != _PQ_M)).cast("long")
+        ).alias("bad"),
+    ).collect()[0]
+    if (totals["bad"] or 0) > 0:
+        r = (
+            stats.filter((F.col("rows") != _PQ_M) | (F.col("js") != _PQ_M))
+            .limit(1)
+            .collect()[0]
+        )
+        raise TornAnnCodes(
             f"ANN index codes are torn or duplicated: vec_id "
             f"{r['vec_id']} has {r['rows']} code rows over {r['js']} "
-            f"distinct subspaces (want {_PQ_M}/{_PQ_M}) — a crashed "
-            f"append leaves partially-encoded vectors "
+            f"distinct subspaces (want {_PQ_M}/{_PQ_M}), "
+            f"{totals['bad']} vector(s) affected — a crashed append "
+            f"leaves partially-encoded vectors "
             f"(compact_saved_ann_index(drop_torn=True) keeps the intact "
             f"ones); duplicates mean a batch was merged twice (rebuild)."
         )
@@ -1472,47 +1586,64 @@ def verify_ann_index(index: AnnIndex, n_cells: int = _IVFPQ_CELLS) -> dict:
         )
     orphan = (
         index.codes.join(
-            index.cents.select("cell"), "cell", "left_anti"
-        ).limit(1).collect()
-    )
-    if orphan:
-        raise ValueError(
-            f"ANN code row references unknown cell "
-            f"{orphan[0]['cell']} (vec_id {orphan[0]['vec_id']})"
+            F.broadcast(
+                index.cents.select("cell").withColumn("_cell_ok", F.lit(True))
+            ),
+            "cell",
+            "left",
         )
-    orphan_cw = (
-        index.codes.join(
-            index.codebook.select(
-                "j", F.col("c").alias("code")
+        .join(
+            F.broadcast(
+                index.codebook.select(
+                    "j", F.col("c").alias("code")
+                ).withColumn("_cw_ok", F.lit(True))
             ),
             ["j", "code"],
-            "left_anti",
-        ).limit(1).collect()
+            "left",
+        )
+        .filter(F.col("_cell_ok").isNull() | F.col("_cw_ok").isNull())
+        .limit(1)
+        .collect()
     )
-    if orphan_cw:
+    if orphan:
+        r = orphan[0]
+        if r["_cell_ok"] is None:
+            raise ValueError(
+                f"ANN code row references unknown cell {r['cell']} "
+                f"(vec_id {r['vec_id']})"
+            )
         raise ValueError(
             f"ANN code row references unknown codeword "
-            f"(j={orphan_cw[0]['j']}, code={orphan_cw[0]['code']})"
+            f"(j={r['j']}, code={r['code']}, vec_id {r['vec_id']})"
         )
     return {
-        "vectors": stats.count(),
+        "vectors": totals["vectors"],
         "cells": n_cents,
         "codewords": n_cw,
     }
 
 
-def compact_saved_ann_index(spark, path: str, drop_torn: bool = False) -> None:
+def compact_saved_ann_index(
+    spark, path: str, drop_torn: bool = False, force: bool = False
+) -> None:
     """Rewrite the codes relation as one clean generation — the
-    file-count hygiene pass after many small appends, and the torn-
-    append recovery. Verifies first: a torn index REFUSES to compact
-    unless ``drop_torn=True``, which keeps exactly the vectors with a
-    complete, duplicate-free set of _PQ_M code rows (the crashed
-    batch's survivors) — the caller then re-merges the batch, whose
-    duplicate guard skips nothing because the dropped ids are gone.
-    The rewrite goes through a codes__new generation directory and a
-    rename swap under the _ANN_WRITING marker; load_ann_index refuses
-    mid-compact, and a crash between remove and rename is diagnosed
-    loudly at the next load (missing codes + codes__new present)."""
+    file-count hygiene pass after many small appends, and the
+    torn-append recovery. The WHOLE operation (load, verify, rewrite,
+    swap) runs inside the _ANN_WRITING marker: verifying outside it
+    would let a concurrent merge commit between the snapshot and the
+    swap, and the rewrite would silently erase that batch's codes.
+    ``force=True`` takes over a STRANDED marker (the crashed-append
+    recovery — a crashed merge leaves the marker held, and recovery
+    must run under it). A torn index REFUSES to compact unless
+    ``drop_torn=True``, which keeps exactly the vectors satisfying
+    _ann_code_stats' intact predicate (the crashed batch's survivors);
+    the caller then re-merges the batch, whose admission guard passes
+    because the dropped ids are gone. Only TornAnnCodes triggers the
+    drop path — cardinality/orphan failures are not row-droppable and
+    keep raising (with the marker released: nothing was written).
+    Failures during the codes__new write release cleanly; failures
+    during the swap strand the marker and load diagnoses the window
+    by name."""
     import os
     import shutil
 
@@ -1523,22 +1654,29 @@ def compact_saved_ann_index(spark, path: str, drop_torn: bool = False) -> None:
             f"{path!r} is not a local path — rewrite a new generation "
             f"with save_ann_index instead."
         )
-    index = load_ann_index(spark, path)
+    _ann_acquire(os_path, "compact", force=force)
     try:
-        verify_ann_index(index)
-        keep = index.codes
-    except ValueError:
-        if not drop_torn:
-            raise
-        good = (
-            index.codes.groupBy("vec_id")
-            .agg(F.count("*").alias("rows"), F.count_distinct("j").alias("js"))
-            .filter((F.col("rows") == _PQ_M) & (F.col("js") == _PQ_M))
-            .select("vec_id")
-        )
-        keep = index.codes.join(good, "vec_id")
-    _ann_acquire(os_path, "compact")
-    keep.write.mode("overwrite").parquet(f"{spark_path}/codes__new")
+        _ann_sweep_new(os_path)
+        index = _load_ann_relations(spark, spark_path)
+        try:
+            verify_ann_index(index)
+            keep = index.codes
+        except TornAnnCodes:
+            if not drop_torn:
+                raise
+            good = (
+                _ann_code_stats(index.codes)
+                .filter((F.col("rows") == _PQ_M) & (F.col("js") == _PQ_M))
+                .select("vec_id")
+            )
+            keep = index.codes.join(good, "vec_id")
+        keep.write.mode("overwrite").parquet(f"{spark_path}/codes__new")
+    except BaseException:
+        # nothing touched the live relations: clean up and release
+        _ann_sweep_new(os_path)
+        _ann_release(os_path)
+        raise
+    # swap phase: failures strand the marker (genuinely torn)
     shutil.rmtree(os.path.join(os_path, "codes"))
     os.rename(os.path.join(os_path, "codes__new"), os.path.join(os_path, "codes"))
-    os.remove(_ann_marker(os_path))
+    _ann_release(os_path)

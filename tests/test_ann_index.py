@@ -65,6 +65,19 @@ def test_ann_index_save_load_round_trip(spark, sf_dir, tmp_path):
     )
     assert got == want
     assert verify_ann_index(loaded)["cells"] == _IVFPQ_CELLS
+
+    # the natural in-session flow: merge ON the loaded index, save the
+    # result BACK to the same location. The generation-swapped save
+    # never overwrites a directory its input is reading from (a direct
+    # overwrite hits Spark's overwrite-while-reading refusal and would
+    # strand the marker on an intact index).
+    extra = spark.createDataFrame(
+        [(10_000, [7] * 64), (10_001, [-3] * 64)], "vec_id long, qv array<long>"
+    )
+    save_ann_index(merge_into_ann_index(loaded, extra), p)
+    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
+    re_loaded = load_ann_index(spark, p)
+    assert verify_ann_index(re_loaded)["vectors"] == len(_codes_set(idx.codes)) // 8 + 2
     release_cached()
 
 
@@ -109,6 +122,19 @@ def test_ann_saved_merge_appends_and_guards_duplicates(spark, sf_dir, tmp_path):
     verify_ann_index(loaded)
     with pytest.raises(ValueError, match="already in the saved index"):
         merge_into_saved_ann_index(spark, p, batch.limit(1))
+    # a guard failure wrote nothing: the marker released cleanly
+    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
+    # within-batch duplicates would silently collapse in the encode
+    # argmin — the same guard job refuses them by name
+    with pytest.raises(ValueError, match="appears 2 times in the batch"):
+        merge_into_saved_ann_index(
+            spark,
+            p,
+            spark.createDataFrame(
+                [(9000, [1] * 64), (9000, [2] * 64)], "vec_id long, qv array<long>"
+            ),
+        )
+    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
     release_cached()
 
 
@@ -161,7 +187,14 @@ def test_ann_verify_detects_torn_and_duplicated_codes(spark, sf_dir, tmp_path):
     save_ann_index(torn, p)
     with pytest.raises(ValueError, match="torn or duplicated"):
         compact_saved_ann_index(spark, p)
-    compact_saved_ann_index(spark, p, drop_torn=True)
+    # a refused compact wrote nothing and released the marker
+    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
+    # the crashed-append recovery: the stranded marker is taken over
+    # with force=True, exactly as the merge error text prescribes
+    open(os.path.join(p, _ANN_WRITING), "w").close()
+    with pytest.raises(ValueError, match="_ANN_WRITING is held"):
+        compact_saved_ann_index(spark, p, drop_torn=True)
+    compact_saved_ann_index(spark, p, drop_torn=True, force=True)
     healed = load_ann_index(spark, p)
     verify_ann_index(healed)
     # exactly the torn vector was dropped; everyone else intact
