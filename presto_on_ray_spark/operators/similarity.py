@@ -1277,19 +1277,32 @@ def similarity_ivfpq_rerank_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Saved ANN index: the IVF-PQ relations maintained on disk — the
 # production form at 100 TB (codes are a table alongside the vector
-# store, not a session cache). The lifecycle mirrors the dedup side's
-# saved index where the semantics match and is deliberately LIGHTER
-# where they don't: ANN quantizers are frozen sample-trained artifacts,
-# so the ONLY mutation is appending codes for new vectors — there is no
-# re-rank analogue, no staleness dial, and no generation swap on merge.
-# Single-writer is still enforced (every check AND write runs inside
-# the _ANN_WRITING marker — a guard probed outside the lock is a
-# check-then-act race), failures BEFORE any byte moves release the
-# marker cleanly, and failures mid-write strand it: torn indexes are
-# loud, never silently readable.
+# store, not a session cache). Layout on local paths is GENERATIONAL:
+#
+#     {path}/_CURRENT            one line naming the live generation
+#     {path}/gen-K/{cents,codebook,codes}
+#     {path}/_ANN_WRITING        exclusive single-writer marker
+#
+# Every save and compact writes a COMPLETE new generation and then
+# atomically repoints _CURRENT (os.replace) — the live generation is
+# never mutated in place, so there is no mixed-generation state, no
+# multi-directory swap window, and recovery never has to reconstruct a
+# half-swapped index: a crash before the flip leaves the old pointer
+# valid (the orphan directory is swept by the next writer), a crash
+# after the flip leaves the new generation complete. The ONLY in-place
+# mutation is merge's codes APPEND inside the current generation, which
+# is why readers refuse while the writer marker is up. Failures before
+# any byte is committed release the marker cleanly; failures that may
+# have committed bytes strand it — torn states are loud, never silently
+# readable. The lifecycle mirrors the dedup side's saved index where
+# semantics match (single-writer lock, loud stranding, scheduled
+# verify) and is deliberately lighter where they don't: ANN quantizers
+# are frozen sample-trained artifacts, so append is the only
+# incremental mutation — no re-rank analogue, no staleness dial.
 # ---------------------------------------------------------------------------
 _ANN_RELATIONS = ("cents", "codebook", "codes")
 _ANN_WRITING = "_ANN_WRITING"
+_ANN_CURRENT = "_CURRENT"
 
 
 class TornAnnCodes(ValueError):
@@ -1299,17 +1312,17 @@ class TornAnnCodes(ValueError):
     ONE failure class compact_saved_ann_index(drop_torn=True) can
     repair by keeping the intact vectors — every other verify failure
     (cardinality, orphan references) must keep raising through the
-    recovery path, so it gets a dedicated class the recovery dispatches
-    on instead of a bare ValueError match."""
+    recovery path, so it gets a dedicated class the recovery
+    dispatches on instead of a bare ValueError match."""
 
 
 def _ann_paths(path: str):
-    """(spark_path, os_path, locked) — local paths get the marker
-    protocol; non-local stores get (path, None, False) and the caller
-    documents that single-writer discipline (and atomic overwrite
-    semantics — Spark refuses overwrite-while-reading the same
-    location) is theirs, same contract as the dedup save/load
-    os-level extras."""
+    """(spark_path, os_path, locked) — local paths get the full
+    generational protocol; non-local stores get (path, None, False):
+    a flat relation layout written with plain overwrites, no marker,
+    no generations (there is no os-level atomic pointer there), and
+    the caller owns single-writer discipline. merge/compact require
+    the local protocol, same as the dedup side's mutation paths."""
     from presto_on_ray_spark.operators.dedup import (
         AmbiguousIndexPath,
         _index_paths,
@@ -1350,10 +1363,11 @@ def _ann_acquire(os_path: str, what: str, force: bool = False):
         raise ValueError(
             f"saved ANN index at {os_path!r}: {_ANN_WRITING} is held — "
             f"a writer is live or crashed mid-{what}. If no writer is "
-            f"live: a clean directory (verify_ann_index passes on the "
-            f"relations) just needs the marker removed; a torn one is "
-            f"recovered by compact_saved_ann_index(drop_torn=True, "
-            f"force=True) or save_ann_index(force=True)."
+            f"live, recover with compact_saved_ann_index(force=True) "
+            f"(add drop_torn=True if verify_ann_index reports torn "
+            f"codes) or save_ann_index(force=True) with a rebuilt "
+            f"index; both write a complete new generation and flip "
+            f"atomically, then sweep the orphans."
         )
 
 
@@ -1363,44 +1377,80 @@ def _ann_release(os_path: str):
     os.remove(_ann_marker(os_path))
 
 
-def _load_ann_relations(spark, spark_path: str) -> AnnIndex:
+def _ann_current_gen(os_path: str):
+    """The live generation name, or None when no flip has happened."""
+    import os
+
+    try:
+        with open(os.path.join(os_path, _ANN_CURRENT)) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def _ann_flip(os_path: str, gen: str):
+    """Atomically repoint _CURRENT at ``gen`` (write-aside +
+    os.replace — readers see the old complete generation or the new
+    complete generation, never anything else)."""
+    import os
+
+    tmp = os.path.join(os_path, _ANN_CURRENT + "__tmp")
+    with open(tmp, "w") as f:
+        f.write(gen)
+    os.replace(tmp, os.path.join(os_path, _ANN_CURRENT))
+
+
+def _ann_next_gen(os_path: str) -> str:
+    """Next generation directory name: one past the highest existing
+    gen-K (orphans from crashed writers count — reusing their number
+    would write into a dirty directory)."""
+    import os
+    import re
+
+    best = 0
+    for name in os.listdir(os_path) if os.path.isdir(os_path) else []:
+        m = re.fullmatch(r"gen-(\d+)", name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return f"gen-{best + 1}"
+
+
+def _ann_sweep_orphans(os_path: str, keep: str):
+    """Remove every gen-* directory except ``keep`` (crashed writers'
+    litter and superseded generations) and any _CURRENT__tmp. Runs
+    only under the writer marker and only AFTER a successful flip, so
+    the swept directories are provably unreferenced."""
+    import os
+    import re
+    import shutil
+
+    for name in os.listdir(os_path):
+        if name != keep and re.fullmatch(r"gen-\d+", name):
+            shutil.rmtree(os.path.join(os_path, name))
+    try:
+        os.remove(os.path.join(os_path, _ANN_CURRENT + "__tmp"))
+    except FileNotFoundError:
+        pass
+
+
+def _load_ann_relations(spark, rel_root: str) -> AnnIndex:
     return AnnIndex(
-        *[spark.read.parquet(f"{spark_path}/{name}") for name in _ANN_RELATIONS]
+        *[spark.read.parquet(f"{rel_root}/{name}") for name in _ANN_RELATIONS]
     )
 
 
-def _ann_sweep_new(os_path: str):
-    """Remove {rel}__new generation litter (crashed save/compact)."""
-    import os
-    import shutil
-
-    for name in _ANN_RELATIONS:
-        leftover = os.path.join(os_path, f"{name}__new")
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
-
-
 def save_ann_index(index: AnnIndex, path: str, force: bool = False) -> None:
-    """Materialize the three AnnIndex relations under ``path`` (one
-    subdirectory per relation). On local paths the write is
-    generation-swapped under the _ANN_WRITING marker: every relation
-    is written to {rel}__new FIRST (so an index loaded FROM this very
-    path can be saved back onto it — a direct overwrite would hit
-    Spark's overwrite-while-reading refusal and strand the marker on
-    an intact directory), then swapped in with os renames. A failure
-    during the __new writes releases the marker and leaves the live
-    index untouched; a failure during the swap strands the marker
-    (the directory is genuinely torn — loud). Refuses when the marker
-    is already held unless ``force=True`` (the crashed-writer
-    takeover).
-
-    Non-local paths get plain overwrite writes with no marker: the
-    store's own atomicity and the caller's single-writer discipline
-    apply, and saving onto the location an index is concurrently
-    being read from is the caller's hazard."""
-    import os
-    import shutil
-
+    """Materialize the three AnnIndex relations under ``path``. Local
+    paths get the generational protocol: the relations are written
+    into a fresh gen-K directory and _CURRENT flips atomically — an
+    index loaded FROM this very path can be saved back onto it (the
+    write never touches the directories it is reading), a failure
+    before the flip releases the marker with the old generation
+    untouched, and the orphan sweep runs only after the flip. Refuses
+    while the marker is held unless ``force=True`` (the crashed-writer
+    takeover). Non-local paths get plain flat overwrite writes with no
+    marker or generations: the store's atomicity and the caller's
+    single-writer discipline apply."""
     spark_path, os_path, locked = _ann_paths(path)
     if not locked:
         for name, rel in zip(_ANN_RELATIONS, index):
@@ -1408,126 +1458,167 @@ def save_ann_index(index: AnnIndex, path: str, force: bool = False) -> None:
         return
     _ann_acquire(os_path, "save", force=force)
     try:
-        _ann_sweep_new(os_path)
+        gen = _ann_next_gen(os_path)
         for name, rel in zip(_ANN_RELATIONS, index):
-            rel.write.mode("overwrite").parquet(f"{spark_path}/{name}__new")
+            rel.write.mode("overwrite").parquet(f"{spark_path}/{gen}/{name}")
+        _ann_flip(os_path, gen)
     except BaseException:
-        # nothing touched the live relations: clean up and release
-        _ann_sweep_new(os_path)
+        # the pointer never moved: the old generation (if any) is
+        # intact, and the partial gen directory is unreferenced litter
+        # the next writer sweeps
         _ann_release(os_path)
         raise
-    for name in _ANN_RELATIONS:  # swap phase: failures strand the marker
-        live = os.path.join(os_path, name)
-        if os.path.exists(live):
-            shutil.rmtree(live)
-        os.rename(os.path.join(os_path, f"{name}__new"), live)
+    _ann_sweep_orphans(os_path, keep=gen)
     _ann_release(os_path)
 
 
 def load_ann_index(spark, path: str) -> AnnIndex:
-    """Read the three relations back. Refuses while _ANN_WRITING is up
-    (live or crashed writer — the directory may be torn); the error
-    names the recovery, and the save/compact mid-swap window (a live
-    relation missing with its __new generation present) is diagnosed
-    specifically. Lazy reads: scoring against a loaded index scans
-    codes only (ivfpq_topk(index=loaded)); the file listing snapshots
-    at load, so codes appended later need a reload to become
-    visible."""
+    """Read the live generation's relations. Refuses while
+    _ANN_WRITING is up: a save/compact mid-write is harmless to read
+    past (the pointer flips atomically) but a merge mid-APPEND is not
+    — the codes listing would snapshot a half-committed batch — and a
+    reader cannot tell which writer holds the marker. Lazy reads: the
+    parquet file listing snapshots at load, so codes appended later
+    need a reload to become visible. Non-local paths read the flat
+    layout (see save_ann_index)."""
     import os
 
     spark_path, os_path, locked = _ann_paths(path)
-    if locked and os.path.exists(_ann_marker(os_path)):
-        for name in _ANN_RELATIONS:
-            if not os.path.exists(
-                os.path.join(os_path, name)
-            ) and os.path.exists(os.path.join(os_path, f"{name}__new")):
-                # the swap window: the new generation is complete (it
-                # was fully written before any swap began)
-                raise ValueError(
-                    f"saved ANN index at {path!r}: {name} is missing but "
-                    f"{name}__new exists under a held {_ANN_WRITING} — a "
-                    f"save/compact is mid-swap or crashed there. If no "
-                    f"writer is live, rename each remaining *__new over "
-                    f"its relation and remove the marker."
-                )
+    if not locked:
+        return _load_ann_relations(spark, spark_path)
+    if os.path.exists(_ann_marker(os_path)):
         raise ValueError(
             f"saved ANN index at {path!r}: {_ANN_WRITING} is held — a "
-            f"writer is live or crashed mid-write. If no writer is live, "
-            f"run verify_ann_index on the relations directly, then remove "
-            f"the marker (clean), or recover with "
-            f"compact_saved_ann_index(drop_torn=True, force=True) (torn "
-            f"append) / save_ann_index(force=True) (rebuild)."
+            f"writer is live or crashed. If no writer is live, recover "
+            f"with compact_saved_ann_index(force=True) (add "
+            f"drop_torn=True if verify_ann_index on the live generation "
+            f"reports torn codes); the old generation stays readable "
+            f"throughout."
         )
-    return _load_ann_relations(spark, spark_path)
+    gen = _ann_current_gen(os_path)
+    if gen is None:
+        raise ValueError(
+            f"no saved ANN index at {path!r}: {_ANN_CURRENT} is missing "
+            f"(no save ever completed its atomic flip here)."
+        )
+    return _load_ann_relations(spark, f"{spark_path}/{gen}")
 
 
 def _ann_batch_guard(index: AnnIndex, batch_v, where: str):
-    """ONE bounded job dispatching both admission hazards: a batch
-    vec_id already in the index (re-merge → duplicate code rows →
-    silently DOUBLED ADC scores) and a vec_id duplicated WITHIN the
-    batch (the encode argmin would silently collapse the duplicates
-    to one arbitrary vector — the dedup side's _check_new_doc_ids
-    class). Same shape as that guard: counts + one left probe,
-    limit 1."""
-    bad = (
+    """Two BOUNDED probes dispatching the admission hazards. (1) a
+    vec_id duplicated WITHIN the batch — the encode argmin would
+    silently collapse the duplicates to one arbitrary vector — via a
+    batch-sized groupBy; (2) a batch vec_id already in the index —
+    re-merged ids duplicate code rows and silently DOUBLE ADC scores —
+    via an early-terminating limit-1 scan of codes against the
+    BROADCAST batch ids (never a shuffle or full aggregate of the
+    codes relation; the dedup side's _check_new_doc_ids is the
+    reference shape)."""
+    dup = (
         batch_v.groupBy("vec_id")
         .agg(F.count("*").alias("k"))
-        .join(
-            index.codes.select("vec_id").distinct().withColumn(
-                "in_index", F.lit(True)
-            ),
-            "vec_id",
-            "left",
-        )
-        .filter((F.col("k") > 1) | F.col("in_index").isNotNull())
+        .filter(F.col("k") > 1)
         .limit(1)
         .collect()
     )
-    if bad:
-        r = bad[0]
-        if r["k"] > 1:
-            raise ValueError(
-                f"merge into {where}: batch vec_id {r['vec_id']} appears "
-                f"{r['k']} times in the batch — the encode argmin would "
-                f"silently keep one arbitrary vector. Deduplicate the "
-                f"batch first."
-            )
+    if dup:
         raise ValueError(
-            f"merge into {where}: batch vec_id {r['vec_id']} is already "
-            f"in the saved index — re-merging duplicates code rows and "
-            f"silently doubles ADC scores. Deduplicate the batch against "
-            f"the index first."
+            f"merge into {where}: batch vec_id {dup[0]['vec_id']} "
+            f"appears {dup[0]['k']} times in the batch — the encode "
+            f"argmin would silently keep one arbitrary vector. "
+            f"Deduplicate the batch first."
+        )
+    hit = (
+        index.codes.join(
+            F.broadcast(batch_v.select("vec_id").distinct()), "vec_id"
+        )
+        .limit(1)
+        .collect()
+    )
+    if hit:
+        raise ValueError(
+            f"merge into {where}: batch vec_id {hit[0]['vec_id']} is "
+            f"already in the saved index — re-merging duplicates code "
+            f"rows and silently doubles ADC scores. Deduplicate the "
+            f"batch against the index first, or pass resume=True if "
+            f"this is the prescribed re-merge after a crashed append "
+            f"(it skips ids the crashed merge already committed)."
         )
 
 
-def merge_into_saved_ann_index(spark, path: str, batch_v) -> None:
+def merge_into_saved_ann_index(
+    spark, path: str, batch_v, resume: bool = False
+) -> None:
     """Admit new vectors into a saved index: encode under the FROZEN
-    saved quantizers and APPEND to the codes relation — O(batch) work;
-    the index's own codes are read only by the admission guard's
-    bounded probe. The load, the guard, and the append ALL run inside
-    the _ANN_WRITING marker (a guard probed before acquiring would
-    race a concurrent merge: both probes pass, both append, scores
-    silently double). A guard/encode failure releases the marker
-    (nothing was written); a failure during the append strands it —
-    the recovery is compact_saved_ann_index(drop_torn=True,
-    force=True), which keeps exactly the fully-encoded vectors, then
-    a re-merge of the batch."""
+    saved quantizers and APPEND to the live generation's codes —
+    O(batch) work; the index's own codes are read only by the
+    admission guard's bounded broadcast probe. The load, the guard,
+    and the append ALL run inside the _ANN_WRITING marker (a guard
+    probed before acquiring would race a concurrent merge: both
+    probes pass, both append, scores silently double).
+
+    Failure handling distinguishes what actually committed: guard and
+    plan failures release the marker (nothing written), and a failed
+    append releases it too when the codes listing is unchanged (a
+    cleanly-aborted Spark job commits nothing); the marker STRANDS
+    only when data files actually appeared — the genuinely-torn case.
+    Recovery from a torn append: compact_saved_ann_index(
+    drop_torn=True, force=True) keeps the fully-encoded vectors, then
+    re-merge the batch with ``resume=True``, which anti-joins away the
+    ids the crashed merge already committed (a plain re-merge would
+    trip the duplicate guard on them)."""
+    import os
+
     spark_path, os_path, locked = _ann_paths(path)
-    if locked:
-        _ann_acquire(os_path, "merge")
+    if not locked:
+        raise ValueError(
+            f"merge_into_saved_ann_index requires the local generational "
+            f"protocol; {path!r} is not a local path — encode with "
+            f"encode_into_ann_index and manage the append (and its "
+            f"single-writer discipline) in the store's own transaction "
+            f"layer, or save a new generation with save_ann_index."
+        )
+    _ann_acquire(os_path, "merge")
+    codes_os = None
     try:
-        index = _load_ann_relations(spark, spark_path)
+        gen = _ann_current_gen(os_path)
+        if gen is None:
+            raise ValueError(f"no saved ANN index at {path!r}")
+        rel_root = f"{spark_path}/{gen}"
+        codes_os = os.path.join(os_path, gen, "codes")
+        index = _load_ann_relations(spark, rel_root)
+        if resume:
+            batch_v = batch_v.join(
+                index.codes.select("vec_id"), "vec_id", "left_anti"
+            )
         _ann_batch_guard(index, batch_v, path)
         new_codes = encode_into_ann_index(batch_v, index)
     except BaseException:
-        if locked:
-            _ann_release(os_path)  # nothing written: clean release
+        _ann_release(os_path)  # nothing written: clean release
         raise
-    # the append itself: a failure here leaves codes torn, so the
-    # marker STRANDS (no release) and the error text above applies
-    new_codes.write.mode("append").parquet(f"{spark_path}/codes")
-    if locked:
-        _ann_release(os_path)
+    before = _ann_data_files(codes_os)
+    try:
+        new_codes.write.mode("append").parquet(f"{rel_root}/codes")
+    except BaseException:
+        if _ann_data_files(codes_os) == before:
+            _ann_release(os_path)  # the aborted job committed nothing
+        # else: data files appeared — genuinely torn, strand the marker
+        raise
+    _ann_release(os_path)
+
+
+def _ann_data_files(codes_os: str):
+    """The committed data-file names under a codes directory —
+    excludes Spark's _temporary/_SUCCESS bookkeeping and checksum
+    litter, which a cleanly-aborted job may touch without committing
+    any data."""
+    import os
+
+    return {
+        f
+        for f in os.listdir(codes_os)
+        if not f.startswith(("_", "."))
+    }
 
 
 def _ann_code_stats(codes):
@@ -1626,41 +1717,38 @@ def verify_ann_index(index: AnnIndex, n_cells: int = _IVFPQ_CELLS) -> dict:
 def compact_saved_ann_index(
     spark, path: str, drop_torn: bool = False, force: bool = False
 ) -> None:
-    """Rewrite the codes relation as one clean generation — the
-    file-count hygiene pass after many small appends, and the
-    torn-append recovery. The WHOLE operation (load, verify, rewrite,
-    swap) runs inside the _ANN_WRITING marker: verifying outside it
-    would let a concurrent merge commit between the snapshot and the
-    swap, and the rewrite would silently erase that batch's codes.
-    ``force=True`` takes over a STRANDED marker (the crashed-append
-    recovery — a crashed merge leaves the marker held, and recovery
-    must run under it). A torn index REFUSES to compact unless
-    ``drop_torn=True``, which keeps exactly the vectors satisfying
-    _ann_code_stats' intact predicate (the crashed batch's survivors);
-    the caller then re-merges the batch, whose admission guard passes
-    because the dropped ids are gone. Only TornAnnCodes triggers the
-    drop path — cardinality/orphan failures are not row-droppable and
-    keep raising (with the marker released: nothing was written).
-    Failures during the codes__new write release cleanly; failures
-    during the swap strand the marker and load diagnoses the window
-    by name."""
-    import os
-    import shutil
-
+    """Rewrite the index as one clean generation — the file-count
+    hygiene pass after many small appends, and the UNIVERSAL stranded-
+    state recovery (every crashed writer is cured by a complete new
+    generation + atomic flip; nothing is ever repaired in place). The
+    WHOLE operation (load, verify, rewrite, flip) runs inside the
+    _ANN_WRITING marker: verifying outside it would let a concurrent
+    merge commit between the snapshot and the flip and silently lose
+    that batch. ``force=True`` takes over a STRANDED marker (a crashed
+    merge leaves it held, and recovery must run under it). A torn
+    index REFUSES unless ``drop_torn=True``, which keeps exactly the
+    vectors satisfying _ann_code_stats' intact predicate — and then
+    RE-VERIFIES the kept index before the flip, so quantizer-
+    cardinality and orphan corruption hiding behind a TornAnnCodes
+    cannot ride through the recovery (they raise, the marker releases,
+    the old generation stays live). Failures before the flip always
+    leave the old generation untouched."""
     spark_path, os_path, locked = _ann_paths(path)
     if not locked:
         raise ValueError(
-            f"compact_saved_ann_index uses local filesystem renames; "
-            f"{path!r} is not a local path — rewrite a new generation "
-            f"with save_ann_index instead."
+            f"compact_saved_ann_index requires the local generational "
+            f"protocol; {path!r} is not a local path — rewrite a new "
+            f"generation with save_ann_index instead."
         )
     _ann_acquire(os_path, "compact", force=force)
     try:
-        _ann_sweep_new(os_path)
-        index = _load_ann_relations(spark, spark_path)
+        gen = _ann_current_gen(os_path)
+        if gen is None:
+            raise ValueError(f"no saved ANN index at {path!r}")
+        index = _load_ann_relations(spark, f"{spark_path}/{gen}")
         try:
             verify_ann_index(index)
-            keep = index.codes
+            keep = index
         except TornAnnCodes:
             if not drop_torn:
                 raise
@@ -1669,14 +1757,19 @@ def compact_saved_ann_index(
                 .filter((F.col("rows") == _PQ_M) & (F.col("js") == _PQ_M))
                 .select("vec_id")
             )
-            keep = index.codes.join(good, "vec_id")
-        keep.write.mode("overwrite").parquet(f"{spark_path}/codes__new")
+            keep = AnnIndex(
+                index.cents, index.codebook, index.codes.join(good, "vec_id")
+            )
+            verify_ann_index(keep)  # non-droppable corruption still raises
+        new_gen = _ann_next_gen(os_path)
+        for name, rel in zip(_ANN_RELATIONS, keep):
+            rel.write.mode("overwrite").parquet(f"{spark_path}/{new_gen}/{name}")
+        _ann_flip(os_path, new_gen)
     except BaseException:
-        # nothing touched the live relations: clean up and release
-        _ann_sweep_new(os_path)
+        # the pointer never moved: old generation intact, partial
+        # new-generation litter is unreferenced and swept by the next
+        # successful writer
         _ann_release(os_path)
         raise
-    # swap phase: failures strand the marker (genuinely torn)
-    shutil.rmtree(os.path.join(os_path, "codes"))
-    os.rename(os.path.join(os_path, "codes__new"), os.path.join(os_path, "codes"))
+    _ann_sweep_orphans(os_path, keep=new_gen)
     _ann_release(os_path)

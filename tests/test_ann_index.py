@@ -206,9 +206,24 @@ def test_ann_verify_detects_torn_and_duplicated_codes(spark, sf_dir, tmp_path):
     release_cached()
 
 
+def _gen_dirs(p):
+    import re
+
+    return sorted(d for d in os.listdir(p) if re.fullmatch(r"gen-\d+", d))
+
+
+def _codes_files(p):
+    gen = open(os.path.join(p, "_CURRENT")).read().strip()
+    return [
+        f
+        for f in os.listdir(os.path.join(p, gen, "codes"))
+        if f.endswith(".parquet")
+    ]
+
+
 def test_ann_compact_rewrites_one_generation(spark, sf_dir, tmp_path):
-    """Compaction after appends: same rows, fewer files, marker clear,
-    and the mid-swap crash window is diagnosed loudly at load."""
+    """Compaction after appends: same rows, fewer files in the LIVE
+    generation, superseded generations swept, marker clear."""
     v = _vecs(spark, sf_dir)
     p = str(tmp_path / "ann")
     save_ann_index(build_ann_index(v.filter(F.col("vec_id") < 300)), p)
@@ -217,24 +232,68 @@ def test_ann_compact_rewrites_one_generation(spark, sf_dir, tmp_path):
             spark, p, v.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
         )
     before = _codes_set(load_ann_index(spark, p).codes)
-    n_files_before = len(
-        [f for f in os.listdir(os.path.join(p, "codes")) if f.endswith(".parquet")]
-    )
+    n_files_before = len(_codes_files(p))
     compact_saved_ann_index(spark, p)
     after = load_ann_index(spark, p)
     assert _codes_set(after.codes) == before
-    n_files_after = len(
-        [f for f in os.listdir(os.path.join(p, "codes")) if f.endswith(".parquet")]
-    )
-    assert n_files_after <= n_files_before
+    assert len(_codes_files(p)) <= n_files_before
     assert not os.path.exists(os.path.join(p, _ANN_WRITING))
+    # the flip swept the superseded generation: exactly one remains
+    assert len(_gen_dirs(p)) == 1
 
-    # the mid-swap crash: codes gone, codes__new present, marker held
-    os.rename(os.path.join(p, "codes"), os.path.join(p, "codes__new"))
+
+def test_ann_crashed_save_leaves_old_generation_live(spark, sf_dir, tmp_path):
+    """The generational contract: a save that dies BEFORE the atomic
+    _CURRENT flip leaves a stranded marker and an orphan gen directory
+    — but the old generation stays complete and becomes readable again
+    the moment the stranded state is recovered (compact(force=True)
+    writes a fresh generation and sweeps the orphan). Nothing is ever
+    repaired in place and no mixed-generation state can exist."""
+    v = _vecs(spark, sf_dir)
+    idx = build_ann_index(v.filter(F.col("vec_id") < 200))
+    p = str(tmp_path / "ann")
+    save_ann_index(idx, p)
+    want = _codes_set(load_ann_index(spark, p).codes)
+
+    # simulate the crash: a partial next generation + stranded marker
+    os.makedirs(os.path.join(p, "gen-2", "cents"))
     open(os.path.join(p, _ANN_WRITING), "w").close()
-    with pytest.raises(ValueError, match="mid-swap"):
+    with pytest.raises(ValueError, match="_ANN_WRITING is held"):
         load_ann_index(spark, p)
-    os.rename(os.path.join(p, "codes__new"), os.path.join(p, "codes"))
-    os.remove(os.path.join(p, _ANN_WRITING))
-    verify_ann_index(load_ann_index(spark, p))
+    compact_saved_ann_index(spark, p, force=True)
+    healed = load_ann_index(spark, p)
+    assert _codes_set(healed.codes) == want
+    assert len(_gen_dirs(p)) == 1  # the orphan gen-2 litter is gone
+    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
+    release_cached()
+
+
+def test_ann_resume_remerge_skips_committed_ids(spark, sf_dir, tmp_path):
+    """The crashed-append recovery loop closes: vectors whose rows
+    fully committed before the crash survive drop_torn, and the
+    prescribed re-merge with resume=True anti-joins them away instead
+    of tripping the duplicate guard — the recovery text's exact
+    sequence runs end-to-end."""
+    v = _vecs(spark, sf_dir)
+    p = str(tmp_path / "ann")
+    save_ann_index(build_ann_index(v.filter(F.col("vec_id") < 400)), p)
+    batch = v.filter(F.col("vec_id") >= 400)
+    # the "crash": half the batch committed, then the writer died with
+    # the marker held
+    merge_into_saved_ann_index(spark, p, batch.filter(F.col("vec_id") < 450))
+    open(os.path.join(p, _ANN_WRITING), "w").close()
+
+    with pytest.raises(ValueError, match="_ANN_WRITING is held"):
+        merge_into_saved_ann_index(spark, p, batch)
+    compact_saved_ann_index(spark, p, drop_torn=True, force=True)
+    # plain re-merge trips the guard on the committed survivors...
+    with pytest.raises(ValueError, match="resume=True"):
+        merge_into_saved_ann_index(spark, p, batch)
+    # ...resume=True skips exactly them
+    merge_into_saved_ann_index(spark, p, batch, resume=True)
+    merged = load_ann_index(spark, p)
+    verify_ann_index(merged)
+    assert _codes_set(merged.codes) == _codes_set(
+        build_ann_index(v).codes
+    )
     release_cached()
