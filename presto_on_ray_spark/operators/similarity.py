@@ -1363,11 +1363,12 @@ def _ann_acquire(os_path: str, what: str, force: bool = False):
         raise ValueError(
             f"saved ANN index at {os_path!r}: {_ANN_WRITING} is held — "
             f"a writer is live or crashed mid-{what}. If no writer is "
-            f"live, recover with compact_saved_ann_index(force=True) "
-            f"(add drop_torn=True if verify_ann_index reports torn "
-            f"codes) or save_ann_index(force=True) with a rebuilt "
-            f"index; both write a complete new generation and flip "
-            f"atomically, then sweep the orphans."
+            f"live, the one-call recovery is compact_saved_ann_index("
+            f"force=True, drop_torn=True): it writes a complete new "
+            f"generation (dropping torn vectors if any — a no-op on a "
+            f"clean index) and flips atomically, then sweeps the "
+            f"orphans. save_ann_index(force=True) with a rebuilt index "
+            f"is the full-rebuild alternative."
         )
 
 
@@ -1389,15 +1390,29 @@ def _ann_current_gen(os_path: str):
 
 
 def _ann_flip(os_path: str, gen: str):
-    """Atomically repoint _CURRENT at ``gen`` (write-aside +
-    os.replace — readers see the old complete generation or the new
-    complete generation, never anything else)."""
+    """Atomically repoint _CURRENT at ``gen``: write-aside, fsync the
+    tmp file, os.replace, fsync the directory — readers see the old
+    complete generation or the new complete generation, never anything
+    else, and the pointer survives a power loss at any step (an
+    unflushed replace could otherwise surface empty or stale after
+    reboot). Durability caveat, stated once: the parquet DATA files
+    are flushed by Spark/OS page-cache policy, not fsynced here — full
+    power-loss durability for the data needs the filesystem's
+    guarantees (or a transactional table format), same as every other
+    parquet sink in this engine."""
     import os
 
     tmp = os.path.join(os_path, _ANN_CURRENT + "__tmp")
     with open(tmp, "w") as f:
         f.write(gen)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(os_path, _ANN_CURRENT))
+    dfd = os.open(os_path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _ann_next_gen(os_path: str) -> str:
@@ -1439,6 +1454,22 @@ def _load_ann_relations(spark, rel_root: str) -> AnnIndex:
     )
 
 
+def _ann_commit_generation(index: AnnIndex, spark_path: str, os_path: str):
+    """THE generation-commit sequence, shared by save and compact so
+    their crash semantics can never drift: write every relation into a
+    fresh gen directory, flip _CURRENT atomically, sweep superseded/
+    orphan generations. The caller owns the marker and the
+    release-vs-strand decision around this call; a failure anywhere
+    in here leaves the pointer on the old generation (the partial gen
+    directory is unreferenced litter the next successful commit
+    sweeps)."""
+    gen = _ann_next_gen(os_path)
+    for name, rel in zip(_ANN_RELATIONS, index):
+        rel.write.mode("overwrite").parquet(f"{spark_path}/{gen}/{name}")
+    _ann_flip(os_path, gen)
+    _ann_sweep_orphans(os_path, keep=gen)
+
+
 def save_ann_index(index: AnnIndex, path: str, force: bool = False) -> None:
     """Materialize the three AnnIndex relations under ``path``. Local
     paths get the generational protocol: the relations are written
@@ -1458,17 +1489,13 @@ def save_ann_index(index: AnnIndex, path: str, force: bool = False) -> None:
         return
     _ann_acquire(os_path, "save", force=force)
     try:
-        gen = _ann_next_gen(os_path)
-        for name, rel in zip(_ANN_RELATIONS, index):
-            rel.write.mode("overwrite").parquet(f"{spark_path}/{gen}/{name}")
-        _ann_flip(os_path, gen)
+        _ann_commit_generation(index, spark_path, os_path)
     except BaseException:
         # the pointer never moved: the old generation (if any) is
         # intact, and the partial gen directory is unreferenced litter
         # the next writer sweeps
         _ann_release(os_path)
         raise
-    _ann_sweep_orphans(os_path, keep=gen)
     _ann_release(os_path)
 
 
@@ -1477,10 +1504,16 @@ def load_ann_index(spark, path: str) -> AnnIndex:
     _ANN_WRITING is up: a save/compact mid-write is harmless to read
     past (the pointer flips atomically) but a merge mid-APPEND is not
     — the codes listing would snapshot a half-committed batch — and a
-    reader cannot tell which writer holds the marker. Lazy reads: the
-    parquet file listing snapshots at load, so codes appended later
-    need a reload to become visible. Non-local paths read the flat
-    layout (see save_ann_index)."""
+    reader cannot tell which writer holds the marker. The refusal is
+    BEST-EFFORT, stated honestly: the marker check and the parquet
+    listing are two filesystem operations, so a writer acquiring in
+    between can still be observed mid-append (and a concurrent
+    compact's sweep can fail this read loudly); readers needing strict
+    isolation coordinate with writers or put the index in a
+    transactional table format — the same contract as the dedup saved
+    index. Lazy reads: the file listing snapshots at load, so codes
+    appended later need a reload to become visible. Non-local paths
+    read the flat layout (see save_ann_index)."""
     import os
 
     spark_path, os_path, locked = _ann_paths(path)
@@ -1489,14 +1522,26 @@ def load_ann_index(spark, path: str) -> AnnIndex:
     if os.path.exists(_ann_marker(os_path)):
         raise ValueError(
             f"saved ANN index at {path!r}: {_ANN_WRITING} is held — a "
-            f"writer is live or crashed. If no writer is live, recover "
-            f"with compact_saved_ann_index(force=True) (add "
-            f"drop_torn=True if verify_ann_index on the live generation "
-            f"reports torn codes); the old generation stays readable "
-            f"throughout."
+            f"writer is live or crashed. If no writer is live, the "
+            f"one-call recovery is compact_saved_ann_index(force=True, "
+            f"drop_torn=True); the current generation stays on disk "
+            f"until the recovery's atomic flip."
         )
     gen = _ann_current_gen(os_path)
     if gen is None:
+        if all(
+            os.path.isdir(os.path.join(os_path, name))
+            for name in _ANN_RELATIONS
+        ):
+            # a pre-generational flat layout (or a hand-assembled one):
+            # valid data, wrong protocol version — name the migration
+            raise ValueError(
+                f"saved ANN index at {path!r} uses the flat relation "
+                f"layout ({_ANN_CURRENT} missing but cents/codebook/"
+                f"codes directories present) — read the relations "
+                f"directly with spark.read.parquet and re-save with "
+                f"save_ann_index to adopt the generational protocol."
+            )
         raise ValueError(
             f"no saved ANN index at {path!r}: {_ANN_CURRENT} is missing "
             f"(no save ever completed its atomic flip here)."
@@ -1588,9 +1633,19 @@ def merge_into_saved_ann_index(
         codes_os = os.path.join(os_path, gen, "codes")
         index = _load_ann_relations(spark, rel_root)
         if resume:
-            batch_v = batch_v.join(
-                index.codes.select("vec_id"), "vec_id", "left_anti"
+            # ONE bounded codes scan (broadcast batch-ids semi-join)
+            # materializes the committed survivors; the anti-join then
+            # runs batch-vs-broadcast — resume must not silently turn
+            # the bounded admission probes into repeated full scans
+            committed = (
+                index.codes.join(
+                    F.broadcast(batch_v.select("vec_id").distinct()),
+                    "vec_id",
+                )
+                .select("vec_id")
+                .distinct()
             )
+            batch_v = batch_v.join(F.broadcast(committed), "vec_id", "left_anti")
         _ann_batch_guard(index, batch_v, path)
         new_codes = encode_into_ann_index(batch_v, index)
     except BaseException:
@@ -1599,10 +1654,20 @@ def merge_into_saved_ann_index(
     before = _ann_data_files(codes_os)
     try:
         new_codes.write.mode("append").parquet(f"{rel_root}/codes")
-    except BaseException:
+    except Exception:
+        # an ordinary failure means the Spark job ABORTED before this
+        # exception surfaced; confirm via the listing and release —
+        # a cleanly-aborted job commits nothing
         if _ann_data_files(codes_os) == before:
-            _ann_release(os_path)  # the aborted job committed nothing
+            _ann_release(os_path)
         # else: data files appeared — genuinely torn, strand the marker
+        raise
+    except BaseException:
+        # KeyboardInterrupt/SystemExit interrupt the PY4J CALL, not
+        # necessarily the JVM job — it can still be running and commit
+        # AFTER a listing check passed, so the only safe answer is to
+        # strand the marker (recovery: compact(force=True,
+        # drop_torn=True) once the job is known dead)
         raise
     _ann_release(os_path)
 
@@ -1726,13 +1791,20 @@ def compact_saved_ann_index(
     merge commit between the snapshot and the flip and silently lose
     that batch. ``force=True`` takes over a STRANDED marker (a crashed
     merge leaves it held, and recovery must run under it). A torn
-    index REFUSES unless ``drop_torn=True``, which keeps exactly the
-    vectors satisfying _ann_code_stats' intact predicate — and then
-    RE-VERIFIES the kept index before the flip, so quantizer-
-    cardinality and orphan corruption hiding behind a TornAnnCodes
-    cannot ride through the recovery (they raise, the marker releases,
-    the old generation stays live). Failures before the flip always
-    leave the old generation untouched."""
+    index REFUSES unless ``drop_torn=True`` — and the refusal leaves
+    the marker IN PLACE (even when force just removed a stranded one):
+    the marker is what keeps a torn index loud, and releasing it on
+    refusal would make the torn state silently readable. The one-call
+    recovery everywhere is therefore compact(force=True,
+    drop_torn=True), which keeps exactly the vectors satisfying
+    _ann_code_stats' intact predicate and then RE-VERIFIES the kept
+    index before the flip, so quantizer-cardinality and orphan
+    corruption hiding behind a TornAnnCodes cannot ride through the
+    recovery (they raise; that corruption class is readable-but-wrong
+    by construction, predates the compact, and needs a rebuild — the
+    marker releases and the old generation stays live, exactly as it
+    was). Failures before the flip always leave the old generation
+    untouched."""
     spark_path, os_path, locked = _ann_paths(path)
     if not locked:
         raise ValueError(
@@ -1761,15 +1833,15 @@ def compact_saved_ann_index(
                 index.cents, index.codebook, index.codes.join(good, "vec_id")
             )
             verify_ann_index(keep)  # non-droppable corruption still raises
-        new_gen = _ann_next_gen(os_path)
-        for name, rel in zip(_ANN_RELATIONS, keep):
-            rel.write.mode("overwrite").parquet(f"{spark_path}/{new_gen}/{name}")
-        _ann_flip(os_path, new_gen)
+        _ann_commit_generation(keep, spark_path, os_path)
+    except TornAnnCodes:
+        # refused a torn index (drop_torn=False): the marker STAYS —
+        # it is the only thing keeping the torn state loud
+        raise
     except BaseException:
         # the pointer never moved: old generation intact, partial
         # new-generation litter is unreferenced and swept by the next
         # successful writer
         _ann_release(os_path)
         raise
-    _ann_sweep_orphans(os_path, keep=new_gen)
     _ann_release(os_path)

@@ -187,13 +187,14 @@ def test_ann_verify_detects_torn_and_duplicated_codes(spark, sf_dir, tmp_path):
     save_ann_index(torn, p)
     with pytest.raises(ValueError, match="torn or duplicated"):
         compact_saved_ann_index(spark, p)
-    # a refused compact wrote nothing and released the marker
-    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
-    # the crashed-append recovery: the stranded marker is taken over
-    # with force=True, exactly as the merge error text prescribes
-    open(os.path.join(p, _ANN_WRITING), "w").close()
+    # the refusal STRANDS the marker: it is the only thing keeping a
+    # torn index loud, so readers and non-force writers now refuse
+    assert os.path.exists(os.path.join(p, _ANN_WRITING))
+    with pytest.raises(ValueError, match="_ANN_WRITING is held"):
+        load_ann_index(spark, p)
     with pytest.raises(ValueError, match="_ANN_WRITING is held"):
         compact_saved_ann_index(spark, p, drop_torn=True)
+    # the one-call recovery every error text prescribes
     compact_saved_ann_index(spark, p, drop_torn=True, force=True)
     healed = load_ann_index(spark, p)
     verify_ann_index(healed)
