@@ -1389,6 +1389,33 @@ def _ann_current_gen(os_path: str):
         return None
 
 
+def _ann_resolve_gen(os_path: str, path: str) -> str:
+    """The live generation, or a loud diagnosis shared by every entry
+    point (load/merge/compact must agree on what a missing pointer
+    means): a directory holding the three relations WITHOUT _CURRENT
+    is a pre-generational flat layout needing migration, not a
+    missing index."""
+    import os
+
+    gen = _ann_current_gen(os_path)
+    if gen is not None:
+        return gen
+    if all(
+        os.path.isdir(os.path.join(os_path, name)) for name in _ANN_RELATIONS
+    ):
+        raise ValueError(
+            f"saved ANN index at {path!r} uses the flat relation "
+            f"layout ({_ANN_CURRENT} missing but cents/codebook/"
+            f"codes directories present) — read the relations "
+            f"directly with spark.read.parquet and re-save with "
+            f"save_ann_index to adopt the generational protocol."
+        )
+    raise ValueError(
+        f"no saved ANN index at {path!r}: {_ANN_CURRENT} is missing "
+        f"(no save ever completed its atomic flip here)."
+    )
+
+
 def _ann_flip(os_path: str, gen: str):
     """Atomically repoint _CURRENT at ``gen``: write-aside, fsync the
     tmp file, os.replace, fsync the directory — readers see the old
@@ -1408,11 +1435,18 @@ def _ann_flip(os_path: str, gen: str):
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(os_path, _ANN_CURRENT))
-    dfd = os.open(os_path, os.O_RDONLY)
     try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
+        # directory fsync is best-effort: opening a directory read-only
+        # is not portable (PermissionError on Windows), and the flip
+        # itself already committed — failing here would report a
+        # completed commit as a failure
+        dfd = os.open(os_path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
 def _ann_next_gen(os_path: str) -> str:
@@ -1459,15 +1493,28 @@ def _ann_commit_generation(index: AnnIndex, spark_path: str, os_path: str):
     their crash semantics can never drift: write every relation into a
     fresh gen directory, flip _CURRENT atomically, sweep superseded/
     orphan generations. The caller owns the marker and the
-    release-vs-strand decision around this call; a failure anywhere
-    in here leaves the pointer on the old generation (the partial gen
+    release-vs-strand decision around this call; a failure BEFORE the
+    flip leaves the pointer on the old generation (the partial gen
     directory is unreferenced litter the next successful commit
-    sweeps)."""
+    sweeps). The post-flip orphan sweep is BEST-EFFORT: once the flip
+    committed, a sweep failure (EBUSY, NFS silly-rename, permissions)
+    must not report the committed generation as a failed write — the
+    litter waits for the next successful commit instead."""
+    import warnings
+
     gen = _ann_next_gen(os_path)
     for name, rel in zip(_ANN_RELATIONS, index):
         rel.write.mode("overwrite").parquet(f"{spark_path}/{gen}/{name}")
     _ann_flip(os_path, gen)
-    _ann_sweep_orphans(os_path, keep=gen)
+    try:
+        _ann_sweep_orphans(os_path, keep=gen)
+    except OSError as exc:
+        warnings.warn(
+            f"saved ANN index at {os_path!r}: generation {gen} committed "
+            f"but the orphan sweep failed ({exc}) — superseded gen-* "
+            f"directories remain until the next successful commit",
+            stacklevel=3,
+        )
 
 
 def save_ann_index(index: AnnIndex, path: str, force: bool = False) -> None:
@@ -1527,26 +1574,9 @@ def load_ann_index(spark, path: str) -> AnnIndex:
             f"drop_torn=True); the current generation stays on disk "
             f"until the recovery's atomic flip."
         )
-    gen = _ann_current_gen(os_path)
-    if gen is None:
-        if all(
-            os.path.isdir(os.path.join(os_path, name))
-            for name in _ANN_RELATIONS
-        ):
-            # a pre-generational flat layout (or a hand-assembled one):
-            # valid data, wrong protocol version — name the migration
-            raise ValueError(
-                f"saved ANN index at {path!r} uses the flat relation "
-                f"layout ({_ANN_CURRENT} missing but cents/codebook/"
-                f"codes directories present) — read the relations "
-                f"directly with spark.read.parquet and re-save with "
-                f"save_ann_index to adopt the generational protocol."
-            )
-        raise ValueError(
-            f"no saved ANN index at {path!r}: {_ANN_CURRENT} is missing "
-            f"(no save ever completed its atomic flip here)."
-        )
-    return _load_ann_relations(spark, f"{spark_path}/{gen}")
+    return _load_ann_relations(
+        spark, f"{spark_path}/{_ann_resolve_gen(os_path, path)}"
+    )
 
 
 def _ann_batch_guard(index: AnnIndex, batch_v, where: str):
@@ -1603,10 +1633,14 @@ def merge_into_saved_ann_index(
     probes pass, both append, scores silently double).
 
     Failure handling distinguishes what actually committed: guard and
-    plan failures release the marker (nothing written), and a failed
-    append releases it too when the codes listing is unchanged (a
-    cleanly-aborted Spark job commits nothing); the marker STRANDS
-    only when data files actually appeared — the genuinely-torn case.
+    plan failures release the marker (nothing written), and an append
+    failing with an ordinary Exception releases it too when the codes
+    listing is unchanged (such an exception means the Spark job
+    ABORTED, and an aborted job commits nothing). The marker STRANDS
+    when data files actually appeared (genuinely torn) AND on
+    KeyboardInterrupt/SystemExit, which interrupt the py4j call while
+    the JVM job may still be running — it can commit AFTER any listing
+    check, so the only safe answer there is to stay loud.
     Recovery from a torn append: compact_saved_ann_index(
     drop_torn=True, force=True) keeps the fully-encoded vectors, then
     re-merge the batch with ``resume=True``, which anti-joins away the
@@ -1626,26 +1660,28 @@ def merge_into_saved_ann_index(
     _ann_acquire(os_path, "merge")
     codes_os = None
     try:
-        gen = _ann_current_gen(os_path)
-        if gen is None:
-            raise ValueError(f"no saved ANN index at {path!r}")
+        gen = _ann_resolve_gen(os_path, path)
         rel_root = f"{spark_path}/{gen}"
         codes_os = os.path.join(os_path, gen, "codes")
         index = _load_ann_relations(spark, rel_root)
         if resume:
-            # ONE bounded codes scan (broadcast batch-ids semi-join)
-            # materializes the committed survivors; the anti-join then
-            # runs batch-vs-broadcast — resume must not silently turn
-            # the bounded admission probes into repeated full scans
-            committed = (
-                index.codes.join(
+            # ONE bounded codes scan (broadcast batch-ids semi-join),
+            # COLLECTED — batch-sized by construction — so the filter
+            # below costs nothing downstream: a lazy committed plan
+            # would re-run its codes scan at every subsequent action
+            # (dup probe, hit probe, the append itself)
+            committed = [
+                r["vec_id"]
+                for r in index.codes.join(
                     F.broadcast(batch_v.select("vec_id").distinct()),
                     "vec_id",
                 )
                 .select("vec_id")
                 .distinct()
-            )
-            batch_v = batch_v.join(F.broadcast(committed), "vec_id", "left_anti")
+                .collect()
+            ]
+            if committed:
+                batch_v = batch_v.filter(~F.col("vec_id").isin(committed))
         _ann_batch_guard(index, batch_v, path)
         new_codes = encode_into_ann_index(batch_v, index)
     except BaseException:
@@ -1726,7 +1762,9 @@ def verify_ann_index(index: AnnIndex, n_cells: int = _IVFPQ_CELLS) -> dict:
             f"distinct subspaces (want {_PQ_M}/{_PQ_M}), "
             f"{totals['bad']} vector(s) affected — a crashed append "
             f"leaves partially-encoded vectors "
-            f"(compact_saved_ann_index(drop_torn=True) keeps the intact "
+            f"(compact_saved_ann_index(drop_torn=True, force=True) — "
+            f"force because a torn refusal strands the writer marker — "
+            f"keeps the intact "
             f"ones); duplicates mean a batch was merged twice (rebuild)."
         )
     n_cents = index.cents.count()
@@ -1814,9 +1852,7 @@ def compact_saved_ann_index(
         )
     _ann_acquire(os_path, "compact", force=force)
     try:
-        gen = _ann_current_gen(os_path)
-        if gen is None:
-            raise ValueError(f"no saved ANN index at {path!r}")
+        gen = _ann_resolve_gen(os_path, path)
         index = _load_ann_relations(spark, f"{spark_path}/{gen}")
         try:
             verify_ann_index(index)

@@ -298,3 +298,26 @@ def test_ann_resume_remerge_skips_committed_ids(spark, sf_dir, tmp_path):
         build_ann_index(v).codes
     )
     release_cached()
+
+
+def test_ann_flat_legacy_layout_is_diagnosed(spark, sf_dir, tmp_path):
+    """A pre-generational flat layout (relations at the top level, no
+    _CURRENT) is named with its migration in EVERY entry point — load,
+    merge, compact all share the resolver — instead of claiming no
+    index exists."""
+    p = str(tmp_path / "ann")
+    for name in ("cents", "codebook", "codes"):
+        os.makedirs(os.path.join(p, name))
+    with pytest.raises(ValueError, match="flat relation layout"):
+        load_ann_index(spark, p)
+    with pytest.raises(ValueError, match="flat relation layout"):
+        merge_into_saved_ann_index(
+            spark, p, spark.createDataFrame([(1, [1] * 64)], "vec_id long, qv array<long>")
+        )
+    with pytest.raises(ValueError, match="flat relation layout"):
+        compact_saved_ann_index(spark, p)
+    # both mutators released their marker on the refusal
+    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
+    # and a truly-empty location still reads as no index
+    with pytest.raises(ValueError, match="no saved ANN index"):
+        load_ann_index(spark, str(tmp_path / "empty"))
