@@ -98,6 +98,9 @@ HEADLINE = [
     # compaction — the path stream_ingest_admit defaults to); the
     # strict chain above prices the saturated-vocabulary worst case
     "dedup_ingest_chain_stale",
+    # round-12: IVF-PQ ANN, the composed codes-only scale path (cell
+    # pruning + residual PQ + shortlist/exact rerank)
+    "similarity_ivfpq_rerank_topk",
 ]
 
 

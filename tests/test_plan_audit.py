@@ -87,6 +87,13 @@ NESTED_LOOP_ALLOWED = {
     "cov_join_special",      # cross-join demo + bounded theta join
     "cov_join_filtering",    # quantified member's scalar-agg join
     "cov_scalar_fixtures",   # tiny VALUES members
+    # IVF-PQ coarse quantizer: the ONLY nested-loop passes are the two
+    # centroid argmins (vectors x n_cells and queries x n_cells, an
+    # 8-row broadcast side by construction — the standard IVF
+    # assignment shape); tests/test_plans.py pins the count at exactly
+    # 2 and refuses any cartesian product in the same plans.
+    "similarity_ivfpq_adc_topk",
+    "similarity_ivfpq_rerank_topk",
 }
 
 
