@@ -1,0 +1,173 @@
+"""Streaming ANN admission (streaming/ann.py): stream == one-shot
+merge equality, structural exactly-once under re-delivery (no token
+log — resume semantics make replays no-ops), checkpoint recovery, and
+the loud within-batch-duplicate refusal."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from presto_on_ray_spark.caching import release_cached
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.operators.similarity import (
+    build_ann_index,
+    load_ann_index,
+    merge_into_ann_index,
+    quantized,
+    save_ann_index,
+    verify_ann_index,
+)
+from presto_on_ray_spark.streaming.ann import stream_ann_ingest
+
+
+def _vecs(spark, sf_dir):
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized(F.col("embedding")).alias("qv")
+    )
+
+
+def _codes_set(codes):
+    return {
+        (r["vec_id"], r["cell"], r["j"], r["code"]) for r in codes.collect()
+    }
+
+
+def _write_arrivals(spark, sf_dir, src):
+    """Two single-part arrival files (playbook: multi-part writes split
+    into more micro-batches than files under maxFilesPerTrigger=1)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for name, lo, hi in (("f1", 400, 450), ("f2", 450, 500)):
+        e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+
+def _arrival_stream(spark, src):
+    return (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+
+
+def test_stream_ann_ingest_equals_one_shot_merge(spark, sf_dir, tmp_path):
+    v = _vecs(spark, sf_dir)
+    base = v.filter(F.col("vec_id") < 400)
+    idx = build_ann_index(base)
+    p = str(tmp_path / "ann")
+    save_ann_index(idx, p)
+    src = tmp_path / "arrivals"
+    _write_arrivals(spark, sf_dir, src)
+
+    stream_ann_ingest(
+        _arrival_stream(spark, src), p, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+
+    streamed = load_ann_index(spark, p)
+    verify_ann_index(streamed)
+    want = merge_into_ann_index(idx, v.filter(F.col("vec_id") >= 400))
+    assert _codes_set(streamed.codes) == _codes_set(want.codes)
+    release_cached()
+
+
+def test_stream_ann_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Structural exactly-once: a FRESH checkpoint re-delivers every
+    batch (batch ids restart at 0 — the exact configuration that needs
+    commit tokens on the dedup side), and the index is unchanged,
+    because resume semantics skip committed ids rather than matching
+    replay tokens. A restart on the SAME checkpoint re-delivers
+    nothing, the standard recovery case."""
+    v = _vecs(spark, sf_dir)
+    idx = build_ann_index(v.filter(F.col("vec_id") < 400))
+    p = str(tmp_path / "ann")
+    save_ann_index(idx, p)
+    src = tmp_path / "arrivals"
+    _write_arrivals(spark, sf_dir, src)
+
+    stream_ann_ingest(
+        _arrival_stream(spark, src), p, checkpoint_dir=str(tmp_path / "ckpt1")
+    )
+    after_first = _codes_set(load_ann_index(spark, p).codes)
+
+    # full replay: fresh checkpoint, same files
+    stream_ann_ingest(
+        _arrival_stream(spark, src), p, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    assert _codes_set(load_ann_index(spark, p).codes) == after_first
+
+    # same-checkpoint restart: no re-delivery, also unchanged
+    stream_ann_ingest(
+        _arrival_stream(spark, src), p, checkpoint_dir=str(tmp_path / "ckpt1")
+    )
+    assert _codes_set(load_ann_index(spark, p).codes) == after_first
+    verify_ann_index(load_ann_index(spark, p))
+    release_cached()
+
+
+def test_stream_ann_ingest_partial_replay_appends_remainder(
+    spark, sf_dir, tmp_path
+):
+    """The mid-batch-crash shape: half a batch's ids are already
+    committed (simulated by a prior merge), and the stream's replayed
+    batch appends exactly the missing remainder — no duplicates, no
+    refusal."""
+    from presto_on_ray_spark.operators.similarity import (
+        merge_into_saved_ann_index,
+    )
+
+    v = _vecs(spark, sf_dir)
+    idx = build_ann_index(v.filter(F.col("vec_id") < 400))
+    p = str(tmp_path / "ann")
+    save_ann_index(idx, p)
+    # "crashed" delivery: ids 400-425 already committed
+    merge_into_saved_ann_index(
+        spark, p, v.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 425))
+    )
+    src = tmp_path / "arrivals"
+    _write_arrivals(spark, sf_dir, src)
+
+    stream_ann_ingest(
+        _arrival_stream(spark, src), p, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    merged = load_ann_index(spark, p)
+    verify_ann_index(merged)
+    assert _codes_set(merged.codes) == _codes_set(build_ann_index(v).codes)
+    release_cached()
+
+
+def test_stream_ann_ingest_refuses_within_batch_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """A vec_id duplicated WITHIN one arrival file must stop the
+    stream loudly (the encode argmin would silently keep one arbitrary
+    vector) — and the marker releases so the index stays usable after
+    the upstream fix."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import StreamingQueryException
+
+    from presto_on_ray_spark.operators.similarity import _ANN_WRITING
+
+    v = _vecs(spark, sf_dir)
+    idx = build_ann_index(v.filter(F.col("vec_id") < 400))
+    p = str(tmp_path / "ann")
+    save_ann_index(idx, p)
+    src = tmp_path / "arrivals"
+    spark.createDataFrame(
+        [(900, [1.0] * 64), (900, [2.0] * 64)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(str(src / "dup"))
+
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as exc:
+        stream_ann_ingest(
+            _arrival_stream(spark, src),
+            p,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    assert "appears 2 times in the batch" in str(exc.value)
+    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
+    verify_ann_index(load_ann_index(spark, p))
+    release_cached()
