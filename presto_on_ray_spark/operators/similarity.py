@@ -1436,17 +1436,30 @@ def _ann_flip(os_path: str, gen: str):
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(os_path, _ANN_CURRENT))
     try:
-        # directory fsync is best-effort: opening a directory read-only
-        # is not portable (PermissionError on Windows), and the flip
-        # itself already committed — failing here would report a
-        # completed commit as a failure
+        # directory fsync is best-effort ONLY for portability: opening
+        # a directory read-only is not universal (PermissionError on
+        # Windows, ENOTSUP/EINVAL on some filesystems), and the flip
+        # itself already committed — failing the save for that would
+        # report a completed commit as a failure. A REAL fsync error
+        # (EIO: the rename may not be durable) is not silently
+        # swallowed: it degrades the power-loss guarantee and says so.
         dfd = os.open(os_path, os.O_RDONLY)
         try:
             os.fsync(dfd)
         finally:
             os.close(dfd)
-    except OSError:
-        pass
+    except OSError as exc:
+        import errno
+        import warnings
+
+        if exc.errno not in (errno.ENOTSUP, errno.EINVAL, errno.EACCES,
+                             errno.EPERM, errno.EISDIR):
+            warnings.warn(
+                f"saved ANN index at {os_path!r}: directory fsync after "
+                f"the pointer flip failed ({exc}) — the flip committed "
+                f"but may not survive an immediate power loss",
+                stacklevel=2,
+            )
 
 
 def _ann_next_gen(os_path: str) -> str:
@@ -1579,30 +1592,43 @@ def load_ann_index(spark, path: str) -> AnnIndex:
     )
 
 
-def _ann_batch_guard(index: AnnIndex, batch_v, where: str):
+def _ann_batch_guard(index: AnnIndex, batch_v, where: str, skip_hit: bool = False):
     """Two BOUNDED probes dispatching the admission hazards. (1) a
-    vec_id duplicated WITHIN the batch — the encode argmin would
-    silently collapse the duplicates to one arbitrary vector — via a
-    batch-sized groupBy; (2) a batch vec_id already in the index —
-    re-merged ids duplicate code rows and silently DOUBLE ADC scores —
-    via an early-terminating limit-1 scan of codes against the
-    BROADCAST batch ids (never a shuffle or full aggregate of the
-    codes relation; the dedup side's _check_new_doc_ids is the
-    reference shape)."""
+    vec_id that is NULL (neither probe's join can see it, and it
+    would encode into untraceable NULL-keyed code rows) or duplicated
+    WITHIN the batch (the encode argmin would silently collapse the
+    duplicates to one arbitrary vector) — via a batch-sized groupBy;
+    (2) a batch vec_id already in the index — re-merged ids duplicate
+    code rows and silently DOUBLE ADC scores — via an early-
+    terminating limit-1 scan of codes against the BROADCAST batch ids
+    (never a shuffle or full aggregate of the codes relation; the
+    dedup side's _check_new_doc_ids is the reference shape).
+    ``skip_hit=True`` elides probe (2) when the caller just resume-
+    filtered the batch against the SAME snapshotted codes listing —
+    the probe would be a guaranteed-empty second full scan."""
     dup = (
         batch_v.groupBy("vec_id")
         .agg(F.count("*").alias("k"))
-        .filter(F.col("k") > 1)
+        .filter(F.col("vec_id").isNull() | (F.col("k") > 1))
         .limit(1)
         .collect()
     )
     if dup:
+        r = dup[0]
+        if r["vec_id"] is None:
+            raise ValueError(
+                f"merge into {where}: the batch contains NULL vec_ids — "
+                f"they would encode into code rows no query, guard, or "
+                f"resume probe can ever match. Filter or key them first."
+            )
         raise ValueError(
-            f"merge into {where}: batch vec_id {dup[0]['vec_id']} "
-            f"appears {dup[0]['k']} times in the batch — the encode "
+            f"merge into {where}: batch vec_id {r['vec_id']} "
+            f"appears {r['k']} times in the batch — the encode "
             f"argmin would silently keep one arbitrary vector. "
             f"Deduplicate the batch first."
         )
+    if skip_hit:
+        return
     hit = (
         index.codes.join(
             F.broadcast(batch_v.select("vec_id").distinct()), "vec_id"
@@ -1668,21 +1694,32 @@ def merge_into_saved_ann_index(
             # ONE bounded codes scan (broadcast batch-ids semi-join),
             # COLLECTED — batch-sized by construction — so the filter
             # below costs nothing downstream: a lazy committed plan
-            # would re-run its codes scan at every subsequent action
-            # (dup probe, hit probe, the append itself)
-            committed = [
-                r["vec_id"]
-                for r in index.codes.join(
+            # would re-run its codes scan at every subsequent action.
+            # The collected ids go back in as a parallelized broadcast
+            # anti-join, NOT an isin() literal list: a backlog replay
+            # can re-deliver ~10^6 committed ids in one batch, and a
+            # million-node IN expression breaks analysis long before
+            # the data would. (The anti-join also keeps NULL-id rows
+            # for the guard to refuse by name — ~isin(NULLs) would
+            # drop or keep them depending on what ELSE was committed.)
+            committed = (
+                index.codes.join(
                     F.broadcast(batch_v.select("vec_id").distinct()),
                     "vec_id",
                 )
                 .select("vec_id")
                 .distinct()
                 .collect()
-            ]
+            )
             if committed:
-                batch_v = batch_v.filter(~F.col("vec_id").isin(committed))
-        _ann_batch_guard(index, batch_v, path)
+                batch_v = batch_v.join(
+                    F.broadcast(
+                        spark.createDataFrame(committed, "vec_id long")
+                    ),
+                    "vec_id",
+                    "left_anti",
+                )
+        _ann_batch_guard(index, batch_v, path, skip_hit=resume)
         new_codes = encode_into_ann_index(batch_v, index)
     except BaseException:
         _ann_release(os_path)  # nothing written: clean release

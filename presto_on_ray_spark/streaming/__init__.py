@@ -1,3 +1,4 @@
+from presto_on_ray_spark.streaming.ann import stream_ann_ingest
 from presto_on_ray_spark.streaming.ingest import (
     prune_admit_log,
     stream_ingest_admit,
@@ -15,5 +16,6 @@ __all__ = [
     "sessionize_events",
     "stream_ingest_dedup",
     "stream_ingest_admit",
+    "stream_ann_ingest",
     "prune_admit_log",
 ]

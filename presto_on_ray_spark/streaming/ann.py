@@ -62,8 +62,6 @@ def stream_ann_ingest(
     appends), exactly like the dedup side's compaction contract."""
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return  # no empty append-file litter per idle trigger
         batch = batch_df.filter(F.col(vec_col).isNotNull())
         if vec_col == "qv":
             v = batch.select("vec_id", "qv")
@@ -71,6 +69,11 @@ def stream_ann_ingest(
             v = batch.select(
                 "vec_id", quantized(F.col(vec_col)).alias("qv")
             )
+        # emptiness is checked AFTER the null filter: an all-NULL batch
+        # must not pay the marker/guard/append cycle or write empty
+        # append-file litter any more than an idle trigger does
+        if v.isEmpty():
+            return
         merge_into_saved_ann_index(
             batch_df.sparkSession, index_path, v, resume=True
         )

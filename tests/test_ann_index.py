@@ -135,6 +135,17 @@ def test_ann_saved_merge_appends_and_guards_duplicates(spark, sf_dir, tmp_path):
             ),
         )
     assert not os.path.exists(os.path.join(p, _ANN_WRITING))
+    # NULL vec_ids would encode into rows no probe can ever match —
+    # refused by name (in both plain and resume mode: the resume
+    # anti-join deliberately keeps NULL rows for this probe to see)
+    null_batch = spark.createDataFrame(
+        [(None, [1] * 64)], "vec_id long, qv array<long>"
+    )
+    with pytest.raises(ValueError, match="NULL vec_ids"):
+        merge_into_saved_ann_index(spark, p, null_batch)
+    with pytest.raises(ValueError, match="NULL vec_ids"):
+        merge_into_saved_ann_index(spark, p, null_batch, resume=True)
+    assert not os.path.exists(os.path.join(p, _ANN_WRITING))
     release_cached()
 
 
