@@ -94,6 +94,7 @@ NESTED_LOOP_ALLOWED = {
     # 2 and refuses any cartesian product in the same plans.
     "similarity_ivfpq_adc_topk",
     "similarity_ivfpq_rerank_topk",
+    "similarity_ivfpq_refined_topk",  # same two bounded centroid argmins
 }
 
 

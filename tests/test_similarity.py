@@ -588,3 +588,112 @@ def test_ivfpq_rerank_recovers_true_topk(spark, sf_dir):
     recall = hits / total
     print(f"ivfpq rerank recall vs true cosine top-4: {recall:.3f}")
     assert recall >= 0.5
+
+
+def test_ivfpq_refined_codebook_properties(spark, sf_dir):
+    """The IVF-PQ encode-time quality dial: (1) init_offset at iters=0
+    reproduces the frozen keys' SAMPLED residual codebook exactly, so
+    the refinement is a pure superset of the hash-exact machinery;
+    (2) five Lloyd iterations over the residual subvectors match the
+    NumPy twin bit-for-bit (the ids are shifted by n_cells so the
+    twin's 0..k-1 init window lands on the non-degenerate residuals,
+    exactly like init_offset does); (3) the refined book strictly
+    improves total encode distortion over the sampled residual book;
+    (4) similarity_ivfpq_refined_topk returns well-formed top-4 rows
+    whose cosines are exact (the rerank stage is shared, so quality
+    changes but correctness machinery does not)."""
+    import numpy as np
+
+    from presto_on_ray_spark.caching import release_cached
+    from presto_on_ray_spark.operators.similarity import (
+        _IVFPQ_CELLS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        _encode_sub,
+        _ivfpq_residuals,
+        _pq_l2sq,
+        _pq_subvectors,
+        pq_codebook,
+        quantized,
+        similarity_ivfpq_refined_topk,
+    )
+
+    rows = (
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    )
+    ids, vecs = _quantized_vecs(rows)
+    cents_np, cell, _, _ = _np_ivfpq(ids, vecs, _IVFPQ_CELLS, _PQ_K, _PQ_M, _PQ_SUB)
+    resid = vecs - cents_np[cell]
+    twin = _np_pq_codebook(ids - _IVFPQ_CELLS, resid, _PQ_K, 5)
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    cents = v.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
+    )
+    asg = _ivfpq_residuals(v, cents)
+    sub = _pq_subvectors(asg, vec_col="rv", carry=("cell",)).persist()
+
+    sampled = {
+        (r["j"], r["c"]): list(r["cw"])
+        for r in sub.filter(
+            (F.col("vec_id") >= _IVFPQ_CELLS)
+            & (F.col("vec_id") < _IVFPQ_CELLS + _PQ_K)
+        )
+        .select(
+            "j", (F.col("vec_id") - _IVFPQ_CELLS).alias("c"), F.col("s").alias("cw")
+        )
+        .collect()
+    }
+    zero_iter = {
+        (r["j"], r["c"]): list(r["cw"])
+        for r in pq_codebook(
+            asg, vec_col="rv", sub=sub, iters=0, init_offset=_IVFPQ_CELLS
+        ).collect()
+    }
+    assert zero_iter == sampled  # (1)
+
+    refined_df = pq_codebook(
+        asg, vec_col="rv", sub=sub, iters=5, init_offset=_IVFPQ_CELLS
+    )
+    refined = {
+        (r["j"], r["c"]): list(r["cw"]) for r in refined_df.collect()
+    }
+    assert refined == {key: list(cw) for key, cw in twin.items()}  # (2)
+
+    def distortion(cb_map):
+        cb_df = spark.createDataFrame(
+            [(j, c, cw) for (j, c), cw in sorted(cb_map.items())],
+            "j int, c int, cw array<bigint>",
+        )
+        d = (
+            sub.join(F.broadcast(cb_df), "j")
+            .select(
+                "vec_id", "j", _pq_l2sq(F.col("s"), F.col("cw")).alias("d2")
+            )
+            .groupBy("vec_id", "j")
+            .agg(F.min("d2").alias("d2"))
+            .agg(F.sum("d2").alias("total"))
+            .collect()[0]["total"]
+        )
+        return int(d)
+    d_sampled, d_refined = distortion(sampled), distortion(refined)
+    print(f"ivfpq residual distortion: sampled {d_sampled} refined {d_refined} "
+          f"({d_refined / d_sampled:.3f}x)")
+    assert d_refined < d_sampled  # (3)
+
+    got = {}
+    for r in similarity_ivfpq_refined_topk(spark, sf_dir).collect():
+        got.setdefault(r["qid"], []).append(r)
+    sub.unpersist()
+    release_cached()
+    norms = np.sqrt((vecs * vecs).sum(axis=1).astype(np.float64))
+    assert set(got) == set(range(5))
+    for qid, rs in got.items():
+        assert len(rs) == 4  # (4)
+        qi = int(np.searchsorted(ids, qid))
+        for r in rs:
+            ci = int(np.searchsorted(ids, r["cid"]))
+            want = float(vecs[ci] @ vecs[qi]) / (norms[ci] * norms[qi])
+            assert abs(r["cosine"] - round(want, 6)) < 1e-9, (qid, r["cid"])
