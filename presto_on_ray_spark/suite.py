@@ -141,6 +141,7 @@ def load_all() -> None:
         aggregates,
         analytics_tail,
         arrays_extra,
+        corpus_overlap,
         coverage,
         curation,
         dedup,

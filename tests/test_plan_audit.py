@@ -66,6 +66,10 @@ COLLECT_LIST_ALLOWED = {
     # same shared _cut_spans tail (two longs per maximal contaminated
     # span, <= one span per two window positions, per document)
     "decontaminate_cut_spans",
+    # bottom-k sketch: the dense_rank<=k filter runs BEFORE the
+    # collect_set, so the buffer is <= k (128) longs per source by
+    # construction (corpus_overlap.bottomk_sketches)
+    "corpus_overlap_bottomk",
 }
 
 # Cartesian/broadcast-nested-loop is legitimate only for deliberately
@@ -95,6 +99,9 @@ NESTED_LOOP_ALLOWED = {
     "similarity_ivfpq_adc_topk",
     "similarity_ivfpq_rerank_topk",
     "similarity_ivfpq_refined_topk",  # same two bounded centroid argmins
+    # source-pair theta self-join over the SKETCH relation (one row of
+    # k longs per source — |sources| rows total, never documents)
+    "corpus_overlap_bottomk",
 }
 
 
