@@ -1036,3 +1036,128 @@ def sequence_length_buckets(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# -- cross-corpus boilerplate removal (aligned-segment dedup) -----------
+# The corpus-wide sibling of text_repetition (within-doc) and
+# decontaminate_cut (train-vs-eval): segments whose exact text recurs
+# across more than _BP_MAX_DF distinct documents — license footers,
+# navigation chrome, templated headers (Gopher / MassiveText drop
+# repeated lines by document frequency; the synthetic corpus has no
+# newlines, so the unit here is the aligned _BP_W-word block) — are
+# cut from every document, and each document is reassembled from its
+# surviving words in order.
+
+_BP_W = 4  # words per aligned segment
+_BP_MAX_DF = 1  # segments in more than this many distinct docs are cut
+
+
+def boilerplate_strip(df, w: int = _BP_W, max_df: int = _BP_MAX_DF, keep=None):
+    """Cross-corpus boilerplate strip over an arbitrary (doc_id, text)
+    DataFrame: hash every aligned full ``w``-word segment (the
+    trailing partial block is never a candidate), count each hash's
+    document frequency, and cut every segment occurring in more than
+    ``max_df`` distinct documents out of every document that carries
+    it.
+
+    Scale shape: segmentation is one map-side posexplode of a per-doc
+    hash array (corpus rows x 1/w, 8-byte keys — the text itself never
+    shuffles for counting); document frequency is a two-level groupBy
+    (distinct (h, doc) then count per h) with map-side partials; the
+    boilerplate set joins back as a left-semi on the hash; and the
+    word-level cut never leaves the row — an array_contains probe of
+    the bounded per-doc cut-index list inside whole-stage codegen,
+    exactly the _cut_spans discipline (dedup.py). The per-doc grouped
+    buffer is <= words/w longs, strictly smaller than the word array
+    split() materializes per row in the same operator."""
+    from presto_on_ray_spark.caching import tracked_persist
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    keep = keep or tracked_persist
+    d = keep(df.filter(F.col("text").isNotNull()))
+    arr = F.split("text", " ")
+    nfull = F.floor(F.size(arr) / F.lit(w)).cast("int")
+    seg_hashes = F.when(
+        nfull > 0,
+        F.transform(
+            F.sequence(F.lit(0), nfull - 1),
+            lambda g: _portable_h60(F.array_join(F.slice(arr, g * w + 1, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    segs = d.select("doc_id", F.posexplode(seg_hashes).alias("g", "h"))
+    freq = (
+        segs.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    cuts = (
+        segs.join(freq, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.col("g").cast("long")).alias("cut_gs"))
+    )
+    kept = F.filter(
+        arr,
+        lambda wd, i: ~F.array_contains(F.col("cut_gs"), F.floor(i / F.lit(w))),
+    )
+    return (
+        d.join(cuts, "doc_id", "left")
+        .withColumn("cut_gs", F.coalesce("cut_gs", F.array().cast("array<bigint>")))
+        .select(
+            "doc_id",
+            F.size("cut_gs").cast("long").alias("n_cut_segments"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
+def _boilerplate_oracle() -> str:
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    w, maxdf = _BP_W, _BP_MAX_DF
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    rawsegs AS (
+      SELECT doc_id, g,
+             ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[(g*{w}+1):(g*{w}+{w})], ' ')
+               AS seg
+      FROM d, UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')) // {w})) AS t(g)
+    ),
+    segs AS (SELECT doc_id, g, {_h60_sql("seg")} AS h FROM rawsegs),
+    freq AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+      WHERE df > {maxdf}
+    ),
+    cuts AS (
+      SELECT doc_id, LIST(g) AS cut_gs FROM segs JOIN freq USING (h)
+      GROUP BY doc_id
+    ),
+    words AS (
+      SELECT doc_id,
+             STRING_SPLIT(text, ' ')[CAST(p AS INTEGER)] AS wd,
+             p
+      FROM d, UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS t(p)
+    )
+    SELECT wo.doc_id,
+           CAST(COALESCE(MAX(LEN(c.cut_gs)), 0) AS BIGINT) AS n_cut_segments,
+           COALESCE(STRING_AGG(wo.wd, ' ' ORDER BY wo.p)
+             FILTER (WHERE c.cut_gs IS NULL
+                     OR NOT LIST_CONTAINS(c.cut_gs, (wo.p - 1) // {w})), '')
+             AS clean_text
+    FROM words wo LEFT JOIN cuts c USING (doc_id)
+    GROUP BY wo.doc_id
+    """
+
+
+@query("corpus_boilerplate_strip", oracle=_boilerplate_oracle())
+def corpus_boilerplate_strip(spark, sf_dir):
+    """Corpus-wide boilerplate removal: cut every aligned {_BP_W}-word
+    segment that occurs in more than {_BP_MAX_DF} distinct documents
+    (exact text match on the portable 60-bit digest) out of every
+    document, reassembling each from its surviving words in order.
+    The frequency unit is DOCUMENT frequency, not occurrence count —
+    a segment repeated inside one doc is text_repetition's business,
+    not boilerplate."""
+    return boilerplate_strip(t(spark, sf_dir, "documents"))

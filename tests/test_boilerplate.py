@@ -1,0 +1,123 @@
+"""Cross-corpus boilerplate strip (pipeline_prep.boilerplate_strip):
+planted-boilerplate semantics plus a brute-force Python twin."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from presto_on_ray_spark.operators.pipeline_prep import _BP_W, boilerplate_strip
+
+
+def _no_persist(df):
+    return df
+
+
+def _brute(docs: dict[int, str], w: int, max_df: int) -> dict[int, tuple[int, str]]:
+    """Independent reference: aligned full-w segments, document
+    frequency, cut + ordered reassembly."""
+    seg_docs: dict[str, set[int]] = {}
+    for did, text in docs.items():
+        ws = text.split(" ")
+        for g in range(len(ws) // w):
+            seg = " ".join(ws[g * w : g * w + w])
+            seg_docs.setdefault(seg, set()).add(did)
+    boiler = {s for s, ds in seg_docs.items() if len(ds) > max_df}
+    out = {}
+    for did, text in docs.items():
+        ws = text.split(" ")
+        cut_gs = {
+            g
+            for g in range(len(ws) // w)
+            if " ".join(ws[g * w : g * w + w]) in boiler
+        }
+        kept = [wd for i, wd in enumerate(ws) if (i // w) not in cut_gs]
+        out[did] = (len(cut_gs), " ".join(kept))
+    return out
+
+
+def _run(spark, docs: dict[int, str], w: int = _BP_W, max_df: int = 1):
+    df = spark.createDataFrame(
+        [(did, text) for did, text in docs.items()], "doc_id long, text string"
+    )
+    rows = boilerplate_strip(df, w=w, max_df=max_df, keep=_no_persist).collect()
+    return {r.doc_id: (r.n_cut_segments, r.clean_text) for r in rows}
+
+
+def test_planted_boilerplate_cut(spark):
+    # docs 0 and 1 share the aligned footer "see terms of service";
+    # doc 2 carries the same words but NOT block-aligned, so it stays.
+    docs = {
+        0: "alpha beta gamma delta see terms of service",
+        1: "one two three four see terms of service extra",
+        2: "pad see terms of service alpha beta gamma delta",
+    }
+    got = _run(spark, docs, w=4, max_df=1)
+    assert got[0] == (1, "alpha beta gamma delta")
+    assert got[1] == (1, "one two three four extra")
+    # doc 2's segments are ("pad see terms of", "service alpha beta gamma")
+    # — neither is shared; nothing cut.
+    assert got[2] == (0, docs[2])
+    assert got == _brute(docs, 4, 1)
+
+
+def test_trailing_partial_never_a_candidate(spark):
+    # both docs END with the same 2 words, below the 4-word block size:
+    # partial tails are never frequency candidates.
+    docs = {
+        0: "a b c d tail end",
+        1: "e f g h tail end",
+    }
+    got = _run(spark, docs, w=4, max_df=1)
+    assert got[0] == (0, docs[0])
+    assert got[1] == (0, docs[1])
+
+
+def test_fully_boilerplate_doc_empties(spark):
+    docs = {
+        0: "x y z w",
+        1: "x y z w",
+        2: "p q r s",
+    }
+    got = _run(spark, docs, w=4, max_df=1)
+    assert got[0] == (1, "")
+    assert got[1] == (1, "")
+    assert got[2] == (0, "p q r s")
+
+
+def test_max_df_dial(spark):
+    docs = {0: "x y z w", 1: "x y z w", 2: "x y z w a b"}
+    # df=3 > 2 → cut everywhere at max_df=2
+    got = _run(spark, docs, w=4, max_df=2)
+    assert got[2] == (1, "a b")
+    # max_df=3 tolerates it
+    got = _run(spark, docs, w=4, max_df=3)
+    assert got[2] == (0, docs[2])
+
+
+def test_document_frequency_not_occurrence_count(spark):
+    # the same segment TWICE in one doc is repetition, not boilerplate
+    docs = {
+        0: "x y z w x y z w",
+        1: "a b c d e f g h",
+    }
+    got = _run(spark, docs, w=4, max_df=1)
+    assert got[0] == (0, docs[0])
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_brute_force_twin_random_corpus(spark, seed):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(9)]
+    footer = "lic foo bar baz"
+    docs = {}
+    for did in range(40):
+        n = rng.randrange(1, 14)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.4:
+            # plant the footer at an aligned offset in some docs
+            at = rng.randrange(0, 3) * 4
+            words[at:at] = footer.split(" ")
+        docs[did] = " ".join(words)
+    assert _run(spark, docs, w=4, max_df=1) == _brute(docs, 4, 1)

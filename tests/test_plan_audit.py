@@ -70,6 +70,10 @@ COLLECT_LIST_ALLOWED = {
     # collect_set, so the buffer is <= k (128) longs per source by
     # construction (corpus_overlap.bottomk_sketches)
     "corpus_overlap_bottomk",
+    # per-doc CUT-INDEX list: <= words/_BP_W longs per document —
+    # strictly smaller than the word array split() materializes per
+    # row in the same operator (pipeline_prep.boilerplate_strip)
+    "corpus_boilerplate_strip",
 }
 
 # Cartesian/broadcast-nested-loop is legitimate only for deliberately
