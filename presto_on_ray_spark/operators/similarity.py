@@ -947,14 +947,14 @@ class AnnIndex(NamedTuple):
     codes: object
 
 
-def _ivfpq_residuals(v, cents):
-    """Assign every quantized vector to its integer-L2-nearest
-    centroid (smallest-cell ties) and subtract that centroid: returns
-    (vec_id, cell, rv). Exact in integers — quantized vectors minus
-    quantized centroids — so residual encoding stays cross-engine
-    deterministic. One broadcast nested-loop pass over n_cells rows
-    plus one (vec_id)-keyed argmin shuffle."""
-    best = (
+def _cell_assign(v, cents):
+    """Assign every quantized vector (vec_id, qv) to its
+    integer-L2-nearest centroid (smallest-cell ties): returns
+    (vec_id, cell, qv). One broadcast nested-loop pass over the
+    n_cells rows plus one (vec_id)-keyed argmin shuffle — the
+    standard IVF assignment shape, shared by the IVF-PQ build and
+    semantic_dedup."""
+    return (
         v.crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "qv", "cell", _pq_l2sq(F.col("qv"), F.col("cv")).alias("d2")
@@ -963,6 +963,15 @@ def _ivfpq_residuals(v, cents):
         .agg(F.min(F.struct("d2", "cell", "qv")).alias("m"))
         .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.qv").alias("qv"))
     )
+
+
+def _ivfpq_residuals(v, cents):
+    """Assign every quantized vector to its integer-L2-nearest
+    centroid (smallest-cell ties) and subtract that centroid: returns
+    (vec_id, cell, rv). Exact in integers — quantized vectors minus
+    quantized centroids — so residual encoding stays cross-engine
+    deterministic."""
+    best = _cell_assign(v, cents)
     return best.join(F.broadcast(cents), "cell").select(
         "vec_id", "cell", F.zip_with("qv", "cv", lambda x, y: x - y).alias("rv")
     )
@@ -1968,3 +1977,116 @@ def compact_saved_ann_index(
         _ann_release(os_path)
         raise
     _ann_release(os_path)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+# embedding space with a coarse quantizer, then prune semantic
+# duplicates WITHIN each cell only — the pairwise term is bounded by
+# cell population, never the corpus, which is the whole reason the
+# clustering step exists at 100 TB (n_cells grows with the corpus so
+# cells stay executor-sized). Everything below follows the module's
+# quantized-i64 convention, so the full pipeline — sampled centroids,
+# integer-L2 assignment, within-cell cosine, smallest-id keeper rule —
+# is reproducible bit-for-bit in DuckDB SQL.
+# ---------------------------------------------------------------------------
+_SEM_CELLS = 8
+_SEM_TAU = 0.35  # fixture-meaningful (max pairwise cos ~0.51); the
+# production dial sits near 1 - eps on real embedding models
+
+
+def semantic_dedup(v, n_cells: int = _SEM_CELLS, tau: float = _SEM_TAU):
+    """SemDeDup over a quantized vector relation (vec_id, qv): assign
+    every vector to its nearest sampled centroid (the quantized
+    vectors of the first ``n_cells`` vec_ids — deterministic, the
+    same design choice as the PQ codebook; k-means-refined centroids
+    via pq_codebook's machinery change cell QUALITY, never this
+    machinery), then mark every vector that has a SMALLER-id member
+    of its own cell at cosine >= ``tau`` as a duplicate of the
+    smallest such id. Returns (vec_id, cell, dup_of) with dup_of NULL
+    for keepers.
+
+    The keeper rule is earliest-id, applied over raw neighbor pairs —
+    a chain a<b<c with cos(a,b) and cos(b,c) above tau but cos(a,c)
+    below it keeps a, marks b (dup_of=a) and c (dup_of=b): exactly
+    SemDeDup's one-representative-per-epsilon-ball behaviour, distinct
+    from the connected-components keeper family (dedup.py), which
+    would union the chain first.
+
+    Scale shape: one broadcast centroid argmin (n_cells rows), one
+    cell-keyed self-join whose per-cell pair count is the algorithm's
+    stated cost model, one (vec_id)-keyed min aggregate, one left
+    join back. Raw embeddings are read once."""
+    cents = v.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
+    )
+    asg = tracked_persist(_cell_assign(v, cents))
+    a = asg.select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("qv").alias("qa")
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("qv").alias("qb")
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_q(F.col("qa"), F.col("qb")) >= tau)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        asg.join(dup, "vec_id", "left")
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "dup_of")
+    )
+
+
+_SEM_COS_SQL = """
+  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+  / (SQRT(CAST(LIST_SUM(LIST_TRANSFORM(a.qv, x -> x * x)) AS DOUBLE))
+     * SQRT(CAST(LIST_SUM(LIST_TRANSFORM(b.qv, x -> x * x)) AS DOUBLE)))
+"""
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, qv AS cv FROM e WHERE vec_id < {_SEM_CELLS}),
+    dists AS (
+      SELECT e.vec_id, e.qv, c.cell,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.qv) + 1),
+               i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))) AS d2
+      FROM e CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT vec_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dists) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_SEM_COS_SQL} >= {_SEM_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell, dup.dup_of
+    FROM asg LEFT JOIN dup USING (vec_id)
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic dedup over the embeddings table, hash-exact
+    end-to-end: {_SEM_CELLS} sampled centroids, integer-L2 cell
+    assignment, within-cell quantized-cosine pruning at
+    tau={_SEM_TAU}, smallest-id keepers. The DuckDB oracle recomputes
+    the WHOLE pipeline — this upgrades the embedding-dedup family
+    from dedup_embedding_neardup's rows-only check to an exact one."""
+    e = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    )

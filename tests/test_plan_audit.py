@@ -103,6 +103,10 @@ NESTED_LOOP_ALLOWED = {
     "similarity_ivfpq_adc_topk",
     "similarity_ivfpq_rerank_topk",
     "similarity_ivfpq_refined_topk",  # same two bounded centroid argmins
+    # SemDeDup's ONLY nested-loop pass is the one centroid argmin
+    # (vectors x n_cells, an 8-row broadcast side); the within-cell
+    # pairwise stage is a cell-keyed equi-join
+    "dedup_semantic",
     # source-pair theta self-join over the SKETCH relation (one row of
     # k longs per source — |sources| rows total, never documents)
     "corpus_overlap_bottomk",
