@@ -260,3 +260,123 @@ def text_lm_score(spark, sf_dir):
             F.floor((2 * n_scaled + cnt) / (2 * cnt)).cast("long") / F.lit(10000.0)
         ).alias("cross_entropy"),
     )
+
+
+# -- BM25 ranked retrieval ----------------------------------------------
+# Okapi BM25 (Robertson & Zaragoza 2009) keyword search over the
+# corpus: the retrieval twin of text_tfidf_topk's per-doc term
+# weighting. Fixed small query set; k1/b at the textbook defaults.
+_BM25_QUERIES = [
+    (0, "data"), (0, "merge"),
+    (1, "spark"), (1, "window"),
+    (2, "customer"), (2, "slow"),
+]
+_BM25_TOPK = 10
+# the shared scoring expression — kept textually identical between the
+# Spark plan (F.expr) and the DuckDB oracle so both engines evaluate
+# the same IEEE operation sequence; per-(doc, term) components are
+# rounded to 4 places and decimal-summed so the per-doc score is
+# order-independent (the text_lm_score discipline)
+_BM25_COMP_SQL = (
+    "ROUND(LN(1 + (n_docs - df + 0.5) / (df + 0.5))"
+    " * ((tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)"
+)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ) x WHERE LENGTH(term) > 0
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    q AS (
+      SELECT CAST(qid AS BIGINT) AS qid, term
+      FROM (VALUES {", ".join(f"({qid}, '{term}')" for qid, term in _BM25_QUERIES)})
+        v(qid, term)
+    ),
+    comp AS (
+      SELECT q.qid, tf.doc_id,
+             {_BM25_COMP_SQL} AS comp
+      FROM tf
+      JOIN q USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT qid, doc_id, SUM(CAST(comp AS DECIMAL(20,4))) AS score_dec
+      FROM comp GROUP BY 1, 2
+    )
+    SELECT qid, doc_id, CAST(score_dec AS DOUBLE) AS score
+    FROM (SELECT qid, doc_id, score_dec,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score_dec DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-{_BM25_TOPK} retrieval for a fixed query set
+    (k1=1.2, b=0.75): score = sum over matched query terms of
+    idf(term) * tf-saturation(term, doc), idf = ln(1 + (N - df + .5)
+    / (df + .5)).
+
+    Determinism: the per-(doc, term) component is one shared SQL
+    expression string evaluated by BOTH engines (same IEEE operation
+    sequence; ln() last-ulp skew absorbed by ROUND(·, 4) — the
+    text_tfidf_topk convention), and the per-doc score sums the
+    rounded components in DECIMAL, so it is order-independent; the
+    top-k ranks on the exact decimal with a doc_id tie-break.
+
+    Shape at scale: the query set and the vocabulary-sized df
+    relation broadcast; corpus stats fold into ONE row (no driver
+    count); the tf relation is pre-shrunk by the query-term semi-join
+    before it ever joins the per-doc lengths. One shuffle for tf, one
+    for dl, one for the per-(qid, doc) sum."""
+    d = t(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(_BM25_QUERIES, "qid long, term string")
+    return bm25_topk(d, qterms)
+
+
+def bm25_topk(docs, qterms, topk: int = _BM25_TOPK):
+    """BM25 top-k over arbitrary (doc_id, text) docs and (qid, term)
+    queries — the query body of text_bm25_topk (see its docstring for
+    the determinism and scale design)."""
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    comp = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", F.expr(_BM25_COMP_SQL).alias("comp"))
+    )
+    scored = comp.groupBy("qid", "doc_id").agg(
+        F.sum(F.col("comp").cast("decimal(20,4)")).alias("score_dec")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score_dec").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("qid", "doc_id", F.col("score_dec").cast("double").alias("score"))
+    )

@@ -82,6 +82,7 @@ COLLECT_LIST_ALLOWED = {
 NESTED_LOOP_ALLOWED = {
     "join_cross",
     "corpus_pagerank",       # 1-row count broadcast (teleport term)
+    "text_bm25_topk",        # 1-row corpus-stats broadcast (N, avgdl)
     "join_non_equi",
     "similarity_bruteforce_topk",
     "similarity_pairwise_threshold",
