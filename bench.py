@@ -101,6 +101,12 @@ HEADLINE = [
     # round-12: IVF-PQ ANN, the composed codes-only scale path (cell
     # pruning + residual PQ + shortlist/exact rerank)
     "similarity_ivfpq_rerank_topk",
+    # round-12 continuation: cross-corpus boilerplate strip (aligned-
+    # segment document frequency + row-local cut), SemDeDup semantic
+    # dedup (cell-bounded pairwise), BM25 retrieval
+    "corpus_boilerplate_strip",
+    "dedup_semantic",
+    "text_bm25_topk",
 ]
 
 

@@ -504,8 +504,11 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
 # closure via recursive CTE, keeper = min doc_id per component. Shared by
 # dedup_neardup_clusters (ngram-prefix-filter path) and dedup_lsh_keepers
 # (MinHash-LSH path): two independent algorithms pinned to one relation.
-_KEEPER_CC_ORACLE = """
-    WITH RECURSIVE
+# The near-dup connected-components CTE block (shingles → exact
+# Jaccard pairs → transitive closure), shared by the keeper oracles
+# here and by pipeline_prep's leakage-safe split oracle. Ends in
+# ``reach(node, lbl)``; compose with WITH RECURSIVE and a final select.
+_CC_CTE_BODY = """
     sh AS (
       SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
                RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 2, 0) + 1),
@@ -535,10 +538,17 @@ _KEEPER_CC_ORACLE = """
       UNION
         SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
     )
+"""
+
+_KEEPER_CC_ORACLE = (
+    "WITH RECURSIVE "
+    + _CC_CTE_BODY
+    + """
     SELECT node AS doc_id, MIN(lbl) AS component_id,
            CAST(node = MIN(lbl) AS BOOLEAN) AS is_keeper
     FROM reach GROUP BY node
 """
+)
 
 
 @query("dedup_neardup_clusters", oracle=_KEEPER_CC_ORACLE)

@@ -1161,3 +1161,74 @@ def corpus_boilerplate_strip(spark, sf_dir):
     a segment repeated inside one doc is text_repetition's business,
     not boilerplate."""
     return boilerplate_strip(t(spark, sf_dir, "documents"))
+
+
+# -- leakage-safe splits (near-dup-cluster-aware) -----------------------
+# Hash-splitting doc_ids leaks: two near-duplicate documents can land
+# one in train and one in test, and the eval set silently scores
+# memorization. The leakage-safe split buckets by the near-dup
+# CLUSTER representative, so every member of a cluster — and every
+# singleton, via its own id — lands in the same split by construction.
+
+
+def _leakage_safe_oracle() -> str:
+    from presto_on_ray_spark.operators.dedup import _CC_CTE_BODY
+
+    return (
+        "WITH RECURSIVE "
+        + _CC_CTE_BODY
+        + f""",
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY node),
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.rep_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, rep_id,
+           CASE WHEN {_bucket_sql('rep_id')} < 80 THEN 'train'
+                WHEN {_bucket_sql('rep_id')} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM rep
+    """
+    )
+
+
+@query("split_leakage_safe", oracle=_leakage_safe_oracle())
+def split_leakage_safe(spark, sf_dir):
+    """80/10/10 deterministic hash split keyed by the near-dup cluster
+    representative instead of the raw doc_id: ngram-Jaccard pairs →
+    connected components (min-id representative), singletons represent
+    themselves, and the split bucket is the same Knuth multiplicative
+    hash as split_train_test applied to rep_id — so near-duplicates
+    can NEVER straddle a split boundary (the train/test contamination
+    mode raw id-hash splits have), while singleton assignment stays
+    bit-identical to the plain split.
+
+    Shape at scale: the pair+CC stages are the audited
+    dedup_neardup_clusters machinery (banded/prefix-bounded candidates,
+    min-label propagation); the split itself adds one left join
+    against the component relation (which carries only docs that HAVE
+    a near-duplicate) and a map-side bucket expression. The oracle
+    recomputes components via the shared recursive-CTE block —
+    hash-exact end-to-end."""
+    from presto_on_ray_spark.operators.dedup import (
+        connected_components,
+        dedup_ngram_jaccard,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component_id").alias("rep")
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    rep = d.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("rep", F.col("doc_id")).alias("rep_id")
+    )
+    bucket = F.floor(_bucket_col(F.col("rep_id"))).cast("long")
+    return rep.select(
+        "doc_id",
+        "rep_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
