@@ -1,0 +1,132 @@
+"""Corpus distribution-drift monitoring (SURVEY §2.11 extension).
+
+A training-data pipeline that ingests continuously needs to notice
+when a source's distribution moves — scraper regressions, upstream
+format changes, seasonal shifts — BEFORE the tokens reach a run. The
+standard monitoring statistic is the Population Stability Index
+(PSI = sum over bins of (p_cur - p_ref) * ln(p_cur / p_ref); the
+symmetrized discrete KL divergence): < 0.1 stable, 0.1-0.25 drifting,
+> 0.25 action. ``distribution_drift`` computes it per group between a
+reference and a current snapshot over any integer feature.
+
+Determinism (the suite convention): bin counts are exact integers,
+proportions are Laplace-smoothed ((c + 1) / (total + B), B = bins
+present for the group across BOTH snapshots — no zero-count ln(0)
+edge), the per-bin term is ONE SQL expression string shared verbatim
+with the DuckDB oracle (same IEEE sequence; ln() last-ulp skew
+absorbed by ROUND(·, 6)), and the per-group PSI decimal-sums the
+rounded terms, so it is partition-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.operators.pipeline_prep import _bucket_col, _bucket_sql
+from presto_on_ray_spark.suite import query
+
+_DRIFT_BIN_WIDTH = 64  # n_chars per histogram bin for the suite key
+
+# per-bin PSI term over columns (rc, rt, cc, ct, b) — kept textually
+# identical between the Spark plan (F.expr) and the DuckDB oracle
+_PSI_TERM_SQL = (
+    "ROUND(((cc + 1) / CAST(ct + b AS DOUBLE) - (rc + 1) / CAST(rt + b AS DOUBLE))"
+    " * LN(((cc + 1) / CAST(ct + b AS DOUBLE))"
+    " / ((rc + 1) / CAST(rt + b AS DOUBLE))), 6)"
+)
+
+
+def distribution_drift(ref, cur, bin_width: int, group_col: str = "source"):
+    """PSI per ``group_col`` between two (group, val) snapshots, with
+    histogram bins of ``bin_width``. Returns (group, n_ref, n_cur,
+    n_bins, psi).
+
+    Shape at scale: each snapshot collapses to a (group x bin)
+    histogram with map-side partial aggregation before anything is
+    joined — the full-outer bin alignment, the per-group totals
+    (windows over the bounded histogram relation, never the corpus),
+    and the PSI sum all run on bounded relations."""
+    binned = lambda df: df.groupBy(  # noqa: E731
+        F.col(group_col).alias("grp"),
+        F.expr(f"val div {bin_width}").alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    r = binned(ref).withColumnRenamed("c", "rc")
+    c = binned(cur).withColumnRenamed("c", "cc")
+    aligned = (
+        r.join(c, ["grp", "bin"], "full_outer")
+        .withColumn("rc", F.coalesce("rc", F.lit(0)))
+        .withColumn("cc", F.coalesce("cc", F.lit(0)))
+    )
+    w = Window.partitionBy("grp")
+    terms = aligned.select(
+        "grp",
+        "rc",
+        "cc",
+        F.sum("rc").over(w).alias("rt"),
+        F.sum("cc").over(w).alias("ct"),
+        F.count("*").over(w).alias("b"),
+    ).withColumn("term", F.expr(_PSI_TERM_SQL))
+    return terms.groupBy(F.col("grp").alias(group_col)).agg(
+        F.max("rt").alias("n_ref"),
+        F.max("ct").alias("n_cur"),
+        F.max("b").alias("n_bins"),
+        F.sum(F.col("term").cast("decimal(20,6)")).cast("double").alias("psi"),
+    )
+
+
+@query(
+    "corpus_drift_psi",
+    oracle=f"""
+    WITH snap AS (
+      SELECT source AS grp, n_chars AS val,
+             {_bucket_sql('doc_id')} < 50 AS is_ref
+      FROM documents
+    ),
+    r AS (
+      SELECT grp, val // {_DRIFT_BIN_WIDTH} AS bin, COUNT(*) AS rc
+      FROM snap WHERE is_ref GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT grp, val // {_DRIFT_BIN_WIDTH} AS bin, COUNT(*) AS cc
+      FROM snap WHERE NOT is_ref GROUP BY 1, 2
+    ),
+    aligned AS (
+      SELECT COALESCE(r.grp, c.grp) AS grp, COALESCE(r.bin, c.bin) AS bin,
+             COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+      FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.bin = c.bin
+    ),
+    terms AS (
+      SELECT grp, rc, cc,
+             SUM(rc) OVER (PARTITION BY grp) AS rt,
+             SUM(cc) OVER (PARTITION BY grp) AS ct,
+             COUNT(*) OVER (PARTITION BY grp) AS b
+      FROM aligned
+    )
+    SELECT grp AS source,
+           MAX(rt) AS n_ref, MAX(ct) AS n_cur, MAX(b) AS n_bins,
+           CAST(SUM(CAST({_PSI_TERM_SQL} AS DECIMAL(20,6))) AS DOUBLE) AS psi
+    FROM terms GROUP BY grp
+    """,
+)
+def corpus_drift_psi(spark, sf_dir):
+    """Per-source PSI drift between two deterministic halves of the
+    corpus (Knuth-hash bucket < 50 = reference snapshot, rest =
+    current — the fixture stand-in for consecutive ingest snapshots)
+    over the n_chars distribution in {_DRIFT_BIN_WIDTH}-char bins.
+    Both halves draw from one distribution, but at ~a dozen docs per
+    (source, half) at sf0.001 the finite-sample PSI is well above the
+    asymptotic stable band — expected (PSI's null expectation scales
+    ~(B-1)·(1/n_ref + 1/n_cur)/2); the value under test is the exact
+    cross-engine arithmetic, pinned hash-exact by the oracle, and the
+    identical-snapshot zero / planted-shift behaviour is pinned in
+    tests/test_drift.py."""
+    d = t(spark, sf_dir, "documents")
+    half = F.floor(_bucket_col(F.col("doc_id"))).cast("long") < 50
+    snap = d.select("source", F.col("n_chars").alias("val"), half.alias("is_ref"))
+    return distribution_drift(
+        snap.filter("is_ref").select("source", "val"),
+        snap.filter("NOT is_ref").select("source", "val"),
+        _DRIFT_BIN_WIDTH,
+    )

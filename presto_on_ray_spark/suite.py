@@ -145,6 +145,7 @@ def load_all() -> None:
         coverage,
         curation,
         dedup,
+        drift,
         filters,
         graph,
         grouped_pandas,

@@ -1,0 +1,79 @@
+"""Distribution drift (drift.distribution_drift): identical-snapshot
+zero, planted-shift detection, smoothing edges, and a Python twin."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+from presto_on_ray_spark.operators.drift import distribution_drift
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "source string, val long")
+
+
+def _brute(ref, cur, width):
+    bins = lambda rows: {  # noqa: E731
+        (g, v // width) for g, v in rows
+    }
+    cnt = lambda rows: {  # noqa: E731
+        k: sum(1 for g, v in rows if (g, v // width) == k)
+        for k in bins(rows)
+    }
+    rc, cc = cnt(ref), cnt(cur)
+    out = {}
+    for grp in {g for g, _ in ref} | {g for g, _ in cur}:
+        keys = {k for k in set(rc) | set(cc) if k[0] == grp}
+        b = len(keys)
+        rt = sum(rc.get(k, 0) for k in keys)
+        ct = sum(cc.get(k, 0) for k in keys)
+        psi = Decimal(0)
+        for k in keys:
+            pr = (rc.get(k, 0) + 1) / float(rt + b)
+            pc = (cc.get(k, 0) + 1) / float(ct + b)
+            psi += Decimal(f"{round((pc - pr) * math.log(pc / pr), 6):.6f}")
+        out[grp] = (rt, ct, b, float(psi))
+    return out
+
+
+def test_identical_snapshots_are_exactly_zero(spark):
+    rows = [("a", v) for v in (1, 5, 70, 130, 130, 260)]
+    got = distribution_drift(_df(spark, rows), _df(spark, rows), 64).collect()
+    assert [(r.n_bins, r.psi) for r in got] == [(4, 0.0)]
+
+
+def test_planted_shift_dominates_null_noise(spark):
+    # reference centered low, current shifted up by 4 bins
+    ref = [("a", 10 + (i % 3)) for i in range(200)]
+    cur = [("a", 266 + (i % 3)) for i in range(200)]
+    same = [("b", 10 + (i % 3)) for i in range(200)]
+    got = {
+        r.source: r.psi
+        for r in distribution_drift(
+            _df(spark, ref + same), _df(spark, cur + same), 64
+        ).collect()
+    }
+    assert got["b"] == 0.0
+    assert got["a"] > 1.0  # disjoint supports → PSI far beyond the 0.25 action band
+
+
+def test_bins_absent_from_one_side_are_smoothed_not_dropped(spark):
+    ref = [("a", 1), ("a", 2), ("a", 100)]
+    cur = [("a", 1), ("a", 2), ("a", 2)]  # bin 1 empty on the current side
+    rows = distribution_drift(_df(spark, ref), _df(spark, cur), 64).collect()
+    assert rows[0].n_bins == 2  # union of both sides' bins
+    assert rows[0].psi > 0.0  # the missing bin contributes, smoothed
+
+
+def test_python_twin(spark):
+    import random
+
+    rng = random.Random(3)
+    ref = [(f"s{rng.randrange(3)}", rng.randrange(500)) for _ in range(300)]
+    cur = [(f"s{rng.randrange(3)}", rng.randrange(500)) for _ in range(280)]
+    got = {
+        r.source: (r.n_ref, r.n_cur, r.n_bins, r.psi)
+        for r in distribution_drift(_df(spark, ref), _df(spark, cur), 64).collect()
+    }
+    assert got == _brute(ref, cur, 64)
