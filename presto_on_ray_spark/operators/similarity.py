@@ -2090,3 +2090,121 @@ def dedup_semantic(spark, sf_dir):
     return semantic_dedup(
         e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center diversity seeds (farthest-point traversal — Gonzalez 1985,
+# the 2-approximation to k-center; the greedy coreset rule used for
+# diversity-aware subset selection over embedding spaces). Iterative,
+# but with a BOUNDED driver loop: k passes, each one map-side distance
+# update + one argmax — the same orchestration discipline as
+# corpus_pagerank's loop. Integer squared-L2 over quantized vectors
+# end-to-end, so every pick (including every tie) is reproducible in
+# SQL: the oracle chains one CTE pair per iteration.
+# ---------------------------------------------------------------------------
+_KCENTER_K = 6
+
+
+def kcenter_seeds(v, k: int = _KCENTER_K):
+    """Farthest-point seeds over a quantized vector relation (vec_id,
+    qv): seed 1 is the max-squared-norm vector (smallest-id ties);
+    each later seed maximizes the min integer squared-L2 distance to
+    the seeds chosen so far (smallest-id ties). Returns a k-row
+    DataFrame (seed_rank, vec_id, mind) where mind is the selection
+    radius (NULL for seed 1) — mind of seed t is the k-center
+    coverage radius after t-1 seeds.
+
+    Scale shape: the working relation carries (vec_id, qv, mind); each
+    iteration is ONE map-side update against the newly chosen seed's
+    broadcast literal vector plus ONE single-row argmax aggregate —
+    k passes total, the algorithm's stated cost. The k collected rows
+    are bounded driver scalars (the shingle_saturation pattern)."""
+    first = (
+        v.select("vec_id", "qv", dot_i64(F.col("qv"), F.col("qv")).alias("norm"))
+        .agg(F.min(F.struct((-F.col("norm")).alias("nn"), "vec_id", "qv")).alias("m"))
+        .select(F.col("m.vec_id").alias("vec_id"), F.col("m.qv").alias("qv"))
+        .collect()[0]
+    )
+    seeds = [(1, first.vec_id, None)]
+    seed_vec = list(first.qv)
+    cur = v.filter(F.col("vec_id") != first.vec_id).select(
+        "vec_id",
+        "qv",
+        _pq_l2sq(
+            F.col("qv"), F.array(*[F.lit(int(x)) for x in seed_vec])
+        ).alias("mind"),
+    )
+    for rank in range(2, k + 1):
+        nxt = (
+            cur.agg(
+                F.min(
+                    F.struct((-F.col("mind")).alias("nm"), "vec_id", "qv", "mind")
+                ).alias("m")
+            )
+            .select("m.vec_id", "m.qv", "m.mind")
+            .collect()[0]
+        )
+        seeds.append((rank, nxt.vec_id, nxt.mind))
+        lit_vec = F.array(*[F.lit(int(x)) for x in nxt.qv])
+        cur = cur.filter(F.col("vec_id") != nxt.vec_id).select(
+            "vec_id",
+            "qv",
+            F.least(F.col("mind"), _pq_l2sq(F.col("qv"), lit_vec)).alias("mind"),
+        )
+    spark = v.sparkSession
+    return spark.createDataFrame(seeds, "seed_rank int, vec_id long, mind long")
+
+
+def _kcenter_oracle(k: int = _KCENTER_K) -> str:
+    d2 = (
+        "LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN({a}.qv) + 1),"
+        " __kc -> ({a}.qv[__kc] - {b}.qv[__kc]) * ({a}.qv[__kc] - {b}.qv[__kc])))"
+    )
+    ctes = [
+        """e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    )""",
+        """s1 AS (
+      SELECT vec_id, qv FROM e
+      ORDER BY LIST_SUM(LIST_TRANSFORM(qv, x -> x * x)) DESC, vec_id LIMIT 1
+    )""",
+        f"""m1 AS (
+      SELECT e.vec_id, e.qv, {d2.format(a='e', b='s1')} AS mind
+      FROM e, s1 WHERE e.vec_id <> s1.vec_id
+    )""",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""s{t} AS (
+      SELECT vec_id, qv, mind FROM m{t - 1} ORDER BY mind DESC, vec_id LIMIT 1
+    )"""
+        )
+        if t < k:
+            ctes.append(
+                f"""m{t} AS (
+      SELECT m.vec_id, m.qv,
+             LEAST(m.mind, {d2.format(a='m', b=f's{t}')}) AS mind
+      FROM m{t - 1} m, s{t} WHERE m.vec_id <> s{t}.vec_id
+    )"""
+            )
+    finals = ["SELECT 1 AS seed_rank, vec_id, CAST(NULL AS BIGINT) AS mind FROM s1"]
+    finals += [
+        f"SELECT {t} AS seed_rank, vec_id, mind FROM s{t}" for t in range(2, k + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@query("similarity_kcenter_seeds", oracle=_kcenter_oracle())
+def similarity_kcenter_seeds(spark, sf_dir):
+    """{_KCENTER_K} farthest-point diversity seeds over the embeddings
+    table (greedy k-center): the picks AND their selection radii are
+    hash-exact against a DuckDB oracle that replays every iteration as
+    a chained CTE pair — integer distances make the whole greedy
+    trajectory, tie-breaks included, engine-independent."""
+    e = t(spark, sf_dir, "embeddings")
+    return kcenter_seeds(
+        e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    )
