@@ -38,6 +38,21 @@ _PSI_TERM_SQL = (
 )
 
 
+def reference_histogram(ref, bin_width: int, group_col: str = "source"):
+    """Collapse a (group, val) snapshot to its (grp, bin, rc)
+    histogram — the frozen artifact a monitoring deployment computes
+    ONCE from the reference corpus and ships to every comparison
+    (persist it: the streaming monitor joins it per micro-batch)."""
+    return _binned(ref, bin_width, group_col).withColumnRenamed("c", "rc")
+
+
+def _binned(df, bin_width: int, group_col: str):
+    return df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.expr(f"val div {bin_width}").alias("bin"),
+    ).agg(F.count("*").alias("c"))
+
+
 def distribution_drift(ref, cur, bin_width: int, group_col: str = "source"):
     """PSI per ``group_col`` between two (group, val) snapshots, with
     histogram bins of ``bin_width``. Returns (group, n_ref, n_cur,
@@ -48,12 +63,19 @@ def distribution_drift(ref, cur, bin_width: int, group_col: str = "source"):
     joined — the full-outer bin alignment, the per-group totals
     (windows over the bounded histogram relation, never the corpus),
     and the PSI sum all run on bounded relations."""
-    binned = lambda df: df.groupBy(  # noqa: E731
-        F.col(group_col).alias("grp"),
-        F.expr(f"val div {bin_width}").alias("bin"),
-    ).agg(F.count("*").alias("c"))
-    r = binned(ref).withColumnRenamed("c", "rc")
-    c = binned(cur).withColumnRenamed("c", "cc")
+    return psi_against_reference(
+        reference_histogram(ref, bin_width, group_col), cur, bin_width, group_col
+    )
+
+
+def psi_against_reference(
+    ref_hist, cur, bin_width: int, group_col: str = "source"
+):
+    """PSI of a (group, val) snapshot against a PRECOMPUTED reference
+    histogram (reference_histogram's output) — the incremental form:
+    the reference corpus is never rescanned."""
+    r = ref_hist
+    c = _binned(cur, bin_width, group_col).withColumnRenamed("c", "cc")
     aligned = (
         r.join(c, ["grp", "bin"], "full_outer")
         .withColumn("rc", F.coalesce("rc", F.lit(0)))
