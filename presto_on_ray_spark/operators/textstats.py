@@ -380,3 +380,128 @@ def bm25_topk(docs, qterms, topk: int = _BM25_TOPK):
         .filter(F.col("rn") <= topk)
         .select("qid", "doc_id", F.col("score_dec").cast("double").alias("score"))
     )
+
+
+# -- model-based quality filtering (hashing-trick linear classifier) ----
+# The fastText/CCNet-style quality filter: featurize each document as
+# hashed unigram counts (the hashing trick — no vocabulary table at
+# 100 TB, just h % B), dot against a weight vector stored AS DATA
+# (bucket, wnum), keep docs scoring above the threshold. Inference
+# only: weights arrive from an offline trainer. Everything is integer
+# arithmetic until one final division, so the scores — not just the
+# verdicts — are bit-identical across engines with NO rounding tricks.
+_CLF_BUCKETS = 4096
+_CLF_WSCALE = 1000  # weights are integers in [-1000, 1000], i.e. w*1000
+
+
+def hashed_features(docs):
+    """(doc_id, text) -> (doc_id, bucket, tf): hashed-unigram counts,
+    bucket = portable-60-bit-hash(term) % {_CLF_BUCKETS}. One explode +
+    one map-side-combined groupBy; the feature space is fixed-width by
+    construction, which is the hashing trick's 100 TB point."""
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    return terms.groupBy(
+        "doc_id", (_portable_h60(F.col("term")) % _CLF_BUCKETS).alias("bucket")
+    ).agg(F.count("*").alias("tf"))
+
+
+def classifier_score(docs, weights):
+    """Score (doc_id, text) docs against a linear model stored as a
+    (bucket, wnum) relation with integer weights scaled by
+    {_CLF_WSCALE}: logit = sum(tf * wnum) / ({_CLF_WSCALE} * n_tokens)
+    (length-normalized dot product), keep = unnormalized sum >= 0
+    (an EXACT integer comparison — the verdict can never flip on
+    floating-point noise). Returns (doc_id, n_tokens, logit, keep).
+    ``weights`` must cover every bucket in [0, {_CLF_BUCKETS}) —
+    hashing-trick models are dense over the bucket range by
+    construction (zero-weight buckets carry wnum=0 rows).
+
+    Shape at scale: the weight table is {_CLF_BUCKETS} rows —
+    broadcast; features never re-shuffle after their first groupBy;
+    the per-doc sum is one more map-combined aggregate. Docs with no
+    tokens have no features and are absent (nothing to score)."""
+    feats = hashed_features(docs)
+    # n_tokens = sum(tf) over the feature relation — the token explode
+    # runs once; no second corpus scan for lengths. A bucket missing
+    # from the weight table would silently drop its tf from BOTH the
+    # dot product and the length, so require total weight coverage.
+    z = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("wnum")).alias("zint"),
+            F.sum("tf").alias("dl"),
+        )
+    )
+    return z.select(
+        "doc_id",
+        F.col("dl").alias("n_tokens"),
+        F.expr(f"CAST(zint AS DOUBLE) / ({_CLF_WSCALE}.0 * dl)").alias("logit"),
+        (F.col("zint") >= 0).alias("keep"),
+    )
+
+
+def demo_weights(spark):
+    """The suite key's stand-in model: one deterministic integer
+    weight per bucket, derived from the portable hash of the bucket
+    id — pseudo-random, reproducible in SQL, zero training. A real
+    deployment loads trained weights from a table; the inference
+    plumbing (broadcast join, integer dot, exact verdict) is
+    identical."""
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    return spark.range(_CLF_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            _portable_h60(F.lit("w"), F.col("id")) % (2 * _CLF_WSCALE + 1)
+            - _CLF_WSCALE
+        ).alias("wnum"),
+    )
+
+
+def _classifier_oracle() -> str:
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    return f"""
+    WITH terms AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ) x WHERE LENGTH(term) > 0
+    ),
+    feats AS (
+      SELECT doc_id, {_h60_sql('term')} % {_CLF_BUCKETS} AS bucket,
+             COUNT(*) AS tf
+      FROM terms GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+    w AS (
+      SELECT b AS bucket,
+             ({_h60_sql("concat_ws('|', 'w', b)")} % {2 * _CLF_WSCALE + 1})
+               - {_CLF_WSCALE} AS wnum
+      FROM (SELECT UNNEST(RANGE(0, {_CLF_BUCKETS})) AS b)
+    ),
+    z AS (
+      SELECT f.doc_id, SUM(f.tf * w.wnum) AS zint
+      FROM feats f JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT z.doc_id, dl.dl AS n_tokens,
+           CAST(zint AS DOUBLE) / ({_CLF_WSCALE}.0 * dl.dl) AS logit,
+           zint >= 0 AS keep
+    FROM z JOIN dl USING (doc_id)
+    """
+
+
+@query("text_quality_classifier", oracle=_classifier_oracle())
+def text_quality_classifier(spark, sf_dir):
+    """Hashing-trick linear quality classifier over the corpus
+    (inference only, weights as data): hashed-unigram features x a
+    broadcast {_CLF_BUCKETS}-bucket integer weight table, length-
+    normalized logit, keep verdict on the EXACT integer dot product.
+    Hash-exact end-to-end — including the logit doubles — because the
+    only floating-point operation is one final correctly-rounded
+    division."""
+    return classifier_score(t(spark, sf_dir, "documents"), demo_weights(spark))
