@@ -1203,21 +1203,21 @@ def split_leakage_safe(spark, sf_dir):
     mode raw id-hash splits have), while singleton assignment stays
     bit-identical to the plain split.
 
-    Shape at scale: the pair+CC stages are the audited
-    dedup_neardup_clusters machinery (banded/prefix-bounded candidates,
-    min-label propagation); the split itself adds one left join
+    Shape at scale: the component relation comes from the ADAPTIVE
+    tier dispatch (dedup_neardup_adaptive) — the exact AllPairs prefix
+    join below the shingle-saturation threshold, banded MinHash-LSH
+    at/above it, where the exact tier's candidate join is the measured
+    df² cliff (first measured here: the fixed exact tier put this key
+    at 20× wall at 10× data on the saturated sf1 rung; the dispatch is
+    the escape, same trade as dedup_ingest_adaptive). On every fixture
+    SF the statistic dispatches to the exact tier, so the recursive-
+    CTE oracle holds verbatim. The split itself adds one left join
     against the component relation (which carries only docs that HAVE
-    a near-duplicate) and a map-side bucket expression. The oracle
-    recomputes components via the shared recursive-CTE block —
-    hash-exact end-to-end."""
-    from presto_on_ray_spark.operators.dedup import (
-        connected_components,
-        dedup_ngram_jaccard,
-    )
+    a near-duplicate) and a map-side bucket expression."""
+    from presto_on_ray_spark.operators.dedup import dedup_neardup_adaptive
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), F.col("component_id").alias("rep")
+    comp = dedup_neardup_adaptive(spark, sf_dir).select(
+        "doc_id", F.col("component_id").alias("rep")
     )
     d = t(spark, sf_dir, "documents").select("doc_id")
     rep = d.join(comp, "doc_id", "left").select(
