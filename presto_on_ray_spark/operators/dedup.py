@@ -726,6 +726,85 @@ def dedup_neardup_adaptive(spark, sf_dir):
     return dedup_lsh_keepers(spark, sf_dir)
 
 
+@query(
+    "dedup_keep_best",
+    oracle=(
+        "WITH RECURSIVE "
+        + _CC_CTE_BODY
+        + """,
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN n_trigrams > 0
+                  THEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams, 6)
+                  ELSE 0.0 END AS rep_ratio
+      FROM (
+        SELECT doc_id,
+               GREATEST(LEN(STRING_SPLIT(text,' ')) - 2, 0) AS n_trigrams,
+               LEN(LIST_DISTINCT(LIST_TRANSFORM(
+                 RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 2, 0) + 1),
+                 __g -> STRING_SPLIT(text,' ')[__g] || ' '
+                        || STRING_SPLIT(text,' ')[__g+1] || ' '
+                        || STRING_SPLIT(text,' ')[__g+2]))) AS n_distinct
+        FROM documents
+      )
+    )
+    SELECT c.doc_id, c.component_id, q.rep_ratio,
+           ROW_NUMBER() OVER (PARTITION BY c.component_id
+                              ORDER BY q.rep_ratio, c.doc_id) = 1 AS is_keeper
+    FROM comp c JOIN q USING (doc_id)
+    """
+    ),
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware keeper policy: within each near-dup cluster keep
+    the member with the LOWEST intra-document repetition score
+    (text_repetition's Gopher-style rep_ratio; doc_id ties) — the
+    production alternative to min-id keepers: when near-duplicates
+    differ, a pipeline wants the least-templated copy, not the one
+    with the accidentally-smallest id. Components come from the
+    adaptive tier dispatch (the split_leakage_safe lesson: every
+    consumer of the pair relation inherits its df² cliff unless it
+    routes through the dispatcher); the quality score is one
+    shuffle-free projection, the keeper pick one bounded window per
+    tiny cluster. Fixture SFs dispatch to the exact tier, so the
+    recursive-CTE oracle holds verbatim."""
+    from pyspark.sql import Window
+
+    comp = dedup_neardup_adaptive(spark, sf_dir).select(
+        "doc_id", "component_id"
+    )
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tri = F.greatest(F.size(words) - 2, F.lit(0))
+    grams = F.flatten(F.transform(
+        F.array(words),
+        lambda ws: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(ws, i, 3), " "),
+        ),
+    ))
+    n_distinct = F.when(n_tri > 0, F.size(F.array_distinct(grams))).otherwise(0)
+    q = d.select(
+        "doc_id",
+        F.when(
+            n_tri > 0,
+            F.round(
+                F.lit(1.0) - n_distinct.cast("double") / n_tri.cast("double"), 6
+            ),
+        )
+        .otherwise(0.0)
+        .alias("rep_ratio"),
+    )
+    w = Window.partitionBy("component_id").orderBy("rep_ratio", "doc_id")
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("is_keeper", F.row_number().over(w) == 1)
+        .select("doc_id", "component_id", "rep_ratio", "is_keeper")
+    )
+
+
 # -- SimHash portable-exact twin (round 8) ------------------------------
 # Completes the sketch-family pattern (hll_portable_distinct,
 # checksum_portable, dedup_lsh_keepers, similarity_ivf_exact): the
