@@ -173,6 +173,21 @@ def main() -> None:
         ),
     )
 
+    print("== Corpus governance (r12): strip, classify, split, drift ==")
+    # boilerplate out, model verdicts on, leakage-safe split keyed by
+    # near-dup clusters, PSI drift between the corpus's hash-halves —
+    # the four passes a training-data pipeline runs between dedup and
+    # tokenization, each with a hash-exact DuckDB oracle in the suite
+    bp = suite.QUERIES["corpus_boilerplate_strip"](spark, SF_DIR)
+    print("boilerplate-cut docs:", bp.filter("n_cut_segments > 0").count())
+    clf = suite.QUERIES["text_quality_classifier"](spark, SF_DIR)
+    print("classifier keep rate:", clf.filter("keep").count(), "/", clf.count())
+    suite.QUERIES["split_leakage_safe"](spark, SF_DIR).groupBy("split").count().show()
+    suite.QUERIES["corpus_drift_psi"](spark, SF_DIR).orderBy("source").show(4)
+    print("== Diversity + retrieval (r12): k-center seeds, BM25 ==")
+    suite.QUERIES["similarity_kcenter_seeds"](spark, SF_DIR).show()
+    suite.QUERIES["text_bm25_topk"](spark, SF_DIR).show(6)
+
     print("== Physical-plan introspection ==")
     from presto_on_ray_spark.plans import physical_summary
 
