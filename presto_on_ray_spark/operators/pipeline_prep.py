@@ -1052,29 +1052,13 @@ _BP_W = 4  # words per aligned segment
 _BP_MAX_DF = 1  # segments in more than this many distinct docs are cut
 
 
-def boilerplate_strip(df, w: int = _BP_W, max_df: int = _BP_MAX_DF, keep=None):
-    """Cross-corpus boilerplate strip over an arbitrary (doc_id, text)
-    DataFrame: hash every aligned full ``w``-word segment (the
-    trailing partial block is never a candidate), count each hash's
-    document frequency, and cut every segment occurring in more than
-    ``max_df`` distinct documents out of every document that carries
-    it.
-
-    Scale shape: segmentation is one map-side posexplode of a per-doc
-    hash array (corpus rows x 1/w, 8-byte keys — the text itself never
-    shuffles for counting); document frequency is a two-level groupBy
-    (distinct (h, doc) then count per h) with map-side partials; the
-    boilerplate set joins back as a left-semi on the hash; and the
-    word-level cut never leaves the row — an array_contains probe of
-    the bounded per-doc cut-index list inside whole-stage codegen,
-    exactly the _cut_spans discipline (dedup.py). The per-doc grouped
-    buffer is <= words/w longs, strictly smaller than the word array
-    split() materializes per row in the same operator."""
-    from presto_on_ray_spark.caching import tracked_persist
+def _segments(d, w: int):
+    """(doc_id, g, h): one row per aligned full w-word segment — a
+    map-side posexplode of a per-doc 60-bit hash array (the text never
+    shuffles for counting; the trailing partial block is never a
+    candidate)."""
     from presto_on_ray_spark.operators.sketch_ops import _portable_h60
 
-    keep = keep or tracked_persist
-    d = keep(df.filter(F.col("text").isNotNull()))
     arr = F.split("text", " ")
     nfull = F.floor(F.size(arr) / F.lit(w)).cast("int")
     seg_hashes = F.when(
@@ -1084,20 +1068,64 @@ def boilerplate_strip(df, w: int = _BP_W, max_df: int = _BP_MAX_DF, keep=None):
             lambda g: _portable_h60(F.array_join(F.slice(arr, g * w + 1, w), " ")),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    segs = d.select("doc_id", F.posexplode(seg_hashes).alias("g", "h"))
-    freq = (
+    return d.select("doc_id", F.posexplode(seg_hashes).alias("g", "h"))
+
+
+def segment_counts(df, w: int = _BP_W):
+    """(doc_id, text) -> (h, df): aligned-segment DOCUMENT-frequency
+    counts — boilerplate detection's maintainable artifact (8-byte
+    keys, corpus-vocabulary-sized). Two-level groupBy (distinct
+    (h, doc) then count per h) with map-side partials."""
+    segs = _segments(df.filter(F.col("text").isNotNull()), w)
+    return (
         segs.select("h", "doc_id")
         .distinct()
         .groupBy("h")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("h")
     )
+
+
+def merge_segment_counts(counts, batch, w: int = _BP_W):
+    """Fold a NEW batch's segment counts into a maintained (h, df)
+    relation: one union + re-aggregate over count rows — O(batch +
+    artifact), the corpus text is never rescanned. Valid only when the
+    batch's doc_ids are disjoint from every earlier contribution (the
+    standing ingest contract — a re-submitted doc would double-count
+    its segments' document frequency); under that contract
+    merge(counts(A), B) == counts(A UNION B) exactly (pinned in
+    tests/test_boilerplate.py)."""
+    return (
+        counts.unionByName(segment_counts(batch, w))
+        .groupBy("h")
+        .agg(F.sum("df").alias("df"))
+    )
+
+
+def boilerplate_strip_against(
+    docs, counts, w: int = _BP_W, max_df: int = _BP_MAX_DF, keep=None
+):
+    """Cut every segment whose document frequency in ``counts`` (a
+    segment_counts / merge_segment_counts artifact) exceeds
+    ``max_df`` out of ``docs`` — the ingest-time form: arriving docs
+    are stripped against the MAINTAINED corpus-wide counts without
+    rescanning the corpus. The word-level cut never leaves the row —
+    an array_contains probe of the bounded per-doc cut-index list
+    inside whole-stage codegen, exactly the _cut_spans discipline
+    (dedup.py); the per-doc grouped buffer is <= words/w longs,
+    strictly smaller than the word array split() materializes per
+    row in the same operator."""
+    from presto_on_ray_spark.caching import tracked_persist
+
+    keep = keep or tracked_persist
+    d = keep(docs.filter(F.col("text").isNotNull()))
+    freq = counts.filter(F.col("df") > max_df).select("h")
     cuts = (
-        segs.join(freq, "h", "left_semi")
+        _segments(d, w)
+        .join(freq, "h", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list(F.col("g").cast("long")).alias("cut_gs"))
     )
+    arr = F.split("text", " ")
     kept = F.filter(
         arr,
         lambda wd, i: ~F.array_contains(F.col("cut_gs"), F.floor(i / F.lit(w))),
@@ -1110,6 +1138,22 @@ def boilerplate_strip(df, w: int = _BP_W, max_df: int = _BP_MAX_DF, keep=None):
             F.size("cut_gs").cast("long").alias("n_cut_segments"),
             F.array_join(kept, " ").alias("clean_text"),
         )
+    )
+
+
+def boilerplate_strip(df, w: int = _BP_W, max_df: int = _BP_MAX_DF, keep=None):
+    """Cross-corpus boilerplate strip over an arbitrary (doc_id, text)
+    DataFrame: hash every aligned full ``w``-word segment, count each
+    hash's document frequency, and cut every segment occurring in more
+    than ``max_df`` distinct documents out of every document that
+    carries it — the one-shot composition of segment_counts +
+    boilerplate_strip_against over the same relation."""
+    from presto_on_ray_spark.caching import tracked_persist
+
+    keep = keep or tracked_persist
+    d = keep(df.filter(F.col("text").isNotNull()))
+    return boilerplate_strip_against(
+        d, segment_counts(d, w), w=w, max_df=max_df, keep=lambda x: x
     )
 
 

@@ -121,3 +121,55 @@ def test_brute_force_twin_random_corpus(spark, seed):
             words[at:at] = footer.split(" ")
         docs[did] = " ".join(words)
     assert _run(spark, docs, w=4, max_df=1) == _brute(docs, 4, 1)
+
+
+def test_merge_equals_recount_on_disjoint_batches(spark):
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        merge_segment_counts,
+        segment_counts,
+    )
+
+    a = {0: "x y z w pad", 1: "x y z w", 2: "unique words here four"}
+    b = {10: "x y z w more", 11: "other fresh segment here"}
+    df_a = spark.createDataFrame(list(a.items()), "doc_id long, text string")
+    df_b = spark.createDataFrame(list(b.items()), "doc_id long, text string")
+    df_ab = spark.createDataFrame(
+        list(a.items()) + list(b.items()), "doc_id long, text string"
+    )
+    merged = {
+        r.h: r.df
+        for r in merge_segment_counts(segment_counts(df_a, 4), df_b, 4).collect()
+    }
+    full = {r.h: r.df for r in segment_counts(df_ab, 4).collect()}
+    assert merged == full
+    assert max(full.values()) == 3  # "x y z w" seen in docs 0, 1, 10
+
+
+def test_strip_against_maintained_counts_equals_one_shot(spark):
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        boilerplate_strip,
+        boilerplate_strip_against,
+        merge_segment_counts,
+        segment_counts,
+    )
+
+    a = {0: "x y z w pad", 1: "x y z w", 2: "unique words here four"}
+    b = {10: "x y z w more", 11: "other fresh segment here"}
+    df_a = spark.createDataFrame(list(a.items()), "doc_id long, text string")
+    df_b = spark.createDataFrame(list(b.items()), "doc_id long, text string")
+    df_ab = spark.createDataFrame(
+        list(a.items()) + list(b.items()), "doc_id long, text string"
+    )
+    counts = merge_segment_counts(segment_counts(df_a, 4), df_b, 4)
+    got = {
+        r.doc_id: (r.n_cut_segments, r.clean_text)
+        for r in boilerplate_strip_against(
+            df_ab, counts, w=4, max_df=1, keep=_no_persist
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.n_cut_segments, r.clean_text)
+        for r in boilerplate_strip(df_ab, w=4, max_df=1, keep=_no_persist).collect()
+    }
+    assert got == want
+    assert got[10][1] == "more"  # the shared aligned block was cut
