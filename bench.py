@@ -107,6 +107,14 @@ HEADLINE = [
     "corpus_boilerplate_strip",
     "dedup_semantic",
     "text_bm25_topk",
+    # round-12 continuation 2: the governance tier — leakage-safe
+    # splits (adaptive pair tier), quality-keeper policy, PSI drift,
+    # classifier inference, k-center seeds
+    "split_leakage_safe",
+    "dedup_keep_best",
+    "corpus_drift_psi",
+    "text_quality_classifier",
+    "similarity_kcenter_seeds",
 ]
 
 
