@@ -1499,6 +1499,44 @@ def build_base_index(base, tracked: bool = True) -> BaseIndex:
     return BaseIndex(digests, sho, df_rel, counts, prefix)
 
 
+def _write_index_relations(
+    index: BaseIndex, path: str, with_bands: bool
+) -> None:
+    """Write every index relation (and optionally bands) as parquet:
+    shingles FIRST — every other relation (and bands) derives from the
+    shared persisted shingle relation, so its write warms that cache
+    exactly once — then the rest CONCURRENTLY from worker threads
+    (independent Spark actions over the warm cache; measured 6.0 s →
+    ~3 s for the sf0.1 save). Any failure propagates to the caller,
+    which leaves the mutation markers stranded — relation write ORDER
+    carries no crash-contract meaning during a rebuild because readers
+    refuse on _MERGE_MUTATING for the whole write phase."""
+    import concurrent.futures
+    import os
+
+    index.shingles.write.mode("overwrite").parquet(
+        os.path.join(path, "shingles")
+    )
+    jobs = [
+        (name, getattr(index, name))
+        for name in BaseIndex._fields
+        if name != "shingles"
+    ]
+    if with_bands:
+        jobs.append(("bands", lsh_bands(index.shingles)))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futures = [
+            ex.submit(
+                lambda df=df, name=name: df.write.mode("overwrite").parquet(
+                    os.path.join(path, name)
+                )
+            )
+            for name, df in jobs
+        ]
+        for f in futures:
+            f.result()
+
+
 def save_base_index(
     index: BaseIndex, path: str, force: bool = False, with_bands: bool = False
 ) -> None:
@@ -1553,14 +1591,7 @@ def save_base_index(
         os_path = None
 
     if os_path is None:
-        for name in BaseIndex._fields:
-            getattr(index, name).write.mode("overwrite").parquet(
-                os.path.join(path, name)
-            )
-        if with_bands:
-            lsh_bands(index.shingles).write.mode("overwrite").parquet(
-                os.path.join(path, "bands")
-            )
+        _write_index_relations(index, path, with_bands)
         return
 
     markers = [
@@ -1620,16 +1651,9 @@ def save_base_index(
             with contextlib.suppress(OSError):
                 os.remove(inprog)
             raise
-    for name in BaseIndex._fields:
-        getattr(index, name).write.mode("overwrite").parquet(
-            os.path.join(path, name)
-        )
+    _write_index_relations(index, path, with_bands)
     bands_dir = os.path.join(os_path, "bands")
-    if with_bands:
-        lsh_bands(index.shingles).write.mode("overwrite").parquet(
-            os.path.join(path, "bands")
-        )
-    elif os.path.exists(bands_dir):
+    if os.path.exists(bands_dir) and not with_bands:
         # the rebuild changed the doc-set generation; bands not
         # regenerated with it would silently lose LSH recall for
         # every doc the rebuild added — remove, never keep stale
