@@ -2342,19 +2342,32 @@ def merge_into_saved_index(
             # phase 1: write every new generation, reading ONLY the old
             # directories (the strict prefix ranks over the saved shingles
             # UNION the batch — not the appended files — so no step here
-            # depends on a mutation having happened)
+            # depends on a mutation having happened). Generation writes
+            # have no ordering contract before the window (the swap
+            # publishes them), so they run as concurrent Spark actions.
+            import concurrent.futures
+
             digests, df_rel, _ = _merged_aggregates(index, new_docs, new_sho)
-            mut.write_new("digests", digests)
-            mut.write_new("df", df_rel)
+            gens = [("digests", digests), ("df", df_rel)]
             if rerank:
                 # strict: order-dependent, so a new generation — but from
                 # the saved shingles, never by re-shingling document text
-                mut.write_new(
-                    "prefix",
-                    _ranked_prefix(
-                        index.shingles.unionByName(new_sho), df_rel, tn, td
-                    ),
+                gens.append(
+                    (
+                        "prefix",
+                        _ranked_prefix(
+                            index.shingles.unionByName(new_sho), df_rel, tn, td
+                        ),
+                    )
                 )
+            with concurrent.futures.ThreadPoolExecutor(
+                max_workers=len(gens)
+            ) as ex:
+                for f in [
+                    ex.submit(lambda n=n, rel=rel: mut.write_new(n, rel))
+                    for n, rel in gens
+                ]:
+                    f.result()
 
             # the optional bands relation is maintained in the SAME
             # mutation window as everything else, so ingest_batch_lsh's
@@ -2432,19 +2445,36 @@ def compact_saved_index(spark, path: str) -> None:
         # file listing defines the whole compaction
         mut.write_new("shingles", index.shingles)
         sho = spark.read.parquet(os.path.join(mut.path, "shingles__new"))
-        mut.write_new("df", sho.groupBy("sh").agg(F.count("*").alias("df")))
-        df_rel = spark.read.parquet(os.path.join(mut.path, "df__new"))
-        mut.write_new(
-            "counts", sho.groupBy("doc_id").agg(F.count("*").alias("n_o"))
-        )
-        mut.write_new("prefix", _ranked_prefix(sho, df_rel, tn, td))
-        mut.write_new("digests", index.digests)
+        # generation writes before the mutation window have NO ordering
+        # contract (the swap at the end is what publishes them), so the
+        # independent relations — counts, digests, bands — run as
+        # concurrent Spark actions beside the df -> prefix chain, which
+        # alone is order-dependent (prefix reads the written df__new)
+        import concurrent.futures
+
+        side = [
+            (
+                "counts",
+                sho.groupBy("doc_id").agg(F.count("*").alias("n_o")),
+            ),
+            ("digests", index.digests),
+        ]
         if os.path.isdir(os.path.join(mut.os_path, "bands")):
             # bands stay VALID across compaction (the doc set and the
             # shingles themselves never change — merge_lsh_bands'
             # contract), but rewriting them from the snapshot collapses
             # the per-admission small files exactly like the others
-            mut.write_new("bands", lsh_bands(sho))
+            side.append(("bands", lsh_bands(sho)))
+        with concurrent.futures.ThreadPoolExecutor(max_workers=len(side)) as ex:
+            futures = [
+                ex.submit(lambda n=n, df=df: mut.write_new(n, df))
+                for n, df in side
+            ]
+            mut.write_new("df", sho.groupBy("sh").agg(F.count("*").alias("df")))
+            df_rel = spark.read.parquet(os.path.join(mut.path, "df__new"))
+            mut.write_new("prefix", _ranked_prefix(sho, df_rel, tn, td))
+            for f in futures:
+                f.result()
         mut.enter_mutation_window()
         mut.swap()
 
