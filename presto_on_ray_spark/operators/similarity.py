@@ -1560,6 +1560,31 @@ def _load_ann_relations(spark, rel_root: str) -> AnnIndex:
     )
 
 
+def _ann_write_relations(index: AnnIndex, base: str) -> None:
+    """Write the three AnnIndex relations under ``base`` as concurrent
+    Spark actions — generation (and flat-layout) writes have no
+    ordering contract: the _CURRENT flip (or the store's own
+    atomicity) is what publishes them. cents/codebook are broadcast-
+    sized, so this effectively overlaps their scheduling with the
+    codes write. Any failure propagates to the caller's
+    release-vs-strand handling."""
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(
+        max_workers=len(_ANN_RELATIONS)
+    ) as ex:
+        futures = [
+            ex.submit(
+                lambda name=name, rel=rel: rel.write.mode("overwrite").parquet(
+                    f"{base}/{name}"
+                )
+            )
+            for name, rel in zip(_ANN_RELATIONS, index)
+        ]
+        for f in futures:
+            f.result()
+
+
 def _ann_commit_generation(index: AnnIndex, spark_path: str, os_path: str):
     """THE generation-commit sequence, shared by save and compact so
     their crash semantics can never drift: write every relation into a
@@ -1575,8 +1600,7 @@ def _ann_commit_generation(index: AnnIndex, spark_path: str, os_path: str):
     import warnings
 
     gen = _ann_next_gen(os_path)
-    for name, rel in zip(_ANN_RELATIONS, index):
-        rel.write.mode("overwrite").parquet(f"{spark_path}/{gen}/{name}")
+    _ann_write_relations(index, f"{spark_path}/{gen}")
     _ann_flip(os_path, gen)
     try:
         _ann_sweep_orphans(os_path, keep=gen)
@@ -1603,8 +1627,7 @@ def save_ann_index(index: AnnIndex, path: str, force: bool = False) -> None:
     single-writer discipline apply."""
     spark_path, os_path, locked = _ann_paths(path)
     if not locked:
-        for name, rel in zip(_ANN_RELATIONS, index):
-            rel.write.mode("overwrite").parquet(f"{spark_path}/{name}")
+        _ann_write_relations(index, spark_path)
         return
     _ann_acquire(os_path, "save", force=force)
     try:
