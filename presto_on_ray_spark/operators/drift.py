@@ -47,9 +47,12 @@ def reference_histogram(ref, bin_width: int, group_col: str = "source"):
 
 
 def _binned(df, bin_width: int, group_col: str):
+    # FLOOR division, not `div` truncation: negative feature values
+    # must land in the same bin both engines (DuckDB's // floors;
+    # Spark's `div` truncates toward zero — they differ below zero)
     return df.groupBy(
         F.col(group_col).alias("grp"),
-        F.expr(f"val div {bin_width}").alias("bin"),
+        F.floor(F.col("val") / F.lit(bin_width)).cast("long").alias("bin"),
     ).agg(F.count("*").alias("c"))
 
 

@@ -2167,6 +2167,11 @@ def kcenter_seeds(v, k: int = _KCENTER_K):
             .select("m.vec_id", "m.qv", "m.mind")
             .collect()[0]
         )
+        if nxt.vec_id is None:  # min over an EMPTY relation: k > n
+            raise ValueError(
+                f"kcenter_seeds: k={k} exceeds the {rank - 1} available "
+                f"vectors — every vector is already a seed"
+            )
         seeds.append((rank, nxt.vec_id, nxt.mind))
         lit_vec = F.array(*[F.lit(int(x)) for x in nxt.qv])
         cur = cur.filter(F.col("vec_id") != nxt.vec_id).select(

@@ -351,9 +351,12 @@ def text_bm25_topk(spark, sf_dir):
 def bm25_topk(docs, qterms, topk: int = _BM25_TOPK):
     """BM25 top-k over arbitrary (doc_id, text) docs and (qid, term)
     queries — the query body of text_bm25_topk (see its docstring for
-    the determinism and scale design)."""
+    the determinism and scale design). The query relation is
+    deduplicated defensively: a repeated (qid, term) row would
+    silently double that term's contribution to the score."""
     from pyspark.sql import Window
 
+    qterms = qterms.distinct()
     terms = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.length("term") > 0)

@@ -83,3 +83,16 @@ def test_tf_saturation_beats_linear_growth(spark):
     got = {r.doc_id: r.score for r in bm25_topk(docs_df, q_df).collect()}
     assert got[0] > got[1]
     assert got[0] < 10 * got[1]
+
+
+def test_duplicate_query_rows_do_not_double_count(spark):
+    docs_df = spark.createDataFrame(
+        [(0, "apple pie"), (1, "apple apple tart")], "doc_id long, text string"
+    )
+    q_once = spark.createDataFrame([(0, "apple")], "qid long, term string")
+    q_dup = spark.createDataFrame(
+        [(0, "apple"), (0, "apple")], "qid long, term string"
+    )
+    once = {(r.qid, r.doc_id): r.score for r in bm25_topk(docs_df, q_once).collect()}
+    dup = {(r.qid, r.doc_id): r.score for r in bm25_topk(docs_df, q_dup).collect()}
+    assert once == dup

@@ -77,3 +77,12 @@ def test_python_twin(spark):
         for r in distribution_drift(_df(spark, ref), _df(spark, cur), 64).collect()
     }
     assert got == _brute(ref, cur, 64)
+
+
+def test_negative_values_bin_identically_to_floor_semantics(spark):
+    # -1 must land in bin -1 (floor), never bin 0 (truncation): the
+    # oracle's // floors, so the Spark side must too
+    ref = [("a", -1), ("a", -64), ("a", 0), ("a", 63)]
+    got = distribution_drift(_df(spark, ref), _df(spark, ref), 64).collect()
+    assert got[0].n_bins == 2  # {-1: [-64..-1], 0: [0..63]}
+    assert got[0].psi == 0.0

@@ -74,3 +74,13 @@ def test_smallest_id_tie_break_on_first_seed(spark):
     assert first.vec_id == 3 or first.vec_id == 7
     # all three norms are equal (100): smallest id wins outright
     assert first.vec_id == 3
+
+
+def test_k_exceeding_n_raises(spark):
+    import pytest
+
+    v = spark.createDataFrame(
+        [(0, [1, 0]), (1, [0, 1])], "vec_id long, qv array<long>"
+    )
+    with pytest.raises(ValueError, match="exceeds the 2 available"):
+        kcenter_seeds(v, k=3)
