@@ -1,0 +1,71 @@
+"""Streaming boilerplate strip: clean each arriving micro-batch of
+documents against FROZEN corpus-wide segment counts — the
+boilerplate analogue of stream_ingest_dedup's frozen-index form: the
+counts artifact (operators/pipeline_prep.segment_counts, maintained
+across batches by merge_segment_counts) is built offline from the
+corpus; the stream pays batch-sized work per trigger.
+
+Batch boundaries cannot change any output row: each document's cut
+set depends only on its own segments and the frozen counts, so the
+union of per-batch results equals the one-shot
+boilerplate_strip_against over all arriving docs (pinned in
+tests/test_streaming_boilerplate.py). A deployment that also ADMITS
+each batch into the counts runs merge_segment_counts in its sink —
+ordering between strip and admit is the sink's policy choice
+(strip-then-admit reproduces the frozen semantics; admit-then-strip
+would let a batch's own repeats count toward the threshold).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from presto_on_ray_spark.operators.pipeline_prep import (
+    _BP_MAX_DF,
+    _BP_W,
+    boilerplate_strip_against,
+)
+from presto_on_ray_spark.streaming.ingest import _start
+
+
+def stream_boilerplate_strip(
+    docs_stream: DataFrame,
+    counts: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    w: int = _BP_W,
+    max_df: int = _BP_MAX_DF,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    await_termination: bool | None = None,
+):
+    """Strip every arriving (doc_id, text) micro-batch against the
+    frozen ``counts`` relation (PERSIST it — every micro-batch joins
+    its over-threshold subset) and hand (doc_id, n_cut_segments,
+    clean_text) to ``sink(cleaned_df, batch_id)``. Per-batch persists
+    are batch-local (the stream_ingest_dedup keep= discipline), so a
+    long-running stream holds O(1) cache state."""
+    import contextlib
+
+    def _strip(batch_df: DataFrame, batch_id: int) -> None:
+        batch_persists: list[DataFrame] = []
+
+        def keep(df: DataFrame) -> DataFrame:
+            batch_persists.append(df.persist())
+            return df
+
+        try:
+            sink(
+                boilerplate_strip_against(
+                    batch_df, counts, w=w, max_df=max_df, keep=keep
+                ),
+                batch_id,
+            )
+        finally:
+            for df in batch_persists:
+                with contextlib.suppress(Exception):
+                    df.unpersist()
+
+    return _start(docs_stream, _strip, checkpoint_dir, available_now,
+                  await_termination)
