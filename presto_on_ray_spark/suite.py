@@ -147,6 +147,7 @@ def load_all() -> None:
         dedup,
         drift,
         filters,
+        governance,
         graph,
         grouped_pandas,
         incremental,
