@@ -1276,3 +1276,124 @@ def split_leakage_safe(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+# -- content-defined chunking (rolling-hash boundaries) -----------------
+# text_chunking slices at FIXED offsets, so inserting one word early in
+# a document shifts every later chunk and changes every chunk hash —
+# the classic fixed-window weakness. Content-defined chunking (the
+# Rabin/CDC technique storage dedup uses; LLM pipelines use it for
+# edit-stable chunk identity) cuts where a rolling hash of the local
+# g-gram hits a divisor class: boundaries depend only on nearby words,
+# so an edit disturbs at most its neighboring chunks and every other
+# chunk keeps its identity (hash) — pinned by the locality test.
+
+_CDC_G = 3  # words per rolling gram
+_CDC_D = 16  # divisor: expected chunk length ~= _CDC_D words
+
+
+def content_defined_chunks(docs, g: int = _CDC_G, d: int = _CDC_D, keep=None):
+    """Chunk (doc_id, text) docs at content-defined boundaries: word
+    position p (1-based) ENDS a chunk when p >= g and the portable
+    60-bit hash of words[p-g+1..p] ≡ 0 (mod d); the remainder forms
+    the final chunk. Returns (doc_id, chunk_id, n_words, chunk_md5)
+    with chunk_id contiguous from 0 in document order.
+
+    Shape at scale: the boundary flags are a row-local HOF array (one
+    hash per word position, no corpus-window join); the only shuffle
+    is the per-document prefix-sum window + the (doc, chunk) span
+    aggregate, and chunk text is re-sliced from the document row —
+    never carried through the explode."""
+    from presto_on_ray_spark.caching import tracked_persist
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    keep = keep or tracked_persist
+    dd = keep(docs.filter(F.col("text").isNotNull()))
+    arr = F.split("text", " ")
+    flags = F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda p: F.when(
+            (p >= g)
+            & (
+                _portable_h60(F.array_join(F.slice(arr, p - g + 1, g), " "))
+                % d
+                == 0
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    pos = dd.select("doc_id", F.posexplode(flags).alias("p0", "bnd"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = pos.select(
+        "doc_id",
+        (F.col("p0") + 1).alias("p"),
+        F.coalesce(F.sum("bnd").over(w), F.lit(0)).cast("long").alias("chunk_id"),
+    )
+    spans = chunks.groupBy("doc_id", "chunk_id").agg(
+        F.min("p").alias("a"), F.max("p").alias("b")
+    )
+    return spans.join(dd, "doc_id").select(
+        "doc_id",
+        "chunk_id",
+        (F.col("b") - F.col("a") + 1).cast("long").alias("n_words"),
+        F.md5(
+            F.array_join(
+                F.slice(arr, F.col("a"), F.col("b") - F.col("a") + 1), " "
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+def _cdc_oracle() -> str:
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    g, d = _CDC_G, _CDC_D
+    return f"""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+      SELECT doc_id, p,
+             CASE WHEN p >= {g} AND {_h60_sql("segtxt")} % {d} = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM (
+        SELECT doc_id, p,
+               CASE WHEN p >= {g}
+                    THEN ARRAY_TO_STRING(ws[(p-{g - 1}):(p)], ' ')
+                    ELSE '' END AS segtxt
+        FROM w, UNNEST(RANGE(1, LEN(ws) + 1)) AS t(p)
+      )
+    ),
+    chunks AS (
+      SELECT doc_id, p,
+             COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM pos
+    ),
+    spans AS (
+      SELECT doc_id, chunk_id, MIN(p) AS a, MAX(p) AS b
+      FROM chunks GROUP BY 1, 2
+    )
+    SELECT s.doc_id, CAST(s.chunk_id AS BIGINT) AS chunk_id,
+           CAST(b - a + 1 AS BIGINT) AS n_words,
+           MD5(ARRAY_TO_STRING(w.ws[CAST(a AS INTEGER):CAST(b AS INTEGER)], ' '))
+             AS chunk_md5
+    FROM spans s JOIN w USING (doc_id)
+    """
+
+
+@query("text_chunking_cdc", oracle=_cdc_oracle())
+def text_chunking_cdc(spark, sf_dir):
+    """Content-defined chunking of the corpus ({_CDC_G}-gram rolling
+    hash, divisor {_CDC_D} — expected chunk ~{_CDC_D} words): chunk
+    boundaries depend only on local content, so document edits keep
+    every untouched chunk's hash stable (the dedup-friendly property
+    fixed-offset text_chunking lacks; locality pinned in
+    tests/test_cdc_chunking.py). Hash-exact against a DuckDB replay
+    of the whole boundary/prefix-sum/slice pipeline."""
+    return content_defined_chunks(t(spark, sf_dir, "documents"))
