@@ -115,6 +115,9 @@ HEADLINE = [
     "corpus_drift_psi",
     "text_quality_classifier",
     "similarity_kcenter_seeds",
+    # round-12 continuation 3: the composed dashboard + CDC chunking
+    "corpus_health_report",
+    "text_chunking_cdc",
 ]
 
 

@@ -1397,3 +1397,146 @@ def text_chunking_cdc(spark, sf_dir):
     tests/test_cdc_chunking.py). Hash-exact against a DuckDB replay
     of the whole boundary/prefix-sum/slice pipeline."""
     return content_defined_chunks(t(spark, sf_dir, "documents"))
+
+
+# -- saved segment-counts lifecycle (generation flips) ------------------
+# The boilerplate artifact's on-disk form. Unlike the dedup base index
+# (five relations, in-place appends under a mutation window), segment
+# counts are ONE vocabulary-sized relation, so every mutation can
+# afford a full fresh generation + atomic pointer flip — the saved-ANN
+# protocol's shape with none of the append machinery: a crash before
+# the flip leaves the old generation live and readable, the partial
+# generation is unreferenced litter the next successful writer sweeps,
+# and there is no torn-append state to diagnose at all.
+
+_COUNTS_WRITING = "_COUNTS_WRITING"
+_COUNTS_CURRENT = "_CURRENT"
+
+
+def _counts_os_path(path: str) -> str:
+    from presto_on_ray_spark.operators.dedup import _index_paths
+
+    _, os_path = _index_paths(path)
+    if os_path is None:
+        raise ValueError(
+            f"saved segment counts at {path!r}: only local paths are "
+            f"supported — the generation flip is a filesystem rename; on "
+            f"an object store keep counts in a transactional table format"
+        )
+    return os_path
+
+
+def _counts_acquire(os_path: str, force: bool) -> None:
+    import os
+
+    os.makedirs(os_path, exist_ok=True)
+    marker = os.path.join(os_path, _COUNTS_WRITING)
+    try:
+        with open(marker, "x", encoding="utf-8") as fh:
+            fh.write("segment-counts writer live\n")
+    except FileExistsError:
+        if not force:
+            raise ValueError(
+                f"saved segment counts at {os_path!r}: {_COUNTS_WRITING} is "
+                f"held — a writer is live or crashed. If none is live, retry "
+                f"with force=True (the takeover is safe: the pointer only "
+                f"ever references complete generations)."
+            ) from None
+
+
+def _counts_release(os_path: str) -> None:
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(os_path, _COUNTS_WRITING))
+
+
+def _counts_flip(os_path: str, gen: str) -> None:
+    import os
+
+    tmp = os.path.join(os_path, _COUNTS_CURRENT + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(gen)
+    os.replace(tmp, os.path.join(os_path, _COUNTS_CURRENT))
+
+
+def _counts_gen(os_path: str) -> str:
+    import os
+
+    cur = os.path.join(os_path, _COUNTS_CURRENT)
+    if not os.path.exists(cur):
+        raise ValueError(
+            f"saved segment counts at {os_path!r}: no {_COUNTS_CURRENT} "
+            f"pointer — nothing was ever saved here (or the location is "
+            f"not a counts store)"
+        )
+    with open(cur, encoding="utf-8") as fh:
+        return fh.read().strip()
+
+
+def save_segment_counts(counts, path: str, force: bool = False) -> None:
+    """Save a (h, df) counts relation as a fresh generation under
+    ``path`` and flip the _CURRENT pointer atomically. Single-writer
+    (``_COUNTS_WRITING`` marker; ``force=True`` takes over a crashed
+    writer); superseded generations are swept AFTER the flip,
+    best-effort."""
+    import contextlib
+    import os
+    import shutil
+
+    os_path = _counts_os_path(path)
+    _counts_acquire(os_path, force)
+    try:
+        existing = [
+            n
+            for n in os.listdir(os_path)
+            if n.startswith("gen-") and n[4:].isdigit()
+        ]
+        nxt = f"gen-{max((int(n[4:]) for n in existing), default=-1) + 1}"
+        counts.write.mode("overwrite").parquet(f"{path}/{nxt}/counts")
+        _counts_flip(os_path, nxt)
+        for n in existing:
+            if n != nxt:
+                with contextlib.suppress(OSError):
+                    shutil.rmtree(os.path.join(os_path, n))
+    finally:
+        _counts_release(os_path)
+
+
+def load_segment_counts(spark, path: str):
+    """Read the live generation's (h, df) relation. Safe to read past
+    a concurrent writer (the pointer flips atomically onto complete
+    generations only), so no marker check is needed — the one
+    structural difference from the dedup index's in-place appends."""
+    os_path = _counts_os_path(path)
+    return spark.read.parquet(f"{path}/{_counts_gen(os_path)}/counts")
+
+
+def merge_into_saved_segment_counts(
+    spark, path: str, batch, w: int = _BP_W, force: bool = False
+) -> None:
+    """Fold a new batch of (doc_id, text) documents into a saved
+    counts store: load the live generation, merge (O(batch +
+    artifact), disjoint-doc-ids contract — see merge_segment_counts),
+    write the result as the next generation, flip. A crash anywhere
+    before the flip leaves the previous generation live; there is no
+    partially-merged readable state."""
+    import contextlib
+    import os
+    import shutil
+
+    os_path = _counts_os_path(path)
+    _counts_acquire(os_path, force)
+    try:
+        cur = _counts_gen(os_path)
+        merged = merge_segment_counts(
+            spark.read.parquet(f"{path}/{cur}/counts"), batch, w
+        )
+        nxt = f"gen-{int(cur[4:]) + 1}"
+        merged.write.mode("overwrite").parquet(f"{path}/{nxt}/counts")
+        _counts_flip(os_path, nxt)
+        with contextlib.suppress(OSError):
+            shutil.rmtree(os.path.join(os_path, cur))
+    finally:
+        _counts_release(os_path)

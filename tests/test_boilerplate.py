@@ -173,3 +173,77 @@ def test_strip_against_maintained_counts_equals_one_shot(spark):
     }
     assert got == want
     assert got[10][1] == "more"  # the shared aligned block was cut
+
+
+def test_saved_counts_roundtrip_merge_and_crash_semantics(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        _COUNTS_WRITING,
+        load_segment_counts,
+        merge_into_saved_segment_counts,
+        save_segment_counts,
+        segment_counts,
+    )
+
+    a = {0: "x y z w pad", 1: "x y z w", 2: "unique words here four"}
+    b = {10: "x y z w more", 11: "other fresh segment here"}
+    df_a = spark.createDataFrame(list(a.items()), "doc_id long, text string")
+    df_b = spark.createDataFrame(list(b.items()), "doc_id long, text string")
+    df_ab = spark.createDataFrame(
+        list(a.items()) + list(b.items()), "doc_id long, text string"
+    )
+    p = str(tmp_path / "counts_store")
+
+    # round-trip
+    save_segment_counts(segment_counts(df_a, 4), p)
+    got = {r.h: r.df for r in load_segment_counts(spark, p).collect()}
+    assert got == {r.h: r.df for r in segment_counts(df_a, 4).collect()}
+
+    # merge == recount over the union (disjoint ids)
+    merge_into_saved_segment_counts(spark, p, df_b, 4)
+    got = {r.h: r.df for r in load_segment_counts(spark, p).collect()}
+    assert got == {r.h: r.df for r in segment_counts(df_ab, 4).collect()}
+    # the superseded generation was swept; exactly one remains
+    gens = [n for n in os.listdir(p) if n.startswith("gen-")]
+    assert len(gens) == 1
+
+    # single-writer: a held marker refuses, force takes over
+    open(os.path.join(p, _COUNTS_WRITING), "w").close()
+    with pytest.raises(ValueError, match="_COUNTS_WRITING is held"):
+        save_segment_counts(segment_counts(df_a, 4), p)
+    save_segment_counts(segment_counts(df_a, 4), p, force=True)
+    got = {r.h: r.df for r in load_segment_counts(spark, p).collect()}
+    assert got == {r.h: r.df for r in segment_counts(df_a, 4).collect()}
+    assert not os.path.exists(os.path.join(p, _COUNTS_WRITING))
+
+
+def test_saved_counts_crash_before_flip_leaves_old_generation(
+    spark, tmp_path, monkeypatch
+):
+    import pytest
+
+    from presto_on_ray_spark.operators import pipeline_prep as pp
+
+    df_a = spark.createDataFrame([(0, "x y z w")], "doc_id long, text string")
+    df_b = spark.createDataFrame([(10, "x y z w")], "doc_id long, text string")
+    p = str(tmp_path / "store")
+    pp.save_segment_counts(pp.segment_counts(df_a, 4), p)
+    before = {r.h: r.df for r in pp.load_segment_counts(spark, p).collect()}
+
+    def boom(os_path, gen):
+        raise OSError("simulated crash before flip")
+
+    monkeypatch.setattr(pp, "_counts_flip", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        pp.merge_into_saved_segment_counts(spark, p, df_b, 4)
+    monkeypatch.undo()
+    # the old generation is still live and readable; the marker was
+    # released (the failed writer mutated nothing the pointer sees)
+    after = {r.h: r.df for r in pp.load_segment_counts(spark, p).collect()}
+    assert after == before
+    # and a retry succeeds cleanly
+    pp.merge_into_saved_segment_counts(spark, p, df_b, 4)
+    assert {r.df for r in pp.load_segment_counts(spark, p).collect()} == {2}
