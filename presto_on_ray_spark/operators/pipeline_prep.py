@@ -1413,17 +1413,20 @@ _COUNTS_WRITING = "_COUNTS_WRITING"
 _COUNTS_CURRENT = "_CURRENT"
 
 
-def _counts_os_path(path: str) -> str:
+def _counts_paths(path: str) -> tuple:
+    """(spark_path, os_path): the canonical Spark-side form of a LOCAL
+    counts-store location plus its os-level twin (dedup._index_paths
+    handles the file:-URI spellings byte-exactly)."""
     from presto_on_ray_spark.operators.dedup import _index_paths
 
-    _, os_path = _index_paths(path)
+    spark_path, os_path = _index_paths(path)
     if os_path is None:
         raise ValueError(
             f"saved segment counts at {path!r}: only local paths are "
             f"supported — the generation flip is a filesystem rename; on "
             f"an object store keep counts in a transactional table format"
         )
-    return os_path
+    return spark_path, os_path
 
 
 def _counts_acquire(os_path: str, force: bool) -> None:
@@ -1485,7 +1488,7 @@ def save_segment_counts(counts, path: str, force: bool = False) -> None:
     import os
     import shutil
 
-    os_path = _counts_os_path(path)
+    path, os_path = _counts_paths(path)
     _counts_acquire(os_path, force)
     try:
         existing = [
@@ -1509,7 +1512,7 @@ def load_segment_counts(spark, path: str):
     a concurrent writer (the pointer flips atomically onto complete
     generations only), so no marker check is needed — the one
     structural difference from the dedup index's in-place appends."""
-    os_path = _counts_os_path(path)
+    path, os_path = _counts_paths(path)
     return spark.read.parquet(f"{path}/{_counts_gen(os_path)}/counts")
 
 
@@ -1526,7 +1529,7 @@ def merge_into_saved_segment_counts(
     import os
     import shutil
 
-    os_path = _counts_os_path(path)
+    path, os_path = _counts_paths(path)
     _counts_acquire(os_path, force)
     try:
         cur = _counts_gen(os_path)
