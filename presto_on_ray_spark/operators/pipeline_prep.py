@@ -1516,15 +1516,48 @@ def load_segment_counts(spark, path: str):
     return spark.read.parquet(f"{path}/{_counts_gen(os_path)}/counts")
 
 
+_COUNTS_BATCHES = "_BATCHES"  # admitted stream-batch ids, per generation
+
+
+def admitted_count_batches(path: str) -> frozenset:
+    """The admitted stream-batch ids recorded in the LIVE generation
+    (empty for stores never fed by the streaming admit loop). The
+    record travels INSIDE the generation directory, so it is published
+    by the same atomic flip as the counts themselves — see
+    stream_segment_counts_admit."""
+    import os
+
+    _, os_path = _counts_paths(path)
+    f = os.path.join(os_path, _counts_gen(os_path), _COUNTS_BATCHES)
+    if not os.path.exists(f):
+        return frozenset()
+    with open(f, encoding="utf-8") as fh:
+        return frozenset(int(x) for x in fh.read().split())
+
+
 def merge_into_saved_segment_counts(
-    spark, path: str, batch, w: int = _BP_W, force: bool = False
+    spark,
+    path: str,
+    batch,
+    w: int = _BP_W,
+    force: bool = False,
+    admit_batch_id: int | None = None,
 ) -> None:
     """Fold a new batch of (doc_id, text) documents into a saved
     counts store: load the live generation, merge (O(batch +
     artifact), disjoint-doc-ids contract — see merge_segment_counts),
     write the result as the next generation, flip. A crash anywhere
     before the flip leaves the previous generation live; there is no
-    partially-merged readable state."""
+    partially-merged readable state.
+
+    ``admit_batch_id`` records a stream-batch id in the new
+    generation's {_COUNTS_BATCHES} file (carrying the old
+    generation's record forward either way) — because the record is
+    part of the generation, counts and the admission mark publish in
+    ONE atomic flip: there is no crash window in which the merge
+    applied but the admission went unrecorded (the gap the dedup
+    index's in-place appends must bridge with a commit-token
+    handshake)."""
     import contextlib
     import os
     import shutil
@@ -1533,11 +1566,24 @@ def merge_into_saved_segment_counts(
     _counts_acquire(os_path, force)
     try:
         cur = _counts_gen(os_path)
+        admitted = set()
+        cur_batches = os.path.join(os_path, cur, _COUNTS_BATCHES)
+        if os.path.exists(cur_batches):
+            with open(cur_batches, encoding="utf-8") as fh:
+                admitted = {int(x) for x in fh.read().split()}
         merged = merge_segment_counts(
             spark.read.parquet(f"{path}/{cur}/counts"), batch, w
         )
         nxt = f"gen-{int(cur[4:]) + 1}"
         merged.write.mode("overwrite").parquet(f"{path}/{nxt}/counts")
+        if admit_batch_id is not None:
+            admitted.add(int(admit_batch_id))
+        if admitted:
+            with open(
+                os.path.join(os_path, nxt, _COUNTS_BATCHES), "w",
+                encoding="utf-8",
+            ) as fh:
+                fh.write("\n".join(str(b) for b in sorted(admitted)))
         _counts_flip(os_path, nxt)
         with contextlib.suppress(OSError):
             shutil.rmtree(os.path.join(os_path, cur))

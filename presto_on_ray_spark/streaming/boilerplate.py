@@ -69,3 +69,61 @@ def stream_boilerplate_strip(
 
     return _start(docs_stream, _strip, checkpoint_dir, available_now,
                   await_termination)
+
+
+def stream_segment_counts_admit(
+    docs_stream: DataFrame,
+    path: str,
+    w: int = _BP_W,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    await_termination: bool | None = None,
+):
+    """Exactly-once admission of a streaming (doc_id, text) source
+    into a SAVED segment-counts store (pipeline_prep's generation-flip
+    layout): each micro-batch is optionally stripped against the
+    PRE-admission counts (``sink`` receives the cleaned batch — the
+    strip-then-admit ordering, so a batch's own repeats never count
+    toward its threshold) and then folded in via
+    merge_into_saved_segment_counts(admit_batch_id=batch_id).
+
+    Exactly-once is STRUCTURAL here, not a handshake: the admitted
+    batch-id record lives inside the generation directory, so the
+    counts and the admission mark publish in one atomic pointer flip —
+    a crash leaves either both or neither, and a re-delivered batch
+    whose id is already recorded is skipped entirely (no sink call,
+    no merge: its strip output was already delivered in the admitted
+    run). The dedup index's admit loop needs a commit-token log and a
+    loud crash window to get the same guarantee over in-place appends;
+    the full-generation store gets it for free, which is exactly why
+    small artifacts should prefer generation flips.
+
+    The checkpoint-lineage contract from stream_ingest_admit applies
+    unchanged: batch ids restart at 0 under a fresh checkpoint, so
+    never point a new checkpoint lineage at a store with recorded
+    batches (admitted_count_batches(path) tells you)."""
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        admitted_count_batches,
+        load_segment_counts,
+        merge_into_saved_segment_counts,
+    )
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in admitted_count_batches(path):
+            return  # re-delivery of a fully admitted batch
+        batch_df = batch_df.filter(batch_df["text"].isNotNull())
+        if sink is not None:
+            counts = load_segment_counts(batch_df.sparkSession, path)
+            sink(
+                boilerplate_strip_against(
+                    batch_df, counts, w=w, keep=lambda x: x
+                ),
+                batch_id,
+            )
+        merge_into_saved_segment_counts(
+            batch_df.sparkSession, path, batch_df, w, admit_batch_id=batch_id
+        )
+
+    return _start(docs_stream, _admit, checkpoint_dir, available_now,
+                  await_termination)
