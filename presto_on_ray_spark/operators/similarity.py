@@ -2018,7 +2018,57 @@ _SEM_TAU = 0.35  # fixture-meaningful (max pairwise cos ~0.51); the
 # production dial sits near 1 - eps on real embedding models
 
 
-def semantic_dedup(v, n_cells: int = _SEM_CELLS, tau: float = _SEM_TAU):
+def refine_cells(v, n_cells: int = _SEM_CELLS, iters: int = 3):
+    """Integer-deterministic Lloyd refinement of the sampled coarse
+    centroids over FULL quantized vectors — pq_codebook's machinery at
+    M=1: init = the quantized vectors of the first n_cells vec_ids
+    (iters=0 reproduces semantic_dedup's frozen sampled cells
+    exactly), each iteration is one broadcast argmin assign + one
+    per-cell integer component-sum aggregate, centroid updates divide
+    half-away-from-zero, empty cells keep their previous centroid,
+    and convergence (new == old) is exact. Returns (cell, cv) — drops
+    into semantic_dedup's ``cents`` parameter: refinement changes
+    cell QUALITY (how balanced the pairwise work is and which
+    near-pairs share a cell), never the dedup rule."""
+    spark = v.sparkSession
+    init = (
+        v.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell"), "qv")
+        .collect()
+    )
+    cents = {int(r["cell"]): [int(x) for x in r["qv"]] for r in init}
+    dim = len(next(iter(cents.values())))
+
+    def cents_df():
+        return spark.createDataFrame(
+            [(c, cv) for c, cv in sorted(cents.items())],
+            "cell long, cv array<bigint>",
+        )
+
+    for _ in range(iters):
+        asg = _cell_assign(v, cents_df())
+        stats = (
+            asg.groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new_cents = dict(cents)  # empty cells keep their centroid
+        for r in stats:
+            new_cents[int(r["cell"])] = [
+                _round_div_half_away(int(r[f"s{i}"]), int(r["n"]))
+                for i in range(dim)
+            ]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents_df()
+
+
+def semantic_dedup(v, n_cells: int = _SEM_CELLS, tau: float = _SEM_TAU,
+                   cents=None):
     """SemDeDup over a quantized vector relation (vec_id, qv): assign
     every vector to its nearest sampled centroid (the quantized
     vectors of the first ``n_cells`` vec_ids — deterministic, the
@@ -2039,10 +2089,15 @@ def semantic_dedup(v, n_cells: int = _SEM_CELLS, tau: float = _SEM_TAU):
     Scale shape: one broadcast centroid argmin (n_cells rows), one
     cell-keyed self-join whose per-cell pair count is the algorithm's
     stated cost model, one (vec_id)-keyed min aggregate, one left
-    join back. Raw embeddings are read once."""
-    cents = v.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
-    )
+    join back. Raw embeddings are read once.
+
+    ``cents``: an optional (cell, cv) relation overriding the sampled
+    centroids — refine_cells' k-means dial. The dup RULE (within-cell,
+    cosine >= tau, smallest-id keeper) is identical either way."""
+    if cents is None:
+        cents = v.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
+        )
     asg = tracked_persist(_cell_assign(v, cents))
     a = asg.select(
         F.col("vec_id").alias("id_a"), "cell", F.col("qv").alias("qa")
@@ -2236,3 +2291,23 @@ def similarity_kcenter_seeds(spark, sf_dir):
     return kcenter_seeds(
         e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
     )
+
+
+@query("dedup_semantic_refined")
+def dedup_semantic_refined(spark, sf_dir):
+    """The SemDeDup quality dial turned: the same within-cell pruning
+    rule over k-means-REFINED cells (refine_cells, 3 Lloyd
+    iterations) instead of the sampled ones — better-balanced cells
+    mean better-bounded pairwise work and fewer near-pairs split
+    across cell boundaries. Rows-only by design (the refined pipeline
+    is still integer-deterministic — pinned bit-for-bit against the
+    NumPy Lloyd twin in tests/test_semantic_dedup.py, along with
+    iters=0 == the frozen hash-exact dedup_semantic key — but a
+    3-iteration Lloyd loop in one SQL oracle would be a recursive-CTE
+    contortion that checks nothing the twin does not: the
+    similarity_pq_refined_topk precedent)."""
+    e = t(spark, sf_dir, "embeddings")
+    v = tracked_persist(
+        e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    )
+    return semantic_dedup(v, cents=refine_cells(v))

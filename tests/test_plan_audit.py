@@ -108,6 +108,7 @@ NESTED_LOOP_ALLOWED = {
     # (vectors x n_cells, an 8-row broadcast side); the within-cell
     # pairwise stage is a cell-keyed equi-join
     "dedup_semantic",
+    "dedup_semantic_refined",  # same bounded argmin, refined cells
     # source-pair theta self-join over the SKETCH relation (one row of
     # k longs per source — |sources| rows total, never documents)
     "corpus_overlap_bottomk",

@@ -95,3 +95,67 @@ def test_chain_marks_by_nearest_earlier_not_component(spark):
         for r in semantic_dedup(v, n_cells=1, tau=0.7).collect()
     }
     assert got == {0: None, 1: 0, 2: 1}
+
+
+def _numpy_lloyd(q: np.ndarray, n_cells: int, iters: int):
+    """Shared-code-free integer Lloyd twin (half-away-from-zero
+    centroid division, smallest-cell tie-break, empty cells keep)."""
+    cents = {c: q[c].astype(object).tolist() for c in range(n_cells)}
+    for _ in range(iters):
+        carr = np.array([cents[c] for c in sorted(cents)], dtype=object)
+        d2 = ((q[:, None, :].astype(object) - carr[None, :, :]) ** 2).sum(axis=2)
+        cell = np.argmin(d2, axis=1)
+        new = dict(cents)
+        for c in range(n_cells):
+            members = q[cell == c]
+            if len(members):
+                sums = members.astype(object).sum(axis=0)
+                n = len(members)
+                new[c] = [
+                    (abs(int(s)) * 2 + n) // (2 * n) * (1 if s >= 0 else -1)
+                    for s in sums
+                ]
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
+def test_refine_cells_iters0_equals_sampled_and_twin_matches(spark, sf_dir):
+    from presto_on_ray_spark.operators.similarity import refine_cells
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    sampled = {
+        r.cell: list(r.cv) for r in refine_cells(v, iters=0).collect()
+    }
+    raw = {r.vec_id: list(r.qv) for r in v.filter("vec_id < 8").collect()}
+    assert sampled == raw
+
+    refined = {
+        r.cell: list(r.cv) for r in refine_cells(v, iters=3).collect()
+    }
+    qrows = v.orderBy("vec_id").collect()
+    q = np.array([r.qv for r in qrows], dtype=np.int64)
+    twin = _numpy_lloyd(q, 8, 3)
+    assert refined == {c: [int(x) for x in cv] for c, cv in twin.items()}
+    assert refined != sampled  # the dial actually moves on the fixture
+
+
+def test_refined_key_keeps_the_dup_rule(spark, sf_dir):
+    """Refined cells change WHICH pairs share a cell, never the rule:
+    every dup_of is a smaller-id same-cell member, and marked pairs
+    really clear the tau threshold."""
+    from presto_on_ray_spark import suite
+
+    suite.load_all()
+    rows = suite.QUERIES["dedup_semantic_refined"](spark, sf_dir).collect()
+    cell_of = {r.vec_id: r.cell for r in rows}
+    assert len(rows) == 500
+    n_dup = 0
+    for r in rows:
+        if r.dup_of is not None:
+            n_dup += 1
+            assert r.dup_of < r.vec_id
+            assert cell_of[r.dup_of] == r.cell
+    assert 0 < n_dup < len(rows) // 2
