@@ -1205,6 +1205,48 @@ class Engine:
         register_function(self.spark, name, fn, return_type)
         return self
 
+    def register_pipeline_views(
+        self, names: list[str] | None = None
+    ) -> "Engine":
+        """Expose registered suite operators (dedup verdicts, quality
+        scores, drift, the governance dashboard, ...) as temp views
+        over the attached catalog, so the SQL front door can query and
+        JOIN them like tables:
+
+            eng.register_tables(sf).register_pipeline_views(
+                ["corpus_health_report"])
+            eng.sql("SELECT source, psi FROM corpus_health_report "
+                    "WHERE psi > 0.25")
+
+        ``names`` defaults to every registered batch query. Views are
+        LAZY — each registers the operator's DataFrame, and Spark
+        plans/executes it only when a SQL statement reads it, with
+        filters and projections pushed into the operator plan like any
+        subquery. Requires register_tables first (operators read the
+        attached fixture catalog); streaming queries are skipped
+        (their sinks own execution)."""
+        from presto_on_ray_spark import suite
+
+        suite.load_all()
+        if self._sf_dir is None:
+            raise ValueError(
+                "register_pipeline_views: attach the table catalog first "
+                "(register_tables) — pipeline operators read its parquet"
+            )
+        if names is None:
+            names = list(suite.QUERIES)
+        for name in names:
+            if name not in suite.QUERIES:
+                raise KeyError(
+                    f"register_pipeline_views: {name!r} is not a registered "
+                    f"suite query (see presto_on_ray_spark.suite.QUERIES)"
+                )
+            df = suite.QUERIES[name](self.spark, self._sf_dir)
+            if df.isStreaming:
+                continue
+            df.createOrReplaceTempView(name)
+        return self
+
     # -- introspection ------------------------------------------------
     def explain(self, df_or_sql) -> str:
         """Formatted physical plan — the engine's perf feedback loop."""

@@ -31,3 +31,39 @@ def test_report_columns_agree_with_members(spark, sf_dir):
         assert 0 <= r.n_exact_dup_docs <= r.n_docs
         assert 0 <= r.n_boilerplate_docs <= r.n_docs
         assert 0 <= r.n_keep <= r.n_docs
+
+
+def test_pipeline_views_through_the_sql_front_door(spark, sf_dir):
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark).register_tables(sf_dir).register_pipeline_views(
+        ["corpus_health_report", "text_quality_classifier", "split_leakage_safe"]
+    )
+    # plain read
+    rows = eng.sql(
+        "SELECT source, n_docs, psi FROM corpus_health_report ORDER BY source"
+    ).collect()
+    assert len(rows) == 20 and rows[0].source == "src0"
+    # JOIN a pipeline view against another one through SQL
+    joined = eng.sql(
+        """
+        SELECT s.split, COUNT(*) AS n,
+               SUM(CASE WHEN c.keep THEN 1 ELSE 0 END) AS kept
+        FROM split_leakage_safe s JOIN text_quality_classifier c USING (doc_id)
+        GROUP BY s.split ORDER BY s.split
+        """
+    ).collect()
+    assert {r.split for r in joined} == {"train", "val", "test"}
+    assert all(0 <= r.kept <= r.n for r in joined)
+
+
+def test_pipeline_views_unknown_name_and_missing_catalog(spark, sf_dir):
+    import pytest
+
+    from presto_on_ray_spark.engine import Engine
+
+    with pytest.raises(ValueError, match="attach the table catalog first"):
+        Engine(spark).register_pipeline_views(["corpus_health_report"])
+    eng = Engine(spark).register_tables(sf_dir)
+    with pytest.raises(KeyError, match="not a registered suite query"):
+        eng.register_pipeline_views(["no_such_operator"])
