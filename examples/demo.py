@@ -184,6 +184,15 @@ def main() -> None:
     print("classifier keep rate:", clf.filter("keep").count(), "/", clf.count())
     suite.QUERIES["split_leakage_safe"](spark, SF_DIR).groupBy("split").count().show()
     suite.QUERIES["corpus_drift_psi"](spark, SF_DIR).orderBy("source").show(4)
+    # the same operators through the SQL front door, as joinable views
+    eng.register_pipeline_views(["split_leakage_safe", "text_quality_classifier"])
+    eng.sql(
+        "SELECT s.split, COUNT(*) AS n,"
+        "       SUM(CASE WHEN c.keep THEN 1 ELSE 0 END) AS kept"
+        "  FROM split_leakage_safe s"
+        "  JOIN text_quality_classifier c USING (doc_id)"
+        " GROUP BY s.split ORDER BY s.split"
+    ).show()
     print("== Diversity + retrieval (r12): k-center seeds, BM25 ==")
     suite.QUERIES["similarity_kcenter_seeds"](spark, SF_DIR).show()
     suite.QUERIES["text_bm25_topk"](spark, SF_DIR).show(6)
