@@ -794,6 +794,15 @@ def corpus_mix_sources(spark, sf_dir):
         )
         .select("source", F.expr("(b * w) div 10").alias("k"))
     )
+    return _pick_by_quota(docs, quota)
+
+
+def _pick_by_quota(docs, quota):
+    """The shared okey-bucket selection tail: given a persisted
+    (doc_id, source, okey, bkt) relation and a per-source (source, k)
+    quota, pick the k hash-smallest docs per source with pick_rank —
+    via the bounded bucket-histogram refinement (no window partition
+    spans more than ~1/1024 of a source)."""
     wcum = (
         Window.partitionBy("source")
         .orderBy("bkt")
@@ -1589,3 +1598,101 @@ def merge_into_saved_segment_counts(
             shutil.rmtree(os.path.join(os_path, cur))
     finally:
         _counts_release(os_path)
+
+
+# -- temperature-scaled source mixing -----------------------------------
+# corpus_mix_sources hits CONFIGURED proportions; multilingual /
+# multi-source pretraining more often rebalances by a temperature on
+# the NATURAL sizes: sampling weight ∝ count^(1/T) (T=2 → sqrt — the
+# up-weight-the-tails rule in multilingual pretraining). The sqrt
+# weights are snapped to integers (ROUND(SQRT(c)·10^6) — both engines
+# compute the identical double, so the snap is bit-stable) and
+# everything after is pure integer arithmetic: no float sums anywhere
+# near a floor boundary.
+
+_TEMP_SEED = "temp12"
+_TEMP_SCALE = 1_000_000
+_TEMP_TENTHS = 3  # sample 30% of corpus docs
+
+
+def _temperature_oracle() -> str:
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    h = _h60_sql(f"concat_ws('|', '{_TEMP_SEED}', doc_id)")
+    return f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, c,
+             CAST(ROUND(SQRT(c) * {_TEMP_SCALE}, 0) AS BIGINT) AS s,
+             SUM(CAST(ROUND(SQRT(c) * {_TEMP_SCALE}, 0) AS BIGINT)) OVER () AS tot,
+             SUM(c) OVER () AS n
+      FROM counts
+    ),
+    quota AS (
+      SELECT source,
+             LEAST(c, ((n * {_TEMP_TENTHS}) // 10) * s // tot) AS k
+      FROM weighted
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS pick_rank
+    FROM ranked JOIN quota USING (source)
+    WHERE rn <= k
+    ORDER BY source, pick_rank
+    """
+
+
+@query("corpus_mix_temperature", oracle=_temperature_oracle())
+def corpus_mix_temperature(spark, sf_dir):
+    """Temperature-rebalanced epoch mix: per-source quota ∝ sqrt of
+    the source's natural size (T=2), budget {_TEMP_TENTHS}0% of the
+    corpus, capped at availability (an over-weighted tail source can
+    never owe more docs than it has), membership = portable-hash rank
+    within each source.
+
+    Integer-exact end to end: the ONLY float op is one SQRT per
+    source row, snapped to a scaled integer both engines compute
+    bit-identically; the weight total, budget, and quotas are pure
+    integer sums/divisions over the bounded per-source relation, so
+    no floor ever sits on a float boundary. Selection reuses
+    corpus_mix_sources' okey-bucket refinement (_pick_by_quota): no
+    window partition spans more than ~1/1024 of a source."""
+    return mix_temperature(t(spark, sf_dir, "documents"))
+
+
+def mix_temperature(d, tenths: int = _TEMP_TENTHS, keep=None):
+    """The temperature-mix body over an arbitrary (doc_id, source)
+    DataFrame — see corpus_mix_temperature for the design."""
+    from presto_on_ray_spark.caching import tracked_persist
+    from presto_on_ray_spark.operators.sketch_ops import _portable_h60
+
+    keep = keep or tracked_persist
+    okey = _portable_h60(F.lit(_TEMP_SEED), F.col("doc_id"))
+    docs = keep(d.select(
+        "doc_id", "source", okey.alias("okey"),
+        F.shiftright(okey, _MIX_BUCKETS_SHIFT).alias("bkt"),
+    ))
+    # unpartitioned windows over the ALREADY-AGGREGATED per-source
+    # relation (bounded by the source count, the corpus_mix_sources
+    # budget pattern) — never over documents
+    wall = Window.partitionBy(F.lit(1))
+    s = F.round(F.sqrt(F.col("c")) * _TEMP_SCALE, 0).cast("long")
+    quota = (
+        docs.groupBy("source").agg(F.count("*").alias("c"))
+        .withColumn("s", s)
+        .withColumn("tot", F.sum("s").over(wall))
+        .withColumn("n", F.sum("c").over(wall))
+        .select(
+            "source",
+            F.least(
+                F.col("c"),
+                F.expr(f"((n * {tenths}) div 10) * s div tot"),
+            ).alias("k"),
+        )
+    )
+    return _pick_by_quota(docs, quota)
