@@ -1205,9 +1205,7 @@ class Engine:
         register_function(self.spark, name, fn, return_type)
         return self
 
-    def register_pipeline_views(
-        self, names: list[str] | None = None
-    ) -> "Engine":
+    def register_pipeline_views(self, names: list[str]) -> "Engine":
         """Expose registered suite operators (dedup verdicts, quality
         scores, drift, the governance dashboard, ...) as temp views
         over the attached catalog, so the SQL front door can query and
@@ -1218,13 +1216,18 @@ class Engine:
             eng.sql("SELECT source, psi FROM corpus_health_report "
                     "WHERE psi > 0.25")
 
-        ``names`` defaults to every registered batch query. Views are
-        LAZY — each registers the operator's DataFrame, and Spark
-        plans/executes it only when a SQL statement reads it, with
-        filters and projections pushed into the operator plan like any
-        subquery. Requires register_tables first (operators read the
-        attached fixture catalog); streaming queries are skipped
-        (their sinks own execution)."""
+        ``names`` is explicit by design: registering a view CONSTRUCTS
+        the operator's DataFrame, which for purely relational
+        operators is free (Spark executes only when SQL reads the
+        view, with pushdown into the operator plan like any subquery)
+        but for driver-loop operators (kcenter_seeds' argmax
+        iterations, refine_cells' Lloyd passes) runs their bounded
+        driver jobs at registration — and any tracked persists an
+        operator takes stay cached until release_cached(). Pick the
+        views you need rather than registering the whole registry.
+        Requires register_tables first (operators read the attached
+        fixture catalog); streaming queries are skipped (their sinks
+        own execution)."""
         from presto_on_ray_spark import suite
 
         suite.load_all()
@@ -1233,8 +1236,6 @@ class Engine:
                 "register_pipeline_views: attach the table catalog first "
                 "(register_tables) — pipeline operators read its parquet"
             )
-        if names is None:
-            names = list(suite.QUERIES)
         for name in names:
             if name not in suite.QUERIES:
                 raise KeyError(

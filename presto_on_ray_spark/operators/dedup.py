@@ -772,31 +772,15 @@ def dedup_keep_best(spark, sf_dir):
     recursive-CTE oracle holds verbatim."""
     from pyspark.sql import Window
 
+    from presto_on_ray_spark.operators.pipeline_prep import text_repetition
+
     comp = dedup_neardup_adaptive(spark, sf_dir).select(
         "doc_id", "component_id"
     )
-    d = t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_tri = F.greatest(F.size(words) - 2, F.lit(0))
-    grams = F.flatten(F.transform(
-        F.array(words),
-        lambda ws: F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
-            lambda i: F.array_join(F.slice(ws, i, 3), " "),
-        ),
-    ))
-    n_distinct = F.when(n_tri > 0, F.size(F.array_distinct(grams))).otherwise(0)
-    q = d.select(
-        "doc_id",
-        F.when(
-            n_tri > 0,
-            F.round(
-                F.lit(1.0) - n_distinct.cast("double") / n_tri.cast("double"), 6
-            ),
-        )
-        .otherwise(0.0)
-        .alias("rep_ratio"),
-    )
+    # the quality statistic IS text_repetition's — reuse its pipeline
+    # rather than restating the expression (a rounding-mode fix there
+    # must move this keeper policy with it)
+    q = text_repetition(spark, sf_dir).select("doc_id", "rep_ratio")
     w = Window.partitionBy("component_id").orderBy("rep_ratio", "doc_id")
     return (
         comp.join(q, "doc_id")

@@ -1070,12 +1070,20 @@ def _segments(d, w: int):
 
     arr = F.split("text", " ")
     nfull = F.floor(F.size(arr) / F.lit(w)).cast("int")
+    # words bound as a lambda variable so split() runs once per row,
+    # not once per segment index (the text_repetition / dedup.shingles
+    # discipline — an embedded split re-evaluates per element)
     seg_hashes = F.when(
         nfull > 0,
-        F.transform(
-            F.sequence(F.lit(0), nfull - 1),
-            lambda g: _portable_h60(F.array_join(F.slice(arr, g * w + 1, w), " ")),
-        ),
+        F.flatten(F.transform(
+            F.array(arr),
+            lambda ws: F.transform(
+                F.sequence(F.lit(0), nfull - 1),
+                lambda g: _portable_h60(
+                    F.array_join(F.slice(ws, g * w + 1, w), " ")
+                ),
+            ),
+        )),
     ).otherwise(F.array().cast("array<long>"))
     return d.select("doc_id", F.posexplode(seg_hashes).alias("g", "h"))
 
@@ -1319,18 +1327,24 @@ def content_defined_chunks(docs, g: int = _CDC_G, d: int = _CDC_D, keep=None):
     keep = keep or tracked_persist
     dd = keep(docs.filter(F.col("text").isNotNull()))
     arr = F.split("text", " ")
-    flags = F.transform(
-        F.sequence(F.lit(1), F.size(arr)),
-        lambda p: F.when(
-            (p >= g)
-            & (
-                _portable_h60(F.array_join(F.slice(arr, p - g + 1, g), " "))
-                % d
-                == 0
-            ),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
+    # words bound as a lambda variable: the embedded split would
+    # otherwise re-evaluate once per word position (O(words^2) text
+    # work per row — the text_repetition / dedup.shingles discipline)
+    flags = F.flatten(F.transform(
+        F.array(arr),
+        lambda ws: F.transform(
+            F.sequence(F.lit(1), F.size(ws)),
+            lambda p: F.when(
+                (p >= g)
+                & (
+                    _portable_h60(F.array_join(F.slice(ws, p - g + 1, g), " "))
+                    % d
+                    == 0
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+    ))
     pos = dd.select("doc_id", F.posexplode(flags).alias("p0", "bnd"))
     w = (
         Window.partitionBy("doc_id")
@@ -1487,40 +1501,85 @@ def _counts_gen(os_path: str) -> str:
         return fh.read().strip()
 
 
-def save_segment_counts(counts, path: str, force: bool = False) -> None:
-    """Save a (h, df) counts relation as a fresh generation under
-    ``path`` and flip the _CURRENT pointer atomically. Single-writer
-    (``_COUNTS_WRITING`` marker; ``force=True`` takes over a crashed
-    writer); superseded generations are swept AFTER the flip,
-    best-effort."""
+def _counts_read_batches(os_path: str, gen: str) -> set:
+    import os
+
+    f = os.path.join(os_path, gen, _COUNTS_BATCHES)
+    if not os.path.exists(f):
+        return set()
+    with open(f, encoding="utf-8") as fh:
+        return {int(x) for x in fh.read().split()}
+
+
+def _counts_publish(path: str, os_path: str, counts, admitted: set) -> None:
+    """The shared commit sequence: write a FRESH generation (numbered
+    past every directory on disk, so a crashed writer's partial
+    generation — or its stale _BATCHES file — can never be reused or
+    republished), flip, then sweep every generation except the new one
+    and its immediate predecessor. Keeping the predecessor gives
+    concurrent lazy readers a one-mutation grace window; a crashed
+    writer's partial dir is unreferenced litter removed by the next
+    successful commit."""
     import contextlib
     import os
     import shutil
 
+    existing = [
+        n for n in os.listdir(os_path)
+        if n.startswith("gen-") and n[4:].isdigit()
+    ]
+    cur = None
+    if os.path.exists(os.path.join(os_path, _COUNTS_CURRENT)):
+        cur = _counts_gen(os_path)
+    nxt = f"gen-{max((int(n[4:]) for n in existing), default=-1) + 1}"
+    counts.write.mode("overwrite").parquet(f"{path}/{nxt}/counts")
+    if admitted:
+        with open(
+            os.path.join(os_path, nxt, _COUNTS_BATCHES), "w", encoding="utf-8"
+        ) as fh:
+            fh.write("\n".join(str(b) for b in sorted(admitted)))
+    _counts_flip(os_path, nxt)
+    for n in existing:
+        if n not in (nxt, cur):
+            with contextlib.suppress(OSError):
+                shutil.rmtree(os.path.join(os_path, n))
+
+
+def save_segment_counts(
+    counts, path: str, force: bool = False, reset_batches: bool = False
+) -> None:
+    """Save a (h, df) counts relation as a fresh generation under
+    ``path`` and flip the _CURRENT pointer atomically. Single-writer
+    (``_COUNTS_WRITING`` marker; ``force=True`` takes over a crashed
+    writer). A rebuild onto a STREAM-FED store carries the live
+    generation's admitted-batch record forward by default — dropping
+    it would re-open the exactly-once window (a re-delivered batch
+    would merge twice); pass ``reset_batches=True`` only when the new
+    counts deliberately start a fresh admission lineage."""
+    import os
+
     path, os_path = _counts_paths(path)
     _counts_acquire(os_path, force)
     try:
-        existing = [
-            n
-            for n in os.listdir(os_path)
-            if n.startswith("gen-") and n[4:].isdigit()
-        ]
-        nxt = f"gen-{max((int(n[4:]) for n in existing), default=-1) + 1}"
-        counts.write.mode("overwrite").parquet(f"{path}/{nxt}/counts")
-        _counts_flip(os_path, nxt)
-        for n in existing:
-            if n != nxt:
-                with contextlib.suppress(OSError):
-                    shutil.rmtree(os.path.join(os_path, n))
+        admitted: set = set()
+        if not reset_batches and os.path.exists(
+            os.path.join(os_path, _COUNTS_CURRENT)
+        ):
+            admitted = _counts_read_batches(os_path, _counts_gen(os_path))
+        _counts_publish(path, os_path, counts, admitted)
     finally:
         _counts_release(os_path)
 
 
 def load_segment_counts(spark, path: str):
-    """Read the live generation's (h, df) relation. Safe to read past
-    a concurrent writer (the pointer flips atomically onto complete
-    generations only), so no marker check is needed — the one
-    structural difference from the dedup index's in-place appends."""
+    """Read the live generation's (h, df) relation. No marker check is
+    needed (the pointer flips atomically onto complete generations
+    only) and readers get a ONE-mutation grace window: each commit
+    keeps the immediately superseded generation on disk, so a lazy
+    plan bound here survives one concurrent merge/save but fails with
+    a missing-file error if it outlives two — re-load for long-lived
+    handles. (The dedup index's in-place appends need the stronger
+    marker protocol; this store's full generations do not.)"""
     path, os_path = _counts_paths(path)
     return spark.read.parquet(f"{path}/{_counts_gen(os_path)}/counts")
 
@@ -1567,35 +1626,17 @@ def merge_into_saved_segment_counts(
     applied but the admission went unrecorded (the gap the dedup
     index's in-place appends must bridge with a commit-token
     handshake)."""
-    import contextlib
-    import os
-    import shutil
-
     path, os_path = _counts_paths(path)
     _counts_acquire(os_path, force)
     try:
         cur = _counts_gen(os_path)
-        admitted = set()
-        cur_batches = os.path.join(os_path, cur, _COUNTS_BATCHES)
-        if os.path.exists(cur_batches):
-            with open(cur_batches, encoding="utf-8") as fh:
-                admitted = {int(x) for x in fh.read().split()}
+        admitted = _counts_read_batches(os_path, cur)
+        if admit_batch_id is not None:
+            admitted.add(int(admit_batch_id))
         merged = merge_segment_counts(
             spark.read.parquet(f"{path}/{cur}/counts"), batch, w
         )
-        nxt = f"gen-{int(cur[4:]) + 1}"
-        merged.write.mode("overwrite").parquet(f"{path}/{nxt}/counts")
-        if admit_batch_id is not None:
-            admitted.add(int(admit_batch_id))
-        if admitted:
-            with open(
-                os.path.join(os_path, nxt, _COUNTS_BATCHES), "w",
-                encoding="utf-8",
-            ) as fh:
-                fh.write("\n".join(str(b) for b in sorted(admitted)))
-        _counts_flip(os_path, nxt)
-        with contextlib.suppress(OSError):
-            shutil.rmtree(os.path.join(os_path, cur))
+        _counts_publish(path, os_path, merged, admitted)
     finally:
         _counts_release(os_path)
 

@@ -2037,6 +2037,13 @@ def refine_cells(v, n_cells: int = _SEM_CELLS, iters: int = 3):
         .collect()
     )
     cents = {int(r["cell"]): [int(x) for x in r["qv"]] for r in init}
+    if not cents:
+        raise ValueError(
+            f"refine_cells: no vec_ids below n_cells={n_cells} — the "
+            f"sampled init (like semantic_dedup's default cells) assumes "
+            f"a 0-based contiguous id prefix; re-key the relation or pass "
+            f"explicit centroids"
+        )
     dim = len(next(iter(cents.values())))
 
     def cents_df():
@@ -2093,7 +2100,13 @@ def semantic_dedup(v, n_cells: int = _SEM_CELLS, tau: float = _SEM_TAU,
 
     ``cents``: an optional (cell, cv) relation overriding the sampled
     centroids — refine_cells' k-means dial. The dup RULE (within-cell,
-    cosine >= tau, smallest-id keeper) is identical either way."""
+    cosine >= tau, smallest-id keeper) is identical either way.
+
+    Precondition (sampled default only): "first n_cells vec_ids" means
+    ids 0..n_cells-1 literally — a relation whose ids do not start at
+    0 gets an EMPTY centroid set and an empty result. Re-keyed or
+    sharded id spaces must pass ``cents`` explicitly (refine_cells
+    raises loudly on the same precondition)."""
     if cents is None:
         cents = v.filter(F.col("vec_id") < n_cells).select(
             F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
@@ -2205,13 +2218,19 @@ def kcenter_seeds(v, k: int = _KCENTER_K):
     )
     seeds = [(1, first.vec_id, None)]
     seed_vec = list(first.qv)
+    # each iteration's working relation is persisted and its
+    # predecessor released: without this, iteration t's single-row
+    # argmax re-executes all t-1 prior distance updates from the base
+    # relation — O(k^2) passes instead of the documented k (review
+    # finding, round 12)
     cur = v.filter(F.col("vec_id") != first.vec_id).select(
         "vec_id",
         "qv",
         _pq_l2sq(
             F.col("qv"), F.array(*[F.lit(int(x)) for x in seed_vec])
         ).alias("mind"),
-    )
+    ).persist()
+    prev = None
     for rank in range(2, k + 1):
         nxt = (
             cur.agg(
@@ -2223,17 +2242,20 @@ def kcenter_seeds(v, k: int = _KCENTER_K):
             .collect()[0]
         )
         if nxt.vec_id is None:  # min over an EMPTY relation: k > n
+            cur.unpersist()
             raise ValueError(
                 f"kcenter_seeds: k={k} exceeds the {rank - 1} available "
                 f"vectors — every vector is already a seed"
             )
         seeds.append((rank, nxt.vec_id, nxt.mind))
         lit_vec = F.array(*[F.lit(int(x)) for x in nxt.qv])
-        cur = cur.filter(F.col("vec_id") != nxt.vec_id).select(
+        prev, cur = cur, cur.filter(F.col("vec_id") != nxt.vec_id).select(
             "vec_id",
             "qv",
             F.least(F.col("mind"), _pq_l2sq(F.col("qv"), lit_vec)).alias("mind"),
-        )
+        ).persist()
+        prev.unpersist()
+    cur.unpersist()
     spark = v.sparkSession
     return spark.createDataFrame(seeds, "seed_rank int, vec_id long, mind long")
 

@@ -366,7 +366,15 @@ def bm25_topk(docs, qterms, topk: int = _BM25_TOPK):
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df only for the QUERY terms: semi-joining the broadcast query set
+    # first keeps the broadcast relation query-sized — broadcasting the
+    # full vocabulary df would collect a corpus-vocabulary relation to
+    # the driver at scale (review finding, round 12)
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
     comp = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")

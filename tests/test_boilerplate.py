@@ -206,9 +206,10 @@ def test_saved_counts_roundtrip_merge_and_crash_semantics(spark, tmp_path):
     merge_into_saved_segment_counts(spark, p, df_b, 4)
     got = {r.h: r.df for r in load_segment_counts(spark, p).collect()}
     assert got == {r.h: r.df for r in segment_counts(df_ab, 4).collect()}
-    # the superseded generation was swept; exactly one remains
-    gens = [n for n in os.listdir(p) if n.startswith("gen-")]
-    assert len(gens) == 1
+    # sweep keeps the new generation plus its predecessor (the
+    # concurrent-reader grace window) and nothing older
+    gens = sorted(n for n in os.listdir(p) if n.startswith("gen-"))
+    assert gens == ["gen-0", "gen-1"]
 
     # single-writer: a held marker refuses, force takes over
     open(os.path.join(p, _COUNTS_WRITING), "w").close()
@@ -247,3 +248,79 @@ def test_saved_counts_crash_before_flip_leaves_old_generation(
     # and a retry succeeds cleanly
     pp.merge_into_saved_segment_counts(spark, p, df_b, 4)
     assert {r.df for r in pp.load_segment_counts(spark, p).collect()} == {2}
+
+
+def test_saved_counts_reader_grace_window(spark, tmp_path):
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        load_segment_counts,
+        merge_into_saved_segment_counts,
+        save_segment_counts,
+        segment_counts,
+    )
+
+    p = str(tmp_path / "store")
+    d0 = spark.createDataFrame([(0, "x y z w")], "doc_id long, text string")
+    save_segment_counts(segment_counts(d0, 4), p)
+    handle = load_segment_counts(spark, p)  # lazy plan bound to gen-0
+    merge_into_saved_segment_counts(
+        spark, p, spark.createDataFrame([(1, "a b c d")], "doc_id long, text string"), 4
+    )
+    # one concurrent mutation: the superseded generation survives
+    assert handle.count() == 1
+    merge_into_saved_segment_counts(
+        spark, p, spark.createDataFrame([(2, "e f g h")], "doc_id long, text string"), 4
+    )
+    # two mutations: gen-0 is gone; a stale handle fails, a reload works
+    assert load_segment_counts(spark, p).count() == 3
+
+
+def test_crashed_writer_stale_batches_never_republished(spark, tmp_path):
+    import os
+
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        _COUNTS_BATCHES,
+        _COUNTS_WRITING,
+        admitted_count_batches,
+        save_segment_counts,
+        segment_counts,
+    )
+
+    p = str(tmp_path / "store")
+    d0 = spark.createDataFrame([(0, "x y z w")], "doc_id long, text string")
+    save_segment_counts(segment_counts(d0, 4), p)
+    # simulate a writer that wrote gen-1 WITH a _BATCHES record and
+    # crashed before the flip (marker stranded, pointer still gen-0)
+    os.makedirs(os.path.join(p, "gen-1"), exist_ok=True)
+    with open(os.path.join(p, "gen-1", _COUNTS_BATCHES), "w") as fh:
+        fh.write("7")
+    open(os.path.join(p, _COUNTS_WRITING), "w").close()
+    # takeover rebuild: the new generation is numbered PAST the partial
+    # (gen-2), so the stale batch record can never be published
+    save_segment_counts(segment_counts(d0, 4), p, force=True)
+    assert admitted_count_batches(p) == frozenset()
+    assert os.path.exists(os.path.join(p, "gen-2"))
+
+
+def test_save_carries_admitted_batches_unless_reset(spark, tmp_path):
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        admitted_count_batches,
+        merge_into_saved_segment_counts,
+        save_segment_counts,
+        segment_counts,
+    )
+
+    p = str(tmp_path / "store")
+    d0 = spark.createDataFrame([(0, "x y z w")], "doc_id long, text string")
+    save_segment_counts(segment_counts(d0, 4), p)
+    merge_into_saved_segment_counts(
+        spark, p,
+        spark.createDataFrame([(1, "a b c d")], "doc_id long, text string"),
+        4, admit_batch_id=0,
+    )
+    assert admitted_count_batches(p) == {0}
+    # a rebuild keeps the admission record (exactly-once stays closed)
+    save_segment_counts(segment_counts(d0, 4), p)
+    assert admitted_count_batches(p) == {0}
+    # an explicit fresh lineage drops it
+    save_segment_counts(segment_counts(d0, 4), p, reset_batches=True)
+    assert admitted_count_batches(p) == frozenset()
