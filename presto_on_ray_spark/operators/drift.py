@@ -139,7 +139,7 @@ def corpus_drift_psi(spark, sf_dir):
     """Per-source PSI drift between two deterministic halves of the
     corpus (Knuth-hash bucket < 50 = reference snapshot, rest =
     current — the fixture stand-in for consecutive ingest snapshots)
-    over the n_chars distribution in {_DRIFT_BIN_WIDTH}-char bins.
+    over the n_chars distribution in 64 (= _DRIFT_BIN_WIDTH)-char bins.
     Both halves draw from one distribution, but at ~a dozen docs per
     (source, half) at sf0.001 the finite-sample PSI is well above the
     asymptotic stable band — expected (PSI's null expectation scales

@@ -1004,7 +1004,7 @@ def _length_bucket_oracle() -> str:
 @query("sequence_length_buckets", oracle=_length_bucket_oracle())
 def sequence_length_buckets(spark, sf_dir):
     """Token-length bucketing for padded batching: documents are
-    assigned to {_LEN_BUCKETS} buckets of near-equal document count by
+    assigned to 8 (= _LEN_BUCKETS) buckets of near-equal document count by
     token length (bucket = ((cumulative docs at this length - 1) * K)
     div N — integer-exact, identical in both engines), and each bucket
     reports its padding waste (docs x bucket-max - total tokens): the
@@ -1214,8 +1214,8 @@ def _boilerplate_oracle() -> str:
 
 @query("corpus_boilerplate_strip", oracle=_boilerplate_oracle())
 def corpus_boilerplate_strip(spark, sf_dir):
-    """Corpus-wide boilerplate removal: cut every aligned {_BP_W}-word
-    segment that occurs in more than {_BP_MAX_DF} distinct documents
+    """Corpus-wide boilerplate removal: cut every aligned 4 (= _BP_W)-word
+    segment that occurs in more than 1 (= _BP_MAX_DF) distinct documents
     (exact text match on the portable 60-bit digest) out of every
     document, reassembling each from its surviving words in order.
     The frequency unit is DOCUMENT frequency, not occurrence count —
@@ -1412,8 +1412,8 @@ def _cdc_oracle() -> str:
 
 @query("text_chunking_cdc", oracle=_cdc_oracle())
 def text_chunking_cdc(spark, sf_dir):
-    """Content-defined chunking of the corpus ({_CDC_G}-gram rolling
-    hash, divisor {_CDC_D} — expected chunk ~{_CDC_D} words): chunk
+    """Content-defined chunking of the corpus (3 (= _CDC_G)-gram rolling
+    hash, divisor 16 (= _CDC_D) — expected chunk ~16 (= _CDC_D) words): chunk
     boundaries depend only on local content, so document edits keep
     every untouched chunk's hash stable (the dedup-friendly property
     fixed-offset text_chunking lacks; locality pinned in
@@ -1619,7 +1619,7 @@ def merge_into_saved_segment_counts(
     partially-merged readable state.
 
     ``admit_batch_id`` records a stream-batch id in the new
-    generation's {_COUNTS_BATCHES} file (carrying the old
+    generation's "_BATCHES" (= _COUNTS_BATCHES) file (carrying the old
     generation's record forward either way) — because the record is
     part of the generation, counts and the admission mark publish in
     ONE atomic flip: there is no crash window in which the merge
@@ -1691,7 +1691,7 @@ def _temperature_oracle() -> str:
 @query("corpus_mix_temperature", oracle=_temperature_oracle())
 def corpus_mix_temperature(spark, sf_dir):
     """Temperature-rebalanced epoch mix: per-source quota ∝ sqrt of
-    the source's natural size (T=2), budget {_TEMP_TENTHS}0% of the
+    the source's natural size (T=2), budget 3 (= _TEMP_TENTHS)0% of the
     corpus, capped at availability (an over-weighted tail source can
     never owe more docs than it has), membership = portable-hash rank
     within each source.

@@ -2104,13 +2104,23 @@ def semantic_dedup(v, n_cells: int = _SEM_CELLS, tau: float = _SEM_TAU,
 
     Precondition (sampled default only): "first n_cells vec_ids" means
     ids 0..n_cells-1 literally — a relation whose ids do not start at
-    0 gets an EMPTY centroid set and an empty result. Re-keyed or
-    sharded id spaces must pass ``cents`` explicitly (refine_cells
-    raises loudly on the same precondition)."""
+    0 would produce an EMPTY centroid set, so this function raises
+    loudly there (mirroring refine_cells) instead of silently dropping
+    every vector. Re-keyed or sharded id spaces must pass ``cents``
+    explicitly."""
     if cents is None:
         cents = v.filter(F.col("vec_id") < n_cells).select(
             F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
         )
+        # one limit-1 probe (bounded by construction): an id space not
+        # starting at 0 yields zero sampled centroids → every vector
+        # would cross-join against nothing and be dropped (ADVICE r12)
+        if not cents.limit(1).collect():
+            raise ValueError(
+                "semantic_dedup: sampled default centroids are empty — "
+                "vec_ids must be a 0-based contiguous id prefix; re-key "
+                "the relation or pass cents= explicitly"
+            )
     asg = tracked_persist(_cell_assign(v, cents))
     a = asg.select(
         F.col("vec_id").alias("id_a"), "cell", F.col("qv").alias("qa")
@@ -2172,9 +2182,9 @@ _SEM_COS_SQL = """
 )
 def dedup_semantic(spark, sf_dir):
     """SemDeDup semantic dedup over the embeddings table, hash-exact
-    end-to-end: {_SEM_CELLS} sampled centroids, integer-L2 cell
+    end-to-end: 8 (= _SEM_CELLS) sampled centroids, integer-L2 cell
     assignment, within-cell quantized-cosine pruning at
-    tau={_SEM_TAU}, smallest-id keepers. The DuckDB oracle recomputes
+    tau=0.35 (= _SEM_TAU), smallest-id keepers. The DuckDB oracle recomputes
     the WHOLE pipeline — this upgrades the embedding-dedup family
     from dedup_embedding_neardup's rows-only check to an exact one."""
     e = t(spark, sf_dir, "embeddings")
@@ -2219,10 +2229,11 @@ def kcenter_seeds(v, k: int = _KCENTER_K):
     seeds = [(1, first.vec_id, None)]
     seed_vec = list(first.qv)
     # each iteration's working relation is persisted and its
-    # predecessor released: without this, iteration t's single-row
-    # argmax re-executes all t-1 prior distance updates from the base
-    # relation — O(k^2) passes instead of the documented k (review
-    # finding, round 12)
+    # predecessor released ONLY AFTER the next argmax collect has
+    # materialized the new relation's cache: persist() is lazy, so an
+    # eager prev.unpersist() would force iteration t's scan to replay
+    # all t-1 prior distance updates from the base relation — O(k^2)
+    # passes instead of the documented k (ADVICE, round 12)
     cur = v.filter(F.col("vec_id") != first.vec_id).select(
         "vec_id",
         "qv",
@@ -2241,6 +2252,11 @@ def kcenter_seeds(v, k: int = _KCENTER_K):
             .select("m.vec_id", "m.qv", "m.mind")
             .collect()[0]
         )
+        # the collect above scanned (and therefore cached) cur, so the
+        # relation it was derived from can be released now
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if nxt.vec_id is None:  # min over an EMPTY relation: k > n
             cur.unpersist()
             raise ValueError(
@@ -2254,6 +2270,7 @@ def kcenter_seeds(v, k: int = _KCENTER_K):
             "qv",
             F.least(F.col("mind"), _pq_l2sq(F.col("qv"), lit_vec)).alias("mind"),
         ).persist()
+    if prev is not None:
         prev.unpersist()
     cur.unpersist()
     spark = v.sparkSession
@@ -2304,7 +2321,7 @@ def _kcenter_oracle(k: int = _KCENTER_K) -> str:
 
 @query("similarity_kcenter_seeds", oracle=_kcenter_oracle())
 def similarity_kcenter_seeds(spark, sf_dir):
-    """{_KCENTER_K} farthest-point diversity seeds over the embeddings
+    """6 (= _KCENTER_K) farthest-point diversity seeds over the embeddings
     table (greedy k-center): the picks AND their selection radii are
     hash-exact against a DuckDB oracle that replays every iteration as
     a chained CTE pair — integer distances make the whole greedy

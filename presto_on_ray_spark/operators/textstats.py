@@ -326,7 +326,7 @@ _BM25_COMP_SQL = (
     """,
 )
 def text_bm25_topk(spark, sf_dir):
-    """Okapi BM25 top-{_BM25_TOPK} retrieval for a fixed query set
+    """Okapi BM25 top-10 (= _BM25_TOPK) retrieval for a fixed query set
     (k1=1.2, b=0.75): score = sum over matched query terms of
     idf(term) * tf-saturation(term, doc), idf = ln(1 + (N - df + .5)
     / (df + .5)).
@@ -407,7 +407,7 @@ _CLF_WSCALE = 1000  # weights are integers in [-1000, 1000], i.e. w*1000
 
 def hashed_features(docs):
     """(doc_id, text) -> (doc_id, bucket, tf): hashed-unigram counts,
-    bucket = portable-60-bit-hash(term) % {_CLF_BUCKETS}. One explode +
+    bucket = portable-60-bit-hash(term) % 4096 (= _CLF_BUCKETS). One explode +
     one map-side-combined groupBy; the feature space is fixed-width by
     construction, which is the hashing trick's 100 TB point."""
     from presto_on_ray_spark.operators.sketch_ops import _portable_h60
@@ -423,15 +423,15 @@ def hashed_features(docs):
 def classifier_score(docs, weights):
     """Score (doc_id, text) docs against a linear model stored as a
     (bucket, wnum) relation with integer weights scaled by
-    {_CLF_WSCALE}: logit = sum(tf * wnum) / ({_CLF_WSCALE} * n_tokens)
+    1000 (= _CLF_WSCALE): logit = sum(tf * wnum) / (1000 (= _CLF_WSCALE) * n_tokens)
     (length-normalized dot product), keep = unnormalized sum >= 0
     (an EXACT integer comparison — the verdict can never flip on
     floating-point noise). Returns (doc_id, n_tokens, logit, keep).
-    ``weights`` must cover every bucket in [0, {_CLF_BUCKETS}) —
+    ``weights`` must cover every bucket in [0, 4096 (= _CLF_BUCKETS)) —
     hashing-trick models are dense over the bucket range by
     construction (zero-weight buckets carry wnum=0 rows).
 
-    Shape at scale: the weight table is {_CLF_BUCKETS} rows —
+    Shape at scale: the weight table is 4096 (= _CLF_BUCKETS) rows —
     broadcast; features never re-shuffle after their first groupBy;
     the per-doc sum is one more map-combined aggregate. Docs with no
     tokens have no features and are absent (nothing to score)."""
@@ -510,7 +510,7 @@ def _classifier_oracle() -> str:
 def text_quality_classifier(spark, sf_dir):
     """Hashing-trick linear quality classifier over the corpus
     (inference only, weights as data): hashed-unigram features x a
-    broadcast {_CLF_BUCKETS}-bucket integer weight table, length-
+    broadcast 4096 (= _CLF_BUCKETS)-bucket integer weight table, length-
     normalized logit, keep verdict on the EXACT integer dot product.
     Hash-exact end-to-end — including the logit doubles — because the
     only floating-point operation is one final correctly-rounded

@@ -88,16 +88,27 @@ def stream_segment_counts_admit(
     toward its threshold) and then folded in via
     merge_into_saved_segment_counts(admit_batch_id=batch_id).
 
-    Exactly-once is STRUCTURAL here, not a handshake: the admitted
-    batch-id record lives inside the generation directory, so the
-    counts and the admission mark publish in one atomic pointer flip —
-    a crash leaves either both or neither, and a re-delivered batch
-    whose id is already recorded is skipped entirely (no sink call,
-    no merge: its strip output was already delivered in the admitted
-    run). The dedup index's admit loop needs a commit-token log and a
-    loud crash window to get the same guarantee over in-place appends;
-    the full-generation store gets it for free, which is exactly why
-    small artifacts should prefer generation flips.
+    Exactly-once is STRUCTURAL here for the COUNTS ADMISSION, not a
+    handshake: the admitted batch-id record lives inside the
+    generation directory, so the counts and the admission mark publish
+    in one atomic pointer flip — a crash leaves either both or
+    neither, and a re-delivered batch whose id is already recorded is
+    skipped entirely (no sink call, no merge). The dedup index's admit
+    loop needs a commit-token log and a loud crash window to get the
+    same guarantee over in-place appends; the full-generation store
+    gets it for free, which is exactly why small artifacts should
+    prefer generation flips.
+
+    SINK deliveries, by contrast, are AT-LEAST-ONCE across crashes: a
+    crash after sink() but before the merge's generation flip leaves
+    the batch unadmitted, so Spark's re-delivery re-runs the sink (the
+    skip guard only protects fully admitted batches). This ordering is
+    deliberate — sink-then-merge keeps the strip PRE-admission (a
+    batch's own repeats never count toward its threshold), at the cost
+    of possible duplicate strip output on that crash window. A
+    pipeline for which duplicate sink output is worse than
+    post-admission strip semantics should idempotency-key the sink on
+    (batch_id) or swap to merge-then-sink downstream (ADVICE r12).
 
     The checkpoint-lineage contract from stream_ingest_admit applies
     unchanged: batch ids restart at 0 under a fresh checkpoint, so
