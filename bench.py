@@ -118,6 +118,9 @@ HEADLINE = [
     # round-12 continuation 3: the composed dashboard + CDC chunking
     "corpus_health_report",
     "text_chunking_cdc",
+    # round-13: the recall-bounded LSH dedup pipeline (lsh_dial's
+    # (29,4) S-curve dial end-to-end: candidates → exact verify → CC)
+    "dedup_lsh_keepers_bounded",
 ]
 
 

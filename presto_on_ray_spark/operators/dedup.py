@@ -84,26 +84,34 @@ def shingles(col, n: int = 3):
     return F.array_distinct(_rolling_windows(col, n, F.xxhash64))
 
 
-def minhash_signature(shingle_col):
+def minhash_signature(shingle_col, n_hashes: int = _NUM_HASHES):
     """k-wide MinHash signature as an array<long> in ONE pass over the
     shingles: fold with a k-wide running-min accumulator, permutation
     constants as literal arrays. Entirely higher-order functions (stays
     in whole-stage codegen), and k x less codegen than k separate
     array_min(transform(...)) columns.
 
+    ``n_hashes`` widens (or narrows) the signature along the SAME
+    permutation stream: lane i uses _perm_params(i) regardless of
+    width, so a wider signature's first _NUM_HASHES lanes are
+    bit-identical to the default's (pinned by tests/test_lsh_dial.py).
+    That prefix property is what makes the recall-bounded dial's
+    candidate set a superset of the frozen 8x4 construction whenever
+    rows_per_band matches.
+
     ANSI-safety: the 64-bit shingle hash is folded into [0, p) before
     the multiply, keeping a*x within long range (overflow throws under
     Spark 4 ANSI arithmetic).
     """
-    a_arr = F.array(*[F.lit(_perm_params(i)[0]).cast("long") for i in range(_NUM_HASHES)])
-    b_arr = F.array(*[F.lit(_perm_params(i)[1]).cast("long") for i in range(_NUM_HASHES)])
+    a_arr = F.array(*[F.lit(_perm_params(i)[0]).cast("long") for i in range(n_hashes)])
+    b_arr = F.array(*[F.lit(_perm_params(i)[1]).cast("long") for i in range(n_hashes)])
     # fold the 64-bit hash into [0, p) ONCE per shingle, outside the
     # k-lane zip — a*(h mod p) mod p == a*h mod p, so signatures are
     # identical while the inner loop does one pmod per lane, not two.
     reduced = F.transform(shingle_col, lambda h: F.pmod(h, F.lit(_MERSENNE_P)))
     return F.aggregate(
         reduced,
-        F.array_repeat(F.lit(_MERSENNE_P).cast("long"), _NUM_HASHES),
+        F.array_repeat(F.lit(_MERSENNE_P).cast("long"), n_hashes),
         lambda acc, h: F.zip_with(
             acc,
             F.zip_with(
@@ -116,15 +124,18 @@ def minhash_signature(shingle_col):
     )
 
 
-def _band_structs(lane):
+def _band_structs(lane, n_bands: int = _LSH_BANDS, rows_per_band: int | None = None):
     """THE banding layout — the one definition shared by every LSH
     construction (dedup_minhash_lsh's array-signature form, lsh_bands'
-    grouped form, and the cross-construction equality test): an array
-    of _LSH_BANDS structs where band b's bucket is xxhash64 over the
-    comma-joined decimal strings of signature lanes [b*r, (b+1)*r).
+    grouped form, the recall-bounded dial, and the cross-construction
+    equality test): an array of ``n_bands`` structs where band b's
+    bucket is xxhash64 over the comma-joined decimal strings of
+    signature lanes [b*r, (b+1)*r).
     ``lane``: i -> Column producing signature lane i (element_at for
-    the array form, the grouped min alias for the relation form)."""
-    r = _NUM_HASHES // _LSH_BANDS
+    the array form, the grouped min alias for the relation form).
+    Defaults reproduce the frozen 8x4 construction byte-identically
+    (the saved-index bands relation depends on that layout)."""
+    r = rows_per_band if rows_per_band is not None else _NUM_HASHES // n_bands
     return F.array(
         *[
             F.struct(
@@ -136,7 +147,7 @@ def _band_structs(lane):
                     )
                 ).alias("bucket"),
             )
-            for b in range(_LSH_BANDS)
+            for b in range(n_bands)
         ]
     )
 
@@ -335,25 +346,31 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_lsh")
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH candidate pairs (SURVEY §2.11): shingle → 32-perm
-    minhash signature → 8 bands of 4 → bucket join. Pure DataFrame ops;
-    the only shuffle keys are (band, band_hash). No oracle (not
-    SQL-expressible at reasonable cost); invariants asserted in
-    tests/test_dedup.py: exact duplicates always collide in all bands,
-    candidates' true Jaccard is verified in a final exact pass."""
-    d = t(spark, sf_dir, "documents")
+def lsh_candidates(d: DataFrame, n_bands: int = _LSH_BANDS,
+                   rows_per_band: int = _NUM_HASHES // _LSH_BANDS) -> DataFrame:
+    """MinHash-LSH candidate pairs (doc_a, doc_b) over a (doc_id, text)
+    relation under an EXPLICIT (bands, rows) dial: shingle →
+    (bands*rows)-perm minhash signature → bucket join. Pure DataFrame
+    ops; the only shuffle keys are (band, band_hash). Defaults
+    reproduce the frozen 8x4 construction; lsh_dial() computes the
+    cheapest dial meeting a stated recall at a Jaccard threshold."""
+    n_hashes = n_bands * rows_per_band
     # Materialization barrier: band hashing references the signature
-    # column 32 times, and Catalyst's project-collapsing would inline
-    # (and re-execute) the signature fold per reference. The persisted
-    # intermediate is (doc_id, 32 longs) — tiny relative to the corpus.
+    # column n_hashes times, and Catalyst's project-collapsing would
+    # inline (and re-execute) the signature fold per reference. The
+    # persisted intermediate is (doc_id, n_hashes longs) — tiny
+    # relative to the corpus.
     sig = tracked_persist(
-        d.select("doc_id", minhash_signature(shingles(F.col("text"))).alias("sig"))
+        d.select(
+            "doc_id",
+            minhash_signature(shingles(F.col("text")), n_hashes).alias("sig"),
+        )
     )
     # Band structs built with literal indices (python loop, no nested
     # lambdas) via the shared _band_structs layout.
-    band_structs = _band_structs(lambda i: F.element_at(F.col("sig"), i + 1))
+    band_structs = _band_structs(
+        lambda i: F.element_at(F.col("sig"), i + 1), n_bands, rows_per_band
+    )
     banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
@@ -369,6 +386,17 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs (SURVEY §2.11): shingle → 32-perm
+    minhash signature → 8 bands of 4 → bucket join (lsh_candidates at
+    its frozen default dial). No oracle (not SQL-expressible at
+    reasonable cost); invariants asserted in tests/test_dedup.py:
+    exact duplicates always collide in all bands, candidates' true
+    Jaccard is verified in a final exact pass."""
+    return lsh_candidates(t(spark, sf_dir, "documents"))
 
 
 # SimHash bit width, shared by both tier members (well clear of the
@@ -689,8 +717,129 @@ def shingle_saturation_from_df(df_rel) -> float:
     return float(row["rows"] or 0) / max(float(row["distinct_sh"]), 1.0)
 
 
+# -- recall-bounded LSH dial (round 13) ---------------------------------
+# The adaptive tier's LSH branch previously shipped ONE fixed (8, 4)
+# dial, so its recall at the Jaccard threshold was an emergent
+# measurement (98.8% of exact keepers at the saturated sf1 rung), not
+# a chosen bound (VERDICT r12 #1). These functions derive the dial
+# from the banding S-curve P(candidate | jaccard=s) = 1 - (1 - s^r)^b:
+# callers state a target recall at the threshold J and get the
+# cheapest (bands, rows) meeting it. Cost model: below the threshold
+# the false-candidate probability is ~ b*s^r, so at a fixed recall
+# target LARGER r (steeper curve) always yields fewer false
+# candidates — the verify stage's shuffle volume, which dominates at
+# scale — at the price of a wider signature; the dial therefore picks
+# the largest r whose minimal band count fits the ``max_hashes``
+# signature budget, then the minimal b for that r.
+
+_LSH_TARGET_RECALL = 0.98  # default per-pair candidate recall at J
+_LSH_MAX_HASHES = 128  # signature-width budget for the dial search
+
+
+def lsh_candidate_prob(s: float, n_bands: int, rows_per_band: int) -> float:
+    """P(a pair with true Jaccard ``s`` becomes an LSH candidate)
+    under ``n_bands`` independent bands of ``rows_per_band`` minhash
+    rows: each band matches iff all r lanes agree (prob s^r per lane
+    under the uniform-permutation model), and the pair is a candidate
+    iff ANY band matches — 1 - (1 - s^r)^b. Pinned against a
+    brute-force Monte-Carlo minhash simulation and an exhaustive
+    band-outcome enumeration in tests/test_lsh_dial.py."""
+    return 1.0 - (1.0 - s**rows_per_band) ** n_bands
+
+
+def lsh_min_bands(j: float, rows_per_band: int, target_recall: float) -> int:
+    """Smallest band count b with lsh_candidate_prob(j, b, r) >=
+    target_recall — closed form b = ceil(log(1-target)/log(1-j^r)),
+    verified minimal (b meets, b-1 misses) by property test."""
+    import math
+
+    if not 0.0 < j <= 1.0:
+        raise ValueError(f"lsh_min_bands: threshold j={j} not in (0, 1]")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"lsh_min_bands: target_recall={target_recall} not in (0, 1)"
+        )
+    p = j**rows_per_band
+    if p >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log1p(-target_recall) / math.log1p(-p)))
+
+
+def lsh_dial(
+    j: float = 0.6,
+    target_recall: float = _LSH_TARGET_RECALL,
+    max_hashes: int = _LSH_MAX_HASHES,
+) -> tuple[int, int]:
+    """Cheapest (n_bands, rows_per_band) meeting ``target_recall`` at
+    Jaccard threshold ``j`` within a ``max_hashes``-lane signature
+    budget: the largest feasible r (fewest false candidates — the
+    S-curve's sub-threshold tail is ~ b*s^r), with the minimal b for
+    that r. At the defaults (j=0.6, recall 0.98, 128 lanes) this is
+    (29, 4) — 116 lanes, recall 0.9821 at J.
+
+    The SAVED-index bands relation stays on the frozen 8x4 layout
+    (a persisted compatibility contract — lsh_bands/ingest_batch_lsh);
+    this dial governs the batch adaptive tier's candidate generation
+    (dedup_neardup_adaptive and its consumers)."""
+    best: tuple[int, int] | None = None
+    for r in range(1, max_hashes + 1):
+        b = lsh_min_bands(j, r, target_recall)
+        if b * r <= max_hashes:
+            best = (b, r)  # larger feasible r always wins
+    if best is None:
+        raise ValueError(
+            f"lsh_dial: no (bands, rows) within {max_hashes} hashes "
+            f"reaches recall {target_recall} at j={j} — raise max_hashes "
+            f"or lower the target"
+        )
+    return best
+
+
+def _lsh_keepers_dialed(spark, sf_dir, j: float, target_recall: float):
+    """dedup_lsh_keepers with the recall-bounded dial: lsh_dial-chosen
+    banded candidates → exact-Jaccard verify (precision exact by
+    construction) → connected components → min-id keeper. Per-pair
+    candidate recall at the threshold is >= target_recall by the
+    S-curve bound; keeper recall through connected components is
+    higher still (a cluster is lost only if EVERY pair linking it is
+    missed)."""
+    n_bands, rows = lsh_dial(j, target_recall)
+    d = t(spark, sf_dir, "documents")
+    cand = lsh_candidates(d, n_bands, rows)
+    sh = tracked_persist(
+        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    )
+    verified = verify_jaccard(cand, sh, j)
+    comp = connected_components(verified)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        (F.col("node") == F.col("component_id")).alias("is_keeper"),
+    )
+
+
+@query("dedup_lsh_keepers_bounded", oracle=_KEEPER_CC_ORACLE)
+def dedup_lsh_keepers_bounded(spark, sf_dir):
+    """The recall-bounded LSH dedup pipeline end-to-end, hash-verified:
+    lsh_dial(j=0.6, recall=0.98)-chosen banded candidates (29 bands x
+    4 rows at the defaults) → exact-Jaccard verify → connected
+    components → min-id keepers.
+
+    Exactness argument for the oracle: at rows_per_band=4 the dialed
+    signature's first 32 lanes equal the frozen construction's (same
+    permutation stream — pinned by tests/test_lsh_dial.py), so bands
+    0-7 are byte-identical to dedup_minhash_lsh's and the dialed
+    candidate set is a SUPERSET of the frozen one, whose recall vs the
+    exact >= 0.6 pair relation is measured 1.0 on every fixture SF
+    (test_lsh_candidates_cover_all_true_pairs, re-pinned for the dial
+    in test_lsh_dial.py). Precision is exact via the verify stage, so
+    the output equals the recursive-CTE oracle's keeper relation."""
+    return _lsh_keepers_dialed(spark, sf_dir, j=0.6,
+                               target_recall=_LSH_TARGET_RECALL)
+
+
 @query("dedup_neardup_adaptive", oracle=_KEEPER_CC_ORACLE)
-def dedup_neardup_adaptive(spark, sf_dir):
+def dedup_neardup_adaptive(spark, sf_dir, target_recall: float = _LSH_TARGET_RECALL):
     """Near-dup keepers with ADAPTIVE candidate-tier selection — the
     executable form of SCALING.md's round-7 tiering rule:
 
@@ -706,14 +855,18 @@ def dedup_neardup_adaptive(spark, sf_dir):
     pass is itself scale-safe); both branches verify candidates by
     exact Jaccard and cluster with the same connected components.
     Precision is exact in BOTH tiers (the verify stage recomputes true
-    Jaccard); recall is exact in the exact tier and S-curve-bounded in
-    the LSH tier (8×4 banding ≈ 67% per-pair at J exactly 0.6, →1
-    rapidly above) — on every fixture SF banding recall is measured
-    1.0 (pinned precondition), so the recursive-CTE oracle holds; on
-    the saturated sf1 rung the LSH tier returned 98.8% of the exact
-    keeper relation (33/2657 borderline-J rows) for a measured 6.6×
-    speedup (11.9 s vs 78.2 s) — the standard trade every production
-    MinHash dedup pipeline makes, here made explicit and measured."""
+    Jaccard); recall is exact in the exact tier and RECALL-BOUNDED in
+    the LSH tier: the (bands, rows) dial is derived from the banding
+    S-curve by lsh_dial() so per-pair candidate recall at the J
+    threshold is >= ``target_recall`` (default 0.98 — dial (29, 4) at
+    J=0.6), a CHOSEN bound rather than the old fixed 8x4 dial's
+    emergent one (VERDICT r12 #1: the fixed dial measured 98.8% keeper
+    recall at the saturated sf1 rung with only ~67% per-pair at
+    exactly J). On every fixture SF dialed banding recall is measured
+    1.0 (pinned precondition — the dialed candidates are a SUPERSET of
+    the frozen 8x4 set, see dedup_lsh_keepers_bounded), so the
+    recursive-CTE oracle holds. Consumers (dedup_keep_best,
+    split_leakage_safe) thread ``target_recall`` through."""
     d = t(spark, sf_dir, "documents")
     # the same persisted shingle relation both tiers build (the
     # CacheManager dedupes by analyzed-plan equality, so the stat pass
@@ -723,7 +876,8 @@ def dedup_neardup_adaptive(spark, sf_dir):
     )
     if shingle_saturation(sh) < _SATURATION_AVG_DF:
         return dedup_neardup_clusters(spark, sf_dir)
-    return dedup_lsh_keepers(spark, sf_dir)
+    return _lsh_keepers_dialed(spark, sf_dir, j=0.6,
+                               target_recall=target_recall)
 
 
 @query(
@@ -757,7 +911,7 @@ def dedup_neardup_adaptive(spark, sf_dir):
     """
     ),
 )
-def dedup_keep_best(spark, sf_dir):
+def dedup_keep_best(spark, sf_dir, target_recall: float = _LSH_TARGET_RECALL):
     """Quality-aware keeper policy: within each near-dup cluster keep
     the member with the LOWEST intra-document repetition score
     (text_repetition's Gopher-style rep_ratio; doc_id ties) — the
@@ -766,7 +920,8 @@ def dedup_keep_best(spark, sf_dir):
     with the accidentally-smallest id. Components come from the
     adaptive tier dispatch (the split_leakage_safe lesson: every
     consumer of the pair relation inherits its df² cliff unless it
-    routes through the dispatcher); the quality score is one
+    routes through the dispatcher), with ``target_recall`` threaded to
+    the dispatcher's recall-bounded LSH dial; the quality score is one
     shuffle-free projection, the keeper pick one bounded window per
     tiny cluster. Fixture SFs dispatch to the exact tier, so the
     recursive-CTE oracle holds verbatim."""
@@ -774,9 +929,9 @@ def dedup_keep_best(spark, sf_dir):
 
     from presto_on_ray_spark.operators.pipeline_prep import text_repetition
 
-    comp = dedup_neardup_adaptive(spark, sf_dir).select(
-        "doc_id", "component_id"
-    )
+    comp = dedup_neardup_adaptive(
+        spark, sf_dir, target_recall=target_recall
+    ).select("doc_id", "component_id")
     # the quality statistic IS text_repetition's — reuse its pipeline
     # rather than restating the expression (a rounding-mode fix there
     # must move this keeper policy with it)

@@ -1254,7 +1254,7 @@ def _leakage_safe_oracle() -> str:
 
 
 @query("split_leakage_safe", oracle=_leakage_safe_oracle())
-def split_leakage_safe(spark, sf_dir):
+def split_leakage_safe(spark, sf_dir, target_recall: float | None = None):
     """80/10/10 deterministic hash split keyed by the near-dup cluster
     representative instead of the raw doc_id: ngram-Jaccard pairs →
     connected components (min-id representative), singletons represent
@@ -1270,16 +1270,26 @@ def split_leakage_safe(spark, sf_dir):
     at/above it, where the exact tier's candidate join is the measured
     df² cliff (first measured here: the fixed exact tier put this key
     at 20× wall at 10× data on the saturated sf1 rung; the dispatch is
-    the escape, same trade as dedup_ingest_adaptive). On every fixture
-    SF the statistic dispatches to the exact tier, so the recursive-
-    CTE oracle holds verbatim. The split itself adds one left join
-    against the component relation (which carries only docs that HAVE
-    a near-duplicate) and a map-side bucket expression."""
-    from presto_on_ray_spark.operators.dedup import dedup_neardup_adaptive
-
-    comp = dedup_neardup_adaptive(spark, sf_dir).select(
-        "doc_id", F.col("component_id").alias("rep")
+    the escape, same trade as dedup_ingest_adaptive). ``target_recall``
+    threads to the dispatcher's recall-bounded LSH dial (None = its
+    0.98 default) — the r12 emergent 17/50000 rep_id flips at sf1 are
+    now governed by a stated per-pair bound. On every fixture SF the
+    statistic dispatches to the exact tier, so the recursive-CTE
+    oracle holds verbatim. The split itself adds one left join against
+    the component relation (which carries only docs that HAVE a
+    near-duplicate) and a map-side bucket expression."""
+    from presto_on_ray_spark.operators.dedup import (
+        _LSH_TARGET_RECALL,
+        dedup_neardup_adaptive,
     )
+
+    comp = dedup_neardup_adaptive(
+        spark,
+        sf_dir,
+        target_recall=(
+            _LSH_TARGET_RECALL if target_recall is None else target_recall
+        ),
+    ).select("doc_id", F.col("component_id").alias("rep"))
     d = t(spark, sf_dir, "documents").select("doc_id")
     rep = d.join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("rep", F.col("doc_id")).alias("rep_id")
