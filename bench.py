@@ -121,6 +121,9 @@ HEADLINE = [
     # round-13: the recall-bounded LSH dedup pipeline (lsh_dial's
     # (29,4) S-curve dial end-to-end: candidates → exact verify → CC)
     "dedup_lsh_keepers_bounded",
+    # round-13: the auto-shortlist IVF-PQ production entry (depth ∝
+    # corpus from one count aggregate; floor 64 at fixture scales)
+    "similarity_ivfpq_rerank_auto",
 ]
 
 

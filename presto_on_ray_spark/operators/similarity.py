@@ -752,23 +752,25 @@ def similarity_pq_rerank_topk(spark, sf_dir):
     return _pq_shortlist_rerank(score, v, n_queries, k)
 
 
-def _pq_shortlist_rerank(score, v, n_queries: int, k: int):
+def _pq_shortlist_rerank(score, v, n_queries: int, k: int,
+                         shortlist: int = _PQ_SHORTLIST):
     """The shared shortlist + exact-rerank tail: ADC-rank to
-    _PQ_SHORTLIST per query (smallest-cid ties), fetch ONLY the
-    shortlist's raw vectors by id, rerank by quantized-i64 cosine.
-    One body for the frozen sampled-codebook key and the
-    k-means-refined variant — the codebook changes recall, never this
+    ``shortlist`` (default _PQ_SHORTLIST) per query (smallest-cid
+    ties), fetch ONLY the shortlist's raw vectors by id, rerank by
+    quantized-i64 cosine. One body for the frozen sampled-codebook
+    key, the k-means-refined variant, and the auto-depth production
+    entry — the codebook and the depth change recall, never this
     machinery."""
     w_adc = Window.partitionBy("qid").orderBy(F.col("adc_dist"), F.col("vec_id"))
-    shortlist = (
+    sl = (
         score.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .filter(F.col("rn") <= shortlist)
         .select("qid", F.col("vec_id").alias("cid"))
     )
     qv = v.select(F.col("vec_id").alias("qid"), F.col("qv").alias("q_vec"))
     cv = v.select(F.col("vec_id").alias("cid"), F.col("qv").alias("c_vec"))
     rer = (
-        shortlist.join(F.broadcast(qv.filter(F.col("qid") < n_queries)), "qid")
+        sl.join(F.broadcast(qv.filter(F.col("qid") < n_queries)), "qid")
         .join(cv, "cid")
         .select("qid", "cid", cosine_q(F.col("q_vec"), F.col("c_vec")).alias("cos"))
     )
@@ -1252,9 +1254,11 @@ def similarity_ivfpq_adc_topk(spark, sf_dir):
     return ivfpq_topk(spark, sf_dir)
 
 
-@query(
-    "similarity_ivfpq_rerank_topk",
-    oracle="WITH "
+# shared by the frozen explicit-dial key and the auto-depth key: at
+# every fixture SF the auto depth resolves to the same 64 (n_codes
+# <= 2000 → max(64, ceil(0.03*n)) = 64), so ONE oracle pins both.
+_IVFPQ_RERANK_ORACLE = (
+    "WITH "
     + _IVFPQ_ORACLE_PIPELINE
     + """
     , shortlist AS (
@@ -1281,8 +1285,11 @@ def similarity_ivfpq_adc_topk(spark, sf_dir):
                                     ORDER BY cos DESC, cid) AS rn
           FROM rer)
     WHERE rn <= 4
-    """,
+    """
 )
+
+
+@query("similarity_ivfpq_rerank_topk", oracle=_IVFPQ_RERANK_ORACLE)
 def similarity_ivfpq_rerank_topk(spark, sf_dir):
     """The production IVF-PQ pattern, hash-verified end-to-end: the
     IVFADC scores (similarity_ivfpq_adc_topk's pipeline — cell-pruned
@@ -1300,6 +1307,65 @@ def similarity_ivfpq_rerank_topk(spark, sf_dir):
     v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
     score = _ivfpq_scores(v, build_ann_index(v), n_queries, _IVFPQ_NPROBE)
     return _pq_shortlist_rerank(score, v, n_queries, k)
+
+
+# -- auto shortlist depth (round 13) ------------------------------------
+# SCALING.md's round-12 decomposition measured recall@4 at FIXED
+# shortlist 64 decaying 0.90 → 0.25 as the corpus grows 2k → 20k, and
+# that depth ∝ n restores the operating point (640/20000 ≈ 64/2000).
+# The production default therefore scales the dial with the corpus
+# (VERDICT r12 #2); the frozen hash-exact keys keep their explicit 64.
+
+_AUTO_SHORTLIST_FRAC = 0.03  # ~ the measured 64/2000 operating point
+
+
+def auto_shortlist_depth(v, floor_depth: int = _PQ_SHORTLIST,
+                         frac: float = _AUTO_SHORTLIST_FRAC) -> int:
+    """shortlist = max(floor_depth, ceil(frac * n_codes)) via ONE
+    bounded count aggregate over the codes/vector relation — a single
+    driver scalar (the shingle_saturation pattern). At fixture scales
+    (n <= 2000) this resolves to the floor, so the auto key shares the
+    frozen key's oracle; at sf1 (n = 20000) it is 600 — the depth that
+    restores the measured recall operating point."""
+    import math
+
+    return max(floor_depth, math.ceil(frac * v.count()))
+
+
+def ivfpq_rerank_topk(
+    spark,
+    sf_dir,
+    n_queries: int = 5,
+    k: int = 4,
+    nprobe: int = _IVFPQ_NPROBE,
+    shortlist: int | None = None,
+    index: AnnIndex | None = None,
+):
+    """The production IVF-PQ entry point: IVFADC codes-only scoring →
+    shortlist → exact rerank, with the shortlist depth DEFAULTING to
+    auto_shortlist_depth(v) (∝ corpus size) instead of a constant —
+    pass ``shortlist`` to pin it (the frozen oracle keys do)."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    if index is None:
+        index = build_ann_index(v)
+    if shortlist is None:
+        shortlist = auto_shortlist_depth(v)
+    score = _ivfpq_scores(v, index, n_queries, nprobe)
+    return _pq_shortlist_rerank(score, v, n_queries, k, shortlist=shortlist)
+
+
+@query("similarity_ivfpq_rerank_auto", oracle=_IVFPQ_RERANK_ORACLE)
+def similarity_ivfpq_rerank_auto(spark, sf_dir):
+    """similarity_ivfpq_rerank_topk on the AUTO shortlist dial
+    (ivfpq_rerank_topk's default): depth = max(64, ceil(0.03 x
+    n_codes)) from one bounded count aggregate. At every fixture SF
+    the auto depth resolves to the frozen key's 64 (n_codes <= 2000),
+    so the same hash-exact oracle pins this key; at sf1 the depth is
+    600 and recall@4 returns to the small-corpus operating point
+    (SCALING.md round-13 row) where the fixed dial had decayed to
+    0.25. The depth tracking n is pinned by tests/test_similarity.py."""
+    return ivfpq_rerank_topk(spark, sf_dir)
 
 
 @query("similarity_ivfpq_refined_topk")
