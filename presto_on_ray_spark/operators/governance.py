@@ -142,19 +142,12 @@ def _gov_oracle() -> str:
     """
 
 
-@query("corpus_health_report", oracle=_gov_oracle())
-def corpus_health_report(spark, sf_dir):
-    """Per-source governance dashboard, one row per source: document
-    and token volume, exact-duplicate documents (corpus-global digest
-    groups counted per source), documents carrying over-threshold
-    boilerplate segments, classifier keeps, and hash-half PSI drift —
-    the composed pre-run review over the governance tier's own
-    verified members.
-
-    Shape at scale: five independent per-source aggregates (each the
-    member operator's own audited shape) joined on the tiny source
-    dimension; nothing here adds corpus-scale work beyond the members
-    themselves."""
+def _health_report(spark, sf_dir, counts):
+    """The shared dashboard body: every component except the
+    boilerplate document-frequency relation is an unavoidable per-doc
+    aggregate; ``counts`` supplies that (h, df) relation — computed
+    inline by corpus_health_report, read from the maintained saved
+    store by corpus_health_report_from_counts."""
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
     vol = d.groupBy("source").agg(
@@ -168,7 +161,6 @@ def corpus_health_report(spark, sf_dir):
         .groupBy("source")
         .agg(F.count("*").alias("n_exact_dup_docs"))
     )
-    counts = segment_counts(d, _BP_W)
     freq = counts.filter(F.col("df") > _BP_MAX_DF).select("h")
     bp = (
         _segments(d, _BP_W)
@@ -200,4 +192,89 @@ def corpus_health_report(spark, sf_dir):
             F.coalesce("n_keep", F.lit(0)).alias("n_keep"),
             "psi",
         )
+    )
+
+
+@query("corpus_health_report", oracle=_gov_oracle())
+def corpus_health_report(spark, sf_dir):
+    """Per-source governance dashboard, one row per source: document
+    and token volume, exact-duplicate documents (corpus-global digest
+    groups counted per source), documents carrying over-threshold
+    boilerplate segments, classifier keeps, and hash-half PSI drift —
+    the composed pre-run review over the governance tier's own
+    verified members. The segment document frequencies are recomputed
+    INLINE per run; a pipeline maintaining the saved counts store
+    should use corpus_health_report_from_counts instead (VERDICT r12
+    #4 — same relation when the store is fresh, by the oracle-equality
+    test and the shared _health_report body).
+
+    Shape at scale: five independent per-source aggregates (each the
+    member operator's own audited shape) joined on the tiny source
+    dimension; nothing here adds corpus-scale work beyond the members
+    themselves."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return _health_report(spark, sf_dir, segment_counts(d, _BP_W))
+
+
+def corpus_health_report_from_counts(
+    spark, sf_dir, counts_path: str, expect_generation: str | None = None
+):
+    """The dashboard over the MAINTAINED saved counts store: identical
+    relation to corpus_health_report when the store is fresh (holds
+    exactly the corpus's segment_counts — oracle-equality pinned by
+    test), but the corpus-wide segment document-frequency aggregate —
+    the report's one index-sized term — is replaced by a read of the
+    generation-flip store merge_into_saved_segment_counts maintains,
+    so the incremental cost of the dashboard is O(sources) over
+    maintained relations plus the unavoidable per-doc aggregates.
+
+    ``expect_generation`` pins freshness with the store's own
+    generation machinery: pass counts_live_generation(counts_path)
+    captured when you last reconciled the store with the corpus, and
+    this raises StaleSegmentCounts if a concurrent merge/save flipped
+    the pointer since — the guard against silently reporting
+    boilerplate exposure from counts that no longer describe the
+    corpus being reported on."""
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        StaleSegmentCounts,
+        counts_live_generation,
+        load_segment_counts,
+    )
+
+    if expect_generation is not None:
+        live = counts_live_generation(counts_path)
+        if live != expect_generation:
+            raise StaleSegmentCounts(
+                f"saved segment counts at {counts_path!r}: live generation "
+                f"{live!r} != pinned {expect_generation!r} — the store was "
+                f"merged/saved since the caller reconciled it; re-capture "
+                f"counts_live_generation() (or drop the pin) and re-run"
+            )
+    return _health_report(
+        spark, sf_dir, load_segment_counts(spark, counts_path)
+    )
+
+
+@query("corpus_health_report_saved", oracle=_gov_oracle())
+def corpus_health_report_saved(spark, sf_dir):
+    """The saved-store dashboard end-to-end, hash-verified: save the
+    corpus's segment counts as a fresh generation store (the lifecycle
+    a real pipeline maintains incrementally via
+    merge_into_saved_segment_counts), then report THROUGH the store
+    with the generation pinned. Because the store is fresh, the
+    relation equals corpus_health_report's, so the same composed
+    oracle pins the whole read-through path — store round-trip
+    included."""
+    import tempfile
+
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        counts_live_generation,
+        save_segment_counts,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="health_counts_")
+    save_segment_counts(segment_counts(d, _BP_W), tmp)
+    return corpus_health_report_from_counts(
+        spark, sf_dir, tmp, expect_generation=counts_live_generation(tmp)
     )

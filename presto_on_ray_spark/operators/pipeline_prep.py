@@ -1581,6 +1581,23 @@ def save_segment_counts(
         _counts_release(os_path)
 
 
+class StaleSegmentCounts(ValueError):
+    """The saved counts store's live generation is not the one the
+    caller pinned (expect_generation) — the store was merged/saved
+    since the caller last looked. Reload the generation id (or drop
+    the pin) and retry; the store itself is intact."""
+
+
+def counts_live_generation(path: str) -> str:
+    """The live generation id of a saved counts store (the _CURRENT
+    pointer's value) — the freshness token consumers pin: capture it
+    when deriving anything from the store, pass it back as
+    expect_generation to guard against concurrent merges (see
+    governance.corpus_health_report_from_counts)."""
+    _, os_path = _counts_paths(path)
+    return _counts_gen(os_path)
+
+
 def load_segment_counts(spark, path: str):
     """Read the live generation's (h, df) relation. No marker check is
     needed (the pointer flips atomically onto complete generations

@@ -67,3 +67,74 @@ def test_pipeline_views_unknown_name_and_missing_catalog(spark, sf_dir):
     eng = Engine(spark).register_tables(sf_dir)
     with pytest.raises(KeyError, match="not a registered suite query"):
         eng.register_pipeline_views(["no_such_operator"])
+
+
+def test_saved_report_equals_inline_when_fresh(spark, sf_dir, tmp_path):
+    """VERDICT r12 #4 'done' condition: oracle-equality of the
+    saved-store dashboard with the inline key when the store is
+    fresh."""
+    import pyspark.sql.functions as F
+
+    from presto_on_ray_spark.operators._util import t
+    from presto_on_ray_spark.operators.governance import (
+        corpus_health_report,
+        corpus_health_report_from_counts,
+    )
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        _BP_W,
+        save_segment_counts,
+        segment_counts,
+    )
+
+    store = str(tmp_path / "counts")
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    save_segment_counts(segment_counts(d, _BP_W), store)
+    inline = corpus_health_report(spark, sf_dir)
+    saved = corpus_health_report_from_counts(spark, sf_dir, store)
+    assert inline.exceptAll(saved).count() == 0
+    assert saved.exceptAll(inline).count() == 0
+
+
+def test_saved_report_generation_staleness_guard(spark, sf_dir, tmp_path):
+    """Pinning the generation raises StaleSegmentCounts after a
+    concurrent merge flips the pointer; re-capturing the live
+    generation clears it."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from presto_on_ray_spark.operators._util import t
+    from presto_on_ray_spark.operators.governance import (
+        corpus_health_report_from_counts,
+    )
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        _BP_W,
+        StaleSegmentCounts,
+        counts_live_generation,
+        merge_into_saved_segment_counts,
+        save_segment_counts,
+        segment_counts,
+    )
+
+    store = str(tmp_path / "counts")
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    save_segment_counts(segment_counts(d, _BP_W), store)
+    pinned = counts_live_generation(store)
+    # the pinned read works while the store is untouched
+    assert (
+        corpus_health_report_from_counts(
+            spark, sf_dir, store, expect_generation=pinned
+        ).count()
+        > 0
+    )
+    # a concurrent merge flips the generation → the stale pin raises
+    merge_into_saved_segment_counts(spark, store, d.limit(3), _BP_W)
+    assert counts_live_generation(store) != pinned
+    with pytest.raises(StaleSegmentCounts, match="live generation"):
+        corpus_health_report_from_counts(
+            spark, sf_dir, store, expect_generation=pinned
+        )
+    # re-capture clears it
+    fresh = counts_live_generation(store)
+    corpus_health_report_from_counts(
+        spark, sf_dir, store, expect_generation=fresh
+    )
