@@ -124,6 +124,9 @@ HEADLINE = [
     # round-13: the auto-shortlist IVF-PQ production entry (depth ∝
     # corpus from one count aggregate; floor 64 at fixture scales)
     "similarity_ivfpq_rerank_auto",
+    # round-13: filtered ANN (predicate semi-join prunes codes BEFORE
+    # ADC; post-filtering starves at selective predicates)
+    "similarity_ivfpq_filtered_topk",
 ]
 
 

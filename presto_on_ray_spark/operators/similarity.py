@@ -1368,6 +1368,89 @@ def similarity_ivfpq_rerank_auto(spark, sf_dir):
     return ivfpq_rerank_topk(spark, sf_dir)
 
 
+# -- filtered ANN: metadata predicate + IVF-PQ top-k (round 13) ----------
+# The one similarity shape a real corpus pipeline hits that the suite
+# lacked (VERDICT r12 #5): "top-k neighbors WHERE label = X /
+# quality > t". The predicate-passing id set prunes the CODES relation
+# BEFORE ADC (a left-semi join Catalyst/AQE turns into a broadcast
+# when the set is small and a shuffled semi-join when it is not), so
+# every downstream stage — ADC tables, shortlist, rerank — works on
+# the filtered corpus: unlike post-filtering an unfiltered top-k, the
+# result can never starve when the predicate is selective, because the
+# shortlist is drawn FROM predicate-passing candidates.
+
+_FILTER_LABEL = 3  # the frozen key's predicate (≈10% selectivity)
+
+
+def ivfpq_filtered_topk(
+    spark,
+    sf_dir,
+    predicate,
+    n_queries: int = 5,
+    k: int = 4,
+    nprobe: int = _IVFPQ_NPROBE,
+    shortlist: int | None = None,
+    index: AnnIndex | None = None,
+):
+    """Filtered IVF-PQ top-k: exact quantized-cosine top-``k`` among
+    the vectors passing ``predicate`` (a Column over the embeddings
+    table's metadata), selected by ADC over the PRE-FILTERED codes
+    relation + shortlist + exact rerank. Queries are NOT required to
+    pass the predicate (query anything; neighbors must pass).
+    ``shortlist`` defaults to auto_shortlist_depth over the FILTERED
+    id set — the corpus the shortlist actually ranks."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    if index is None:
+        index = build_ann_index(v)
+    passing = e.filter(predicate).select("vec_id")
+    fidx = AnnIndex(
+        index.cents,
+        index.codebook,
+        index.codes.join(passing, "vec_id", "left_semi"),
+    )
+    if shortlist is None:
+        shortlist = auto_shortlist_depth(passing)
+    score = _ivfpq_scores(v, fidx, n_queries, nprobe)
+    return _pq_shortlist_rerank(score, v, n_queries, k, shortlist=shortlist)
+
+
+def _ivfpq_filtered_oracle() -> str:
+    """The frozen filtered key's oracle: the rerank oracle with the
+    predicate folded into the score CTE (codes semi-joined to the
+    label-passing id set BEFORE scoring — the same place the Spark
+    side prunes). Built by surgical insertion so the two pipelines
+    can never drift apart silently; the asserts fail the import if
+    the base oracle's shape changes."""
+    lab = (
+        f"lab AS (SELECT vec_id FROM embeddings "
+        f"WHERE label = {_FILTER_LABEL}),\n    score AS ("
+    )
+    out = _IVFPQ_RERANK_ORACLE.replace("score AS (", lab)
+    assert out != _IVFPQ_RERANK_ORACLE, "score CTE not found"
+    joined = out.replace(
+        "FROM enc JOIN qt ON",
+        "FROM enc JOIN lab ON enc.vec_id = lab.vec_id JOIN qt ON",
+    )
+    assert joined != out, "enc/qt join not found"
+    return joined
+
+
+@query("similarity_ivfpq_filtered_topk", oracle=_ivfpq_filtered_oracle())
+def similarity_ivfpq_filtered_topk(spark, sf_dir):
+    """Filtered ANN end-to-end, hash-verified: top-4 neighbors among
+    label = 3 (= _FILTER_LABEL) vectors (≈10% of the corpus) for the
+    first 5 query ids, via the pre-filtered-codes IVFADC pipeline.
+    The oracle is the rerank oracle with the predicate semi-join
+    folded into its score CTE at exactly the stage the Spark side
+    prunes, so the whole filtered pipeline — prune, ADC, shortlist,
+    rerank — is pinned hash-exact. Pre- vs post-filter recall at low
+    selectivity is measured in SCALING.md round 13."""
+    return ivfpq_filtered_topk(
+        spark, sf_dir, F.col("label") == _FILTER_LABEL
+    )
+
+
 @query("similarity_ivfpq_refined_topk")
 def similarity_ivfpq_refined_topk(spark, sf_dir):
     """The IVF-PQ quality dial turned at ENCODE time: the residual

@@ -755,3 +755,55 @@ def test_pq_shortlist_rerank_depth_param_widens_recall_set(spark, sf_dir):
         )
     )
     assert j.filter(F.col("worst_deep") < F.col("worst_shallow")).count() == 0
+
+
+def test_ivfpq_filtered_topk_respects_predicate(spark, sf_dir):
+    """Every returned neighbor passes the predicate, self-pairs are
+    excluded, and each query gets a full k even at selective
+    predicates — the starvation-resistance property post-filtering
+    lacks (SCALING.md r13: post-filter recall 0.0 at sf1 where
+    pre-filter holds 0.2-0.55)."""
+    from presto_on_ray_spark.operators.similarity import (
+        _FILTER_LABEL,
+        ivfpq_filtered_topk,
+        similarity_ivfpq_filtered_topk,
+    )
+
+    res = similarity_ivfpq_filtered_topk(spark, sf_dir).cache()
+    e = t(spark, sf_dir, "embeddings")
+    passing = e.filter(F.col("label") == _FILTER_LABEL).select(
+        F.col("vec_id").alias("cid")
+    )
+    assert res.join(passing, "cid", "left_anti").count() == 0
+    assert res.filter(F.col("qid") == F.col("cid")).count() == 0
+    per_q = res.groupBy("qid").count().collect()
+    assert len(per_q) == 5 and all(r["count"] == 4 for r in per_q)
+    res.unpersist()
+
+    # a ~2% predicate still fills k per query because the shortlist is
+    # drawn FROM the filtered codes (nprobe=8 = exhaustive probing, so
+    # the only possible shortfall would be the predicate itself — at
+    # nprobe<n_cells a passing vector in an unprobed cell is correctly
+    # pruned, which is ANN cell pruning, not post-filter starvation)
+    tiny = ivfpq_filtered_topk(
+        spark,
+        sf_dir,
+        (F.col("label") == _FILTER_LABEL) & (F.col("vec_id") % 5 == 0),
+        nprobe=8,
+    )
+    per_q = tiny.groupBy("qid").count().collect()
+    assert len(per_q) == 5 and all(r["count"] == 4 for r in per_q)
+
+
+def test_ivfpq_filtered_matches_unfiltered_on_true_predicate(spark, sf_dir):
+    """A predicate passing EVERY vector reduces the filtered pipeline
+    to the auto-dial unfiltered one exactly (the semi-join prunes
+    nothing; depth formula sees the same n)."""
+    from presto_on_ray_spark.operators.similarity import (
+        ivfpq_filtered_topk,
+        ivfpq_rerank_topk,
+    )
+
+    a = ivfpq_filtered_topk(spark, sf_dir, F.lit(True))
+    b = ivfpq_rerank_topk(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
