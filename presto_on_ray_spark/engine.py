@@ -432,6 +432,7 @@ class Engine:
         self._admission_bytes: int | None = None
         self._max_run_time_s: float | None = None
         self._pool: str | None = None
+        self._deferred_views: set[str] = set()
         self.last_job_group: str | None = None
         # per-THREAD armed watchdog (job groups are thread-local in
         # Spark, so the handle must be too: concurrent sql() callers —
@@ -538,6 +539,7 @@ class Engine:
         # cancel. (EXPLAIN's recursive self.sql(inner) then re-arms for
         # the inner query, which is exactly the coverage we want.)
         self._disarm_watchdog()
+        self._materialize_deferred(text)
         handled = self._catalog_statement(text)
         if handled is NotImplemented:
             handled = self._introspection_statement(text)
@@ -1205,7 +1207,40 @@ class Engine:
         register_function(self.spark, name, fn, return_type)
         return self
 
-    def register_pipeline_views(self, names: list[str]) -> "Engine":
+    def _materialize_deferred(self, text: str) -> None:
+        """First-read materialization of deferred pipeline views: when
+        a statement references a deferred name, construct the operator
+        DataFrame NOW (running its bounded driver jobs), persist it
+        (tracked — released by release_cached), and publish the temp
+        view; later statements hit the cached view. Reference
+        detection is a word-boundary match on the raw statement —
+        views are plain identifiers, and a false positive (the name in
+        a string literal) merely materializes early, never corrupts."""
+        if not self._deferred_views:
+            return
+        import re
+
+        from presto_on_ray_spark import suite
+        from presto_on_ray_spark.caching import tracked_persist
+
+        hit = [
+            n for n in sorted(self._deferred_views)
+            if re.search(rf"\b{re.escape(n)}\b", text, re.IGNORECASE)
+        ]
+        for name in hit:
+            df = suite.QUERIES[name](self.spark, self._sf_dir)
+            if df.isStreaming:
+                raise ValueError(
+                    f"register_pipeline_views: {name!r} is a streaming "
+                    f"query — its sink owns execution; it cannot back a "
+                    f"deferred view"
+                )
+            tracked_persist(df).createOrReplaceTempView(name)
+            self._deferred_views.discard(name)
+
+    def register_pipeline_views(
+        self, names: list[str], deferred: bool = False
+    ) -> "Engine":
         """Expose registered suite operators (dedup verdicts, quality
         scores, drift, the governance dashboard, ...) as temp views
         over the attached catalog, so the SQL front door can query and
@@ -1225,9 +1260,22 @@ class Engine:
         driver jobs at registration — and any tracked persists an
         operator takes stay cached until release_cached(). Pick the
         views you need rather than registering the whole registry.
+
+        ``deferred=True`` registers names LAZILY instead: nothing is
+        constructed and zero Spark jobs run at registration (attaching
+        the whole governance dashboard to a SQL session is free); the
+        first Engine.sql statement that references a deferred name
+        materializes it — runs the operator's bounded driver jobs
+        once, persists the result (tracked; release_cached drops it),
+        publishes the temp view — and later reads hit the cache.
+        Deferred names resolve through THIS engine's sql() front door
+        (raw spark.sql cannot see an unmaterialized deferred view).
+
         Requires register_tables first (operators read the attached
-        fixture catalog); streaming queries are skipped (their sinks
-        own execution)."""
+        fixture catalog); streaming queries are skipped eagerly
+        (their sinks own execution) and raise at materialization when
+        deferred (the name was explicitly requested — silently
+        skipping would surface later as an unresolved view)."""
         from presto_on_ray_spark import suite
 
         suite.load_all()
@@ -1242,6 +1290,9 @@ class Engine:
                     f"register_pipeline_views: {name!r} is not a registered "
                     f"suite query (see presto_on_ray_spark.suite.QUERIES)"
                 )
+            if deferred:
+                self._deferred_views.add(name)
+                continue
             df = suite.QUERIES[name](self.spark, self._sf_dir)
             if df.isStreaming:
                 continue

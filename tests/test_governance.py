@@ -138,3 +138,57 @@ def test_saved_report_generation_staleness_guard(spark, sf_dir, tmp_path):
     corpus_health_report_from_counts(
         spark, sf_dir, store, expect_generation=fresh
     )
+
+
+def test_deferred_pipeline_views_zero_jobs_until_first_read(spark, sf_dir):
+    """VERDICT r12 #6 'done' condition: deferred registration triggers
+    ZERO jobs and zero operator constructions; the first sql() read
+    materializes exactly once (driver jobs + persist + view publish);
+    the second read hits the cached view without re-running the
+    operator."""
+    import contextlib
+
+    from presto_on_ray_spark import suite
+    from presto_on_ray_spark.engine import Engine
+
+    name = "similarity_kcenter_seeds"  # a driver-loop operator
+    with contextlib.suppress(Exception):
+        spark.catalog.dropTempView(name)
+    sc = spark.sparkContext
+    eng = Engine(spark).register_tables(sf_dir)
+    calls = {"n": 0}
+    orig = suite.QUERIES[name]
+
+    def counted(s, d):
+        calls["n"] += 1
+        return orig(s, d)
+
+    suite.QUERIES[name] = counted
+    try:
+        sc.setJobGroup("defer-reg", "registration must run zero jobs")
+        eng.register_pipeline_views([name], deferred=True)
+        sc.setJobGroup("defer-done", "")
+        assert list(sc.statusTracker().getJobIdsForGroup("defer-reg")) == []
+        assert calls["n"] == 0
+        assert not spark.catalog.tableExists(name)
+
+        rows = eng.sql(f"SELECT COUNT(*) AS n FROM {name}").collect()
+        assert rows[0].n == 6 and calls["n"] == 1
+        assert spark.catalog.tableExists(name)
+
+        eng.sql(f"SELECT MAX(seed_rank) AS m FROM {name}").collect()
+        assert calls["n"] == 1  # one materialization only
+    finally:
+        suite.QUERIES[name] = orig
+        with contextlib.suppress(Exception):
+            spark.catalog.dropTempView(name)
+
+
+def test_deferred_pipeline_views_validation(spark, sf_dir):
+    import pytest
+
+    from presto_on_ray_spark.engine import Engine
+
+    eng = Engine(spark).register_tables(sf_dir)
+    with pytest.raises(KeyError, match="not a registered suite query"):
+        eng.register_pipeline_views(["no_such_operator"], deferred=True)
