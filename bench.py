@@ -127,6 +127,10 @@ HEADLINE = [
     # round-13: filtered ANN (predicate semi-join prunes codes BEFORE
     # ADC; post-filtering starves at selective predicates)
     "similarity_ivfpq_filtered_topk",
+    # round-13: in-engine classifier training (pocket batch integer
+    # perceptron, weak-supervised distillation of the lang-id rule)
+    "text_classifier_train",
+    "text_classifier_distilled",
 ]
 
 

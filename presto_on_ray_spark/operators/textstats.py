@@ -506,6 +506,293 @@ def _classifier_oracle() -> str:
     """
 
 
+# -- classifier TRAINING: distill a heuristic into the hashed model ----
+# The missing half of the quality-filter story (inference-only since
+# round 12): train the 4096-bucket linear model IN the engine with a
+# POCKET batch perceptron (Gallant 1990) over hashed features plus one
+# bias feature, weak-supervised by an existing heuristic rule (here
+# the lang-id stopword test — the standard bootstrap: distill a cheap
+# rule into a deployable model, then iterate on labels). Pocket =
+# train E epochs, return the epoch whose weights make the FEWEST
+# training mistakes (earliest-epoch ties): the batch update is known
+# to oscillate (measured here: the plain chain sat at 0.776 agreement
+# for six epochs, touched 0.918, then collapsed to 0.504), and the
+# pocket selection turns that into a monotone best-so-far. The bias
+# feature is what lets the model represent the rule's threshold
+# ("± offset" is not expressible through the origin).
+#
+# Everything is int64 arithmetic — weights, gradients, dots, error
+# counts — so training is bit-reproducible across engines and
+# partitionings (integer sums commute), a chained-CTE oracle replays
+# every epoch exactly, and a NumPy twin pins the algorithm. Scale
+# shape: each epoch is one broadcast of the fixed-width weight
+# relation + TWO map-combined shuffles over the persisted feature
+# relation (per-doc dot, per-bucket gradient); the epochs are a FIXED
+# relational chain, not a driver loop — the whole training plan,
+# pocket selection included, is ONE DataFrame DAG with zero collects.
+
+_TRAIN_EPOCHS = 8
+_CLF_BIAS = _CLF_BUCKETS  # the reserved bias bucket id (4096)
+
+
+def langid_labels(docs):
+    """Weak-supervision labels (doc_id, y): y = +1 iff the lang-id
+    stopword heuristic fires (>= 2 stopword tokens — exactly
+    text_lang_id's predicate), else -1."""
+    words = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    y = (
+        F.when(
+            F.size(F.filter(words, lambda w: F.array_contains(stop, w))) >= 2,
+            1,
+        )
+        .otherwise(-1)
+        .cast("long")
+    )
+    return docs.select("doc_id", y.alias("y"))
+
+
+def biased_features(docs):
+    """hashed_features plus one bias row (bucket 4096 (= _CLF_BIAS),
+    tf=1) per featured doc — the constant feature that lets a linear
+    model through the origin carry a threshold. The bias rows are
+    derived from the feature relation itself (one tiny projection), so
+    'featured doc' means exactly the docs hashed_features emits."""
+    feats = hashed_features(docs)
+    bias = feats.select("doc_id").distinct().select(
+        "doc_id", F.lit(_CLF_BIAS).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("tf"),
+    )
+    return feats.select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket"), "tf"
+    ).unionByName(bias)
+
+
+def classifier_score_biased(docs, weights):
+    """classifier_score for a bias-trained model: the dot runs over
+    biased_features (so the bias weight participates), while n_tokens
+    and the length-normalized logit divide by the REAL token count
+    (the bias row's tf is excluded from dl). Same exact-integer keep
+    verdict."""
+    feats = biased_features(docs)
+    z = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("wnum")).alias("zint"),
+            F.sum(
+                F.when(F.col("bucket") != _CLF_BIAS, F.col("tf")).otherwise(0)
+            ).alias("dl"),
+        )
+    )
+    return z.select(
+        "doc_id",
+        F.col("dl").alias("n_tokens"),
+        F.expr(f"CAST(zint AS DOUBLE) / ({_CLF_WSCALE}.0 * dl)").alias("logit"),
+        (F.col("zint") >= 0).alias("keep"),
+    )
+
+
+def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS):
+    """Pocket batch integer perceptron over hashed+bias features:
+    start from zero weights; per epoch add to each bucket the sum of
+    y*tf over the docs the CURRENT weights misclassify (y*zint <= 0 —
+    zero counts as a mistake, so epoch 1 trains on every featured
+    doc); return the epoch whose weights make the fewest training
+    mistakes (earliest epoch on ties) as a DENSE (bucket, wnum)
+    relation over [0, 4097) — buckets 0..4095 plus the bias row.
+
+    Orchestration: the MODEL is driver data (4097 int64s — the Lloyd-
+    centroid/kcenter pattern: fixed-width by the hashing trick, so the
+    per-epoch gradient collect is bounded by construction), while
+    every corpus-sized relation stays distributed — per epoch ONE
+    broadcast-literal scoring aggregate over the persisted feature
+    relation and ONE per-bucket gradient aggregate over its mistakes.
+    A fully relational epoch chain was measured and rejected: each
+    epoch's logical tree embeds its predecessor's TWICE (scoring +
+    update), so analysis cost grows 2^epochs — the same lineage cliff
+    the kcenter loop hit, here fatal well before execution."""
+    from presto_on_ray_spark.caching import tracked_persist
+
+    spark = docs.sparkSession
+    fl = tracked_persist(biased_features(docs).join(labels, "doc_id"))
+    # epoch 1: w0 = 0 → every featured doc is a mistake, so the first
+    # gradient needs no scoring pass. Bounded collect: <= 4097 rows
+    # (the fixed-width model), like refine_cells' centroid collects.
+    w = [0] * (_CLF_BUCKETS + 1)
+    for r in (
+        fl.groupBy("bucket")
+        .agg(F.sum(F.col("y") * F.col("tf")).alias("g"))
+        .collect()
+    ):
+        w[int(r["bucket"])] = int(r["g"])
+    best_err, best_w = None, None
+    for e in range(1, epochs + 1):
+        wdf = F.broadcast(
+            spark.createDataFrame(
+                list(enumerate(w)), "bucket long, wnum long"
+            )
+        )
+        s = tracked_persist(
+            fl.join(wdf, "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.min("y").alias("y"),
+                F.sum(F.col("tf") * F.col("wnum")).alias("zint"),
+            )
+        )
+        mistakes = s.filter(F.col("y") * F.col("zint") <= 0)
+        err = mistakes.count()  # single driver scalar
+        if best_err is None or err < best_err:
+            best_err, best_w = err, list(w)
+        if e < epochs:
+            # bounded collect again: gradient is per-bucket (<= 4097)
+            g = (
+                fl.join(mistakes.select("doc_id"), "doc_id", "left_semi")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("y") * F.col("tf")).alias("g"))
+                .collect()
+            )
+            for r in g:
+                w[int(r["bucket"])] += int(r["g"])
+        s.unpersist()
+    return spark.createDataFrame(
+        list(enumerate(best_w)), "bucket long, wnum long"
+    )
+
+
+def _train_ctes(epochs: int) -> str:
+    """The chained-CTE replay of classifier_train: feats (with bias
+    rows), labels, then per epoch a (w, s, err) triple and the final
+    pocket selection — wbest is the returned relation."""
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    stoplist = "[" + ",".join(f"'{w}'" for w in _STOPWORDS) + "]"
+    parts = [
+        f"""terms AS MATERIALIZED (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ) x WHERE LENGTH(term) > 0
+    ),
+    hfeats AS MATERIALIZED (
+      SELECT doc_id, {_h60_sql('term')} % {_CLF_BUCKETS} AS bucket,
+             COUNT(*) AS tf
+      FROM terms GROUP BY 1, 2
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, bucket, tf FROM hfeats
+      UNION ALL
+      SELECT DISTINCT doc_id, {_CLF_BIAS} AS bucket, 1 AS tf FROM hfeats
+    ),
+    lab AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                          w -> LIST_CONTAINS({stoplist}, w))) >= 2
+                  THEN 1 ELSE -1 END AS y
+      FROM documents
+    ),
+    fl AS MATERIALIZED (SELECT f.doc_id, f.bucket, f.tf, l.y
+           FROM feats f JOIN lab l USING (doc_id)),
+    allb AS MATERIALIZED (SELECT UNNEST(RANGE(0, {_CLF_BUCKETS + 1})) AS bucket),
+    g1 AS MATERIALIZED (SELECT bucket, SUM(y * tf) AS g FROM fl GROUP BY 1),
+    w1 AS MATERIALIZED (SELECT allb.bucket, COALESCE(g1.g, 0) AS wnum
+           FROM allb LEFT JOIN g1 USING (bucket))"""
+    ]
+    for e in range(1, epochs + 1):
+        parts.append(
+            f"""s{e} AS MATERIALIZED (
+      SELECT fl.doc_id, MIN(fl.y) AS y, SUM(fl.tf * w{e}.wnum) AS zint
+      FROM fl JOIN w{e} USING (bucket) GROUP BY 1
+    ),
+    err{e} AS MATERIALIZED (SELECT {e} AS e, COUNT(*) FILTER (WHERE y * zint <= 0) AS err
+               FROM s{e})"""
+        )
+        if e < epochs:
+            parts.append(
+                f"""g{e + 1} AS MATERIALIZED (
+      SELECT fl.bucket, SUM(fl.y * fl.tf) AS g
+      FROM fl JOIN s{e} USING (doc_id)
+      WHERE s{e}.y * s{e}.zint <= 0
+      GROUP BY 1
+    ),
+    w{e + 1} AS MATERIALIZED (
+      SELECT w{e}.bucket, w{e}.wnum + COALESCE(g{e + 1}.g, 0) AS wnum
+      FROM w{e} LEFT JOIN g{e + 1} USING (bucket)
+    )"""
+            )
+    union_err = " UNION ALL ".join(
+        f"SELECT * FROM err{e}" for e in range(1, epochs + 1)
+    )
+    union_w = " UNION ALL ".join(
+        f"SELECT {e} AS e, bucket, wnum FROM w{e}" for e in range(1, epochs + 1)
+    )
+    parts.append(
+        f"""best AS MATERIALIZED (
+      SELECT e FROM ({union_err}) ORDER BY err, e LIMIT 1
+    ),
+    wbest AS MATERIALIZED (
+      SELECT wt.bucket, wt.wnum FROM ({union_w}) wt JOIN best USING (e)
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "text_classifier_train",
+    oracle=f"""
+    WITH {_train_ctes(_TRAIN_EPOCHS)}
+    SELECT bucket, wnum FROM wbest
+    """,
+)
+def text_classifier_train(spark, sf_dir):
+    """Train the hashed quality classifier IN the engine: 8 epochs of
+    the pocket batch integer perceptron (hashed + bias features),
+    weak-supervised by the lang-id stopword rule, returning the
+    best-epoch dense 4097-row (bucket, wnum) weight relation —
+    int64-exact, so the chained-CTE oracle replays every epoch and the
+    pocket selection bit-for-bit (the NumPy twin in
+    tests/test_classifier_train.py pins the algorithm a third way)."""
+    d = t(spark, sf_dir, "documents")
+    return classifier_train(d, langid_labels(d))
+
+
+@query(
+    "text_classifier_distilled",
+    oracle=f"""
+    WITH {_train_ctes(_TRAIN_EPOCHS)},
+    zf AS (
+      SELECT f.doc_id, SUM(f.tf * w.wnum) AS zint,
+             SUM(CASE WHEN f.bucket <> {_CLF_BIAS} THEN f.tf ELSE 0 END) AS dl
+      FROM feats f JOIN wbest w USING (bucket) GROUP BY 1
+    )
+    SELECT z.doc_id, l.y AS label,
+           CAST(z.zint AS DOUBLE) / ({_CLF_WSCALE}.0 * z.dl) AS logit,
+           z.zint >= 0 AS keep,
+           (z.zint >= 0) = (l.y = 1) AS agree
+    FROM zf z JOIN lab l USING (doc_id)
+    """,
+)
+def text_classifier_distilled(spark, sf_dir):
+    """Score the corpus with the ENGINE-TRAINED pocket weights and
+    audit the distillation: (doc_id, label, logit, keep, agree) where
+    label is the weak-supervision target and agree marks verdict
+    equality — the relation a pipeline reviews before swapping the
+    heuristic for the model. Inference is classifier_score_biased
+    (broadcast weight table, exact integer verdict, bias row joined
+    in), so deploying the trained model is the
+    text_quality_classifier plan plus one bias feature."""
+    d = t(spark, sf_dir, "documents")
+    lab = langid_labels(d)
+    s = classifier_score_biased(d, classifier_train(d, lab))
+    return s.join(lab, "doc_id").select(
+        "doc_id",
+        F.col("y").alias("label"),
+        "logit",
+        "keep",
+        (F.col("keep") == (F.col("y") == 1)).alias("agree"),
+    )
+
+
 @query("text_quality_classifier", oracle=_classifier_oracle())
 def text_quality_classifier(spark, sf_dir):
     """Hashing-trick linear quality classifier over the corpus

@@ -104,6 +104,8 @@ NESTED_LOOP_ALLOWED = {
     "similarity_ivfpq_adc_topk",
     "similarity_ivfpq_rerank_topk",
     "similarity_ivfpq_refined_topk",  # same two bounded centroid argmins
+    "similarity_ivfpq_rerank_auto",   # same pipeline, auto shortlist depth
+    "similarity_ivfpq_filtered_topk",  # same + predicate semi-join on codes
     # SemDeDup's ONLY nested-loop pass is the one centroid argmin
     # (vectors x n_cells, an 8-row broadcast side); the within-cell
     # pairwise stage is a cell-keyed equi-join
