@@ -128,8 +128,12 @@ HEADLINE = [
     # ADC; post-filtering starves at selective predicates)
     "similarity_ivfpq_filtered_topk",
     # round-13: in-engine classifier training (pocket batch integer
-    # perceptron, weak-supervised distillation of the lang-id rule)
-    "text_classifier_train",
+    # perceptron, weak-supervised distillation of the lang-id rule).
+    # Only the distilled key carries the headline: it runs the FULL
+    # train -> score -> audit pipeline, so adding text_classifier_train
+    # would charge the identical training plan twice for no extra
+    # plan information (it stays a registered oracle key under the
+    # correctness gates).
     "text_classifier_distilled",
 ]
 

@@ -762,6 +762,11 @@ def lsh_min_bands(j: float, rows_per_band: int, target_recall: float) -> int:
     p = j**rows_per_band
     if p >= 1.0:
         return 1
+    if p <= 0.0:  # j^r underflowed: no band count can reach the target
+        raise ValueError(
+            f"lsh_min_bands: j^r underflows to 0 at j={j}, r={rows_per_band}"
+            f" — no finite band count reaches the target"
+        )
     return max(1, math.ceil(math.log1p(-target_recall) / math.log1p(-p)))
 
 

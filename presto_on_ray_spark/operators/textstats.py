@@ -605,13 +605,17 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS):
     Orchestration: the MODEL is driver data (4097 int64s — the Lloyd-
     centroid/kcenter pattern: fixed-width by the hashing trick, so the
     per-epoch gradient collect is bounded by construction), while
-    every corpus-sized relation stays distributed — per epoch ONE
-    broadcast-literal scoring aggregate over the persisted feature
-    relation and ONE per-bucket gradient aggregate over its mistakes.
-    A fully relational epoch chain was measured and rejected: each
-    epoch's logical tree embeds its predecessor's TWICE (scoring +
-    update), so analysis cost grows 2^epochs — the same lineage cliff
-    the kcenter loop hit, here fatal well before execution."""
+    every corpus-sized relation stays distributed — each epoch is ONE
+    job over the persisted feature relation: broadcast-literal dot →
+    per-doc verdict → mistake filter → per-bucket gradient, with the
+    epoch's ERROR COUNT read off the gradient relation itself (every
+    mistaken doc carries exactly one bias row with tf=1, so the bias
+    bucket's contributing-row count IS the mistake count — no second
+    scoring job). A fully relational epoch chain was measured and
+    rejected: each epoch's logical tree embeds its predecessor's TWICE
+    (scoring + update), so analysis cost grows 2^epochs — the same
+    lineage cliff the kcenter loop hit, here fatal well before
+    execution."""
     from presto_on_ray_spark.caching import tracked_persist
 
     spark = docs.sparkSession
@@ -627,13 +631,13 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS):
     ):
         w[int(r["bucket"])] = int(r["g"])
     best_err, best_w = None, None
-    for e in range(1, epochs + 1):
+    for _ in range(1, epochs + 1):
         wdf = F.broadcast(
             spark.createDataFrame(
                 list(enumerate(w)), "bucket long, wnum long"
             )
         )
-        s = tracked_persist(
+        s = (
             fl.join(wdf, "bucket")
             .groupBy("doc_id")
             .agg(
@@ -641,21 +645,29 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS):
                 F.sum(F.col("tf") * F.col("wnum")).alias("zint"),
             )
         )
-        mistakes = s.filter(F.col("y") * F.col("zint") <= 0)
-        err = mistakes.count()  # single driver scalar
+        # one job: mistakes' per-bucket gradient + per-bucket row count
+        # (bounded collect, <= 4097 rows); err = the bias bucket's row
+        # count, since every mistaken doc has exactly one bias row
+        g = (
+            fl.join(
+                s.filter(F.col("y") * F.col("zint") <= 0).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.col("y") * F.col("tf")).alias("g"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        err = next((int(r["n"]) for r in g if r["bucket"] == _CLF_BIAS), 0)
         if best_err is None or err < best_err:
             best_err, best_w = err, list(w)
-        if e < epochs:
-            # bounded collect again: gradient is per-bucket (<= 4097)
-            g = (
-                fl.join(mistakes.select("doc_id"), "doc_id", "left_semi")
-                .groupBy("bucket")
-                .agg(F.sum(F.col("y") * F.col("tf")).alias("g"))
-                .collect()
-            )
-            for r in g:
-                w[int(r["bucket"])] += int(r["g"])
-        s.unpersist()
+        if err == 0:
+            break  # perfect separation: later epochs cannot improve
+        for r in g:
+            w[int(r["bucket"])] += int(r["g"])
     return spark.createDataFrame(
         list(enumerate(best_w)), "bucket long, wnum long"
     )
