@@ -1355,14 +1355,31 @@ def ivfpq_rerank_topk(
     return _pq_shortlist_rerank(score, v, n_queries, k, shortlist=shortlist)
 
 
-@query("similarity_ivfpq_rerank_auto", oracle=_IVFPQ_RERANK_ORACLE)
+def _ivfpq_auto_oracle() -> str:
+    """The rerank oracle with the AUTO depth formula folded in: the
+    shortlist cut becomes max(64, ceil(0.03 * n_codes)) computed from
+    the same relation, so the oracle is exact at ANY scale — not just
+    the fixture SFs where the depth resolves to the 64 floor (sf1
+    verified: depth 600, hash-exact). Surgical insertion with a shape
+    assert, like the filtered key's."""
+    out = _IVFPQ_RERANK_ORACLE.replace(
+        "WHERE rn <= 64",
+        "WHERE rn <= GREATEST(64, CAST(CEIL(0.03 * "
+        "(SELECT COUNT(*) FROM e)) AS BIGINT))",
+    )
+    assert out != _IVFPQ_RERANK_ORACLE, "shortlist cut not found"
+    return out
+
+
+@query("similarity_ivfpq_rerank_auto", oracle=_ivfpq_auto_oracle())
 def similarity_ivfpq_rerank_auto(spark, sf_dir):
     """similarity_ivfpq_rerank_topk on the AUTO shortlist dial
     (ivfpq_rerank_topk's default): depth = max(64, ceil(0.03 x
-    n_codes)) from one bounded count aggregate. At every fixture SF
-    the auto depth resolves to the frozen key's 64 (n_codes <= 2000),
-    so the same hash-exact oracle pins this key; at sf1 the depth is
-    600 and recall@4 returns to the small-corpus operating point
+    n_codes)) from one bounded count aggregate. The oracle computes
+    the SAME depth formula in SQL, so the key is hash-exact at every
+    scale — at fixture SFs the depth resolves to the frozen key's 64
+    (equality with the frozen key pinned by test); at sf1 the depth
+    is 600 and recall@4 returns to the small-corpus operating point
     (SCALING.md round-13 row) where the fixed dial had decayed to
     0.25. The depth tracking n is pinned by tests/test_similarity.py."""
     return ivfpq_rerank_topk(spark, sf_dir)
