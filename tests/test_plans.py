@@ -300,3 +300,67 @@ def test_ivfpq_plan_shape(spark, sf_dir):
             assert 3 <= nx <= 8, (name, nx)
     finally:
         release_cached()  # build_ann_index tracked-persists its subvectors
+
+
+def test_filtered_ann_plan_shape(spark, sf_dir):
+    """The filtered-ANN scale contract (round 13): the metadata
+    predicate is PUSHED to the embeddings parquet scan (EqualTo on
+    label), the codes pre-filter is a broadcast LEFT-SEMI join (the
+    'broadcast the passing id set' dispatch — AQE upgrades it to a
+    shuffled semi-join when the set is large), and the IVF-PQ invariants
+    hold unchanged: exactly the two bounded centroid-argmin nested
+    loops, no cartesian product, no sort-merge join. Counts from the
+    numbered node section (the tree repeats shared subtrees)."""
+    import re
+
+    from presto_on_ray_spark.caching import release_cached
+
+    try:
+        plan = explain_formatted(
+            suite.QUERIES["similarity_ivfpq_filtered_topk"](spark, sf_dir)
+        )
+        assert re.search(r"PushedFilters:.*EqualTo\(label,3\)", plan), plan[:500]
+        assert re.search(
+            r"\(\d+\) BroadcastHashJoin\b[\s\S]{0,200}?Join type: LeftSemi", plan
+        ) or "LeftSemi BuildRight" in plan
+        bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+        assert bnlj == 2, bnlj
+        assert len(re.findall(r"\(\d+\) CartesianProduct", plan)) == 0
+        assert "SortMergeJoin" not in plan
+    finally:
+        release_cached()
+
+
+def test_classifier_train_job_count_linear_in_epochs(spark, sf_dir):
+    """The training loop's orchestration contract (round 13): each
+    pocket epoch costs ONE action (dot -> verdicts -> gradient+error
+    fused into a single collect), which AQE executes as a handful of
+    stage-jobs — so the total Spark-job count is LINEAR in epochs with
+    a small constant (measured ~8/epoch under AQE's job-per-stage
+    accounting). This pins against both a second action sneaking back
+    into the epoch (the pre-fusion shape) and any relational-chain
+    regression (whose failure mode is super-linear work per epoch)."""
+    from presto_on_ray_spark.caching import release_cached
+    from presto_on_ray_spark.operators._util import t as _t
+    from presto_on_ray_spark.operators.textstats import (
+        classifier_train,
+        langid_labels,
+    )
+
+    sc = spark.sparkContext
+    docs = _t(spark, sf_dir, "documents")
+
+    def jobs_for(epochs):
+        group = f"train-jobs-{epochs}"
+        try:
+            sc.setJobGroup(group, "count training jobs")
+            classifier_train(docs, langid_labels(docs), epochs=epochs).count()
+        finally:
+            sc.setJobGroup("train-done", "")
+            release_cached()
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j2, j4 = jobs_for(2), jobs_for(4)
+    per_epoch = (j4 - j2) / 2
+    assert per_epoch <= 10, (j2, j4)
+    assert j4 <= 10 * 4 + 6, (j2, j4)
