@@ -673,17 +673,21 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS):
     )
 
 
-def _train_ctes(epochs: int) -> str:
+def _train_ctes(epochs: int, docs_src: str = "documents") -> str:
     """The chained-CTE replay of classifier_train: feats (with bias
-    rows), labels, then per epoch a (w, s, err) triple and the final
-    pocket selection — wbest is the returned relation."""
+    rows) over ``docs_src`` (the TRAINING doc relation — "documents"
+    for the whole-corpus keys, a split CTE for the holdout key),
+    labels over the full documents table (the inner feats⋈lab join
+    restricts training to docs_src exactly like the Spark side), then
+    per epoch a (w, s, err) triple and the final pocket selection —
+    wbest is the returned relation."""
     from presto_on_ray_spark.operators.sketch_ops import _h60_sql
 
     stoplist = "[" + ",".join(f"'{w}'" for w in _STOPWORDS) + "]"
     parts = [
         f"""terms AS MATERIALIZED (
       SELECT doc_id, term FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {docs_src}
       ) x WHERE LENGTH(term) > 0
     ),
     hfeats AS MATERIALIZED (
@@ -802,6 +806,118 @@ def text_classifier_distilled(spark, sf_dir):
         "logit",
         "keep",
         (F.col("keep") == (F.col("y") == 1)).alias("agree"),
+    )
+
+
+def _holdout_oracle() -> str:
+    """Held-out evaluation, composed from the suite's own verified
+    CTE pieces: the leakage-safe split (recursive CC closure + Knuth
+    bucket of the cluster representative), the pocket-perceptron
+    training chain RESTRICTED to the train split (docs_src="tdocs"),
+    and whole-corpus scoring under the trained weights, aggregated
+    per split."""
+    from presto_on_ray_spark.operators.dedup import _CC_CTE_BODY
+    from presto_on_ray_spark.operators.pipeline_prep import _bucket_sql
+    from presto_on_ray_spark.operators.sketch_ops import _h60_sql
+
+    b = _bucket_sql("rep_id")
+    agree = "(z.zint >= 0) = (lab.y = 1)"
+    return f"""
+    WITH RECURSIVE {_CC_CTE_BODY},
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY node),
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.rep_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    sp AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN {b} < 80 THEN 'train'
+                  WHEN {b} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM rep
+    ),
+    tdocs AS MATERIALIZED (
+      SELECT d.* FROM documents d JOIN sp USING (doc_id)
+      WHERE sp.split = 'train'
+    ),
+    {_train_ctes(_TRAIN_EPOCHS, docs_src="tdocs")},
+    aterms AS MATERIALIZED (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ) x WHERE LENGTH(term) > 0
+    ),
+    ahfeats AS MATERIALIZED (
+      SELECT doc_id, {_h60_sql('term')} % {_CLF_BUCKETS} AS bucket,
+             COUNT(*) AS tf
+      FROM aterms GROUP BY 1, 2
+    ),
+    afeats AS MATERIALIZED (
+      SELECT doc_id, bucket, tf FROM ahfeats
+      UNION ALL
+      SELECT DISTINCT doc_id, {_CLF_BIAS} AS bucket, 1 AS tf FROM ahfeats
+    ),
+    zf AS (
+      SELECT f.doc_id, SUM(f.tf * w.wnum) AS zint
+      FROM afeats f JOIN wbest w USING (bucket) GROUP BY 1
+    )
+    SELECT sp.split,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE {agree}) AS n_agree,
+           ROUND(CAST(COUNT(*) FILTER (WHERE {agree}) AS DOUBLE)
+                 / COUNT(*), 4) AS accuracy
+    FROM zf z JOIN lab USING (doc_id) JOIN sp USING (doc_id)
+    GROUP BY sp.split
+    """
+
+
+@query("text_classifier_holdout", oracle=_holdout_oracle())
+def text_classifier_holdout(spark, sf_dir):
+    """HELD-OUT evaluation of the distilled classifier — the actual
+    data-centric ML loop, composed from this round's own operators:
+    train the pocket perceptron ONLY on split_leakage_safe's train
+    split (so evaluation docs are unseen, and near-duplicates of
+    training docs can never leak into val/test by the split's
+    construction), score the WHOLE corpus under the trained weights,
+    and report per-split agreement with the weak labels:
+    (split, n_docs, n_agree, accuracy). The gap between the train
+    row's accuracy and the val/test rows' is the honest
+    generalization readout a pipeline gates deployment on.
+
+    Hash-exact end-to-end: the oracle composes the recursive-CC split
+    closure, the MATERIALIZED training chain restricted to the train
+    split, and whole-corpus scoring — every piece already verified by
+    its own key."""
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        split_leakage_safe,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    splits = split_leakage_safe(spark, sf_dir).select("doc_id", "split")
+    lab = langid_labels(d)
+    train_docs = d.join(
+        splits.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    w = classifier_train(train_docs, lab)
+    s = classifier_score_biased(d, w)
+    agree = F.col("keep") == (F.col("y") == 1)
+    return (
+        s.join(lab, "doc_id")
+        .join(splits, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(agree).alias("n_agree"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_agree",
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_docs"), 4
+            ).alias("accuracy"),
+        )
     )
 
 

@@ -159,3 +159,36 @@ def test_train_returns_dense_weight_relation(spark, sf_dir):
     rows = w.collect()
     assert len(rows) == _CLF_BUCKETS + 1
     assert {r.bucket for r in rows} == set(range(_CLF_BUCKETS + 1))
+
+
+def test_holdout_trains_only_on_train_split(spark, sf_dir):
+    """The holdout key's weights must come from the train split alone:
+    training on the full corpus yields DIFFERENT weights (the split is
+    a strict subset), and every split appears in the report with a
+    sane accuracy."""
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        split_leakage_safe,
+    )
+    from presto_on_ray_spark.operators.textstats import (
+        text_classifier_holdout,
+    )
+
+    rep = text_classifier_holdout(spark, sf_dir).cache()
+    rows = {r.split: r for r in rep.collect()}
+    assert set(rows) == {"train", "val", "test"}
+    for r in rows.values():
+        assert 0 <= r.n_agree <= r.n_docs
+        assert abs(r.accuracy - r.n_agree / r.n_docs) < 1e-4
+    rep.unpersist()
+
+    d = t(spark, sf_dir, "documents")
+    splits = split_leakage_safe(spark, sf_dir).select("doc_id", "split")
+    train_docs = d.join(
+        splits.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    lab = langid_labels(d)
+    w_sub = classifier_train(train_docs, lab, epochs=2)
+    w_full = classifier_train(d, lab, epochs=2)
+    assert w_sub.exceptAll(w_full).count() > 0  # genuinely different model
