@@ -332,3 +332,30 @@ def test_ann_flat_legacy_layout_is_diagnosed(spark, sf_dir, tmp_path):
     # and a truly-empty location still reads as no index
     with pytest.raises(ValueError, match="no saved ANN index"):
         load_ann_index(spark, str(tmp_path / "empty"))
+
+
+def test_filtered_topk_over_loaded_index(spark, sf_dir, tmp_path):
+    """Composition of the round-13 filtered entry with the saved-ANN
+    lifecycle: filtered top-k against a LOADED index equals filtered
+    top-k against the freshly built one — the production deployment
+    shape (build+save once, serve filtered queries against the loaded
+    codes)."""
+    import pyspark.sql.functions as F
+
+    from presto_on_ray_spark.operators._util import t
+    from presto_on_ray_spark.operators.similarity import (
+        build_ann_index,
+        ivfpq_filtered_topk,
+        quantized,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    built = build_ann_index(v)
+    p = str(tmp_path / "annidx")
+    save_ann_index(built, p)
+    loaded = load_ann_index(spark, p)
+    pred = F.col("label") == 3
+    a = ivfpq_filtered_topk(spark, sf_dir, pred, index=built)
+    b = ivfpq_filtered_topk(spark, sf_dir, pred, index=loaded)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
