@@ -433,6 +433,12 @@ class Engine:
         self._max_run_time_s: float | None = None
         self._pool: str | None = None
         self._deferred_views: set[str] = set()
+        # serializes deferred-view materialization: Engine.sql serves
+        # concurrent per-thread callers, and without the lock two
+        # threads referencing the same deferred view both construct the
+        # operator DataFrame, run its bounded driver jobs, and
+        # double-track the persist (ADVICE r13)
+        self._deferred_lock = threading.Lock()
         self.last_job_group: str | None = None
         # per-THREAD armed watchdog (job groups are thread-local in
         # Spark, so the handle must be too: concurrent sql() callers —
@@ -1223,20 +1229,27 @@ class Engine:
         from presto_on_ray_spark import suite
         from presto_on_ray_spark.caching import tracked_persist
 
-        hit = [
-            n for n in sorted(self._deferred_views)
-            if re.search(rf"\b{re.escape(n)}\b", text, re.IGNORECASE)
-        ]
-        for name in hit:
-            df = suite.QUERIES[name](self.spark, self._sf_dir)
-            if df.isStreaming:
-                raise ValueError(
-                    f"register_pipeline_views: {name!r} is a streaming "
-                    f"query — its sink owns execution; it cannot back a "
-                    f"deferred view"
-                )
-            tracked_persist(df).createOrReplaceTempView(name)
-            self._deferred_views.discard(name)
+        # the lock serializes concurrent materializers (ADVICE r13):
+        # the loser blocks until the winner publishes the view, then
+        # re-scans and finds the name gone — exactly-once construction,
+        # and the loser's statement still sees the published view. A
+        # materializer that FAILS leaves the name in the set, so a
+        # later statement retries (same as before the lock).
+        with self._deferred_lock:
+            hit = [
+                n for n in sorted(self._deferred_views)
+                if re.search(rf"\b{re.escape(n)}\b", text, re.IGNORECASE)
+            ]
+            for name in hit:
+                df = suite.QUERIES[name](self.spark, self._sf_dir)
+                if df.isStreaming:
+                    raise ValueError(
+                        f"register_pipeline_views: {name!r} is a streaming "
+                        f"query — its sink owns execution; it cannot back a "
+                        f"deferred view"
+                    )
+                tracked_persist(df).createOrReplaceTempView(name)
+                self._deferred_views.discard(name)
 
     def register_pipeline_views(
         self, names: list[str], deferred: bool = False

@@ -234,11 +234,18 @@ def corpus_health_report_from_counts(
     this raises StaleSegmentCounts if a concurrent merge/save flipped
     the pointer since — the guard against silently reporting
     boilerplate exposure from counts that no longer describe the
-    corpus being reported on."""
+    corpus being reported on. When the pin holds, the read binds to
+    the PINNED generation directory directly (never re-resolving the
+    live pointer — ADVICE r13's TOCTOU: a merge landing between the
+    check and the read would otherwise silently bind the report to
+    the new generation); the store's one-mutation reader grace window
+    keeps the pinned generation on disk through one concurrent
+    commit."""
     from presto_on_ray_spark.operators.pipeline_prep import (
         StaleSegmentCounts,
         counts_live_generation,
         load_segment_counts,
+        load_segment_counts_generation,
     )
 
     if expect_generation is not None:
@@ -250,6 +257,11 @@ def corpus_health_report_from_counts(
                 f"merged/saved since the caller reconciled it; re-capture "
                 f"counts_live_generation() (or drop the pin) and re-run"
             )
+        return _health_report(
+            spark,
+            sf_dir,
+            load_segment_counts_generation(spark, counts_path, expect_generation),
+        )
     return _health_report(
         spark, sf_dir, load_segment_counts(spark, counts_path)
     )
@@ -264,7 +276,21 @@ def corpus_health_report_saved(spark, sf_dir):
     with the generation pinned. Because the store is fresh, the
     relation equals corpus_health_report's, so the same composed
     oracle pins the whole read-through path — store round-trip
-    included."""
+    included.
+
+    The scratch store is a STABLE per-(user, corpus) location reused
+    across invocations — not a fresh mkdtemp per run (ADVICE r13: as
+    a registered suite key this is re-run by every bench/correctness
+    pass, and per-run mkdtemps accumulated unboundedly). Re-saves
+    publish new generations into the same store and _counts_publish's
+    sweep keeps only the live generation plus its predecessor, so
+    disk stays bounded at ~2 generations no matter how many times the
+    key runs. force=True takes over the writer marker a killed prior
+    run may have left (safe: the pointer only ever references
+    complete generations, and the subsequent read is pinned)."""
+    import getpass
+    import hashlib
+    import os
     import tempfile
 
     from presto_on_ray_spark.operators.pipeline_prep import (
@@ -273,8 +299,12 @@ def corpus_health_report_saved(spark, sf_dir):
     )
 
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    tmp = tempfile.mkdtemp(prefix="health_counts_")
-    save_segment_counts(segment_counts(d, _BP_W), tmp)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"por_spark_health_counts_{getpass.getuser()}_{tag}",
+    )
+    save_segment_counts(segment_counts(d, _BP_W), tmp, force=True)
     return corpus_health_report_from_counts(
         spark, sf_dir, tmp, expect_generation=counts_live_generation(tmp)
     )

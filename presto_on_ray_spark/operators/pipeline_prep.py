@@ -1521,7 +1521,9 @@ def _counts_read_batches(os_path: str, gen: str) -> set:
         return {int(x) for x in fh.read().split()}
 
 
-def _counts_publish(path: str, os_path: str, counts, admitted: set) -> None:
+def _counts_publish(
+    path: str, os_path: str, counts, admitted: set, relname: str = "counts"
+) -> None:
     """The shared commit sequence: write a FRESH generation (numbered
     past every directory on disk, so a crashed writer's partial
     generation — or its stale _BATCHES file — can never be reused or
@@ -1529,7 +1531,10 @@ def _counts_publish(path: str, os_path: str, counts, admitted: set) -> None:
     and its immediate predecessor. Keeping the predecessor gives
     concurrent lazy readers a one-mutation grace window; a crashed
     writer's partial dir is unreferenced litter removed by the next
-    successful commit."""
+    successful commit. ``relname`` is the relation's directory name
+    inside the generation — "counts" for the segment-counts store,
+    "weights" for the classifier-weights store (r14); the protocol is
+    relation-agnostic."""
     import contextlib
     import os
     import shutil
@@ -1542,7 +1547,7 @@ def _counts_publish(path: str, os_path: str, counts, admitted: set) -> None:
     if os.path.exists(os.path.join(os_path, _COUNTS_CURRENT)):
         cur = _counts_gen(os_path)
     nxt = f"gen-{max((int(n[4:]) for n in existing), default=-1) + 1}"
-    counts.write.mode("overwrite").parquet(f"{path}/{nxt}/counts")
+    counts.write.mode("overwrite").parquet(f"{path}/{nxt}/{relname}")
     if admitted:
         with open(
             os.path.join(os_path, nxt, _COUNTS_BATCHES), "w", encoding="utf-8"
@@ -1609,6 +1614,52 @@ def load_segment_counts(spark, path: str):
     marker protocol; this store's full generations do not.)"""
     path, os_path = _counts_paths(path)
     return spark.read.parquet(f"{path}/{_counts_gen(os_path)}/counts")
+
+
+def save_relation_generation(
+    rel, path: str, relname: str, force: bool = False
+) -> None:
+    """Generic generation-flip save — the counts store's single-writer
+    commit protocol (acquire marker → fresh numbered generation →
+    atomic pointer flip → sweep all but current+predecessor) for ANY
+    small maintained relation. The classifier-weights store
+    (textstats.save_classifier_weights) is the first non-counts user;
+    no admitted-batch record is kept (that machinery is specific to
+    the streaming counts admit loop)."""
+    path, os_path = _counts_paths(path)
+    _counts_acquire(os_path, force)
+    try:
+        _counts_publish(path, os_path, rel, set(), relname=relname)
+    finally:
+        _counts_release(os_path)
+
+
+def load_relation_generation(
+    spark, path: str, relname: str, generation: str | None = None
+):
+    """Read a generation-flip store's relation: the LIVE generation by
+    default, or a caller-pinned ``generation`` directly (TOCTOU-free —
+    see load_segment_counts_generation; the one-mutation grace window
+    keeps the superseded generation readable through one concurrent
+    commit)."""
+    path, os_path = _counts_paths(path)
+    gen = generation if generation is not None else _counts_gen(os_path)
+    return spark.read.parquet(f"{path}/{gen}/{relname}")
+
+
+def load_segment_counts_generation(spark, path: str, generation: str):
+    """Read a SPECIFIC generation's (h, df) relation, bypassing the
+    live pointer. This is the TOCTOU-free read for callers that pinned
+    a generation (ADVICE r13, governance.corpus_health_report_from_
+    counts): checking the pointer and then re-resolving it in
+    load_segment_counts leaves a window where a concurrent merge/save
+    silently binds the plan to the NEW generation while the caller
+    believes the pin held. Binding to the pinned directory directly is
+    safe for exactly one concurrent mutation — each commit keeps the
+    immediately superseded generation on disk (the reader grace window
+    _counts_publish maintains)."""
+    path, _ = _counts_paths(path)
+    return spark.read.parquet(f"{path}/{generation}/counts")
 
 
 _COUNTS_BATCHES = "_BATCHES"  # admitted stream-batch ids, per generation
