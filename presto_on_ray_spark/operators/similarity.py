@@ -13,6 +13,7 @@ cosine = dot / (sqrt(na)*sqrt(nb)) is a single IEEE expression.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 from pyspark.sql import Window
@@ -1332,25 +1333,73 @@ def auto_shortlist_depth(v, floor_depth: int = _PQ_SHORTLIST,
     return max(floor_depth, math.ceil(frac * v.count()))
 
 
+# -- auto cell/probe dials (round 14) ------------------------------------
+# VERDICT r13 #3: _IVFPQ_CELLS=8 / _IVFPQ_NPROBE=3 were the two fixed
+# dials left after the r13 auto-shortlist — at 100x corpus the cell
+# population grows 100x and the ADC candidate lists with it. Standard
+# IVF sizing (Jégou et al. 2011 §V; the FAISS guideline) puts n_cells
+# ~ sqrt(n): per-cell population and the coarse-quantizer scan then
+# both grow as sqrt(n) instead of one of them growing as n. nprobe is
+# DERIVED from a stated coverage target rather than fixed: probe
+# enough cells that the EXPECTED candidate pool (nprobe/n_cells of the
+# corpus, uniform-cell expectation) covers 2x the shortlist depth —
+# the 2x is slack for cell imbalance; the floor keeps the measured
+# small-corpus operating point; the cap (nprobe = n_cells) degrades
+# gracefully to exhaustive PQ. Both formulas are integer-exact
+# (ceiling division, never float quotients) so the SQL oracles fold
+# them in verbatim and the auto keys stay hash-exact at ANY scale —
+# the same design that fixed the shortlist dial in r13.
+
+
+def auto_ivf_cells(n: int, floor_cells: int = _IVFPQ_CELLS) -> int:
+    """n_cells = max(floor_cells, ceil(sqrt(n))). IEEE double sqrt is
+    correctly rounded in Python and DuckDB alike, so the SQL twin
+    GREATEST(f, CAST(CEIL(SQRT(n)) AS BIGINT)) is bit-identical."""
+    return max(floor_cells, math.ceil(math.sqrt(n)))
+
+
+def auto_ivf_nprobe(n: int, n_cells: int, shortlist: int,
+                    floor_probe: int = _IVFPQ_NPROBE) -> int:
+    """nprobe = clamp(ceildiv(2 * shortlist * n_cells, n), floor,
+    n_cells): the smallest probe count whose expected candidate pool
+    (nprobe * n / n_cells under uniform cells) is >= 2 * shortlist.
+    Pure integer arithmetic — the SQL twin is
+    LEAST(nc, GREATEST(f, (2 * sl * nc + n - 1) // n))."""
+    return min(n_cells, max(floor_probe, (2 * shortlist * n_cells + n - 1) // max(n, 1)))
+
+
 def ivfpq_rerank_topk(
     spark,
     sf_dir,
     n_queries: int = 5,
     k: int = 4,
-    nprobe: int = _IVFPQ_NPROBE,
+    nprobe: int | None = None,
     shortlist: int | None = None,
     index: AnnIndex | None = None,
+    n_cells: int | None = None,
 ):
     """The production IVF-PQ entry point: IVFADC codes-only scoring →
-    shortlist → exact rerank, with the shortlist depth DEFAULTING to
-    auto_shortlist_depth(v) (∝ corpus size) instead of a constant —
-    pass ``shortlist`` to pin it (the frozen oracle keys do)."""
+    shortlist → exact rerank. Every dial DEFAULTS to its corpus-sized
+    auto formula — shortlist = auto_shortlist_depth (r13), n_cells =
+    auto_ivf_cells (~sqrt n), nprobe = auto_ivf_nprobe (coverage
+    target over the shortlist) — from ONE bounded count; pass explicit
+    values to pin (the frozen oracle keys do). When ``index`` is
+    passed, its cell count is read from the broadcast-sized cents
+    relation (n_cells rows) rather than re-derived, so nprobe adapts
+    to the index actually being queried."""
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    n = v.count() if (index is None or shortlist is None or nprobe is None) else 0
     if index is None:
-        index = build_ann_index(v)
+        if n_cells is None:
+            n_cells = auto_ivf_cells(n)
+        index = build_ann_index(v, n_cells)
+    elif n_cells is None:
+        n_cells = index.cents.count()
     if shortlist is None:
-        shortlist = auto_shortlist_depth(v)
+        shortlist = max(_PQ_SHORTLIST, math.ceil(_AUTO_SHORTLIST_FRAC * n))
+    if nprobe is None:
+        nprobe = auto_ivf_nprobe(n, n_cells, shortlist)
     score = _ivfpq_scores(v, index, n_queries, nprobe)
     return _pq_shortlist_rerank(score, v, n_queries, k, shortlist=shortlist)
 
@@ -1373,15 +1422,90 @@ def _ivfpq_auto_oracle() -> str:
 
 @query("similarity_ivfpq_rerank_auto", oracle=_ivfpq_auto_oracle())
 def similarity_ivfpq_rerank_auto(spark, sf_dir):
-    """similarity_ivfpq_rerank_topk on the AUTO shortlist dial
-    (ivfpq_rerank_topk's default): depth = max(64, ceil(0.03 x
-    n_codes)) from one bounded count aggregate. The oracle computes
-    the SAME depth formula in SQL, so the key is hash-exact at every
-    scale — at fixture SFs the depth resolves to the frozen key's 64
-    (equality with the frozen key pinned by test); at sf1 the depth
-    is 600 and recall@4 returns to the small-corpus operating point
-    (SCALING.md round-13 row) where the fixed dial had decayed to
-    0.25. The depth tracking n is pinned by tests/test_similarity.py."""
+    """similarity_ivfpq_rerank_topk on the AUTO shortlist dial: depth
+    = max(64, ceil(0.03 x n_codes)) from one bounded count aggregate,
+    cells/probes pinned at the frozen 8/3 (this key isolates the r13
+    shortlist dial; the r14 full-auto key below turns all three). The
+    oracle computes the SAME depth formula in SQL, so the key is
+    hash-exact at every scale — at fixture SFs the depth resolves to
+    the frozen key's 64 (equality with the frozen key pinned by
+    test); at sf1 the depth is 600 and recall@4 returns to the
+    small-corpus operating point (SCALING.md round-13 row) where the
+    fixed dial had decayed to 0.25. The depth tracking n is pinned by
+    tests/test_similarity.py."""
+    return ivfpq_rerank_topk(
+        spark, sf_dir, nprobe=_IVFPQ_NPROBE, n_cells=_IVFPQ_CELLS
+    )
+
+
+def _ivfpq_auto_cells_oracle() -> str:
+    """The rerank oracle with ALL THREE dial formulas folded in
+    (VERDICT r13 #3, the same surgical-insertion discipline as the
+    auto-shortlist and filtered oracles — every replacement asserts it
+    changed something, so a reshaped base oracle fails the import
+    instead of silently pinning the wrong pipeline):
+
+      nc = GREATEST(8,  CEIL(SQRT(n)))            -- auto_ivf_cells
+      sl = GREATEST(64, CEIL(0.03 * n))           -- auto_shortlist_depth
+      np = LEAST(nc, GREATEST(3, ceildiv(2*sl*nc, n)))  -- auto_ivf_nprobe
+
+    nprobe's ceiling division is pure BIGINT arithmetic ((a+n-1)//n)
+    so no float quotient can diverge between engines; sqrt/0.03 match
+    the Python twins bit-for-bit (correctly-rounded IEEE sqrt; the
+    binary 0.03 rounds DOWN so ceil agrees with decimal — the same
+    already-sf1-verified formula the r13 auto key uses)."""
+    dial = """dial AS (
+      SELECT n, nc, sl,
+             LEAST(nc, GREATEST(3, (2 * sl * nc + n - 1) // n)) AS np
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nc,
+                   GREATEST(64, CAST(CEIL(0.03 * COUNT(*)) AS BIGINT)) AS sl
+            FROM e)
+    ),
+    cent AS ("""
+    out = _IVFPQ_RERANK_ORACLE.replace("cent AS (", dial)
+    assert out != _IVFPQ_RERANK_ORACLE, "cent CTE not found"
+    steps = [
+        # centroid sample: first nc vec_ids
+        ("WHERE vec_id < 8", "WHERE vec_id < (SELECT nc FROM dial)"),
+        # residual codebook sample: the _PQ_K ids after the centroids
+        (
+            "SELECT j, vec_id - 8 AS c, s AS cw",
+            "SELECT j, vec_id - (SELECT nc FROM dial) AS c, s AS cw",
+        ),
+        (
+            "FROM sub WHERE vec_id >= 8 AND vec_id < 24",
+            "FROM sub WHERE vec_id >= (SELECT nc FROM dial) "
+            "AND vec_id < (SELECT nc FROM dial) + 16",
+        ),
+        # probe depth
+        ("WHERE rn <= 3", "WHERE rn <= (SELECT np FROM dial)"),
+        # shortlist depth
+        ("WHERE rn <= 64", "WHERE rn <= (SELECT sl FROM dial)"),
+    ]
+    for old, new in steps:
+        nxt = out.replace(old, new)
+        assert nxt != out, f"auto-cells oracle anchor not found: {old!r}"
+        out = nxt
+    return out
+
+
+@query("similarity_ivfpq_auto_cells", oracle=_ivfpq_auto_cells_oracle())
+def similarity_ivfpq_auto_cells(spark, sf_dir):
+    """The FULL-auto IVF-PQ key — ivfpq_rerank_topk's production
+    defaults with every dial corpus-derived from one bounded count:
+    n_cells = max(8, ceil(sqrt n)) (per-cell population and coarse
+    scan both grow as sqrt n), shortlist = max(64, ceil(0.03 n)) (the
+    r13 operating point), nprobe = the smallest probe count whose
+    expected uniform-cell candidate pool covers 2x the shortlist,
+    clamped to [3, n_cells]. The oracle folds all three formulas into
+    the SQL pipeline, so the key is hash-exact at any scale AND the
+    dials genuinely move: sf0.01 (n=500) resolves to (nc=23, sl=64,
+    np=6), sf0.1 (n=2000) to (45, 64, 3), sf1 (n=20000) to (142, 600,
+    9) — pinned in tests/test_similarity.py, with recall@k at the sf
+    rungs recorded in SCALING.md round 14. This retires the last two
+    fixed ANN dials (VERDICT r13 #3); the 8/3 constants remain only as
+    floors and as the frozen keys' pinned fixture dials."""
     return ivfpq_rerank_topk(spark, sf_dir)
 
 
@@ -1405,7 +1529,7 @@ def ivfpq_filtered_topk(
     predicate,
     n_queries: int = 5,
     k: int = 4,
-    nprobe: int = _IVFPQ_NPROBE,
+    nprobe: int | None = None,
     shortlist: int | None = None,
     index: AnnIndex | None = None,
 ):
@@ -1415,7 +1539,21 @@ def ivfpq_filtered_topk(
     relation + shortlist + exact rerank. Queries are NOT required to
     pass the predicate (query anything; neighbors must pass).
     ``shortlist`` defaults to auto_shortlist_depth over the FILTERED
-    id set — the corpus the shortlist actually ranks."""
+    id set — the corpus the shortlist actually ranks.
+
+    ``nprobe`` defaults to the ADAPTIVE formula over the FILTERED set
+    (VERDICT r13 #4): auto_ivf_nprobe(n_passing, n_cells, shortlist)
+    widens probing exactly as the predicate gets selective — a 0.1%
+    predicate leaves each probed cell nearly empty, and a fixed
+    nprobe=3 would leave k unfillable while unprobed cells hold all
+    the passing vectors. At the selective limit the formula hits its
+    n_cells cap, ADC degrades gracefully to EXHAUSTIVE scoring of the
+    filtered codes (which is tiny by definition — brute force emerges
+    from the same formula, no discrete fallback branch), and the
+    shortlist (>= its 64 floor >= n_passing) covers every passing
+    candidate: the rerank then returns the EXACT cosine top-k over
+    the whole filtered set. Recall@k vs selectivity is pinned flat in
+    tests/test_similarity.py's sweep."""
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
     if index is None:
@@ -1426,8 +1564,12 @@ def ivfpq_filtered_topk(
         index.codebook,
         index.codes.join(passing, "vec_id", "left_semi"),
     )
-    if shortlist is None:
-        shortlist = auto_shortlist_depth(passing)
+    if shortlist is None or nprobe is None:
+        nf = passing.count()
+        if shortlist is None:
+            shortlist = max(_PQ_SHORTLIST, math.ceil(_AUTO_SHORTLIST_FRAC * nf))
+        if nprobe is None:
+            nprobe = auto_ivf_nprobe(nf, index.cents.count(), shortlist)
     score = _ivfpq_scores(v, fidx, n_queries, nprobe)
     return _pq_shortlist_rerank(score, v, n_queries, k, shortlist=shortlist)
 
@@ -1436,9 +1578,13 @@ def _ivfpq_filtered_oracle() -> str:
     """The frozen filtered key's oracle: the rerank oracle with the
     predicate folded into the score CTE (codes semi-joined to the
     label-passing id set BEFORE scoring — the same place the Spark
-    side prunes). Built by surgical insertion so the two pipelines
-    can never drift apart silently; the asserts fail the import if
-    the base oracle's shape changes."""
+    side prunes) AND the auto shortlist-depth formula folded over the
+    FILTERED set — the corpus the Spark default actually sizes the
+    shortlist on (max(64, ceil(0.03 * n_passing)); ADVICE r13: the
+    frozen 'rn <= 64' cut silently diverged once the passing set
+    exceeded ~2133 rows). Built by surgical insertion so the two
+    pipelines can never drift apart silently; the asserts fail the
+    import if the base oracle's shape changes."""
     lab = (
         f"lab AS (SELECT vec_id FROM embeddings "
         f"WHERE label = {_FILTER_LABEL}),\n    score AS ("
@@ -1450,7 +1596,13 @@ def _ivfpq_filtered_oracle() -> str:
         "FROM enc JOIN lab ON enc.vec_id = lab.vec_id JOIN qt ON",
     )
     assert joined != out, "enc/qt join not found"
-    return joined
+    depth = joined.replace(
+        "WHERE rn <= 64",
+        "WHERE rn <= GREATEST(64, CAST(CEIL(0.03 * "
+        "(SELECT COUNT(*) FROM lab)) AS BIGINT))",
+    )
+    assert depth != joined, "shortlist cut not found"
+    return depth
 
 
 @query("similarity_ivfpq_filtered_topk", oracle=_ivfpq_filtered_oracle())
@@ -1460,11 +1612,80 @@ def similarity_ivfpq_filtered_topk(spark, sf_dir):
     first 5 query ids, via the pre-filtered-codes IVFADC pipeline.
     The oracle is the rerank oracle with the predicate semi-join
     folded into its score CTE at exactly the stage the Spark side
-    prunes, so the whole filtered pipeline — prune, ADC, shortlist,
-    rerank — is pinned hash-exact. Pre- vs post-filter recall at low
-    selectivity is measured in SCALING.md round 13."""
+    prunes — and, since r14, with the auto shortlist-depth formula
+    folded over the filtered set (ADVICE r13) — so the whole filtered
+    pipeline — prune, ADC, shortlist, rerank — is pinned hash-exact at
+    any scale. nprobe stays pinned at the frozen 3 here (this key
+    isolates the pre-filter design); the ADAPTIVE-nprobe production
+    default is pinned by similarity_ivfpq_filtered_adaptive below.
+    Pre- vs post-filter recall at low selectivity is measured in
+    SCALING.md round 13."""
     return ivfpq_filtered_topk(
-        spark, sf_dir, F.col("label") == _FILTER_LABEL
+        spark, sf_dir, F.col("label") == _FILTER_LABEL, nprobe=_IVFPQ_NPROBE
+    )
+
+
+_ADAPT_FILTER_MOD = 100  # ~1% selectivity: vec_id % 100 = 7
+
+
+def _ivfpq_filtered_adaptive_oracle() -> str:
+    """The adaptive filtered key's oracle: rerank oracle + the ~1%
+    predicate semi-join + BOTH filtered-set dial formulas folded in —
+    shortlist = max(64, ceil(0.03 * nf)) and the adaptive nprobe
+    np = clamp(ceildiv(2 * sl * 8, nf), 3, 8) (8 = the built index's
+    cell count; pure BIGINT ceiling division, no float quotient). At
+    1% fixture selectivity nf=5 drives np to the 8-cell cap — the
+    emergent brute-force limit where ADC scores every filtered code —
+    while sf1's nf=200 resolves np=6: the formula genuinely moves
+    across the rungs and the key stays hash-exact at both."""
+    lab = (
+        f"lab AS (SELECT vec_id FROM embeddings "
+        f"WHERE vec_id % {_ADAPT_FILTER_MOD} = 7),\n"
+        """    fdial AS (
+      SELECT nf, sl,
+             LEAST(8, GREATEST(3, (2 * sl * 8 + nf - 1) // GREATEST(nf, 1))) AS np
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS nf,
+                   GREATEST(64, CAST(CEIL(0.03 * COUNT(*)) AS BIGINT)) AS sl
+            FROM lab)
+    ),
+    score AS ("""
+    )
+    out = _IVFPQ_RERANK_ORACLE.replace("score AS (", lab)
+    assert out != _IVFPQ_RERANK_ORACLE, "score CTE not found"
+    steps = [
+        (
+            "FROM enc JOIN qt ON",
+            "FROM enc JOIN lab ON enc.vec_id = lab.vec_id JOIN qt ON",
+        ),
+        ("WHERE rn <= 3", "WHERE rn <= (SELECT np FROM fdial)"),
+        ("WHERE rn <= 64", "WHERE rn <= (SELECT sl FROM fdial)"),
+    ]
+    for old, new in steps:
+        nxt = out.replace(old, new)
+        assert nxt != out, f"adaptive filtered oracle anchor not found: {old!r}"
+        out = nxt
+    return out
+
+
+@query(
+    "similarity_ivfpq_filtered_adaptive", oracle=_ivfpq_filtered_adaptive_oracle()
+)
+def similarity_ivfpq_filtered_adaptive(spark, sf_dir):
+    """Filtered ANN under a SELECTIVE (~1%) predicate on the ADAPTIVE
+    nprobe default (VERDICT r13 #4): vec_id % 100 = 7 passes ~1% of
+    vectors, and ivfpq_filtered_topk's defaults size the shortlist on
+    the filtered set and widen nprobe until the expected probed,
+    filtered candidate pool covers 2x the shortlist — at this
+    selectivity the fixture resolves to nprobe = n_cells (probe
+    everything: ADC is exhaustive over the ~tiny filtered codes and
+    the rerank returns the exact cosine top-k over the whole passing
+    set, the brute-force limit emerging from the formula rather than
+    a branch). The oracle folds the predicate AND both formulas in,
+    so the key pins the adaptive path hash-exact at any scale; the
+    no-decay recall sweep across 10% / 1% / 0.1% selectivities lives
+    in tests/test_similarity.py."""
+    return ivfpq_filtered_topk(
+        spark, sf_dir, (F.col("vec_id") % _ADAPT_FILTER_MOD) == 7
     )
 
 
@@ -2357,6 +2578,64 @@ def dedup_semantic(spark, sf_dir):
     return semantic_dedup(
         e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
     )
+
+
+@query(
+    "dedup_semantic_auto_cells",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    dial AS (
+      SELECT GREATEST({_SEM_CELLS},
+                      CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nc
+      FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cell, qv AS cv FROM e
+      WHERE vec_id < (SELECT nc FROM dial)
+    ),
+    dists AS (
+      SELECT e.vec_id, e.qv, c.cell,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.qv) + 1),
+               i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))) AS d2
+      FROM e CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT vec_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dists) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_SEM_COS_SQL} >= {_SEM_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell, dup.dup_of
+    FROM asg LEFT JOIN dup USING (vec_id)
+    """,
+)
+def dedup_semantic_auto_cells(spark, sf_dir):
+    """SemDeDup on the AUTO cell dial (VERDICT r13 #3's 'extend to
+    SemDeDup'): n_cells = max(8, ceil(sqrt n)) — the same corpus-sized
+    formula as the IVF-PQ auto key, folded into the oracle's dial CTE
+    so the key is hash-exact at any scale. This is the dial SemDeDup's
+    100 TB cost model DEPENDS on: the within-cell pairwise term is
+    sum over cells of pop^2, and with n_cells ~ sqrt(n) the expected
+    cell population grows as sqrt(n) instead of n — cells stay
+    executor-sized as the corpus scales (SCALING.md round 14 measures
+    the pair-count ratio vs the fixed 8-cell layout at the sf rungs).
+    The dedup RULE (within-cell cosine >= tau, smallest-id keeper) is
+    identical to the frozen dedup_semantic key; only the partition
+    count moves."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    return semantic_dedup(v, n_cells=auto_ivf_cells(v.count(), _SEM_CELLS))
 
 
 # ---------------------------------------------------------------------------

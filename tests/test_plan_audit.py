@@ -106,11 +106,17 @@ NESTED_LOOP_ALLOWED = {
     "similarity_ivfpq_refined_topk",  # same two bounded centroid argmins
     "similarity_ivfpq_rerank_auto",   # same pipeline, auto shortlist depth
     "similarity_ivfpq_filtered_topk",  # same + predicate semi-join on codes
+    # r14 auto dials: the same two centroid argmins, broadcast side now
+    # ceil(sqrt n) rows (n_cells ~ sqrt n keeps it broadcast-sized BY
+    # FORMULA: 100k rows at n = 10^10)
+    "similarity_ivfpq_auto_cells",
+    "similarity_ivfpq_filtered_adaptive",
     # SemDeDup's ONLY nested-loop pass is the one centroid argmin
     # (vectors x n_cells, an 8-row broadcast side); the within-cell
     # pairwise stage is a cell-keyed equi-join
     "dedup_semantic",
     "dedup_semantic_refined",  # same bounded argmin, refined cells
+    "dedup_semantic_auto_cells",  # same argmin, ceil(sqrt n)-row broadcast side
     # source-pair theta self-join over the SKETCH relation (one row of
     # k longs per source — |sources| rows total, never documents)
     "corpus_overlap_bottomk",

@@ -798,12 +798,157 @@ def test_ivfpq_filtered_topk_respects_predicate(spark, sf_dir):
 def test_ivfpq_filtered_matches_unfiltered_on_true_predicate(spark, sf_dir):
     """A predicate passing EVERY vector reduces the filtered pipeline
     to the auto-dial unfiltered one exactly (the semi-join prunes
-    nothing; depth formula sees the same n)."""
+    nothing; the depth AND adaptive-nprobe formulas see the same n).
+    The unfiltered side pins n_cells to the filtered side's default
+    8-cell build — ivfpq_rerank_topk's own default now auto-sizes
+    cells (r14), which is a different (finer) index layout, not a
+    different result contract."""
     from presto_on_ray_spark.operators.similarity import (
+        _IVFPQ_CELLS,
         ivfpq_filtered_topk,
         ivfpq_rerank_topk,
     )
 
     a = ivfpq_filtered_topk(spark, sf_dir, F.lit(True))
-    b = ivfpq_rerank_topk(spark, sf_dir)
+    b = ivfpq_rerank_topk(spark, sf_dir, n_cells=_IVFPQ_CELLS)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# -- round 14: auto cell/probe dials + adaptive filtered ANN --------------
+
+
+def test_auto_ivf_dials_track_corpus_size():
+    """The r14 dial formulas at the three sf rungs (VERDICT r13 #3):
+    cells ~ sqrt(n), nprobe from the 2x-shortlist coverage target,
+    clamped to [3, n_cells]. These are the exact values the folded
+    SQL oracles resolve to, so a formula drift here is an oracle
+    drift there."""
+    import math
+
+    from presto_on_ray_spark.operators.similarity import (
+        auto_ivf_cells,
+        auto_ivf_nprobe,
+    )
+
+    expected = {500: (23, 64, 6), 2000: (45, 64, 3), 20000: (142, 600, 9)}
+    for n, (nc, sl, np_) in expected.items():
+        assert auto_ivf_cells(n) == nc
+        assert max(64, math.ceil(0.03 * n)) == sl
+        assert auto_ivf_nprobe(n, nc, sl) == np_
+    # floors and caps
+    assert auto_ivf_cells(10) == 8                  # cell floor
+    assert auto_ivf_nprobe(10_000_000, 3163, 300_000) == 190
+    assert auto_ivf_nprobe(100, 10, 64) == 10       # cap at n_cells
+    assert auto_ivf_nprobe(0, 8, 64) == 8           # empty set: probe all
+
+
+def test_ivfpq_auto_cells_matches_pinned_dial_build(spark, sf_dir):
+    """The full-auto key is exactly ivfpq_rerank_topk with the three
+    formulas pre-resolved — no hidden fourth dial."""
+    import math
+
+    from presto_on_ray_spark.operators.similarity import (
+        auto_ivf_cells,
+        auto_ivf_nprobe,
+        ivfpq_rerank_topk,
+        quantized,
+        similarity_ivfpq_auto_cells,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    n = e.count()
+    nc = auto_ivf_cells(n)
+    sl = max(64, math.ceil(0.03 * n))
+    a = similarity_ivfpq_auto_cells(spark, sf_dir)
+    b = ivfpq_rerank_topk(
+        spark, sf_dir, n_cells=nc, nprobe=auto_ivf_nprobe(n, nc, sl), shortlist=sl
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_filtered_adaptive_recall_sweep_no_decay(spark, sf_dir):
+    """VERDICT r13 #4's done-gate: recall@k of the ADAPTIVE filtered
+    pipeline vs the EXACT quantized-cosine top-k over each filtered
+    set, swept across ~10% / ~1% / ~0.2% selectivities. The adaptive
+    nprobe widens as the predicate tightens (10% already caps at
+    n_cells on the fixture; the non-exhaustive regime at larger nf is
+    exercised by the sf1 rung recorded in SCALING.md r14), so recall
+    must NOT decay at low selectivity — the exact failure mode of a
+    fixed nprobe=3, where a 0.1% predicate leaves probed cells empty."""
+    import numpy as np
+
+    from presto_on_ray_spark.operators.similarity import ivfpq_filtered_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    ids, vecs = _quantized_vecs(rows)
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+
+    recalls = []
+    for mod in (10, 100, 500):  # ~10%, ~1%, ~0.2% of the 500-row fixture
+        pred = (F.col("vec_id") % mod) == 7
+        passing = {int(i) for i in ids if i % mod == 7}
+        assert passing, f"sweep predicate mod={mod} passes nothing"
+        got = {
+            (r["qid"], r["cid"])
+            for r in ivfpq_filtered_topk(spark, sf_dir, pred).collect()
+        }
+        hits = total = 0
+        for qid in range(5):
+            cand = sorted(
+                (c for c in passing if c != qid),
+                key=lambda c: (-cos[qid, c], c),
+            )[:4]
+            for cid in cand:
+                total += 1
+                hits += (qid, cid) in got
+        recalls.append(hits / total)
+    # exhaustive-probe limit at fixture scale: exact on every rung,
+    # and in particular NOT decaying as selectivity drops
+    assert recalls == [1.0, 1.0, 1.0], recalls
+
+
+def test_filtered_adaptive_key_equals_explicit_dials(spark, sf_dir):
+    """similarity_ivfpq_filtered_adaptive == ivfpq_filtered_topk with
+    the filtered-set formulas pre-resolved (nf=5 at the fixture: sl=64
+    floor, nprobe capped at the 8-cell index — the emergent
+    brute-force limit)."""
+    from presto_on_ray_spark.operators.similarity import (
+        _ADAPT_FILTER_MOD,
+        ivfpq_filtered_topk,
+        similarity_ivfpq_filtered_adaptive,
+    )
+
+    pred = (F.col("vec_id") % _ADAPT_FILTER_MOD) == 7
+    a = similarity_ivfpq_filtered_adaptive(spark, sf_dir)
+    b = ivfpq_filtered_topk(spark, sf_dir, pred, nprobe=8, shortlist=64)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_dedup_semantic_auto_cells_same_rule_finer_cells(spark, sf_dir):
+    """The auto-cell SemDeDup key keeps the dup RULE and changes only
+    the partition layout: every (vec_id) appears exactly once, cells
+    span the widened range [0, ceil(sqrt n)), and the within-cell
+    pairwise work (sum of pop^2) is strictly below the fixed 8-cell
+    layout's — the 100 TB cost term the dial exists to bound."""
+    from presto_on_ray_spark.operators.similarity import (
+        auto_ivf_cells,
+        dedup_semantic,
+        dedup_semantic_auto_cells,
+    )
+
+    n = t(spark, sf_dir, "embeddings").count()
+    nc = auto_ivf_cells(n, 8)
+    auto = dedup_semantic_auto_cells(spark, sf_dir).cache()
+    assert auto.count() == n
+    assert auto.select("vec_id").distinct().count() == n
+    cells = [r["cell"] for r in auto.select("cell").distinct().collect()]
+    assert max(cells) < nc and min(cells) >= 0 and len(cells) > 8
+
+    def pair_work(df):
+        pops = [r["p"] for r in df.groupBy("cell").agg(F.count("*").alias("p")).collect()]
+        return sum(p * p for p in pops)
+
+    assert pair_work(auto) < pair_work(dedup_semantic(spark, sf_dir))
+    auto.unpersist()
