@@ -593,7 +593,8 @@ def classifier_score_biased(docs, weights):
     )
 
 
-def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS):
+def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS,
+                     pocket_docs=None):
     """Pocket batch integer perceptron over hashed+bias features:
     start from zero weights; per epoch add to each bucket the sum of
     y*tf over the docs the CURRENT weights misclassify (y*zint <= 0 —
@@ -601,6 +602,17 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS):
     doc); return the epoch whose weights make the fewest training
     mistakes (earliest epoch on ties) as a DENSE (bucket, wnum)
     relation over [0, 4097) — buckets 0..4095 plus the bias row.
+
+    ``pocket_docs`` (r14, VERDICT r13 #7): when given, the pocket
+    epoch is selected by the error on THIS doc relation (a held-out
+    validation split) instead of the training mistakes — the
+    train-mistake pocket overfits by construction (it is the quantity
+    the updates minimize), while a val pocket picks the epoch that
+    generalizes. Costs one extra bounded job per epoch (score the val
+    features under the current broadcast weights); the gradient path
+    and the early train-separation break are unchanged (once training
+    error hits 0 the weights stop moving, so later val errors tie and
+    the earliest epoch wins regardless of pocket source).
 
     Orchestration: the MODEL is driver data (4097 int64s — the Lloyd-
     centroid/kcenter pattern: fixed-width by the hashing trick, so the
@@ -620,6 +632,11 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS):
 
     spark = docs.sparkSession
     fl = tracked_persist(biased_features(docs).join(labels, "doc_id"))
+    vfl = None
+    if pocket_docs is not None:
+        vfl = tracked_persist(
+            biased_features(pocket_docs).join(labels, "doc_id")
+        )
     # epoch 1: w0 = 0 → every featured doc is a mistake, so the first
     # gradient needs no scoring pass. Bounded collect: <= 4097 rows
     # (the fixed-width model), like refine_cells' centroid collects.
@@ -661,11 +678,26 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS):
             )
             .collect()
         )
-        err = next((int(r["n"]) for r in g if r["bucket"] == _CLF_BIAS), 0)
+        train_err = next((int(r["n"]) for r in g if r["bucket"] == _CLF_BIAS), 0)
+        if vfl is None:
+            err = train_err
+        else:
+            # pocket on the held-out split: one scalar count per epoch
+            err = (
+                vfl.join(wdf, "bucket")
+                .groupBy("doc_id")
+                .agg(
+                    F.min("y").alias("y"),
+                    F.sum(F.col("tf") * F.col("wnum")).alias("zint"),
+                )
+                .filter(F.col("y") * F.col("zint") <= 0)
+                .count()
+            )
         if best_err is None or err < best_err:
             best_err, best_w = err, list(w)
-        if err == 0:
-            break  # perfect separation: later epochs cannot improve
+        if train_err == 0:
+            break  # perfect separation: the weights stop moving, so
+            # later epochs tie on any pocket metric and lose to this one
         for r in g:
             w[int(r["bucket"])] += int(r["g"])
     return spark.createDataFrame(
@@ -673,14 +705,22 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS):
     )
 
 
-def _train_ctes(epochs: int, docs_src: str = "documents") -> str:
+def _train_ctes(
+    epochs: int, docs_src: str = "documents", pocket_src: str | None = None
+) -> str:
     """The chained-CTE replay of classifier_train: feats (with bias
     rows) over ``docs_src`` (the TRAINING doc relation — "documents"
     for the whole-corpus keys, a split CTE for the holdout key),
     labels over the full documents table (the inner feats⋈lab join
     restricts training to docs_src exactly like the Spark side), then
     per epoch a (w, s, err) triple and the final pocket selection —
-    wbest is the returned relation."""
+    wbest is the returned relation.
+
+    ``pocket_src`` (r14): a doc relation to select the pocket epoch on
+    (classifier_train's pocket_docs — the validation split). When set,
+    per-epoch verr CTEs score the pocket relation under that epoch's
+    weights and best orders by the VAL error; the train err CTEs are
+    not emitted (nothing references them)."""
     from presto_on_ray_spark.operators.sketch_ops import _h60_sql
 
     stoplist = "[" + ",".join(f"'{w}'" for w in _STOPWORDS) + "]"
@@ -714,15 +754,47 @@ def _train_ctes(epochs: int, docs_src: str = "documents") -> str:
     w1 AS MATERIALIZED (SELECT allb.bucket, COALESCE(g1.g, 0) AS wnum
            FROM allb LEFT JOIN g1 USING (bucket))"""
     ]
+    if pocket_src is not None:
+        parts.append(
+            f"""vterms AS MATERIALIZED (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {pocket_src}
+      ) x WHERE LENGTH(term) > 0
+    ),
+    vhfeats AS MATERIALIZED (
+      SELECT doc_id, {_h60_sql('term')} % {_CLF_BUCKETS} AS bucket,
+             COUNT(*) AS tf
+      FROM vterms GROUP BY 1, 2
+    ),
+    vfeats AS MATERIALIZED (
+      SELECT doc_id, bucket, tf FROM vhfeats
+      UNION ALL
+      SELECT DISTINCT doc_id, {_CLF_BIAS} AS bucket, 1 AS tf FROM vhfeats
+    ),
+    vfl AS MATERIALIZED (SELECT f.doc_id, f.bucket, f.tf, l.y
+           FROM vfeats f JOIN lab l USING (doc_id))"""
+        )
+    err_src = "vfl" if pocket_src is not None else None
     for e in range(1, epochs + 1):
         parts.append(
             f"""s{e} AS MATERIALIZED (
       SELECT fl.doc_id, MIN(fl.y) AS y, SUM(fl.tf * w{e}.wnum) AS zint
       FROM fl JOIN w{e} USING (bucket) GROUP BY 1
-    ),
-    err{e} AS MATERIALIZED (SELECT {e} AS e, COUNT(*) FILTER (WHERE y * zint <= 0) AS err
-               FROM s{e})"""
+    )"""
         )
+        if err_src is None:
+            parts.append(
+                f"""err{e} AS MATERIALIZED (SELECT {e} AS e, COUNT(*) FILTER (WHERE y * zint <= 0) AS err
+               FROM s{e})"""
+            )
+        else:
+            parts.append(
+                f"""err{e} AS MATERIALIZED (
+      SELECT {e} AS e, COUNT(*) FILTER (WHERE y * zint <= 0) AS err
+      FROM (SELECT {err_src}.doc_id, MIN({err_src}.y) AS y,
+                   SUM({err_src}.tf * w{e}.wnum) AS zint
+            FROM {err_src} JOIN w{e} USING (bucket) GROUP BY 1))"""
+            )
         if e < epochs:
             parts.append(
                 f"""g{e + 1} AS MATERIALIZED (
@@ -772,9 +844,11 @@ def text_classifier_train(spark, sf_dir):
     return classifier_train(d, langid_labels(d))
 
 
-@query(
-    "text_classifier_distilled",
-    oracle=f"""
+# shared by the distilled key and the published-store key (r14): the
+# published store is FRESH when the key runs, so scoring through it
+# equals scoring the in-session weights relation — one oracle pins both
+# (the corpus_health_report_saved precedent).
+_DISTILLED_ORACLE = f"""
     WITH {_train_ctes(_TRAIN_EPOCHS)},
     zf AS (
       SELECT f.doc_id, SUM(f.tf * w.wnum) AS zint,
@@ -786,8 +860,24 @@ def text_classifier_train(spark, sf_dir):
            z.zint >= 0 AS keep,
            (z.zint >= 0) = (l.y = 1) AS agree
     FROM zf z JOIN lab l USING (doc_id)
-    """,
-)
+    """
+
+
+def _distill_audit(d, lab, weights):
+    """The distillation-audit relation (doc_id, label, logit, keep,
+    agree) for a trained weight relation — shared by the in-session
+    and published-store keys."""
+    s = classifier_score_biased(d, weights)
+    return s.join(lab, "doc_id").select(
+        "doc_id",
+        F.col("y").alias("label"),
+        "logit",
+        "keep",
+        (F.col("keep") == (F.col("y") == 1)).alias("agree"),
+    )
+
+
+@query("text_classifier_distilled", oracle=_DISTILLED_ORACLE)
 def text_classifier_distilled(spark, sf_dir):
     """Score the corpus with the ENGINE-TRAINED pocket weights and
     audit the distillation: (doc_id, label, logit, keep, agree) where
@@ -799,29 +889,112 @@ def text_classifier_distilled(spark, sf_dir):
     text_quality_classifier plan plus one bias feature."""
     d = t(spark, sf_dir, "documents")
     lab = langid_labels(d)
-    s = classifier_score_biased(d, classifier_train(d, lab))
-    return s.join(lab, "doc_id").select(
-        "doc_id",
-        F.col("y").alias("label"),
-        "logit",
-        "keep",
-        (F.col("keep") == (F.col("y") == 1)).alias("agree"),
+    return _distill_audit(d, lab, classifier_train(d, lab))
+
+
+# -- published-weights store (round 14) -----------------------------------
+# VERDICT r13 #4 + What's-wrong #5: a deployment reads PUBLISHED
+# weights, it does not retrain per query. The store is the counts/ANN
+# generation-flip protocol (pipeline_prep.save_relation_generation):
+# train → publish flips _CURRENT onto a fresh numbered generation;
+# scorers read the live generation (streaming: per trigger, so a
+# mid-stream publish changes verdicts exactly at a trigger boundary —
+# pinned in tests/test_classifier_store.py) or pin one for
+# reproducibility. Model rollback = pointing at the kept predecessor.
+
+_WEIGHTS_REL = "weights"
+
+
+def save_classifier_weights(weights, path: str, force: bool = False) -> None:
+    """Publish a trained (bucket, wnum) relation as a fresh generation
+    of the weights store at ``path`` (atomic _CURRENT flip,
+    single-writer marker, predecessor kept for the reader grace
+    window)."""
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        save_relation_generation,
     )
 
+    save_relation_generation(weights, path, _WEIGHTS_REL, force=force)
 
-def _holdout_oracle() -> str:
+
+def load_classifier_weights(spark, path: str, generation: str | None = None):
+    """Read the live generation's weights (or a pinned ``generation``
+    directly — the TOCTOU-free read for callers that captured
+    weights_live_generation())."""
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        load_relation_generation,
+    )
+
+    return load_relation_generation(spark, path, _WEIGHTS_REL, generation)
+
+
+def weights_live_generation(path: str) -> str:
+    """The live generation id of a weights store (the _CURRENT
+    pointer's value) — capture it when deriving anything from the
+    store; a later save flips it."""
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        counts_live_generation,
+    )
+
+    return counts_live_generation(path)
+
+
+@query("text_classifier_published", oracle=_DISTILLED_ORACLE)
+def text_classifier_published(spark, sf_dir):
+    """The publish→deploy lifecycle end-to-end, hash-verified: train
+    the pocket perceptron, PUBLISH the weights as a fresh generation
+    of the stable scratch store, then produce the distillation audit
+    by scoring THROUGH the published generation (pinned read — never
+    the in-session relation). Because the store is fresh, the relation
+    equals text_classifier_distilled's, so the same oracle pins the
+    whole store round-trip (the corpus_health_report_saved recipe).
+    The scratch store is the stable per-(user, corpus) location the
+    governance key uses — re-publishes land new generations into the
+    same store and the sweep bounds it at ~2 generations."""
+    import getpass
+    import hashlib
+    import os
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    lab = langid_labels(d)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"por_spark_clf_weights_{getpass.getuser()}_{tag}",
+    )
+    save_classifier_weights(classifier_train(d, lab), store, force=True)
+    w = load_classifier_weights(
+        spark, store, generation=weights_live_generation(store)
+    )
+    return _distill_audit(d, lab, w)
+
+
+def _holdout_oracle(val_pocket: bool = False) -> str:
     """Held-out evaluation, composed from the suite's own verified
     CTE pieces: the leakage-safe split (recursive CC closure + Knuth
     bucket of the cluster representative), the pocket-perceptron
     training chain RESTRICTED to the train split (docs_src="tdocs"),
     and whole-corpus scoring under the trained weights, aggregated
-    per split."""
+    per split. ``val_pocket`` (r14) selects the pocket epoch by the
+    VAL split's error (pocket_src="vdocs") instead of the training
+    mistakes."""
     from presto_on_ray_spark.operators.dedup import _CC_CTE_BODY
     from presto_on_ray_spark.operators.pipeline_prep import _bucket_sql
     from presto_on_ray_spark.operators.sketch_ops import _h60_sql
 
     b = _bucket_sql("rep_id")
     agree = "(z.zint >= 0) = (lab.y = 1)"
+    vdocs = """
+    vdocs AS MATERIALIZED (
+      SELECT d.* FROM documents d JOIN sp USING (doc_id)
+      WHERE sp.split = 'val'
+    ),""" if val_pocket else ""
+    train = _train_ctes(
+        _TRAIN_EPOCHS,
+        docs_src="tdocs",
+        pocket_src="vdocs" if val_pocket else None,
+    )
     return f"""
     WITH RECURSIVE {_CC_CTE_BODY},
     comp AS (SELECT node AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY node),
@@ -839,8 +1012,8 @@ def _holdout_oracle() -> str:
     tdocs AS MATERIALIZED (
       SELECT d.* FROM documents d JOIN sp USING (doc_id)
       WHERE sp.split = 'train'
-    ),
-    {_train_ctes(_TRAIN_EPOCHS, docs_src="tdocs")},
+    ),{vdocs}
+    {train},
     aterms AS MATERIALIZED (
       SELECT doc_id, term FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -900,6 +1073,57 @@ def text_classifier_holdout(spark, sf_dir):
         "left_semi",
     )
     w = classifier_train(train_docs, lab)
+    s = classifier_score_biased(d, w)
+    agree = F.col("keep") == (F.col("y") == 1)
+    return (
+        s.join(lab, "doc_id")
+        .join(splits, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(agree).alias("n_agree"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_agree",
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_docs"), 4
+            ).alias("accuracy"),
+        )
+    )
+
+
+@query("text_classifier_holdout_val", oracle=_holdout_oracle(val_pocket=True))
+def text_classifier_holdout_val(spark, sf_dir):
+    """text_classifier_holdout with VALIDATION-based pocket selection
+    (VERDICT r13 #7): the pocket epoch is the one with the fewest
+    mistakes on the VAL split — the train-mistake pocket is the
+    quantity the perceptron updates minimize, so it overfits by
+    construction; selecting on held-out error is the standard fix and
+    the test row stays untouched by the selection (val selects, test
+    reports). Same relation shape (split, n_docs, n_agree, accuracy);
+    the oracle extends the chained training CTEs with per-epoch
+    val-split scoring (verr CTEs) and pockets on those — hash-exact
+    at sf0.01 and sf1. The frozen train-pocket key is unchanged."""
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        split_leakage_safe,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    splits = split_leakage_safe(spark, sf_dir).select("doc_id", "split")
+    lab = langid_labels(d)
+    train_docs = d.join(
+        splits.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    val_docs = d.join(
+        splits.filter(F.col("split") == "val").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    w = classifier_train(train_docs, lab, pocket_docs=val_docs)
     s = classifier_score_biased(d, w)
     agree = F.col("keep") == (F.col("y") == 1)
     return (

@@ -1,0 +1,187 @@
+"""The published classifier-weights store (round 14, VERDICT r13 #4):
+generation-flip publish (textstats.save_classifier_weights over the
+counts-store protocol), store round-trip == in-session weights, the
+published suite key == the distilled key, per-trigger live-generation
+reads (a mid-stream publish changes verdicts exactly at a trigger
+boundary), and the composed retrain-on-drift loop."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from presto_on_ray_spark.operators._util import t
+from presto_on_ray_spark.operators.textstats import (
+    classifier_score_biased,
+    classifier_train,
+    langid_labels,
+    load_classifier_weights,
+    save_classifier_weights,
+    weights_live_generation,
+)
+
+
+def _weights_map(df):
+    return {r["bucket"]: r["wnum"] for r in df.collect()}
+
+
+def test_store_roundtrip_equals_in_session_weights(spark, sf_dir, tmp_path):
+    """VERDICT r13 #4's oracle-equality gate: weights read back from a
+    published generation are the trained relation, bit-for-bit."""
+    d = t(spark, sf_dir, "documents")
+    w = classifier_train(d, langid_labels(d), epochs=2)
+    p = str(tmp_path / "wstore")
+    save_classifier_weights(w, p)
+    assert _weights_map(load_classifier_weights(spark, p)) == _weights_map(w)
+
+
+def test_generation_flip_and_reader_grace_window(spark, tmp_path):
+    wa = spark.range(4097).selectExpr("id AS bucket", "CAST(1 AS LONG) AS wnum")
+    wb = spark.range(4097).selectExpr("id AS bucket", "CAST(-1 AS LONG) AS wnum")
+    p = str(tmp_path / "wstore")
+    save_classifier_weights(wa, p)
+    g0 = weights_live_generation(p)
+    save_classifier_weights(wb, p)
+    g1 = weights_live_generation(p)
+    assert g0 != g1
+    # live read = new generation; the superseded one stays readable
+    # for exactly one mutation (the counts store's grace window)
+    assert _weights_map(load_classifier_weights(spark, p)) == _weights_map(wb)
+    assert _weights_map(
+        load_classifier_weights(spark, p, generation=g0)
+    ) == _weights_map(wa)
+
+
+def test_published_key_equals_distilled_key(spark, sf_dir):
+    """The published key scores THROUGH the store; fresh store ⇒ same
+    relation as the in-session distilled key (the shared-oracle
+    premise)."""
+    from presto_on_ray_spark.operators.textstats import (
+        text_classifier_distilled,
+        text_classifier_published,
+    )
+
+    a = text_classifier_published(spark, sf_dir)
+    b = text_classifier_distilled(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_midstream_publish_flips_verdicts_at_trigger_boundary(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r13 #4's streaming gate: batch 0 scores under the
+    initially published all-(+1) weights (keep everything), the sink
+    publishes all-(-1) weights DURING batch 0, and batch 1 — same
+    docs, next trigger — flips every verdict. Inside each batch the
+    generation is bound once."""
+    from presto_on_ray_spark.streaming.classifier import (
+        stream_classifier_score_published,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter("text IS NOT NULL")
+        .filter("doc_id < 40")
+        .select("doc_id", "text")
+    )
+    src = tmp_path / "arrivals"
+    docs.coalesce(1).write.parquet(str(src / "f1"))
+    docs.coalesce(1).write.parquet(str(src / "f2"))
+
+    p = str(tmp_path / "wstore")
+    wa = spark.range(4097).selectExpr("id AS bucket", "CAST(1 AS LONG) AS wnum")
+    wb = spark.range(4097).selectExpr("id AS bucket", "CAST(-1 AS LONG) AS wnum")
+    save_classifier_weights(wa, p)
+
+    got: dict[int, dict] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = {r.doc_id: r.keep for r in df.collect()}
+        if batch_id == 0:
+            save_classifier_weights(wb, p, force=True)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    stream_classifier_score_published(
+        stream, p, sink, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert len(got) == 2
+    assert got[0] and all(keep for keep in got[0].values())
+    assert set(got[1]) == set(got[0])
+    assert all(not keep for keep in got[1].values())
+
+
+def test_retrain_on_drift_publishes_only_on_breach(spark, sf_dir, tmp_path):
+    """The composed loop: an in-distribution batch scores under the
+    incumbent generation (no publish); a drifted batch (token counts
+    far outside the reference histogram) breaches PSI, retrains on
+    the batch, publishes, and is scored under the NEW generation —
+    verified against a direct batch-side replay of the same retrain."""
+    from presto_on_ray_spark.operators.drift import reference_histogram
+    from presto_on_ray_spark.streaming.classifier import (
+        stream_classifier_retrain_on_drift,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    toks = F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0))
+    ref = reference_histogram(
+        docs.select(F.lit("all").alias("grp"), toks.cast("long").alias("val")),
+        16,
+        "grp",
+    ).persist()
+
+    b1 = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    drifted_rows = [
+        (100000 + i, "the of and " + " ".join(["drift"] * 400)) for i in range(30)
+    ]
+    b2 = spark.createDataFrame(drifted_rows, "doc_id long, text string")
+    src = tmp_path / "arrivals"
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    p = str(tmp_path / "wstore")
+    w0 = classifier_train(docs, langid_labels(docs), epochs=2)
+    save_classifier_weights(w0, p)
+    g0 = weights_live_generation(p)
+
+    gens: dict[int, str] = {}
+    got: dict[int, dict] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = {r.doc_id: r.keep for r in df.collect()}
+        gens[batch_id] = weights_live_generation(p)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    try:
+        stream_classifier_retrain_on_drift(
+            stream, ref, p, sink, psi_threshold=0.25, bin_width=16,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    finally:
+        ref.unpersist()
+    assert len(got) == 2
+    # batch 0: in-distribution → incumbent generation, verdicts = w0's
+    assert gens[0] == g0
+    expect0 = {
+        r.doc_id: r.keep for r in classifier_score_biased(b1, w0).collect()
+    }
+    assert got[0] == expect0
+    # batch 1: drifted → breach published a NEW generation before
+    # scoring, and the verdicts equal a batch-side replay of the same
+    # batch-trained model
+    assert gens[1] != g0
+    w_replay = classifier_train(b2, langid_labels(b2))
+    expect1 = {
+        r.doc_id: r.keep
+        for r in classifier_score_biased(b2, w_replay).collect()
+    }
+    assert got[1] == expect1
