@@ -24,6 +24,25 @@ from presto_on_ray_spark import suite  # noqa: E402
 from presto_on_ray_spark.caching import release_cached  # noqa: E402
 from presto_on_ray_spark.session import get_spark  # noqa: E402
 
+# Round-14 pruning (VERDICT r13 #8): the driver records only the LAST
+# 2000 chars of bench output, and the per-key JSON line outgrew that
+# window in r12/r13 (parsed: null). Eleven low-information keys whose
+# plans are charged by a sibling headline key or fully covered by the
+# correctness gates were removed so the line is machine-readable
+# again: window_ranking (cov_windows_wide), text_quality_scores /
+# text_token_count (text family members; classifier + tfidf headline
+# the family), hll_sketch_pipeline (cov_sketch_exact),
+# dedup_minhash_lsh (dedup_lsh_keepers is the end-to-end path),
+# datetime_mysql_patterns / pii_redact / text_chunking (sub-second
+# scalar pipelines), agg_regression (statistical-agg plan shape
+# charged by cov_* members), cdc_latest_state (merge_upsert keeps
+# the CDC family), corpus_mix_sources
+# (corpus_budget_select keeps the selection/mixing cost center),
+# sessionize_batch (join_asof + rollup_hypertable keep temporal),
+# scd2_history (merge_upsert keeps CDC), corpus_shuffle_shards +
+# sequence_length_buckets (sequence_packing keeps epoch prep). All
+# remain registered suite keys under the oracle gates; BENCH_FULL.json
+# (written every run) carries the complete 3-decimal map regardless.
 HEADLINE = [
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -32,54 +51,38 @@ HEADLINE = [
     "tpch_q18_large_volume_customer",
     "join_inner_multiway",
     "agg_grouping_sets",
-    "window_ranking",
     "window_top_n_per_group",
     "topn_global",
-    "hll_sketch_pipeline",
     "streaming_tumbling_window_batch",
     "dedup_exact_survivors",
     "dedup_ngram_jaccard",
     "dedup_neardup_clusters",
-    "dedup_minhash_lsh",
     "similarity_bruteforce_topk",
-    "text_quality_scores",
-    "text_token_count",
-    # breadth: scalar families, set ops, wide windows, dialect shim
+    # breadth: scalar families, set ops, wide windows
     "cov_scalar_lineitem",
     "cov_scalar_documents",
     "cov_setops",
     "cov_windows_wide",
-    "datetime_mysql_patterns",
     # temporal + reshape + tfidf (round 3 additions)
     "join_asof",
-    "sessionize_batch",
     "rollup_hypertable",
     "text_tfidf_topk",
     "pivot_event_counts",
     # analytics tail + training prep (round 3, second pass)
-    "agg_regression",
     "recursive_cte_hierarchy",
     "sequence_packing",
-    "pii_redact",
     # incremental / CDC family (round 4)
     "merge_upsert",
-    "scd2_history",
-    "cdc_latest_state",
     "text_lm_score",
     "rollup_incremental_refresh",
     "corpus_curation_pipeline",
-    "text_chunking",
     "corpus_pagerank",
     # round-5 oracle-bearing approximations
     "cov_sketch_exact",
     "dedup_lsh_keepers",
     "similarity_ivf_exact",
-    # round-7: epoch-prep shuffle/shard + source mixing
-    "corpus_shuffle_shards",
-    "corpus_mix_sources",
-    # round-8: token-budget quality selection + length bucketing
+    # round-8: token-budget quality selection
     "corpus_budget_select",
-    "sequence_length_buckets",
     # round-9: exact substring-window duplication (largest explode in
     # the repo — ~one row per token position)
     "dedup_substring_windows",
@@ -133,8 +136,15 @@ HEADLINE = [
     # train -> score -> audit pipeline, so adding text_classifier_train
     # would charge the identical training plan twice for no extra
     # plan information (it stays a registered oracle key under the
-    # correctness gates).
+    # correctness gates; same reasoning keeps the r14 published/
+    # holdout_val variants out — train plan + store IO noise).
     "text_classifier_distilled",
+    # round-14: the full-auto IVF-PQ dials (cells ~ sqrt n, coverage-
+    # target nprobe) and the adaptive-nprobe selective-filter path
+    "similarity_ivfpq_auto_cells",
+    "similarity_ivfpq_filtered_adaptive",
+    # round-14: SemDeDup on the corpus-sized cell dial
+    "dedup_semantic_auto_cells",
 ]
 
 
@@ -213,17 +223,37 @@ def main() -> None:
     import re as _re
 
     m = _re.fullmatch(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(m.group(1)) if m else None,
-            }
+    sf = float(m.group(1)) if m else None
+    # Full-precision record on disk regardless of stdout-window limits
+    # (VERDICT r13 #8: the driver keeps only the last 2000 chars of
+    # output, so the artifact must not be the only copy of the map).
+    full = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(full, fh)
+        fh.write("\n")
+    # The contract line, sized for the driver's 2000-char tail window:
+    # compact separators + 2-decimal per-key values. If the headline
+    # list ever outgrows the window again, degrade to a summary line
+    # pointing at BENCH_FULL.json rather than printing an unparseable
+    # truncated map (tests/test_bench_line.py pins the budget).
+    compact = dict(full, queries={k: round(v, 2) for k, v in timings.items()})
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        line = json.dumps(
+            dict(full, queries={"_full_map": "BENCH_FULL.json"}),
+            separators=(",", ":"),
         )
-    )
+    print(line)
     spark.stop()
 
 

@@ -1,0 +1,45 @@
+"""bench.py's stdout contract (VERDICT r13 #8): the driver records
+only the LAST 2000 chars of bench output, so the final JSON line —
+compact separators, 2-decimal values — must fit with headroom even
+under pessimistic per-key magnitudes. r12/r13 shipped parsed:null
+because the headline list outgrew the window; this pins the budget so
+a future headline addition fails HERE, not in the driver artifact."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from presto_on_ray_spark import suite
+
+suite.load_all()
+
+
+def test_headline_keys_are_registered():
+    missing = [k for k in bench.HEADLINE if k not in suite.QUERIES]
+    assert missing == [], missing
+
+
+def test_final_json_line_fits_driver_tail_window():
+    keys = list(bench.HEADLINE) + [
+        "layout_scan_naive",
+        "layout_scan_clustered",
+        "layout_scan_zorder",
+    ]
+    # pessimistic: every key at a 2-digit-seconds magnitude
+    q = {k: 99.99 for k in keys}
+    line = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": 9999.999,
+            "unit": "sec",
+            "queries": q,
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1900, (
+        f"bench line {len(line)} chars exceeds the 1900 budget "
+        f"({len(keys)} keys) — prune a redundant headline key or rely "
+        f"on the BENCH_FULL.json degradation"
+    )
