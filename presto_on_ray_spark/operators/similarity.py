@@ -931,6 +931,10 @@ def similarity_pq_refined_topk(spark, sf_dir):
 # assignment, residuals, codebook, encode, probe selection, ADC) is
 # reproducible bit-for-bit in DuckDB SQL and in the NumPy twin.
 # ---------------------------------------------------------------------------
+# Since r14 these are FLOORS and the frozen keys' pinned fixture
+# dials, not production constants: build/query entry points default to
+# auto_ivf_cells (~sqrt n) and auto_ivf_nprobe (coverage target over
+# the shortlist) — see the "auto cell/probe dials" section below.
 _IVFPQ_CELLS = 8
 _IVFPQ_NPROBE = 3
 
@@ -2238,7 +2242,7 @@ def _ann_code_stats(codes):
     )
 
 
-def verify_ann_index(index: AnnIndex, n_cells: int = _IVFPQ_CELLS) -> dict:
+def verify_ann_index(index: AnnIndex, n_cells: int | None = None) -> dict:
     """Bounded consistency checks over a (possibly loaded) index —
     the explicit, scheduled integrity pass (the analogue of the dedup
     side's verify_index_consistency). Two scans of codes on the green
@@ -2248,7 +2252,13 @@ def verify_ann_index(index: AnnIndex, n_cells: int = _IVFPQ_CELLS) -> dict:
     cold path. Raises TornAnnCodes for the per-vector M-row invariant
     (repairable by compact_saved_ann_index(drop_torn=True)); plain
     ValueError for quantizer cardinality and orphan cell/codeword
-    references (NOT repairable by dropping rows — rebuild)."""
+    references (NOT repairable by dropping rows — rebuild).
+
+    ``n_cells``: pass the build-time cell count to enforce it; None
+    (the default since r14's auto-sized builds — a loaded index's
+    cell count is whatever auto_ivf_cells resolved to at build time,
+    not a session constant) enforces only non-emptiness, and the
+    orphan probe still catches codes referencing missing centroids."""
     stats = _ann_code_stats(index.codes)
     totals = stats.agg(
         F.count("*").alias("vectors"),
@@ -2274,10 +2284,12 @@ def verify_ann_index(index: AnnIndex, n_cells: int = _IVFPQ_CELLS) -> dict:
             f"ones); duplicates mean a batch was merged twice (rebuild)."
         )
     n_cents = index.cents.count()
-    if n_cents != n_cells:
+    if n_cells is not None and n_cents != n_cells:
         raise ValueError(
             f"ANN index has {n_cents} centroids, expected {n_cells}"
         )
+    if n_cents == 0:
+        raise ValueError("ANN index has no centroids — nothing was built")
     n_cw = index.codebook.count()
     if n_cw != _PQ_M * _PQ_K:
         raise ValueError(

@@ -359,3 +359,38 @@ def test_filtered_topk_over_loaded_index(spark, sf_dir, tmp_path):
     a = ivfpq_filtered_topk(spark, sf_dir, pred, index=built)
     b = ivfpq_filtered_topk(spark, sf_dir, pred, index=loaded)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_auto_built_index_saves_loads_and_verifies(spark, sf_dir, tmp_path):
+    """r14: an index built at the AUTO cell count (ceil(sqrt n), not
+    the session constant 8) must round-trip the saved-store protocol,
+    pass verify_ann_index's default (cell count is a build-time
+    property of the index, not a session constant — the r14 default
+    only enforces non-emptiness + the orphan probes), and serve
+    ivfpq_rerank_topk, which reads nprobe off the LOADED index's cents
+    relation."""
+    from presto_on_ray_spark.operators.similarity import (
+        auto_ivf_cells,
+        build_ann_index,
+        ivfpq_rerank_topk,
+        load_ann_index,
+        quantized,
+        save_ann_index,
+        verify_ann_index,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    nc = auto_ivf_cells(v.count())
+    assert nc > 8
+    idx = build_ann_index(v, n_cells=nc)
+    p = str(tmp_path / "auto_idx")
+    save_ann_index(idx, p)
+    loaded = load_ann_index(spark, p)
+    report = verify_ann_index(loaded)
+    assert report["cells"] == nc
+    with pytest.raises(ValueError, match="expected 8"):
+        verify_ann_index(loaded, n_cells=8)
+    res = ivfpq_rerank_topk(spark, sf_dir, index=loaded)
+    per_q = res.groupBy("qid").count().collect()
+    assert len(per_q) == 5 and all(r["count"] == 4 for r in per_q)
