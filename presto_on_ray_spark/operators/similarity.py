@@ -2335,6 +2335,37 @@ def verify_ann_index(index: AnnIndex, n_cells: int | None = None) -> dict:
     }
 
 
+def ann_rebuild_advice(index: AnnIndex, growth_factor: float = 4.0) -> dict:
+    """The maintenance half of the r14 auto-cells story: merge appends
+    encode new vectors under FROZEN quantizers (O(batch), by design),
+    so an index built at n keeps ceil(sqrt n) cells while its corpus
+    grows — per-cell population and ADC candidate lists grow linearly
+    past the build point, exactly the drift auto_ivf_cells exists to
+    prevent. This advisory compares the index's CURRENT corpus size
+    against what its cell count was sized for (built_for ~ cells², the
+    inverse of the sqrt formula) and flags a rebuild once the corpus
+    exceeds ``growth_factor`` x that — i.e. once cells hold ~4x their
+    design population, the recall/cost operating point has moved a
+    cell-split's worth. Two bounded aggregates (a codes row count / M
+    and the broadcast-sized cents count); returns
+    {vectors, cells, built_for, auto_cells_now, ratio, rebuild_due}.
+    A scheduler runs this next to verify_ann_index and triggers
+    build_ann_index + save_ann_index(force=...) on due — a new
+    generation, the same rebuild-vs-merge split as the dedup index."""
+    vectors = index.codes.count() // _PQ_M
+    cells = index.cents.count()
+    built_for = cells * cells
+    ratio = vectors / max(built_for, 1)
+    return {
+        "vectors": vectors,
+        "cells": cells,
+        "built_for": built_for,
+        "auto_cells_now": auto_ivf_cells(vectors),
+        "ratio": round(ratio, 3),
+        "rebuild_due": ratio > growth_factor,
+    }
+
+
 def compact_saved_ann_index(
     spark, path: str, drop_torn: bool = False, force: bool = False
 ) -> None:

@@ -394,3 +394,50 @@ def test_auto_built_index_saves_loads_and_verifies(spark, sf_dir, tmp_path):
     res = ivfpq_rerank_topk(spark, sf_dir, index=loaded)
     per_q = res.groupBy("qid").count().collect()
     assert len(per_q) == 5 and all(r["count"] == 4 for r in per_q)
+
+
+def test_ann_rebuild_advice_tracks_corpus_growth(spark, sf_dir):
+    """The advisory fires exactly when merge-appended growth outruns
+    the build-time cell sizing: fresh auto build → not due; the same
+    quantizers after heavy appends → due, with auto_cells_now telling
+    the rebuild what to size to. The frozen 8-cell fixture build is
+    'due' by construction (8 cells is the pinned fixture dial, not the
+    formula's answer for 500 vectors) — a useful canary that the
+    advisory measures sizing, not freshness."""
+    from presto_on_ray_spark.operators.similarity import (
+        AnnIndex,
+        ann_rebuild_advice,
+        auto_ivf_cells,
+        build_ann_index,
+        encode_into_ann_index,
+        quantized,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    n = v.count()
+
+    fresh = build_ann_index(v, n_cells=auto_ivf_cells(n))
+    a = ann_rebuild_advice(fresh)
+    assert a["vectors"] == n and not a["rebuild_due"]
+    assert a["auto_cells_now"] == a["cells"]
+
+    # simulate 9 merge batches under frozen quantizers: 10x corpus,
+    # same cells -> per-cell population ~10x design -> due
+    base = v.filter(F.col("vec_id") >= 100)
+    idx = build_ann_index(base.withColumn("vec_id", F.col("vec_id") - 100),
+                          n_cells=auto_ivf_cells(n - 100))
+    grown_codes = idx.codes
+    for i in range(1, 10):
+        batch = base.select(
+            (F.col("vec_id") - 100 + i * (n - 100)).alias("vec_id"), "qv"
+        )
+        grown_codes = grown_codes.unionByName(
+            encode_into_ann_index(batch, idx)
+        )
+    grown = AnnIndex(idx.cents, idx.codebook, grown_codes)
+    g = ann_rebuild_advice(grown)
+    assert g["vectors"] == 10 * (n - 100) and g["rebuild_due"]
+    assert g["auto_cells_now"] > g["cells"]
+
+    assert ann_rebuild_advice(build_ann_index(v))["rebuild_due"]  # frozen 8
