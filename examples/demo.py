@@ -197,6 +197,42 @@ def main() -> None:
     suite.QUERIES["similarity_kcenter_seeds"](spark, SF_DIR).show()
     suite.QUERIES["text_bm25_topk"](spark, SF_DIR).show(6)
 
+    print("== Auto-dial ANN (r14): corpus-sized cells/probes/shortlist ==")
+    from presto_on_ray_spark.operators.similarity import (
+        ann_rebuild_advice,
+        auto_ivf_cells,
+        build_ann_index,
+        quantized,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    v = emb.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    idx = build_ann_index(v, n_cells=auto_ivf_cells(v.count()))
+    print("rebuild advice (fresh auto build):", ann_rebuild_advice(idx))
+    suite.QUERIES["similarity_ivfpq_auto_cells"](spark, SF_DIR).show(5)
+
+    print("== Published classifier weights (r14): train -> publish -> score ==")
+    import tempfile
+
+    from presto_on_ray_spark.operators.textstats import (
+        classifier_train,
+        langid_labels,
+        load_classifier_weights,
+        save_classifier_weights,
+        weights_live_generation,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        "text IS NOT NULL"
+    )
+    store = tempfile.mkdtemp(prefix="demo_weights_")
+    save_classifier_weights(classifier_train(docs, langid_labels(docs), epochs=2), store)
+    gen = weights_live_generation(store)
+    w = load_classifier_weights(spark, store, generation=gen)
+    print(f"published generation {gen}; nonzero weights:",
+          w.filter("wnum <> 0").count())
+
     print("== Physical-plan introspection ==")
     from presto_on_ray_spark.plans import physical_summary
 
