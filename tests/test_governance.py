@@ -140,6 +140,49 @@ def test_saved_report_generation_staleness_guard(spark, sf_dir, tmp_path):
     )
 
 
+def test_pinned_report_binds_pinned_generation_not_live(spark, sf_dir, tmp_path):
+    """ADVICE r13 TOCTOU fix: when the pin HOLDS at check time, the
+    report's lazy plan is bound to the PINNED generation directory —
+    a merge landing after the check (the store keeps one superseded
+    generation for lazy readers) must not silently rebind the
+    relation to the new counts. We simulate the race by building the
+    pinned report, flipping the store with a merge, and only then
+    executing the plan: the result must equal the pre-merge report."""
+    import pyspark.sql.functions as F
+
+    from presto_on_ray_spark.operators._util import t
+    from presto_on_ray_spark.operators.governance import (
+        corpus_health_report_from_counts,
+    )
+    from presto_on_ray_spark.operators.pipeline_prep import (
+        _BP_W,
+        counts_live_generation,
+        merge_into_saved_segment_counts,
+        save_segment_counts,
+        segment_counts,
+    )
+
+    store = str(tmp_path / "counts")
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    save_segment_counts(segment_counts(d, _BP_W), store)
+    pinned = counts_live_generation(store)
+    before = corpus_health_report_from_counts(
+        spark, sf_dir, store, expect_generation=pinned
+    )
+    expected = {tuple(r) for r in before.collect()}
+    # build the LAZY pinned plan, then let a concurrent merge flip the
+    # pointer BEFORE execution — the classic check-then-read window
+    lazy = corpus_health_report_from_counts(
+        spark, sf_dir, store, expect_generation=pinned
+    )
+    merge_into_saved_segment_counts(
+        spark, store, d.limit(5).withColumn("text", F.lit("x x x")), _BP_W
+    )
+    assert counts_live_generation(store) != pinned
+    got = {tuple(r) for r in lazy.collect()}
+    assert got == expected, "pinned report rebound to the flipped generation"
+
+
 def test_deferred_pipeline_views_zero_jobs_until_first_read(spark, sf_dir):
     """VERDICT r12 #6 'done' condition: deferred registration triggers
     ZERO jobs and zero operator constructions; the first sql() read
