@@ -171,3 +171,60 @@ def test_stream_ann_ingest_refuses_within_batch_duplicates(
     assert not os.path.exists(os.path.join(p, _ANN_WRITING))
     verify_ann_index(load_ann_index(spark, p))
     release_cached()
+
+
+def test_stream_grown_index_rebuild_lifecycle(spark, sf_dir, tmp_path):
+    """The composed ANN maintenance loop over an AUTO-sized index
+    (r14): build small → stream-ingest 4x the corpus under frozen
+    quantizers → ann_rebuild_advice flags the drift → rebuild at the
+    corpus's new auto cell count as a fresh generation → advice clears.
+    This is the scheduled-maintenance path a 100 TB deployment runs
+    next to verify_ann_index: merges stay O(batch) forever, and the
+    advisory is what decides when the sqrt-n sizing has drifted a
+    rebuild's worth."""
+    import pyspark.sql.functions as F
+
+    from presto_on_ray_spark.operators._util import t
+    from presto_on_ray_spark.operators.similarity import (
+        ann_rebuild_advice,
+        auto_ivf_cells,
+        build_ann_index,
+        load_ann_index,
+        quantized,
+        save_ann_index,
+    )
+    from presto_on_ray_spark.streaming.ann import stream_ann_ingest
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    n0 = 100
+    base = v.filter(F.col("vec_id") < n0)
+    p = str(tmp_path / "idx")
+    save_ann_index(build_ann_index(base, n_cells=auto_ivf_cells(n0)), p)
+    assert not ann_rebuild_advice(load_ann_index(spark, p))["rebuild_due"]
+
+    # stream four append batches (total corpus 5x the build size)
+    src = tmp_path / "arrivals"
+    for i in range(4):
+        base.select((F.col("vec_id") + (i + 1) * n0).alias("vec_id"), "qv") \
+            .coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("vec_id long, qv array<bigint>")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    stream_ann_ingest(
+        stream, p, checkpoint_dir=str(tmp_path / "ckpt"), vec_col="qv"
+    )
+    grown = load_ann_index(spark, p)
+    advice = ann_rebuild_advice(grown)
+    assert advice["vectors"] == 5 * n0 and advice["rebuild_due"]
+
+    # scheduled rebuild: new generation at the corpus's current auto size
+    current = v.filter(F.col("vec_id") < 5 * n0)
+    save_ann_index(
+        build_ann_index(current, n_cells=advice["auto_cells_now"]), p, force=True
+    )
+    after = ann_rebuild_advice(load_ann_index(spark, p))
+    assert not after["rebuild_due"] and after["cells"] == advice["auto_cells_now"]
