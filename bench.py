@@ -148,6 +148,24 @@ HEADLINE = [
 ]
 
 
+def final_line(full: dict) -> str:
+    """The stdout contract line, sized for the driver's 2000-char tail
+    window: compact separators + 2-decimal per-key values; if the
+    headline ever outgrows the window again, degrade to a summary
+    pointing at BENCH_FULL.json rather than printing an unparseable
+    truncated map (both branches pinned in tests/test_bench_line.py)."""
+    compact = dict(
+        full, queries={k: round(v, 2) for k, v in full["queries"].items()}
+    )
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        line = json.dumps(
+            dict(full, queries={"_full_map": "BENCH_FULL.json"}),
+            separators=(",", ":"),
+        )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     suite.load_all()
@@ -241,19 +259,7 @@ def main() -> None:
     ) as fh:
         json.dump(full, fh)
         fh.write("\n")
-    # The contract line, sized for the driver's 2000-char tail window:
-    # compact separators + 2-decimal per-key values. If the headline
-    # list ever outgrows the window again, degrade to a summary line
-    # pointing at BENCH_FULL.json rather than printing an unparseable
-    # truncated map (tests/test_bench_line.py pins the budget).
-    compact = dict(full, queries={k: round(v, 2) for k, v in timings.items()})
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        line = json.dumps(
-            dict(full, queries={"_full_map": "BENCH_FULL.json"}),
-            separators=(",", ":"),
-        )
-    print(line)
+    print(final_line(full))
     spark.stop()
 
 

@@ -43,3 +43,22 @@ def test_final_json_line_fits_driver_tail_window():
         f"({len(keys)} keys) — prune a redundant headline key or rely "
         f"on the BENCH_FULL.json degradation"
     )
+
+
+def test_final_line_both_branches():
+    """final_line emits the full compact map while it fits and the
+    BENCH_FULL.json pointer once it would not — never a truncated or
+    oversized line."""
+    small = {
+        "metric": "suite_seconds", "value": 1.0, "unit": "sec",
+        "queries": {"q1": 0.123}, "sf": 0.1,
+    }
+    line = bench.final_line(small)
+    parsed = json.loads(line)
+    assert parsed["queries"] == {"q1": 0.12} and len(line) < 1900
+
+    huge = dict(small, queries={f"key_with_a_long_name_{i}": 1.234 for i in range(200)})
+    line = bench.final_line(huge)
+    parsed = json.loads(line)
+    assert parsed["queries"] == {"_full_map": "BENCH_FULL.json"}
+    assert len(line) < 300
