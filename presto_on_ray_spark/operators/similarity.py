@@ -1536,6 +1536,7 @@ def ivfpq_filtered_topk(
     nprobe: int | None = None,
     shortlist: int | None = None,
     index: AnnIndex | None = None,
+    n_cells: int | None = None,
 ):
     """Filtered IVF-PQ top-k: exact quantized-cosine top-``k`` among
     the vectors passing ``predicate`` (a Column over the embeddings
@@ -1557,11 +1558,19 @@ def ivfpq_filtered_topk(
     shortlist (>= its 64 floor >= n_passing) covers every passing
     candidate: the rerank then returns the EXACT cosine top-k over
     the whole filtered set. Recall@k vs selectivity is pinned flat in
-    tests/test_similarity.py's sweep."""
+    tests/test_similarity.py's sweep.
+
+    When no ``index`` is passed, the built index's ``n_cells``
+    defaults to auto_ivf_cells over the FULL corpus (same as
+    ivfpq_rerank_topk — the index serves every predicate, so its
+    layout is sized to the corpus, not to any one filter); the frozen
+    oracle keys pin n_cells=8 explicitly."""
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
     if index is None:
-        index = build_ann_index(v)
+        if n_cells is None:
+            n_cells = auto_ivf_cells(v.count())
+        index = build_ann_index(v, n_cells)
     passing = e.filter(predicate).select("vec_id")
     fidx = AnnIndex(
         index.cents,
@@ -1625,7 +1634,11 @@ def similarity_ivfpq_filtered_topk(spark, sf_dir):
     Pre- vs post-filter recall at low selectivity is measured in
     SCALING.md round 13."""
     return ivfpq_filtered_topk(
-        spark, sf_dir, F.col("label") == _FILTER_LABEL, nprobe=_IVFPQ_NPROBE
+        spark,
+        sf_dir,
+        F.col("label") == _FILTER_LABEL,
+        nprobe=_IVFPQ_NPROBE,
+        n_cells=_IVFPQ_CELLS,
     )
 
 
@@ -1689,7 +1702,10 @@ def similarity_ivfpq_filtered_adaptive(spark, sf_dir):
     no-decay recall sweep across 10% / 1% / 0.1% selectivities lives
     in tests/test_similarity.py."""
     return ivfpq_filtered_topk(
-        spark, sf_dir, (F.col("vec_id") % _ADAPT_FILTER_MOD) == 7
+        spark,
+        sf_dir,
+        (F.col("vec_id") % _ADAPT_FILTER_MOD) == 7,
+        n_cells=_IVFPQ_CELLS,
     )
 
 

@@ -781,15 +781,15 @@ def test_ivfpq_filtered_topk_respects_predicate(spark, sf_dir):
     res.unpersist()
 
     # a ~2% predicate still fills k per query because the shortlist is
-    # drawn FROM the filtered codes (nprobe=8 = exhaustive probing, so
-    # the only possible shortfall would be the predicate itself — at
-    # nprobe<n_cells a passing vector in an unprobed cell is correctly
-    # pruned, which is ANN cell pruning, not post-filter starvation)
+    # drawn FROM the filtered codes (the adaptive nprobe default goes
+    # exhaustive at this nf, so the only possible shortfall would be
+    # the predicate itself — at nprobe<n_cells a passing vector in an
+    # unprobed cell is correctly pruned, which is ANN cell pruning,
+    # not post-filter starvation)
     tiny = ivfpq_filtered_topk(
         spark,
         sf_dir,
         (F.col("label") == _FILTER_LABEL) & (F.col("vec_id") % 5 == 0),
-        nprobe=8,
     )
     per_q = tiny.groupBy("qid").count().collect()
     assert len(per_q) == 5 and all(r["count"] == 4 for r in per_q)
@@ -797,20 +797,16 @@ def test_ivfpq_filtered_topk_respects_predicate(spark, sf_dir):
 
 def test_ivfpq_filtered_matches_unfiltered_on_true_predicate(spark, sf_dir):
     """A predicate passing EVERY vector reduces the filtered pipeline
-    to the auto-dial unfiltered one exactly (the semi-join prunes
-    nothing; the depth AND adaptive-nprobe formulas see the same n).
-    The unfiltered side pins n_cells to the filtered side's default
-    8-cell build — ivfpq_rerank_topk's own default now auto-sizes
-    cells (r14), which is a different (finer) index layout, not a
-    different result contract."""
+    to the auto-dial unfiltered one exactly: both entry points now
+    default to the same auto-sized index build, and the depth AND
+    adaptive-nprobe formulas see the same n."""
     from presto_on_ray_spark.operators.similarity import (
-        _IVFPQ_CELLS,
         ivfpq_filtered_topk,
         ivfpq_rerank_topk,
     )
 
     a = ivfpq_filtered_topk(spark, sf_dir, F.lit(True))
-    b = ivfpq_rerank_topk(spark, sf_dir, n_cells=_IVFPQ_CELLS)
+    b = ivfpq_rerank_topk(spark, sf_dir)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
@@ -922,7 +918,9 @@ def test_filtered_adaptive_key_equals_explicit_dials(spark, sf_dir):
 
     pred = (F.col("vec_id") % _ADAPT_FILTER_MOD) == 7
     a = similarity_ivfpq_filtered_adaptive(spark, sf_dir)
-    b = ivfpq_filtered_topk(spark, sf_dir, pred, nprobe=8, shortlist=64)
+    b = ivfpq_filtered_topk(
+        spark, sf_dir, pred, nprobe=8, shortlist=64, n_cells=8
+    )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
