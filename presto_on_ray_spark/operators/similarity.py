@@ -1709,6 +1709,45 @@ def similarity_ivfpq_filtered_adaptive(spark, sf_dir):
     )
 
 
+@query(
+    "similarity_ivfpq_filtered_saved", oracle=_ivfpq_filtered_adaptive_oracle()
+)
+def similarity_ivfpq_filtered_saved(spark, sf_dir):
+    """The PRODUCTION filtered-ANN read path end-to-end, hash-verified:
+    build the index, SAVE it through the generational store, LOAD the
+    live generation, and run the selective (~1%) adaptive-dial filtered
+    query against the LOADED relations — predicate semi-join on the
+    store's codes, nprobe read off the store's cents, shortlist sized
+    on the filtered set. Because a fresh store round-trips the index
+    relation-for-relation, the result equals
+    similarity_ivfpq_filtered_adaptive's and the same folded oracle
+    pins the whole composition — store round-trip included (the
+    corpus_health_report_saved / text_classifier_published recipe,
+    completing the set: every maintained-store tier now has a
+    read-through-the-store oracle key). The scratch store is the
+    stable per-(user, corpus) location the other saved keys use;
+    generations stay swept at ~2."""
+    import getpass
+    import hashlib
+    import os
+    import tempfile
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"por_spark_ann_idx_{getpass.getuser()}_{tag}",
+    )
+    save_ann_index(build_ann_index(v, n_cells=_IVFPQ_CELLS), store, force=True)
+    return ivfpq_filtered_topk(
+        spark,
+        sf_dir,
+        (F.col("vec_id") % _ADAPT_FILTER_MOD) == 7,
+        index=load_ann_index(spark, store),
+    )
+
+
 @query("similarity_ivfpq_refined_topk")
 def similarity_ivfpq_refined_topk(spark, sf_dir):
     """The IVF-PQ quality dial turned at ENCODE time: the residual

@@ -950,3 +950,18 @@ def test_dedup_semantic_auto_cells_same_rule_finer_cells(spark, sf_dir):
 
     assert pair_work(auto) < pair_work(dedup_semantic(spark, sf_dir))
     auto.unpersist()
+
+
+def test_filtered_saved_equals_filtered_adaptive(spark, sf_dir):
+    """The saved-store composition changes WHERE the index relations
+    come from, never the result: reading the fresh generation back
+    must reproduce the in-session adaptive key row-for-row (the
+    shared-oracle premise)."""
+    from presto_on_ray_spark.operators.similarity import (
+        similarity_ivfpq_filtered_adaptive,
+        similarity_ivfpq_filtered_saved,
+    )
+
+    a = similarity_ivfpq_filtered_saved(spark, sf_dir)
+    b = similarity_ivfpq_filtered_adaptive(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
