@@ -111,6 +111,7 @@ NESTED_LOOP_ALLOWED = {
     # FORMULA: 100k rows at n = 10^10)
     "similarity_ivfpq_auto_cells",
     "similarity_ivfpq_filtered_adaptive",
+    "similarity_ivfpq_filtered_saved",  # same argmins over the loaded cents
     # SemDeDup's ONLY nested-loop pass is the one centroid argmin
     # (vectors x n_cells, an 8-row broadcast side); the within-cell
     # pairwise stage is a cell-keyed equi-join
