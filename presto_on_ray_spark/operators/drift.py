@@ -130,7 +130,8 @@ def psi_against_reference(
       FROM aligned
     )
     SELECT grp AS source,
-           MAX(rt) AS n_ref, MAX(ct) AS n_cur, MAX(b) AS n_bins,
+           CAST(MAX(rt) AS BIGINT) AS n_ref,
+           CAST(MAX(ct) AS BIGINT) AS n_cur, MAX(b) AS n_bins,
            CAST(SUM(CAST({_PSI_TERM_SQL} AS DECIMAL(20,6))) AS DOUBLE) AS psi
     FROM terms GROUP BY grp
     """,

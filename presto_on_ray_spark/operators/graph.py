@@ -66,7 +66,7 @@ def _oracle() -> str:
     )"""
         prev = f"i{i}"
     return base + f"""
-    SELECT doc_id, r AS pr_scaled FROM {prev}
+    SELECT doc_id, CAST(r AS BIGINT) AS pr_scaled FROM {prev}
     """
 
 

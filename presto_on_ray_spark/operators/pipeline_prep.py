@@ -136,11 +136,12 @@ PACK_CAPACITY = 512  # tokens per packed training sequence
                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS off
       FROM toks
     )
-    SELECT doc_id, lang, n_tokens, off AS offset,
-           off // {PACK_CAPACITY} AS first_chunk,
-           (off + n_tokens - 1) // {PACK_CAPACITY} AS last_chunk,
-           (off + n_tokens - 1) // {PACK_CAPACITY} - off // {PACK_CAPACITY} + 1
-             AS n_chunks
+    SELECT doc_id, lang, n_tokens, CAST(off AS BIGINT) AS offset,
+           CAST(off // {PACK_CAPACITY} AS BIGINT) AS first_chunk,
+           CAST((off + n_tokens - 1) // {PACK_CAPACITY} AS BIGINT)
+             AS last_chunk,
+           CAST((off + n_tokens - 1) // {PACK_CAPACITY}
+                - off // {PACK_CAPACITY} + 1 AS BIGINT) AS n_chunks
     FROM laid
     """,
 )
@@ -989,12 +990,13 @@ def _length_bucket_oracle() -> str:
     buckets AS (
       SELECT tok, ((cum_incl - 1) * {_LEN_BUCKETS}) // n AS bucket FROM cum
     )
-    SELECT bucket,
+    SELECT CAST(bucket AS BIGINT) AS bucket,
            COUNT(*) AS n_docs,
            MIN(d.tok) AS min_tokens,
            MAX(d.tok) AS max_tokens,
-           SUM(d.tok) AS total_tokens,
-           COUNT(*) * MAX(d.tok) - SUM(d.tok) AS padded_tokens
+           CAST(SUM(d.tok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * MAX(d.tok) - SUM(d.tok) AS BIGINT)
+             AS padded_tokens
     FROM d JOIN buckets USING (tok)
     GROUP BY bucket
     ORDER BY bucket

@@ -312,7 +312,7 @@ def statistical_functions(spark, sf_dir):
       SELECT o_orderstatus,
              ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6) AS priority_entropy,
              ROUND(EXP(AVG(LN(c))), 6) AS gm_count,
-             SUM(c) AS n_orders
+             CAST(SUM(c) AS BIGINT) AS n_orders
       FROM pc GROUP BY 1
     ),
     rk AS (

@@ -568,7 +568,7 @@ def _pq_l2sq(a, b):
       FROM enc JOIN qt ON enc.j = qt.j AND enc.c = qt.c
       GROUP BY qt.qid, enc.vec_id
     )
-    SELECT qid, cid, adc_dist
+    SELECT qid, cid, CAST(adc_dist AS BIGINT) AS adc_dist
     FROM (SELECT qid, cid, adc_dist,
                  ROW_NUMBER() OVER (PARTITION BY qid
                                     ORDER BY adc_dist, cid) AS rn
@@ -1218,7 +1218,7 @@ _IVFPQ_ORACLE_PIPELINE = """
     oracle="WITH "
     + _IVFPQ_ORACLE_PIPELINE
     + """
-    SELECT qid, cid, adc_dist
+    SELECT qid, cid, CAST(adc_dist AS BIGINT) AS adc_dist
     FROM (SELECT qid, cid, adc_dist,
                  ROW_NUMBER() OVER (PARTITION BY qid
                                     ORDER BY adc_dist, cid) AS rn

@@ -594,7 +594,7 @@ def classifier_score_biased(docs, weights):
 
 
 def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS,
-                     pocket_docs=None):
+                     pocket_docs=None, trace: list | None = None):
     """Pocket batch integer perceptron over hashed+bias features:
     start from zero weights; per epoch add to each bucket the sum of
     y*tf over the docs the CURRENT weights misclassify (y*zint <= 0 —
@@ -627,7 +627,19 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS,
     rejected: each epoch's logical tree embeds its predecessor's TWICE
     (scoring + update), so analysis cost grows 2^epochs — the same
     lineage cliff the kcenter loop hit, here fatal well before
-    execution."""
+    execution.
+
+    ``trace`` (r15, VERDICT r14 #1a): when a list is passed, one dict
+    per epoch is appended — {e, err, wsum, wdot} where err is the
+    pocket metric the epoch was judged on and wsum/wdot are exact
+    integer checksums of the weights the epoch SCORED with
+    (sum(w) and sum(w[b]*(b+1))). After an early separation break the
+    remaining epochs are padded analytically (the gradient is empty so
+    the weights — and both checksums — are constant, and any pocket
+    metric ties), so the trace always has ``epochs`` rows and replays
+    the oracle's full w{e}/err{e} CTE chain without extra jobs. A
+    driver mismatch on the trace key then localizes to an epoch
+    instead of a 4097-row weight blob."""
     from presto_on_ray_spark.caching import tracked_persist
 
     spark = docs.sparkSession
@@ -648,7 +660,7 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS,
     ):
         w[int(r["bucket"])] = int(r["g"])
     best_err, best_w = None, None
-    for _ in range(1, epochs + 1):
+    for epoch in range(1, epochs + 1):
         wdf = F.broadcast(
             spark.createDataFrame(
                 list(enumerate(w)), "bucket long, wnum long"
@@ -693,11 +705,22 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS,
                 .filter(F.col("y") * F.col("zint") <= 0)
                 .count()
             )
+        if trace is not None:
+            trace.append({
+                "e": epoch, "err": int(err),
+                "wsum": sum(w),
+                "wdot": sum(wv * (b + 1) for b, wv in enumerate(w)),
+            })
         if best_err is None or err < best_err:
             best_err, best_w = err, list(w)
         if train_err == 0:
-            break  # perfect separation: the weights stop moving, so
-            # later epochs tie on any pocket metric and lose to this one
+            # perfect separation: the weights stop moving, so later
+            # epochs tie on any pocket metric and lose to this one;
+            # pad the trace analytically (constant weights, tied err)
+            if trace is not None:
+                for e2 in range(epoch + 1, epochs + 1):
+                    trace.append({**trace[-1], "e": e2})
+            break
         for r in g:
             w[int(r["bucket"])] += int(r["g"])
     return spark.createDataFrame(
@@ -829,7 +852,7 @@ def _train_ctes(
     "text_classifier_train",
     oracle=f"""
     WITH {_train_ctes(_TRAIN_EPOCHS)}
-    SELECT bucket, wnum FROM wbest
+    SELECT bucket, CAST(wnum AS BIGINT) AS wnum FROM wbest
     """,
 )
 def text_classifier_train(spark, sf_dir):
@@ -839,9 +862,61 @@ def text_classifier_train(spark, sf_dir):
     best-epoch dense 4097-row (bucket, wnum) weight relation —
     int64-exact, so the chained-CTE oracle replays every epoch and the
     pocket selection bit-for-bit (the NumPy twin in
-    tests/test_classifier_train.py pins the algorithm a third way)."""
+    tests/test_classifier_train.py pins the algorithm a third way).
+
+    The r14 driver hash mismatch root cause: DuckDB's SUM(BIGINT)
+    returns HUGEINT, which propagates through the epoch w-CTEs into
+    wbest.wnum and converts to float64 in fetchdf() — value-equal but
+    type-skewed vs Spark's int64, so a type-sensitive value hash
+    diverges while the type-forgiving local compare (123 == 123.0)
+    passes. Fixed by CAST(wnum AS BIGINT) in the final projection;
+    tests/test_oracle_dtype_parity.py now audits every oracle's
+    fetchdf dtypes against the Spark schema so this class cannot
+    recur silently."""
     d = t(spark, sf_dir, "documents")
     return classifier_train(d, langid_labels(d))
+
+
+def _trace_oracle(epochs: int) -> str:
+    """Per-epoch replay of the training loop: for every epoch e, the
+    pocket metric err{e} plus two exact integer checksums of w{e}
+    (sum(wnum), sum(wnum*(bucket+1))) and whether e is the pocket
+    winner. Every column CAST to BIGINT/BOOLEAN so DuckDB's HUGEINT
+    sums can't skew the fetchdf dtypes (the r14 lesson)."""
+    rows = " UNION ALL ".join(
+        f"""SELECT {e} AS e, (SELECT err FROM err{e}) AS err,
+            (SELECT SUM(wnum) FROM w{e}) AS wsum,
+            (SELECT SUM(wnum * (bucket + 1)) FROM w{e}) AS wdot"""
+        for e in range(1, epochs + 1)
+    )
+    return f"""
+    WITH {_train_ctes(epochs)},
+    tr AS ({rows})
+    SELECT CAST(t.e AS BIGINT) AS e, CAST(t.err AS BIGINT) AS err,
+           CAST(t.wsum AS BIGINT) AS wsum, CAST(t.wdot AS BIGINT) AS wdot,
+           t.e = (SELECT e FROM best) AS best
+    FROM tr t
+    """
+
+
+@query("text_classifier_train_trace", oracle=_trace_oracle(_TRAIN_EPOCHS))
+def text_classifier_train_trace(spark, sf_dir):
+    """Epoch-level debug surface for the in-engine trainer (VERDICT
+    r14 #1a): one row per epoch — (e, err, wsum, wdot, best) where err
+    is the pocket metric, wsum/wdot are exact integer checksums of the
+    epoch's scoring weights, and best marks the pocket winner. The
+    rows come out of the SAME classifier_train loop the production
+    keys run (via the trace hook), so a driver-side divergence on any
+    classifier key localizes here to the first bad epoch."""
+    d = t(spark, sf_dir, "documents")
+    tr: list = []
+    classifier_train(d, langid_labels(d), trace=tr)
+    best_e = min(tr, key=lambda r: (r["err"], r["e"]))["e"]
+    return spark.createDataFrame(
+        [(r["e"], r["err"], r["wsum"], r["wdot"], r["e"] == best_e)
+         for r in tr],
+        "e long, err long, wsum long, wdot long, best boolean",
+    )
 
 
 # shared by the distilled key and the published-store key (r14): the

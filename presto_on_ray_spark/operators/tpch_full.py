@@ -209,8 +209,8 @@ def tpch_q9_product_profit(spark, sf_dir):
     "tpch_q12_priority_shipping",
     oracle="""
     SELECT l_linestatus AS ship_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY

@@ -69,6 +69,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _num_kind(dtype) -> str | None:
+    """'int' / 'float' for strictly-numeric dtypes, None otherwise
+    (bool is NOT numeric here — pandas treats it as an int subtype)."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return None
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    return None
+
+
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -97,6 +109,22 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
         return problems
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+        return problems
+    # int-vs-float dtype skew: value-equal but type-skewed columns
+    # (DuckDB SUM(BIGINT) -> HUGEINT -> float64 vs Spark int64) hash
+    # DIFFERENTLY in the driver even though the forgiving == compare
+    # below passes (123 == 123.0). This was the r14
+    # text_classifier_train red row — fail it locally too.
+    for c in spark_pdf.columns:
+        ks = _num_kind(spark_pdf[c].dtype)
+        ko = _num_kind(oracle_pdf[c].dtype)
+        if ks and ko and ks != ko:
+            problems.append(
+                f"column {c}: int/float dtype skew — spark={spark_pdf[c].dtype}"
+                f" oracle={oracle_pdf[c].dtype} (driver value-hash diverges;"
+                f" CAST the oracle or align the Spark type)"
+            )
+    if problems:
         return problems
     s = _normalize(spark_pdf)
     o = _normalize(oracle_pdf)
