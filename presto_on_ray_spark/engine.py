@@ -1304,7 +1304,11 @@ class Engine:
                     f"suite query (see presto_on_ray_spark.suite.QUERIES)"
                 )
             if deferred:
-                self._deferred_views.add(name)
+                # same lock the materializer holds while scanning /
+                # discarding — an unguarded add racing that scan can
+                # raise "set changed size during iteration" (ADVICE r14)
+                with self._deferred_lock:
+                    self._deferred_views.add(name)
                 continue
             df = suite.QUERIES[name](self.spark, self._sf_dir)
             if df.isStreaming:

@@ -294,6 +294,7 @@ def corpus_health_report_saved(spark, sf_dir):
     import tempfile
 
     from presto_on_ray_spark.operators.pipeline_prep import (
+        StaleSegmentCounts,
         counts_live_generation,
         save_segment_counts,
     )
@@ -304,7 +305,18 @@ def corpus_health_report_saved(spark, sf_dir):
         tempfile.gettempdir(),
         f"por_spark_health_counts_{getpass.getuser()}_{tag}",
     )
-    save_segment_counts(segment_counts(d, _BP_W), tmp, force=True)
-    return corpus_health_report_from_counts(
-        spark, sf_dir, tmp, expect_generation=counts_live_generation(tmp)
-    )
+    # the store is shared across concurrent suite runs (deliberately —
+    # that's what bounds the tmp-dir population); a parallel run's
+    # save landing between this save and the pinned read raises
+    # StaleSegmentCounts. The key only needs A fresh round-trip, so
+    # retry the save+pin once (ADVICE r14).
+    for attempt in (0, 1):
+        save_segment_counts(segment_counts(d, _BP_W), tmp, force=True)
+        try:
+            return corpus_health_report_from_counts(
+                spark, sf_dir, tmp,
+                expect_generation=counts_live_generation(tmp),
+            )
+        except StaleSegmentCounts:
+            if attempt:
+                raise

@@ -1324,6 +1324,18 @@ def similarity_ivfpq_rerank_topk(spark, sf_dir):
 _AUTO_SHORTLIST_FRAC = 0.03  # ~ the measured 64/2000 operating point
 
 
+def auto_shortlist_depth_n(n: int, floor_depth: int = _PQ_SHORTLIST,
+                           frac: float = _AUTO_SHORTLIST_FRAC) -> int:
+    """The ONE Python home of the shortlist dial (ADVICE r14):
+    shortlist = max(floor_depth, ceil(frac * n)) for an already-known
+    corpus/filtered-set size n. Every entry point (auto_shortlist_depth
+    over a relation, ivfpq_rerank_topk, ivfpq_filtered_topk) delegates
+    here; the SQL oracles fold the same formula in verbatim."""
+    import math
+
+    return max(floor_depth, math.ceil(frac * n))
+
+
 def auto_shortlist_depth(v, floor_depth: int = _PQ_SHORTLIST,
                          frac: float = _AUTO_SHORTLIST_FRAC) -> int:
     """shortlist = max(floor_depth, ceil(frac * n_codes)) via ONE
@@ -1332,9 +1344,7 @@ def auto_shortlist_depth(v, floor_depth: int = _PQ_SHORTLIST,
     (n <= 2000) this resolves to the floor, so the auto key shares the
     frozen key's oracle; at sf1 (n = 20000) it is 600 — the depth that
     restores the measured recall operating point."""
-    import math
-
-    return max(floor_depth, math.ceil(frac * v.count()))
+    return auto_shortlist_depth_n(v.count(), floor_depth, frac)
 
 
 # -- auto cell/probe dials (round 14) ------------------------------------
@@ -1401,7 +1411,7 @@ def ivfpq_rerank_topk(
     elif n_cells is None:
         n_cells = index.cents.count()
     if shortlist is None:
-        shortlist = max(_PQ_SHORTLIST, math.ceil(_AUTO_SHORTLIST_FRAC * n))
+        shortlist = auto_shortlist_depth_n(n)
     if nprobe is None:
         nprobe = auto_ivf_nprobe(n, n_cells, shortlist)
     score = _ivfpq_scores(v, index, n_queries, nprobe)
@@ -1580,7 +1590,7 @@ def ivfpq_filtered_topk(
     if shortlist is None or nprobe is None:
         nf = passing.count()
         if shortlist is None:
-            shortlist = max(_PQ_SHORTLIST, math.ceil(_AUTO_SHORTLIST_FRAC * nf))
+            shortlist = auto_shortlist_depth_n(nf)
         if nprobe is None:
             nprobe = auto_ivf_nprobe(nf, index.cents.count(), shortlist)
     score = _ivfpq_scores(v, fidx, n_queries, nprobe)
@@ -1739,12 +1749,160 @@ def similarity_ivfpq_filtered_saved(spark, sf_dir):
         tempfile.gettempdir(),
         f"por_spark_ann_idx_{getpass.getuser()}_{tag}",
     )
-    save_ann_index(build_ann_index(v, n_cells=_IVFPQ_CELLS), store, force=True)
+    # shared scratch store: a parallel suite run's writer marker can
+    # make load_ann_index refuse between this save and the read — the
+    # key only needs A fresh round-trip, so retry once (ADVICE r14)
+    for attempt in (0, 1):
+        save_ann_index(
+            build_ann_index(v, n_cells=_IVFPQ_CELLS), store, force=True
+        )
+        try:
+            idx = load_ann_index(spark, store)
+            break
+        except ValueError:
+            if attempt:
+                raise
     return ivfpq_filtered_topk(
         spark,
         sf_dir,
         (F.col("vec_id") % _ADAPT_FILTER_MOD) == 7,
-        index=load_ann_index(spark, store),
+        index=idx,
+    )
+
+
+def _ivfpq_lifecycle_oracle() -> str:
+    """The lifecycle key's oracle: the full-auto rerank oracle (all
+    three corpus-derived dials already folded in) with the ~1%
+    predicate semi-join and the FILTERED-set dial pair surgically
+    inserted — shortlist and nprobe re-derived over the passing set
+    (nf) against the REBUILT index's auto cell count (nc from the
+    full-corpus dial). Matches the Spark side because the rebuild
+    produces exactly build_ann_index(v, auto_ivf_cells(n)) — the same
+    index similarity_ivfpq_auto_cells queries — and
+    ivfpq_filtered_topk's defaults size sl/np on the filtered set.
+    Same surgical-insertion discipline: every replacement asserts it
+    changed something."""
+    base = _ivfpq_auto_cells_oracle()
+    lab = (
+        f"""lab AS (SELECT vec_id FROM embeddings
+      WHERE vec_id % {_ADAPT_FILTER_MOD} = 7),
+    fdial AS (
+      SELECT nf, sl,
+             LEAST((SELECT nc FROM dial), GREATEST(3,
+               (2 * sl * (SELECT nc FROM dial) + nf - 1)
+                 // GREATEST(nf, 1))) AS np
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS nf,
+                   GREATEST(64, CAST(CEIL(0.03 * COUNT(*)) AS BIGINT)) AS sl
+            FROM lab)
+    ),
+    cent AS ("""
+    )
+    out = base.replace("cent AS (", lab)
+    assert out != base, "cent CTE not found"
+    steps = [
+        (
+            "FROM enc JOIN qt ON",
+            "FROM enc JOIN lab ON enc.vec_id = lab.vec_id JOIN qt ON",
+        ),
+        ("WHERE rn <= (SELECT np FROM dial)",
+         "WHERE rn <= (SELECT np FROM fdial)"),
+        ("WHERE rn <= (SELECT sl FROM dial)",
+         "WHERE rn <= (SELECT sl FROM fdial)"),
+    ]
+    for old, new in steps:
+        nxt = out.replace(old, new)
+        assert nxt != out, f"lifecycle oracle anchor not found: {old!r}"
+        out = nxt
+    return out
+
+
+@query(
+    "similarity_ivfpq_lifecycle_rebuild", oracle=_ivfpq_lifecycle_oracle()
+)
+def similarity_ivfpq_lifecycle_rebuild(spark, sf_dir):
+    """The FULL saved-ANN maintenance lifecycle in one hash-exact key
+    (VERDICT r14 #4 — the last uncomposed pair): (1) build an index
+    sized for the FIRST 20% of the corpus (auto cells over n/5) and
+    publish it; (2) a merge-growth episode admits the other 80% under
+    the frozen quantizers (O(batch) appends — the index now holds 5x
+    its design population); (3) ann_rebuild_advice reads the loaded
+    index and MUST fire (ratio 5 > the 4x growth factor — asserted,
+    so a silently non-firing advisory fails the key loudly, the
+    corpus_health_report_saved recipe); (4) the rebuild runs —
+    build_ann_index over the full corpus at auto_ivf_cells(n) —
+    and publishes a NEW generation (flip asserted); (5) the advice
+    re-read over the rebuilt index must be quiet (asserted: ratio
+    ~1 < 4); (6) the selective (~1%) adaptive-dial filtered query runs
+    through the REBUILT loaded index and is the returned relation —
+    pinned by the folded all-dials + filtered-dials oracle, so the
+    whole episode (grow → advise → rebuild → query) is hash-verified.
+
+    Scale shape: every stage is the audited production path — the
+    merge is one bounded-guard append, the advice is two bounded
+    aggregates, the rebuild is the standard build (one pass to build
+    quantizers + one encode pass), and the query reads codes-only
+    before the shortlist rerank. The scratch store is a stable
+    per-(user, corpus) location distinct from the read-path key's, so
+    the two keys can't race each other's generations in one suite
+    run; generations stay swept at ~2."""
+    import getpass
+    import hashlib
+    import os
+    import tempfile
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    n = v.count()
+    init_n = n // 5
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"por_spark_ann_lifecycle_{getpass.getuser()}_{tag}",
+    )
+    # (1) publish an index sized for the initial 20%
+    initial = v.filter(F.col("vec_id") < init_n)
+    save_ann_index(
+        build_ann_index(initial, n_cells=auto_ivf_cells(init_n)),
+        store,
+        force=True,
+    )
+    _, os_path, _ = _ann_paths(store)
+    gen_before = _ann_current_gen(os_path)
+    # (2) the growth episode: admit the remaining 80% under the
+    # frozen quantizers
+    merge_into_saved_ann_index(
+        spark, store, v.filter(F.col("vec_id") >= init_n)
+    )
+    # (3) the advisory must fire on the grown index
+    advice = ann_rebuild_advice(load_ann_index(spark, store))
+    if not advice["rebuild_due"]:
+        raise AssertionError(
+            f"lifecycle: rebuild advice did not fire after 5x growth: "
+            f"{advice}"
+        )
+    # (4) rebuild at the corpus's own auto sizing; publish = new gen
+    save_ann_index(
+        build_ann_index(v, n_cells=auto_ivf_cells(n)), store, force=True
+    )
+    gen_after = _ann_current_gen(os_path)
+    if gen_after == gen_before:
+        raise AssertionError(
+            f"lifecycle: rebuild did not flip the generation "
+            f"({gen_before!r})"
+        )
+    rebuilt = load_ann_index(spark, store)
+    # (5) the rebuilt index is correctly sized — the advice is quiet
+    post = ann_rebuild_advice(rebuilt)
+    if post["rebuild_due"]:
+        raise AssertionError(
+            f"lifecycle: advice still due after the rebuild: {post}"
+        )
+    # (6) the production filtered query through the rebuilt index
+    return ivfpq_filtered_topk(
+        spark,
+        sf_dir,
+        (F.col("vec_id") % _ADAPT_FILTER_MOD) == 7,
+        index=rebuilt,
     )
 
 

@@ -1038,10 +1038,21 @@ def text_classifier_published(spark, sf_dir):
         tempfile.gettempdir(),
         f"por_spark_clf_weights_{getpass.getuser()}_{tag}",
     )
-    save_classifier_weights(classifier_train(d, lab), store, force=True)
-    w = load_classifier_weights(
-        spark, store, generation=weights_live_generation(store)
-    )
+    # shared scratch store: two parallel runs' saves landing between
+    # this publish and the pinned read can sweep the captured
+    # generation — the key only needs A fresh round-trip, so retry
+    # the publish+pin once (ADVICE r14)
+    wtrained = classifier_train(d, lab)
+    for attempt in (0, 1):
+        save_classifier_weights(wtrained, store, force=True)
+        try:
+            w = load_classifier_weights(
+                spark, store, generation=weights_live_generation(store)
+            )
+            break
+        except Exception:
+            if attempt:
+                raise
     return _distill_audit(d, lab, w)
 
 

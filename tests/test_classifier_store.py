@@ -185,3 +185,160 @@ def test_retrain_on_drift_publishes_only_on_breach(spark, sf_dir, tmp_path):
         for r in classifier_score_biased(b2, w_replay).collect()
     }
     assert got[1] == expect1
+
+
+def test_score_published_empty_store_raises_descriptive(spark, tmp_path):
+    """ADVICE r14: a scorer stream against an empty weights store must
+    fail at START with a bootstrap message, not crash the first
+    trigger with a raw missing-_CURRENT error."""
+    from presto_on_ray_spark.streaming.classifier import (
+        stream_classifier_score_published,
+    )
+
+    src = tmp_path / "arrivals"
+    spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src))
+    )
+    with pytest.raises(ValueError, match="no published generation"):
+        stream_classifier_score_published(
+            stream, str(tmp_path / "empty_store"), lambda df, b: None,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+
+def test_retrain_on_drift_bootstraps_on_empty_store(spark, sf_dir, tmp_path):
+    """ADVICE r14: a NO-BREACH first batch against an empty store
+    bootstraps (train+publish on the batch) instead of crashing on the
+    missing-_CURRENT read."""
+    from presto_on_ray_spark.operators.drift import reference_histogram
+    from presto_on_ray_spark.streaming.classifier import (
+        stream_classifier_retrain_on_drift,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    toks = F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0))
+    ref = reference_histogram(
+        docs.select(F.lit("all").alias("grp"), toks.cast("long").alias("val")),
+        16,
+        "grp",
+    ).persist()
+    b1 = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    src = tmp_path / "arrivals"
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    p = str(tmp_path / "wstore")
+
+    got: dict[int, dict] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = {r.doc_id: r.keep for r in df.collect()}
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    try:
+        stream_classifier_retrain_on_drift(
+            stream, ref, p, sink, psi_threshold=0.25, bin_width=16,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    finally:
+        ref.unpersist()
+    # bootstrapped: a generation exists and verdicts equal a batch
+    # replay of the same batch-trained model
+    w_replay = classifier_train(b1, langid_labels(b1))
+    expect = {
+        r.doc_id: r.keep
+        for r in classifier_score_biased(b1, w_replay).collect()
+    }
+    assert weights_live_generation(p)
+    assert got[0] == expect
+
+
+def test_retrain_windowed_cooldown_and_window_training(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r14 #5's two pins: (1) a breach INSIDE the publish
+    cooldown does NOT flip the generation; (2) the accumulate-then-
+    retrain cycle trains on the WHOLE window since the last publish —
+    the published weights are hash-equal to classifier_train over the
+    union of the window's batches."""
+    from presto_on_ray_spark.operators.drift import reference_histogram
+    from presto_on_ray_spark.streaming.classifier import (
+        stream_classifier_retrain_windowed,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    toks = F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0))
+    ref = reference_histogram(
+        docs.select(F.lit("all").alias("grp"), toks.cast("long").alias("val")),
+        16,
+        "grp",
+    ).persist()
+
+    b1 = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    drift1 = [
+        (100000 + i, "the of and " + " ".join(["drift"] * 400))
+        for i in range(30)
+    ]
+    drift2 = [
+        (200000 + i, "a in to " + " ".join(["shift"] * 300))
+        for i in range(30)
+    ]
+    b2 = spark.createDataFrame(drift1, "doc_id long, text string")
+    b3 = spark.createDataFrame(drift2, "doc_id long, text string")
+    src = tmp_path / "arrivals"
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    b3.coalesce(1).write.parquet(str(src / "f3"))
+
+    p = str(tmp_path / "wstore")
+    gens: dict[int, str] = {}
+    got: dict[int, dict] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = {r.doc_id: r.keep for r in df.collect()}
+        gens[batch_id] = weights_live_generation(p)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    try:
+        stream_classifier_retrain_windowed(
+            stream, ref, p, str(tmp_path / "window"), sink,
+            psi_threshold=0.25, bin_width=16, cooldown_triggers=1,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    finally:
+        ref.unpersist()
+    assert len(got) == 3
+    # t0: empty store -> bootstrap publish trained on b1 alone
+    w_b1 = classifier_train(b1, langid_labels(b1))
+    expect0 = {
+        r.doc_id: r.keep for r in classifier_score_biased(b1, w_b1).collect()
+    }
+    assert got[0] == expect0
+    # t1: b2 breaches PSI but is 0 triggers after the publish
+    # (cooldown_triggers=1) -> generation does NOT flip
+    assert gens[1] == gens[0]
+    # t2: b3 breaches after the cooldown -> retrain on the accumulated
+    # window {b2, b3}, publish
+    assert gens[2] != gens[0]
+    w_window = classifier_train(
+        b2.unionByName(b3), langid_labels(b2.unionByName(b3))
+    )
+    assert _weights_map(
+        load_classifier_weights(spark, p)
+    ) == _weights_map(w_window)
+    expect2 = {
+        r.doc_id: r.keep
+        for r in classifier_score_biased(b3, w_window).collect()
+    }
+    assert got[2] == expect2

@@ -235,3 +235,44 @@ def test_deferred_pipeline_views_validation(spark, sf_dir):
     eng = Engine(spark).register_tables(sf_dir)
     with pytest.raises(KeyError, match="not a registered suite query"):
         eng.register_pipeline_views(["no_such_operator"], deferred=True)
+
+
+def test_saved_report_scratch_store_reused_and_swept(spark, sf_dir):
+    """VERDICT r14 #7: the saved-report key's scratch store is ONE
+    stable per-(user, corpus) location reused across invocations —
+    repeated runs must not mint new store directories, and the
+    generation sweep must bound the reused store at live+predecessor
+    (~2 generations) no matter how many times the key runs."""
+    import getpass
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from presto_on_ray_spark import suite
+
+    suite.load_all()
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"por_spark_health_counts_{getpass.getuser()}_{tag}",
+    )
+    pattern = os.path.join(
+        tempfile.gettempdir(),
+        f"por_spark_health_counts_{getpass.getuser()}_*",
+    )
+    fn = suite.QUERIES["corpus_health_report_saved"]
+    fn(spark, sf_dir).collect()
+    stores_after_first = set(glob.glob(pattern))
+    fn(spark, sf_dir).collect()
+    fn(spark, sf_dir).collect()
+    # no new store directories minted by repeat runs (per-corpus tags
+    # from OTHER sf_dirs may pre-exist; this sf_dir contributes one)
+    assert set(glob.glob(pattern)) == stores_after_first
+    assert store in stores_after_first
+    # the reused store is swept to live + predecessor
+    gens = [
+        n for n in os.listdir(store)
+        if n.startswith("gen-") and n[4:].isdigit()
+    ]
+    assert len(gens) <= 2, gens
