@@ -103,8 +103,10 @@ HEADLINE = [
     # strict chain above prices the saturated-vocabulary worst case
     "dedup_ingest_chain_stale",
     # round-12: IVF-PQ ANN, the composed codes-only scale path (cell
-    # pruning + residual PQ + shortlist/exact rerank)
-    "similarity_ivfpq_rerank_topk",
+    # pruning + residual PQ + shortlist/exact rerank). r15: the frozen-
+    # dial rerank_topk slot swapped for the lifecycle key below —
+    # rerank_auto keeps the identical plan shape timed (only the dial
+    # constants differ), and the pessimistic line budget holds 1900.
     # round-12 continuation: cross-corpus boilerplate strip (aligned-
     # segment document frequency + row-local cut), SemDeDup semantic
     # dedup (cell-bounded pairwise), BM25 retrieval
@@ -146,6 +148,10 @@ HEADLINE = [
     "similarity_ivfpq_filtered_adaptive",
     # round-14: SemDeDup on the corpus-sized cell dial
     "dedup_semantic_auto_cells",
+    # round-15: the saved-ANN maintenance lifecycle (build at 20% →
+    # merge-grow 5x → advice fires → rebuild at auto cells → filtered
+    # query through the rebuilt generation)
+    "similarity_ivfpq_lifecycle_rebuild",
 ]
 
 

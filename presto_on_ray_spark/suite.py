@@ -122,13 +122,13 @@ CURATED_50: list[str] = [
     # stays exercised transitively (dedup_ngram_jaccard remains under the
     # local oracle gate).
     "dedup_neardup_clusters",
-    # the MinHash-LSH path's oracle-bearing row (r5): LSH candidates →
-    # exact-Jaccard verify → CC → keepers, equal to the exact keeper
-    # relation (banding recall 1.0 pinned by test). The internals
-    # composite cov_dedup_approx stays under the local rows-only gate.
-    "dedup_lsh_keepers",
     # r13's recall-bounded dial: (bands, rows) derived from the
-    # 1-(1-s^r)^b S-curve for a stated recall at the threshold.
+    # 1-(1-s^r)^b S-curve for a stated recall at the threshold. Also
+    # the LSH family's window representative since the r15 swap:
+    # dedup_lsh_keepers (the frozen 8x4 dial, same candidates→verify→
+    # CC→keepers machinery) moved to the local oracle gate to make
+    # room for the classifier trace key (VERDICT r14 #3's sanctioned
+    # displacement).
     "dedup_lsh_keepers_bounded",
     # the saved-index maintenance lifecycle: stale-path merge (O(batch)
     # appends) + compaction + verify, chained oracles.
@@ -144,6 +144,11 @@ CURATED_50: list[str] = [
     "cov_text_docs",             # quality scores, fingerprint
     "text_bm25_topk",
     "text_classifier_train",     # 8-epoch pocket perceptron, chained-CTE oracle
+    # r15 insurance for the r14 red row: the per-epoch trace (err +
+    # weight checksums per epoch, emitted by the SAME production loop)
+    # — if the train blob ever hash-diverges in the driver again, this
+    # row localizes it to an epoch. Displaced dedup_lsh_keepers.
+    "text_classifier_train_trace",
     "text_classifier_holdout",   # leakage-safe train → per-split held-out accuracy
     # governance + pipeline prep
     "corpus_health_report_saved",  # dashboard through the saved counts store

@@ -87,7 +87,10 @@ def test_curated_window_covers_every_family():
         # generator, so the jaccard family is driver-covered through it
         # (dedup_ngram_jaccard itself stays under the local oracle gate)
         "dedup_jaccard": {"dedup_neardup_clusters", "dedup_ngram_jaccard"},
-        "dedup_approx": {"dedup_lsh_keepers", "cov_dedup_approx"},
+        # the bounded-dial key runs the same candidates→verify→CC→
+        # keepers machinery as dedup_lsh_keepers (displaced to the
+        # local gate by the r15 trace-key swap, VERDICT r14 #3)
+        "dedup_approx": {"dedup_lsh_keepers_bounded", "cov_dedup_approx"},
         "dedup_lsh_bounded": {"dedup_lsh_keepers_bounded"},
         "dedup_ingest_lifecycle": {"dedup_ingest_chain_stale"},
         "similarity_exact": {"similarity_bruteforce_topk", "similarity_pairwise_threshold"},
