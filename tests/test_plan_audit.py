@@ -112,6 +112,9 @@ NESTED_LOOP_ALLOWED = {
     "similarity_ivfpq_auto_cells",
     "similarity_ivfpq_filtered_adaptive",
     "similarity_ivfpq_filtered_saved",  # same argmins over the loaded cents
+    # r15 lifecycle key: same bounded centroid argmins over the
+    # REBUILT generation's cents (ceil(sqrt n)-row broadcast side)
+    "similarity_ivfpq_lifecycle_rebuild",
     # SemDeDup's ONLY nested-loop pass is the one centroid argmin
     # (vectors x n_cells, an 8-row broadcast side); the within-cell
     # pairwise stage is a cell-keyed equi-join
