@@ -230,8 +230,10 @@ def stream_classifier_retrain_windowed(
     model per cooldown period, not one per batch); (4) a retrain reads
     the WHOLE current window (docs since the last publish,
     doc_id-deduplicated so an at-least-once redelivered batch cannot
-    double-weight its gradient), publishes a fresh generation, and
-    opens a new empty window; (5) the batch is scored through the
+    double-weight its gradient), publishes a fresh generation, opens a
+    new empty window, and PRUNES the consumed spool dirs (disk stays
+    bounded at one open window no matter how long the stream runs);
+    (5) the batch is scored through the
     LIVE store (the new generation if this trigger published) and
     handed to ``sink(scored_df, batch_id)``.
 
@@ -317,6 +319,23 @@ def stream_classifier_retrain_windowed(
                 retrain(window_docs), weights_path, force=True
             )
             st = {"window": st["window"] + 1, "since_pub": 0}
+            _write_state(st)
+            # the consumed window is dead weight once its model is
+            # published — prune every spool dir below the new index so
+            # a long-running stream's disk stays bounded at ONE open
+            # window (state is flushed first: a crash between the
+            # flush and this sweep leaves only removable litter)
+            import shutil
+
+            for name in os.listdir(window_path):
+                if (
+                    name.startswith("w") and name[1:].isdigit()
+                    and int(name[1:]) < st["window"]
+                ):
+                    shutil.rmtree(
+                        os.path.join(window_path, name),
+                        ignore_errors=True,
+                    )
         elif st["since_pub"] is not None:
             st = {**st, "since_pub": st["since_pub"] + 1}
         _write_state(st)

@@ -342,3 +342,18 @@ def test_retrain_windowed_cooldown_and_window_training(
         for r in classifier_score_biased(b3, w_window).collect()
     }
     assert got[2] == expect2
+    # consumed spool windows are pruned on publish: no spool dir below
+    # the current open window index survives (the open window itself
+    # is created lazily by the next trigger's append, so after a
+    # final-trigger publish zero dirs is the correct state)
+    import json
+    import os
+
+    with open(tmp_path / "window" / "_STATE", encoding="utf-8") as fh:
+        cur = json.load(fh)["window"]
+    assert cur == 2
+    spools = sorted(
+        n for n in os.listdir(tmp_path / "window")
+        if n.startswith("w") and n[1:].isdigit()
+    )
+    assert all(int(n[1:]) >= cur for n in spools), spools
