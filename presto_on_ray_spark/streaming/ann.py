@@ -81,3 +81,113 @@ def stream_ann_ingest(
     return _start(
         vec_stream, _admit, checkpoint_dir, available_now, await_termination
     )
+
+
+def stream_ann_ingest_with_rebuild(
+    vec_stream: DataFrame,
+    index_path: str,
+    vectors_source,
+    growth_factor: float = 4.0,
+    rebuild_cooldown_triggers: int = 3,
+    on_rebuild=None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    await_termination: bool | None = None,
+    vec_col: str = "embedding",
+):
+    """stream_ann_ingest plus the MAINTENANCE half run as policy — the
+    streaming twin of the batch lifecycle key
+    (operators/similarity.similarity_ivfpq_lifecycle_rebuild): after
+    each batch's merge-append, read ann_rebuild_advice off the live
+    index; when the corpus has outgrown the frozen quantizers' design
+    population (ratio > ``growth_factor``) AND the rebuild cooldown
+    has expired, rebuild at auto_ivf_cells over the FULL vector store
+    and publish the new generation (atomic flip — concurrent readers
+    keep the superseded generation through the store's grace window).
+
+    ``vectors_source`` is a callable ``spark -> (vec_id, qv)`` over
+    the WHOLE vector corpus: a rebuild re-trains quantizers and
+    re-encodes, which needs raw vectors — the index stores lossy
+    codes, so the vector store (the table this same pipeline appends
+    vectors to) is a required input, exactly as in batch. The
+    ``rebuild_cooldown_triggers`` guard mirrors the classifier
+    retrain loop's publish cooldown: a growth episode spanning many
+    triggers produces ONE rebuild per cooldown period, not one per
+    batch (each rebuild is a full corpus pass — the expensive,
+    scheduled operation; the per-trigger advice read is two bounded
+    aggregates). State (triggers since last rebuild) lives in
+    ``<index>/_REBUILD_STATE`` so a restarted stream resumes its
+    cooldown phase; the file is outside the generation protocol's
+    namespace (gen-*/_CURRENT/_ANN_WRITING) and invisible to it.
+
+    ``on_rebuild(advice_dict)`` fires after each publish — the
+    observability hook a scheduler logs/alerts on."""
+    import json
+    import os
+
+    from presto_on_ray_spark.operators.similarity import (
+        _ann_paths,
+        ann_rebuild_advice,
+        auto_ivf_cells,
+        build_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    _, os_path, locked = _ann_paths(index_path)
+    if not locked:
+        raise ValueError(
+            "stream_ann_ingest_with_rebuild requires the local "
+            "generational protocol (rebuilds publish generations); "
+            f"{index_path!r} is not a local path"
+        )
+    state_file = os.path.join(os_path, "_REBUILD_STATE")
+
+    def _read_since() -> int | None:
+        if os.path.exists(state_file):
+            with open(state_file, encoding="utf-8") as fh:
+                return json.load(fh)["since_rebuild"]
+        return None
+
+    def _write_since(n: int | None) -> None:
+        tmp = state_file + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"since_rebuild": n}, fh)
+        os.replace(tmp, state_file)
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.filter(F.col(vec_col).isNotNull())
+        if vec_col == "qv":
+            v = batch.select("vec_id", "qv")
+        else:
+            v = batch.select(
+                "vec_id", quantized(F.col(vec_col)).alias("qv")
+            )
+        if not v.isEmpty():
+            merge_into_saved_ann_index(spark, index_path, v, resume=True)
+        since = _read_since()
+        in_cooldown = (
+            since is not None and since < rebuild_cooldown_triggers
+        )
+        advice = ann_rebuild_advice(
+            load_ann_index(spark, index_path), growth_factor
+        )
+        if advice["rebuild_due"] and not in_cooldown:
+            v_all = vectors_source(spark)
+            save_ann_index(
+                build_ann_index(
+                    v_all, n_cells=auto_ivf_cells(v_all.count())
+                ),
+                index_path,
+                force=True,
+            )
+            _write_since(0)
+            if on_rebuild is not None:
+                on_rebuild(advice)
+        elif since is not None:
+            _write_since(since + 1)
+
+    return _start(
+        vec_stream, _admit, checkpoint_dir, available_now, await_termination
+    )

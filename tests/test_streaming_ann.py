@@ -228,3 +228,85 @@ def test_stream_grown_index_rebuild_lifecycle(spark, sf_dir, tmp_path):
     )
     after = ann_rebuild_advice(load_ann_index(spark, p))
     assert not after["rebuild_due"] and after["cells"] == advice["auto_cells_now"]
+
+
+def test_stream_ingest_with_rebuild_policy(spark, sf_dir, tmp_path):
+    """stream_ann_ingest_with_rebuild runs the r15 lifecycle as
+    POLICY: the advice read rides every trigger, the first due trigger
+    rebuilds at auto cells (generation flip), a due trigger inside the
+    rebuild cooldown is SUPPRESSED (one rebuild per cooldown period,
+    not one per batch), and the cooldown's expiry rebuilds again from
+    the full vector store. Three due triggers -> exactly two rebuilds."""
+    import pyspark.sql.functions as F
+
+    from presto_on_ray_spark.operators._util import t
+    from presto_on_ray_spark.operators.similarity import (
+        ann_rebuild_advice,
+        auto_ivf_cells,
+        build_ann_index,
+        load_ann_index,
+        quantized,
+        save_ann_index,
+    )
+    from presto_on_ray_spark.streaming.ann import (
+        stream_ann_ingest_with_rebuild,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    n0 = 100
+    base = v.filter(F.col("vec_id") < n0).persist()
+
+    def shifted(lo: int, hi: int):
+        """(hi-lo) synthetic vectors with ids [lo, hi) cycled from base."""
+        k = (hi - lo + n0 - 1) // n0
+        parts = [
+            base.select((F.col("vec_id") + lo + i * n0).alias("vec_id"), "qv")
+            for i in range(k)
+        ]
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        return out.filter(F.col("vec_id") < hi)
+
+    p = str(tmp_path / "idx")
+    save_ann_index(build_ann_index(base, n_cells=auto_ivf_cells(n0)), p)
+
+    # batches: 4x100 (due at the 4th: 500 vec > 4x100), one 2000-row
+    # growth burst and two 100-row tails (due again at 2500/2600/2700;
+    # cooldown=2 suppresses the first two)
+    bounds = [(100, 200), (200, 300), (300, 400), (400, 500),
+              (500, 2500), (2500, 2600), (2600, 2700)]
+    src = tmp_path / "arrivals"
+    for i, (lo, hi) in enumerate(bounds):
+        shifted(lo, hi).coalesce(1).write.parquet(str(src / f"b{i}"))
+    full = spark.read.parquet(str(src / "*")).unionByName(base)
+
+    def vectors_source(s):
+        ids = load_ann_index(s, p).codes.select("vec_id").distinct()
+        return full.join(ids, "vec_id", "left_semi")
+
+    rebuilds = []
+    stream = (
+        spark.readStream.schema("vec_id long, qv array<bigint>")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    try:
+        stream_ann_ingest_with_rebuild(
+            stream, p, vectors_source,
+            growth_factor=4.0, rebuild_cooldown_triggers=2,
+            on_rebuild=rebuilds.append,
+            checkpoint_dir=str(tmp_path / "ckpt"), vec_col="qv",
+        )
+    finally:
+        base.unpersist()
+    # three due triggers (500, 2500, 2600... and 2700) -> two rebuilds:
+    # at 500 vectors and, after the 2-trigger cooldown, at 2700
+    assert [a["vectors"] for a in rebuilds] == [500, 2700], rebuilds
+    after = load_ann_index(spark, p)
+    advice = ann_rebuild_advice(after)
+    assert advice["vectors"] == 2700
+    assert advice["cells"] == auto_ivf_cells(2700)
+    assert not advice["rebuild_due"], advice
