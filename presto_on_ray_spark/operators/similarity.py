@@ -1859,44 +1859,61 @@ def similarity_ivfpq_lifecycle_rebuild(spark, sf_dir):
         tempfile.gettempdir(),
         f"por_spark_ann_lifecycle_{getpass.getuser()}_{tag}",
     )
-    # (1) publish an index sized for the initial 20%
-    initial = v.filter(F.col("vec_id") < init_n)
-    save_ann_index(
-        build_ann_index(initial, n_cells=auto_ivf_cells(init_n)),
-        store,
-        force=True,
-    )
-    _, os_path, _ = _ann_paths(store)
-    gen_before = _ann_current_gen(os_path)
-    # (2) the growth episode: admit the remaining 80% under the
-    # frozen quantizers
-    merge_into_saved_ann_index(
-        spark, store, v.filter(F.col("vec_id") >= init_n)
-    )
-    # (3) the advisory must fire on the grown index
-    advice = ann_rebuild_advice(load_ann_index(spark, store))
-    if not advice["rebuild_due"]:
-        raise AssertionError(
-            f"lifecycle: rebuild advice did not fire after 5x growth: "
-            f"{advice}"
+    def _episode():
+        # (1) publish an index sized for the initial 20%
+        initial = v.filter(F.col("vec_id") < init_n)
+        save_ann_index(
+            build_ann_index(initial, n_cells=auto_ivf_cells(init_n)),
+            store,
+            force=True,
         )
-    # (4) rebuild at the corpus's own auto sizing; publish = new gen
-    save_ann_index(
-        build_ann_index(v, n_cells=auto_ivf_cells(n)), store, force=True
-    )
-    gen_after = _ann_current_gen(os_path)
-    if gen_after == gen_before:
-        raise AssertionError(
-            f"lifecycle: rebuild did not flip the generation "
-            f"({gen_before!r})"
+        _, os_path, _ = _ann_paths(store)
+        gen_before = _ann_current_gen(os_path)
+        # (2) the growth episode: admit the remaining 80% under the
+        # frozen quantizers
+        merge_into_saved_ann_index(
+            spark, store, v.filter(F.col("vec_id") >= init_n)
         )
-    rebuilt = load_ann_index(spark, store)
-    # (5) the rebuilt index is correctly sized — the advice is quiet
-    post = ann_rebuild_advice(rebuilt)
-    if post["rebuild_due"]:
-        raise AssertionError(
-            f"lifecycle: advice still due after the rebuild: {post}"
+        # (3) the advisory must fire on the grown index
+        advice = ann_rebuild_advice(load_ann_index(spark, store))
+        if not advice["rebuild_due"]:
+            raise AssertionError(
+                f"lifecycle: rebuild advice did not fire after 5x "
+                f"growth: {advice}"
+            )
+        # (4) rebuild at the corpus's own auto sizing; publish = new gen
+        save_ann_index(
+            build_ann_index(v, n_cells=auto_ivf_cells(n)), store,
+            force=True,
         )
+        gen_after = _ann_current_gen(os_path)
+        if gen_after == gen_before:
+            raise AssertionError(
+                f"lifecycle: rebuild did not flip the generation "
+                f"({gen_before!r})"
+            )
+        rebuilt = load_ann_index(spark, store)
+        # (5) the rebuilt index is correctly sized — the advice is quiet
+        post = ann_rebuild_advice(rebuilt)
+        if post["rebuild_due"]:
+            raise AssertionError(
+                f"lifecycle: advice still due after the rebuild: {post}"
+            )
+        return rebuilt
+
+    # the shared scratch store makes this key's critical section wide
+    # (save → merge → advise → rebuild): a parallel suite run's save
+    # landing mid-episode surfaces as the merge's duplicate guard, a
+    # marker refusal (ValueError) or a falsified step assert
+    # (AssertionError). The key only needs ONE clean episode — retry
+    # once, then propagate (the siblings' ADVICE r14 recipe).
+    for attempt in (0, 1):
+        try:
+            rebuilt = _episode()
+            break
+        except (ValueError, AssertionError):
+            if attempt:
+                raise
     # (6) the production filtered query through the rebuilt index
     return ivfpq_filtered_topk(
         spark,

@@ -1042,6 +1042,8 @@ def text_classifier_published(spark, sf_dir):
     # this publish and the pinned read can sweep the captured
     # generation — the key only needs A fresh round-trip, so retry
     # the publish+pin once (ADVICE r14)
+    from pyspark.errors import AnalysisException
+
     wtrained = classifier_train(d, lab)
     for attempt in (0, 1):
         save_classifier_weights(wtrained, store, force=True)
@@ -1050,7 +1052,11 @@ def text_classifier_published(spark, sf_dir):
                 spark, store, generation=weights_live_generation(store)
             )
             break
-        except Exception:
+        except (ValueError, AnalysisException):
+            # only the documented race shapes: a concurrent save
+            # flipping _CURRENT away (ValueError from the pointer
+            # read) or sweeping the captured generation's directory
+            # (PATH_NOT_FOUND at bind). Anything else propagates.
             if attempt:
                 raise
     return _distill_audit(d, lab, w)

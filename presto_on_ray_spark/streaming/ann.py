@@ -62,25 +62,32 @@ def stream_ann_ingest(
     appends), exactly like the dedup side's compaction contract."""
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.filter(F.col(vec_col).isNotNull())
-        if vec_col == "qv":
-            v = batch.select("vec_id", "qv")
-        else:
-            v = batch.select(
-                "vec_id", quantized(F.col(vec_col)).alias("qv")
-            )
-        # emptiness is checked AFTER the null filter: an all-NULL batch
-        # must not pay the marker/guard/append cycle or write empty
-        # append-file litter any more than an idle trigger does
-        if v.isEmpty():
-            return
-        merge_into_saved_ann_index(
-            batch_df.sparkSession, index_path, v, resume=True
-        )
+        _merge_batch(batch_df, index_path, vec_col)
 
     return _start(
         vec_stream, _admit, checkpoint_dir, available_now, await_termination
     )
+
+
+def _merge_batch(batch_df: DataFrame, index_path: str, vec_col: str) -> bool:
+    """The shared per-trigger admit step (null filter, quantize,
+    empty-batch skip, resume-merge) — one body for both ingest loops
+    so the within-batch-duplicate contract and the quantize convention
+    can never drift between them. Returns whether anything merged."""
+    batch = batch_df.filter(F.col(vec_col).isNotNull())
+    if vec_col == "qv":
+        v = batch.select("vec_id", "qv")
+    else:
+        v = batch.select("vec_id", quantized(F.col(vec_col)).alias("qv"))
+    # emptiness is checked AFTER the null filter: an all-NULL batch
+    # must not pay the marker/guard/append cycle or write empty
+    # append-file litter any more than an idle trigger does
+    if v.isEmpty():
+        return False
+    merge_into_saved_ann_index(
+        batch_df.sparkSession, index_path, v, resume=True
+    )
+    return True
 
 
 def stream_ann_ingest_with_rebuild(
@@ -102,8 +109,13 @@ def stream_ann_ingest_with_rebuild(
     index; when the corpus has outgrown the frozen quantizers' design
     population (ratio > ``growth_factor``) AND the rebuild cooldown
     has expired, rebuild at auto_ivf_cells over the FULL vector store
-    and publish the new generation (atomic flip — concurrent readers
-    keep the superseded generation through the store's grace window).
+    and publish the new generation (atomic flip; NOTE the ANN store
+    keeps ONLY the live generation — the post-flip sweep removes the
+    superseded one, unlike the counts store's one-mutation grace
+    window — so a reader holding a lazy plan bound before the flip
+    fails loudly on its next action and must reload, exactly
+    load_ann_index's documented "readers coordinate with writers"
+    contract; this loop inherits it rather than changing it).
 
     ``vectors_source`` is a callable ``spark -> (vec_id, qv)`` over
     the WHOLE vector corpus: a rebuild re-trains quantizers and
@@ -157,23 +169,18 @@ def stream_ann_ingest_with_rebuild(
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.filter(F.col(vec_col).isNotNull())
-        if vec_col == "qv":
-            v = batch.select("vec_id", "qv")
-        else:
-            v = batch.select(
-                "vec_id", quantized(F.col(vec_col)).alias("qv")
-            )
-        if not v.isEmpty():
-            merge_into_saved_ann_index(spark, index_path, v, resume=True)
+        _merge_batch(batch_df, index_path, vec_col)
         since = _read_since()
-        in_cooldown = (
-            since is not None and since < rebuild_cooldown_triggers
-        )
+        if since is not None and since < rebuild_cooldown_triggers:
+            # in cooldown the advice result would be unused — skip the
+            # index load + codes count entirely; the counter still
+            # ticks so the phase expires on schedule
+            _write_since(since + 1)
+            return
         advice = ann_rebuild_advice(
             load_ann_index(spark, index_path), growth_factor
         )
-        if advice["rebuild_due"] and not in_cooldown:
+        if advice["rebuild_due"]:
             v_all = vectors_source(spark)
             save_ann_index(
                 build_ann_index(

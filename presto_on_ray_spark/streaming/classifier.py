@@ -38,6 +38,28 @@ def _weights_store_live(path: str) -> bool:
         return False
 
 
+# classifier_score_biased's output shape — used to sink an empty
+# verdict relation for an empty trigger against an EMPTY store (there
+# is nothing to score and nothing sane to train; bootstrapping on zero
+# docs would publish an all-zero accept-everything model)
+_SCORED_SCHEMA = "doc_id long, n_tokens long, logit double, keep boolean"
+
+
+def _score_or_empty(batch_docs: DataFrame, weights_path: str, sink, batch_id):
+    """Score an EMPTY batch through the live store when one exists,
+    else sink an empty relation of the verdict shape — never train."""
+    from presto_on_ray_spark.operators.textstats import (
+        load_classifier_weights,
+    )
+
+    spark = batch_docs.sparkSession
+    if _weights_store_live(weights_path):
+        w = load_classifier_weights(spark, weights_path)
+        sink(classifier_score_biased(batch_docs, w), batch_id)
+    else:
+        sink(spark.createDataFrame([], _SCORED_SCHEMA), batch_id)
+
+
 def _require_live_weights(path: str, caller: str) -> None:
     """Fail a scorer stream at START with a clear bootstrap message
     instead of crashing the first trigger with a raw missing-_CURRENT
@@ -173,6 +195,11 @@ def stream_classifier_retrain_on_drift(
 
     def _tick(batch_df: DataFrame, batch_id: int) -> None:
         batch_docs = batch_df.filter(batch_df["text"].isNotNull())
+        if batch_docs.isEmpty():
+            # nothing to monitor, nothing sane to train: an all-NULL
+            # first batch must NOT bootstrap an all-zero model
+            _score_or_empty(batch_docs, weights_path, sink, batch_id)
+            return
         toks = F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0))
         snapshot = batch_docs.select(
             F.col("source").alias("grp") if "source" in batch_docs.columns
@@ -291,6 +318,14 @@ def stream_classifier_retrain_windowed(
         st = _read_state()
         spool = os.path.join(window_path, f"w{st['window']:06d}")
         batch_docs = batch_df.filter(batch_df["text"].isNotNull())
+        if batch_docs.isEmpty():
+            # nothing to accumulate or train on (an all-NULL first
+            # batch must NOT bootstrap an all-zero model); the trigger
+            # still ticks the cooldown
+            if st["since_pub"] is not None:
+                _write_state({**st, "since_pub": st["since_pub"] + 1})
+            _score_or_empty(batch_docs, weights_path, sink, batch_id)
+            return
         batch_docs.select("doc_id", "text").write.mode("append").parquet(
             spool
         )
@@ -337,8 +372,7 @@ def stream_classifier_retrain_windowed(
                         ignore_errors=True,
                     )
         elif st["since_pub"] is not None:
-            st = {**st, "since_pub": st["since_pub"] + 1}
-        _write_state(st)
+            _write_state({**st, "since_pub": st["since_pub"] + 1})
         w = load_classifier_weights(spark, weights_path)
         sink(classifier_score_biased(batch_docs, w), batch_id)
 
