@@ -1736,7 +1736,7 @@ def similarity_ivfpq_filtered_saved(spark, sf_dir):
     completing the set: every maintained-store tier now has a
     read-through-the-store oracle key). The scratch store is the
     stable per-(user, corpus) location the other saved keys use;
-    generations stay swept at ~2."""
+    the post-flip sweep keeps only the live generation."""
     import getpass
     import hashlib
     import os
@@ -1844,7 +1844,7 @@ def similarity_ivfpq_lifecycle_rebuild(spark, sf_dir):
     before the shortlist rerank. The scratch store is a stable
     per-(user, corpus) location distinct from the read-path key's, so
     the two keys can't race each other's generations in one suite
-    run; generations stay swept at ~2."""
+    run; the post-flip sweep keeps only the live generation."""
     import getpass
     import hashlib
     import os
