@@ -357,3 +357,67 @@ def test_retrain_windowed_cooldown_and_window_training(
         if n.startswith("w") and n[1:].isdigit()
     )
     assert all(int(n[1:]) >= cur for n in spools), spools
+
+
+def test_empty_first_batch_does_not_bootstrap_zero_model(
+    spark, sf_dir, tmp_path
+):
+    """Review pin (r15): an all-NULL-text first trigger against an
+    EMPTY store must not train on zero docs and publish an all-zero
+    accept-everything model — both drift loops sink an empty verdict
+    relation and leave the store unpublished; the windowed loop then
+    bootstraps normally on the next non-empty trigger."""
+    from presto_on_ray_spark.operators.drift import reference_histogram
+    from presto_on_ray_spark.streaming.classifier import (
+        _weights_store_live,
+        stream_classifier_retrain_windowed,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    toks = F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0))
+    ref = reference_histogram(
+        docs.select(F.lit("all").alias("grp"), toks.cast("long").alias("val")),
+        16,
+        "grp",
+    ).persist()
+    b_null = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    b_real = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    src = tmp_path / "arrivals"
+    b_null.coalesce(1).write.parquet(str(src / "f1"))
+    b_real.coalesce(1).write.parquet(str(src / "f2"))
+
+    p = str(tmp_path / "wstore")
+    got: dict[int, dict] = {}
+    live_at: dict[int, bool] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = {r.doc_id: r.keep for r in df.collect()}
+        live_at[batch_id] = _weights_store_live(p)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    try:
+        stream_classifier_retrain_windowed(
+            stream, ref, p, str(tmp_path / "window"), sink,
+            psi_threshold=0.25, bin_width=16, cooldown_triggers=1,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    finally:
+        ref.unpersist()
+    # trigger 0: empty batch -> empty verdicts, NOTHING published
+    assert got[0] == {} and live_at[0] is False
+    # trigger 1: the first real batch bootstraps (trained on the
+    # window = b_real alone; the empty batch contributed nothing)
+    assert live_at[1] is True
+    w_b = classifier_train(b_real, langid_labels(b_real))
+    expect = {
+        r.doc_id: r.keep
+        for r in classifier_score_biased(b_real, w_b).collect()
+    }
+    assert got[1] == expect
