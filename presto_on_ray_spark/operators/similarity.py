@@ -2912,6 +2912,208 @@ def dedup_semantic_auto_cells(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Semantic ingest admission — SemDeDup's rule applied at ingest time,
+# the embedding-modality twin of the text side's dedup_incremental_
+# ingest / ingest_batch_adaptive: a NEW batch of vectors is verdicted
+# against the EXISTING corpus only (the corpus is never re-paired
+# against itself), with the candidate set bounded by probed coarse
+# cells instead of batch x corpus. Per batch vector the compare work
+# is ~ nprobe * (n / n_cells) ~ nprobe * sqrt(n) under the auto cell
+# dial — the same cost model that makes SemDeDup itself viable at
+# 100 TB, applied to the admission path.
+# ---------------------------------------------------------------------------
+_SEM_INGEST_NPROBE = 2  # argmin cell + 1 spill cell: admission decisions
+# near a Voronoi boundary see both plausible homes (the dedup key's
+# within-cell rule has no such boundary exposure because both members
+# of a pair move cells together; an arriving vector and its corpus
+# near-dup can land on opposite sides, so the probe dial exists here)
+
+
+def semantic_cells(corpus_v, n_cells: int | None = None):
+    """The ingest tier's coarse cells as a standalone relation (cell,
+    cv): the first ``n_cells`` corpus vectors by vec_id with cell ids
+    0..n_cells-1 (rank-based — no contiguous-id assumption), n_cells
+    defaulting to auto_ivf_cells over the corpus count. Extracted so
+    admission stores can FREEZE it: verdicts under cells re-derived
+    from a growing corpus are not replay-stable (the dial and the
+    boundaries both move), so stream_semantic_admit derives this once
+    and persists it as the store's quantizer sidecar — the same
+    frozen-quantizer discipline as the ANN index, with the same
+    rebuild-generation answer to growth. The sort-limit head is
+    TakeOrdered (bounded); the single-partition rank window only ever
+    sees the n_cells head rows."""
+    if n_cells is None:
+        n_cells = auto_ivf_cells(corpus_v.count())
+    head = corpus_v.orderBy("vec_id").limit(n_cells)
+    return head.select(
+        (
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy("vec_id")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("cell"),
+        F.col("qv").alias("cv"),
+    )
+
+
+def semantic_ingest_verdicts(
+    corpus_v,
+    batch_v,
+    n_cells: int | None = None,
+    nprobe: int = _SEM_INGEST_NPROBE,
+    tau: float = _SEM_TAU,
+    cents=None,
+):
+    """Admission verdicts for a batch of quantized vectors (vec_id,
+    qv) against an existing corpus relation of the same shape: a batch
+    vector is a duplicate iff some corpus vector in one of its
+    ``nprobe`` nearest coarse cells has quantized cosine >= ``tau``.
+    Returns (vec_id, admit, dup_of, n_cand) over exactly the batch's
+    ids — dup_of is the smallest such corpus id (NULL when admitted,
+    the same earliest-id convention as semantic_dedup), n_cand the
+    number of corpus candidates actually compared (the per-vector cost
+    the probe dial bounds).
+
+    Default centroids are the first ``n_cells`` corpus vectors by
+    vec_id with cell ids 0..n_cells-1 (rank-based, NOT the id-literal
+    sampling of semantic_dedup — an ingest corpus has no contiguous-id
+    guarantee after earlier admission rounds), and n_cells defaults to
+    auto_ivf_cells(corpus count): the sqrt dial that keeps cells
+    executor-sized as the corpus grows. Pass ``cents`` to pin frozen
+    quantizers (e.g. a saved ANN index's cents relation) so repeated
+    batches skip the corpus head scan and assignment drift.
+
+    Scale shape: centroid head via sort-limit (TakeOrdered, bounded),
+    one broadcast argmin over the corpus (reusable across batches when
+    the caller persists/pins cents + assignments), a batch-sized
+    nprobe-row explode, and a cell-keyed join whose per-cell fan-in is
+    the cell population — never a batch x corpus product. Corpus-side
+    self-pairs are excluded by id (``cid <> vec_id``), which also
+    makes a replayed already-admitted vector see its own stored copy
+    only through the caller's replay guard, never through this rule.
+
+    Within-batch near-dups are NOT compared against each other — the
+    batch is verdicted against the pre-admission corpus state only,
+    exactly the text ingest chain's contract (dedup.py ingest_batch);
+    run semantic_dedup over the batch first when intra-batch pruning
+    is wanted."""
+    if cents is None:
+        cents = semantic_cells(corpus_v, n_cells)
+    casg = _cell_assign(corpus_v, cents).select(
+        F.col("vec_id").alias("cid"), "cell", F.col("qv").alias("cqv")
+    )
+    bd = batch_v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qv", "cell", _pq_l2sq(F.col("qv"), F.col("cv")).alias("d2")
+    )
+    wb = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    bprobe = (
+        bd.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "qv", "cell")
+    )
+    agg = (
+        bprobe.join(casg, "cell")
+        .filter(F.col("cid") != F.col("vec_id"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_cand"),
+            F.min(
+                F.when(cosine_q(F.col("cqv"), F.col("qv")) >= tau, F.col("cid"))
+            ).alias("dup_of"),
+        )
+    )
+    return (
+        batch_v.select("vec_id")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNull().alias("admit"),
+            "dup_of",
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
+        )
+    )
+
+
+@query(
+    "dedup_semantic_ingest",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    corpus AS (SELECT vec_id, qv FROM e WHERE vec_id % 5 <> 0),
+    batch AS (SELECT vec_id, qv FROM e WHERE vec_id % 5 = 0),
+    dial AS (
+      SELECT GREATEST({_IVFPQ_CELLS},
+                      CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nc
+      FROM corpus
+    ),
+    cents AS (
+      SELECT cell, cv FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+               qv AS cv
+        FROM corpus)
+      WHERE cell < (SELECT nc FROM dial)
+    ),
+    cd AS (
+      SELECT c.vec_id, c.qv, ct.cell,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(c.qv) + 1),
+               i -> (c.qv[i] - ct.cv[i]) * (c.qv[i] - ct.cv[i]))) AS d2
+      FROM corpus c CROSS JOIN cents ct
+    ),
+    casg AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT vec_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM cd) WHERE rn = 1
+    ),
+    bdst AS (
+      SELECT b.vec_id, b.qv, ct.cell,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(b.qv) + 1),
+               i -> (b.qv[i] - ct.cv[i]) * (b.qv[i] - ct.cv[i]))) AS d2
+      FROM batch b CROSS JOIN cents ct
+    ),
+    bprobe AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT vec_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM bdst) WHERE rn <= {_SEM_INGEST_NPROBE}
+    ),
+    agg AS (
+      SELECT b.vec_id AS vec_id, COUNT(*) AS n_cand,
+             MIN(CASE WHEN {_SEM_COS_SQL} >= {_SEM_TAU}
+                      THEN a.vec_id END) AS dup_of
+      FROM bprobe b JOIN casg a ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      GROUP BY b.vec_id
+    )
+    SELECT bt.vec_id, (agg.dup_of IS NULL) AS admit, agg.dup_of,
+           CAST(COALESCE(agg.n_cand, 0) AS BIGINT) AS n_cand
+    FROM batch bt LEFT JOIN agg ON agg.vec_id = bt.vec_id
+    """,
+)
+def dedup_semantic_ingest(spark, sf_dir):
+    """Semantic ingest admission, hash-exact end-to-end: vectors with
+    vec_id % 5 == 0 (~20%) arrive as the batch, the rest are the
+    existing corpus; auto cell dial over the corpus, rank-based
+    centroid head, 2-cell probe, cosine >= tau(=0.35) against probed
+    corpus members only, earliest-id dup attribution. The DuckDB
+    oracle replays the WHOLE pipeline — dial, head, both assignments,
+    probe ranks, candidate compare — so the key pins the admission
+    rule, not just its row count. Completes the ingest story across
+    modalities: text batches admit through the shingle index
+    (dedup_ingest_chain), embedding batches through coarse cells."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    corpus = v.filter(F.col("vec_id") % 5 != 0)
+    batch = v.filter(F.col("vec_id") % 5 == 0)
+    return semantic_ingest_verdicts(corpus, batch)
+
+
+# ---------------------------------------------------------------------------
 # k-center diversity seeds (farthest-point traversal — Gonzalez 1985,
 # the 2-approximation to k-center; the greedy coreset rule used for
 # diversity-aware subset selection over embedding spaces). Iterative,

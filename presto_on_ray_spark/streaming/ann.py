@@ -23,8 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from presto_on_ray_spark.operators.similarity import (
+    _SEM_INGEST_NPROBE,
+    _SEM_TAU,
     merge_into_saved_ann_index,
     quantized,
+    semantic_cells,
+    semantic_ingest_verdicts,
 )
 from presto_on_ray_spark.streaming.ingest import _start
 
@@ -194,6 +198,157 @@ def stream_ann_ingest_with_rebuild(
                 on_rebuild(advice)
         elif since is not None:
             _write_since(since + 1)
+
+    return _start(
+        vec_stream, _admit, checkpoint_dir, available_now, await_termination
+    )
+
+
+def stream_semantic_admit(
+    vec_stream: DataFrame,
+    store_path: str,
+    nprobe: int = _SEM_INGEST_NPROBE,
+    tau: float = _SEM_TAU,
+    on_batch=None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    await_termination: bool | None = None,
+    vec_col: str = "embedding",
+):
+    """Semantic dedup admission run as streaming policy — the
+    embedding-modality twin of stream_ingest_admit: every micro-batch
+    is verdicted against the ACCEPTED corpus so far (operators/
+    similarity.semantic_ingest_verdicts — candidates bounded by probed
+    coarse cells under the auto sqrt-n dial, never batch x corpus) and
+    only the admitted vectors append to the parquet vector store at
+    ``store_path``. The store doubles as the corpus for every later
+    batch, so admission is SEQUENTIAL by construction: a vector
+    admitted in batch k shadows its near-dups in batch k+1 — exactly
+    the batch twin run once per batch with the store advanced between
+    runs (pinned in tests/test_streaming_ann.py).
+
+    Re-delivery safety needs no token log here, and the reasoning is
+    the dedup admit loop's, inverted: that loop's verdicts must pin
+    WHICH index state a replayed batch saw because a strict merge
+    re-ranks the whole index (state advances even for rejected docs).
+    This store advances ONLY by appending admitted vectors, under
+    coarse cells FROZEN in the store's quantizer sidecar
+    (``<store>/_cents`` — underscore-hidden from the main parquet
+    read; derived once from the corpus present at first verdict, the
+    ANN index's frozen-quantizer discipline). Frozen cells make
+    rejection MONOTONE under growth — a later corpus is a candidate
+    superset in the same probe geometry — so a replayed batch splits
+    cleanly: ids already in the store were admitted before and are
+    skipped by the replay probe (one column-pruned id scan of the
+    store semi-joined against the broadcast batch ids); ids absent
+    from the store were REJECTED before and re-verdict to rejection
+    again (monotonicity; their own stored copies are barred by the
+    rule's corpus-side id self-exclusion). Cells re-derived per
+    trigger would move both the dial and the boundaries and void
+    exactly this. The growth answer is the ANN side's, not silent
+    re-derivation: when the corpus outgrows the frozen dial
+    (ann_rebuild_advice's ratio logic applies verbatim with
+    built_for = cells squared), a maintenance pass BETWEEN stream
+    runs rewrites ``_cents`` from the full store — future verdicts
+    shift the way any index rebuild shifts them.
+
+    The append is one coalesced file per batch (O(batch) bytes,
+    task-commit atomicity; compact with a parquet rewrite on the
+    usual file-count-hygiene schedule). An EMPTY store bootstraps:
+    the first non-empty batch has no corpus to collide with and is
+    admitted wholesale, seeding the corpus — the same
+    first-batch-seeds-the-reference convention as the drift loops.
+    Within-batch near-dups are NOT compared against each other (the
+    batch twin's contract); run semantic_dedup upstream when
+    intra-batch pruning is wanted. Duplicate vec_ids WITHIN a batch
+    fail the batch loudly, mirroring the ANN ingest loop's refusal to
+    pick an arbitrary winner.
+
+    ``on_batch(stats)`` fires per non-empty trigger with
+    {batch_id, arrived, fresh, admitted} — the bounded counts a
+    scheduler logs; omit it and the loop never pays the extra
+    aggregates."""
+    import contextlib
+
+    cents_path = store_path.rstrip("/") + "/_cents"
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.filter(F.col(vec_col).isNotNull())
+        if vec_col == "qv":
+            v = batch.select("vec_id", "qv")
+        else:
+            v = batch.select("vec_id", quantized(F.col(vec_col)).alias("qv"))
+        if v.isEmpty():
+            return
+        if v.groupBy("vec_id").count().filter("count > 1").limit(1).collect():
+            raise ValueError(
+                "stream_semantic_admit: duplicate vec_id within a single "
+                "batch — admission would keep an arbitrary copy; "
+                "deduplicate upstream (e.g. semantic_dedup or a "
+                "dropDuplicates on vec_id)"
+            )
+        v = v.persist()
+        try:
+            try:
+                store = spark.read.parquet(store_path)
+                have_store = True
+            except Exception:
+                store = None
+                have_store = False
+            if have_store:
+                replayed = store.select("vec_id").join(
+                    F.broadcast(v.select("vec_id")), "vec_id"
+                )
+                fresh = v.join(F.broadcast(replayed), "vec_id", "left_anti")
+                # the store's FROZEN quantizer sidecar (underscore
+                # path: invisible to the main parquet read). Cells
+                # re-derived per trigger from the growing corpus would
+                # move both the dial and the boundaries, making replay
+                # verdicts unstable; frozen cells make rejection
+                # MONOTONE under growth (candidate sets only gain
+                # members), which is what replay determinism rests on.
+                try:
+                    cents = spark.read.parquet(cents_path)
+                except Exception:
+                    semantic_cells(store.select("vec_id", "qv")).coalesce(
+                        1
+                    ).write.parquet(cents_path)
+                    cents = spark.read.parquet(cents_path)
+                verdicts = semantic_ingest_verdicts(
+                    store.select("vec_id", "qv"), fresh,
+                    nprobe=nprobe, tau=tau, cents=cents,
+                )
+                admitted = fresh.join(
+                    verdicts.filter(F.col("admit")).select("vec_id"), "vec_id"
+                )
+            else:
+                fresh = v
+                admitted = v
+            admitted = admitted.select("vec_id", "qv").persist()
+            n_admitted = admitted.count()
+            # stats are materialized BEFORE the append: fresh/verdicts
+            # are lazy plans over the store READ, and a parquet source
+            # re-lists files per action — counted after the append they
+            # would see the just-written file and report post-append
+            # state
+            stats = None
+            if on_batch is not None:
+                stats = {
+                    "batch_id": batch_id,
+                    "arrived": v.count(),
+                    "fresh": fresh.count(),
+                    "admitted": n_admitted,
+                }
+            if n_admitted:
+                admitted.coalesce(1).write.mode("append").parquet(store_path)
+            if stats is not None:
+                on_batch(stats)
+        finally:
+            with contextlib.suppress(Exception):
+                admitted.unpersist()
+            with contextlib.suppress(Exception):
+                v.unpersist()
 
     return _start(
         vec_stream, _admit, checkpoint_dir, available_now, await_termination

@@ -310,3 +310,146 @@ def test_stream_ingest_with_rebuild_policy(spark, sf_dir, tmp_path):
     assert advice["vectors"] == 2700
     assert advice["cells"] == auto_ivf_cells(2700)
     assert not advice["rebuild_due"], advice
+
+
+# ---------------------------------------------------------------------------
+# stream_semantic_admit: sequential admission against the growing
+# vector store == the batch twin replayed with the store advanced
+# between batches; replay idempotence; empty-store bootstrap; the loud
+# within-batch-duplicate refusal.
+# ---------------------------------------------------------------------------
+def _qv_set(spark, store_path):
+    return {
+        (r.vec_id, tuple(r.qv))
+        for r in spark.read.parquet(store_path).collect()
+    }
+
+
+def _twin_admitted(corpus, batch, cents=None):
+    """The batch twin's admitted subset of ``batch`` as a DataFrame;
+    ``cents`` pins the store's frozen quantizer sidecar."""
+    from presto_on_ray_spark.operators.similarity import (
+        semantic_ingest_verdicts,
+    )
+
+    verdicts = semantic_ingest_verdicts(corpus, batch, cents=cents)
+    return batch.join(
+        verdicts.filter(F.col("admit")).select("vec_id"), "vec_id"
+    )
+
+
+def test_stream_semantic_admit_equals_sequential_batch_twin(
+    spark, sf_dir, tmp_path
+):
+    from presto_on_ray_spark.streaming.ann import stream_semantic_admit
+
+    v = _vecs(spark, sf_dir)
+    seed = v.filter(F.col("vec_id") < 400)
+    store = str(tmp_path / "vstore")
+    seed.write.parquet(store)
+    src = tmp_path / "arrivals"
+    _write_arrivals(spark, sf_dir, src)
+
+    stats = []
+    stream_semantic_admit(
+        _arrival_stream(spark, src), store,
+        on_batch=stats.append, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    from presto_on_ray_spark.operators.similarity import semantic_cells
+
+    # the stream froze its quantizer sidecar from the corpus at first
+    # verdict (= the seed); the twin pins the same cells for BOTH steps
+    cents0 = semantic_cells(seed)
+    b1 = v.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    b2 = v.filter(F.col("vec_id") >= 450)
+    adm1 = _twin_admitted(seed, b1, cents=cents0)
+    corpus1 = seed.unionByName(adm1)
+    adm2 = _twin_admitted(corpus1, b2, cents=cents0)
+    want = corpus1.unionByName(adm2)
+    assert _qv_set(spark, store) == {
+        (r.vec_id, tuple(r.qv)) for r in want.collect()
+    }
+    assert [s["batch_id"] for s in stats] == [0, 1]
+    assert stats[0]["arrived"] == stats[0]["fresh"] == 50
+    assert stats[0]["admitted"] == adm1.count()
+    assert stats[1]["admitted"] == adm2.count()
+
+
+def test_stream_semantic_admit_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A FRESH checkpoint re-delivers both batches; the replay probe
+    skips every already-stored id and the re-verdicted remainder is
+    empty, so the store survives byte-identical — no token log."""
+    from presto_on_ray_spark.streaming.ann import stream_semantic_admit
+
+    v = _vecs(spark, sf_dir)
+    store = str(tmp_path / "vstore")
+    v.filter(F.col("vec_id") < 400).write.parquet(store)
+    src = tmp_path / "arrivals"
+    _write_arrivals(spark, sf_dir, src)
+
+    stream_semantic_admit(
+        _arrival_stream(spark, src), store,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    before = _qv_set(spark, store)
+    stats = []
+    stream_semantic_admit(
+        _arrival_stream(spark, src), store,
+        on_batch=stats.append, checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert _qv_set(spark, store) == before
+    # previously-ADMITTED ids are skipped by the replay probe;
+    # previously-REJECTED ids are absent from the store, so they count
+    # as fresh and re-verdict — to rejection again (frozen cells make
+    # rejection monotone), which is the invariant that matters
+    assert all(s["admitted"] == 0 for s in stats)
+    n_rejected_run1 = 100 - (len(before) - 400)
+    assert sum(s["fresh"] for s in stats) == n_rejected_run1
+
+
+def test_stream_semantic_admit_bootstraps_empty_store(
+    spark, sf_dir, tmp_path
+):
+    """No store at start: the first batch seeds the corpus wholesale
+    (nothing to collide with), the second admits against it — the
+    drift loops' first-batch-seeds-the-reference convention."""
+    from presto_on_ray_spark.streaming.ann import stream_semantic_admit
+
+    v = _vecs(spark, sf_dir)
+    store = str(tmp_path / "vstore")
+    src = tmp_path / "arrivals"
+    _write_arrivals(spark, sf_dir, src)
+
+    stream_semantic_admit(
+        _arrival_stream(spark, src), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    b1 = v.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    b2 = v.filter(F.col("vec_id") >= 450)
+    want = b1.unionByName(_twin_admitted(b1, b2))
+    assert _qv_set(spark, store) == {
+        (r.vec_id, tuple(r.qv)) for r in want.collect()
+    }
+
+
+def test_stream_semantic_admit_refuses_within_batch_duplicates(
+    spark, sf_dir, tmp_path
+):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import StreamingQueryException
+
+    from presto_on_ray_spark.streaming.ann import stream_semantic_admit
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") == 400)
+    dup.unionByName(dup).coalesce(1).write.parquet(str(tmp_path / "src" / "f"))
+    store = str(tmp_path / "vstore")
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as exc:
+        stream_semantic_admit(
+            _arrival_stream(spark, tmp_path / "src"), store,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    assert "duplicate vec_id" in str(exc.value)
+    assert not os.path.exists(store)
