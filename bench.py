@@ -110,8 +110,11 @@ HEADLINE = [
     # round-12 continuation: cross-corpus boilerplate strip (aligned-
     # segment document frequency + row-local cut), SemDeDup semantic
     # dedup (cell-bounded pairwise), BM25 retrieval
+    # (r15: the frozen-8-cell dedup_semantic slot moved to the local
+    # gates when dedup_semantic_ingest joined — the auto-cells variant
+    # below is the production dial and keeps the family benched, the
+    # same displacement rule as the frozen-dial rerank slot in r15)
     "corpus_boilerplate_strip",
-    "dedup_semantic",
     "text_bm25_topk",
     # round-12 continuation 2: the governance tier — leakage-safe
     # splits (adaptive pair tier), quality-keeper policy, PSI drift,
@@ -152,6 +155,9 @@ HEADLINE = [
     # merge-grow 5x → advice fires → rebuild at auto cells → filtered
     # query through the rebuilt generation)
     "similarity_ivfpq_lifecycle_rebuild",
+    # round-15: semantic ingest admission (batch vs corpus through
+    # probed coarse cells — the embedding twin of the ingest chain)
+    "dedup_semantic_ingest",
 ]
 
 
