@@ -156,3 +156,147 @@ def corpus_drift_psi(spark, sf_dir):
         snap.filter("NOT is_ref").select("source", "val"),
         _DRIFT_BIN_WIDTH,
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift: PSI over FROZEN-cell assignment histograms.
+# Scalar-feature PSI (above) cannot see a semantic shift that leaves
+# lengths and token stats alone (a scraper swapping domains, an
+# upstream model change); the coarse cells the ingest tier already
+# maintains (similarity.semantic_cells — the SemDeDup/IVF quantizer)
+# give the embedding space a discrete, deterministic binning, so the
+# SAME PSI arithmetic applies verbatim with bin = assigned cell.
+# Frozen cells matter here exactly as in admission: re-derived cells
+# would move the bins between snapshots and manufacture drift.
+# ---------------------------------------------------------------------------
+def semantic_snapshot(v, cents, group_col: str = "source"):
+    """Collapse a (vec_id, qv, <group_col>) relation to the (group,
+    val) snapshot shape the PSI machinery consumes, with val = the
+    vector's argmin frozen cell. One broadcast argmin + one id-keyed
+    join to re-attach the group — O(rows), no pairwise term."""
+    from presto_on_ray_spark.operators.similarity import _cell_assign
+
+    asg = _cell_assign(v.select("vec_id", "qv"), cents)
+    return asg.join(v.select("vec_id", group_col), "vec_id").select(
+        group_col, F.col("cell").alias("val")
+    )
+
+
+def semantic_drift_psi(
+    ref_v, cur_v, cents=None, n_cells: int | None = None,
+    group_col: str = "source",
+):
+    """Per-group PSI between two embedding snapshots (vec_id, qv,
+    <group_col>) over frozen-cell assignment histograms: cells default
+    to semantic_cells over the REFERENCE (auto sqrt-n dial, rank-based
+    head) — the reference owns the geometry, the current snapshot is
+    binned into it. Returns (group, n_ref, n_cur, n_bins, psi), the
+    drift family's shared shape. Scale: both snapshots collapse to
+    (group x cell) histograms map-side; everything after runs on
+    bounded relations (distribution_drift's contract)."""
+    from presto_on_ray_spark.operators.similarity import semantic_cells
+
+    if cents is None:
+        cents = semantic_cells(ref_v.select("vec_id", "qv"), n_cells)
+    return distribution_drift(
+        semantic_snapshot(ref_v, cents, group_col),
+        semantic_snapshot(cur_v, cents, group_col),
+        1,
+        group_col,
+    )
+
+
+_SEM_DRIFT_CELLS_SQL = """
+    dial AS (
+      SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nc
+      FROM ref
+    ),
+    cents AS (
+      SELECT cell, cv FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+               qv AS cv
+        FROM ref)
+      WHERE cell < (SELECT nc FROM dial)
+    )
+"""
+
+
+@query(
+    "corpus_drift_semantic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS grp,
+             LIST_TRANSFORM(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    ref AS (SELECT vec_id, grp, qv FROM e WHERE vec_id % 5 <> 0),
+    cur AS (SELECT vec_id, grp, qv FROM e WHERE vec_id % 5 = 0),
+    {_SEM_DRIFT_CELLS_SQL},
+    rd AS (
+      SELECT s.vec_id, s.grp, ct.cell,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(s.qv) + 1),
+               i -> (s.qv[i] - ct.cv[i]) * (s.qv[i] - ct.cv[i]))) AS d2
+      FROM ref s CROSS JOIN cents ct
+    ),
+    rasg AS (
+      SELECT vec_id, grp, cell FROM (
+        SELECT vec_id, grp, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM rd) WHERE rn = 1
+    ),
+    cd AS (
+      SELECT s.vec_id, s.grp, ct.cell,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(s.qv) + 1),
+               i -> (s.qv[i] - ct.cv[i]) * (s.qv[i] - ct.cv[i]))) AS d2
+      FROM cur s CROSS JOIN cents ct
+    ),
+    casg AS (
+      SELECT vec_id, grp, cell FROM (
+        SELECT vec_id, grp, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM cd) WHERE rn = 1
+    ),
+    r AS (SELECT grp, cell AS bin, COUNT(*) AS rc FROM rasg GROUP BY 1, 2),
+    c AS (SELECT grp, cell AS bin, COUNT(*) AS cc FROM casg GROUP BY 1, 2),
+    aligned AS (
+      SELECT COALESCE(r.grp, c.grp) AS grp, COALESCE(r.bin, c.bin) AS bin,
+             COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+      FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.bin = c.bin
+    ),
+    terms AS (
+      SELECT grp, rc, cc,
+             SUM(rc) OVER (PARTITION BY grp) AS rt,
+             SUM(cc) OVER (PARTITION BY grp) AS ct,
+             COUNT(*) OVER (PARTITION BY grp) AS b
+      FROM aligned
+    )
+    SELECT grp AS source,
+           CAST(MAX(rt) AS BIGINT) AS n_ref,
+           CAST(MAX(ct) AS BIGINT) AS n_cur, MAX(b) AS n_bins,
+           CAST(SUM(CAST({_PSI_TERM_SQL} AS DECIMAL(20,6))) AS DOUBLE) AS psi
+    FROM terms GROUP BY grp
+    """,
+)
+def corpus_drift_semantic(spark, sf_dir):
+    """Per-label PSI between the corpus (vec_id % 5 != 0, the
+    reference that also owns the cell geometry) and the arriving batch
+    (vec_id % 5 == 0) over frozen-cell assignment histograms — the
+    embedding-space completion of corpus_drift_psi, sharing its PSI
+    term verbatim with bin = assigned cell. The DuckDB oracle replays
+    the whole pipeline (dial, rank head, both argmin assignments, the
+    aligned smoothed PSI), so the key pins the geometry AND the
+    arithmetic. Both halves draw from one distribution, so the value
+    under test is the exact cross-engine agreement; the planted-shift
+    behaviour is pinned in tests/test_drift.py."""
+    e = t(spark, sf_dir, "embeddings")
+    from presto_on_ray_spark.operators.similarity import quantized
+
+    v = e.select(
+        "vec_id",
+        quantized(F.col("embedding")).alias("qv"),
+        F.col("label").cast("long").alias("source"),
+    )
+    ref = v.filter(F.col("vec_id") % 5 != 0)
+    cur = v.filter(F.col("vec_id") % 5 == 0)
+    return semantic_drift_psi(ref, cur)

@@ -63,3 +63,52 @@ def stream_drift_monitor(
 
     return _start(stream, _monitor, checkpoint_dir, available_now,
                   await_termination)
+
+
+def stream_semantic_drift(
+    stream: DataFrame,
+    ref_hist: DataFrame,
+    cents: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    group_col: str = "source",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    await_termination: bool | None = None,
+    vec_col: str = "embedding",
+):
+    """stream_drift_monitor for the embedding modality: each arriving
+    (vec_id, <vec_col>, <group_col>) micro-batch is quantized,
+    assigned to the FROZEN cells, and its (group x cell) histogram is
+    PSI-scored against ``ref_hist`` — built once as
+    reference_histogram(semantic_snapshot(ref, cents), 1) and
+    persisted, exactly the scalar monitor's frozen-reference contract.
+
+    ``cents`` is required, not derived: the frozen geometry IS the
+    binning, and a reference histogram is only comparable to batches
+    assigned under the same cells (operators/drift.py's
+    semantic-drift rationale; stream_semantic_admit's ``_cents``
+    sidecar is the natural source when both loops run beside each
+    other). Per-batch cost: one broadcast argmin over the batch + the
+    bounded PSI relations — the reference corpus is never rescanned."""
+    from presto_on_ray_spark.operators.drift import semantic_snapshot
+    from presto_on_ray_spark.operators.similarity import quantized
+
+    from pyspark.sql import functions as F
+
+    def _monitor(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.filter(F.col(vec_col).isNotNull())
+        if vec_col == "qv":
+            v = batch.select("vec_id", "qv", group_col)
+        else:
+            v = batch.select(
+                "vec_id", quantized(F.col(vec_col)).alias("qv"), group_col
+            )
+        sink(
+            psi_against_reference(
+                ref_hist, semantic_snapshot(v, cents, group_col), 1, group_col
+            ),
+            batch_id,
+        )
+
+    return _start(stream, _monitor, checkpoint_dir, available_now,
+                  await_termination)

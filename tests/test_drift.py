@@ -86,3 +86,56 @@ def test_negative_values_bin_identically_to_floor_semantics(spark):
     got = distribution_drift(_df(spark, ref), _df(spark, ref), 64).collect()
     assert got[0].n_bins == 2  # {-1: [-64..-1], 0: [0..63]}
     assert got[0].psi == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift (drift.semantic_drift_psi): frozen-cell PSI.
+# ---------------------------------------------------------------------------
+def _vdf(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, qv array<bigint>, source string")
+
+
+def test_semantic_identical_snapshots_are_exactly_zero(spark):
+    rows = [
+        (i, [1000 + 10 * (i % 4), -500 + 7 * (i % 5)], "a") for i in range(40)
+    ]
+    from presto_on_ray_spark.operators.drift import semantic_drift_psi
+
+    got = semantic_drift_psi(_vdf(spark, rows), _vdf(spark, rows)).collect()
+    assert [(r.n_ref, r.n_cur, r.psi) for r in got] == [(40, 40, 0.0)]
+
+
+def test_semantic_planted_shift_dominates_stable_group(spark):
+    """Group "a"'s current snapshot flips to the opposite half-space
+    (every vector lands in different frozen cells); group "b" is
+    unchanged. PSI must flag a and stay zero on b — the semantic shift
+    is invisible to any scalar feature of the vectors' norms."""
+    from presto_on_ray_spark.operators.drift import semantic_drift_psi
+
+    a_ref = [(i, [1000 + i, 500 + 2 * i], "a") for i in range(50)]
+    a_cur = [(1000 + i, [-1000 - i, -500 - 2 * i], "a") for i in range(50)]
+    b = [(100 + i, [800, -300 + (i % 3)], "b") for i in range(50)]
+    b_cur = [(1100 + i, [800, -300 + (i % 3)], "b") for i in range(50)]
+    got = {
+        r.source: r.psi
+        for r in semantic_drift_psi(
+            _vdf(spark, a_ref + b), _vdf(spark, a_cur + b_cur)
+        ).collect()
+    }
+    assert got["b"] == 0.0
+    assert got["a"] > 0.25  # beyond the action band
+
+
+def test_semantic_explicit_cents_equal_default_derivation(spark):
+    from presto_on_ray_spark.operators.drift import semantic_drift_psi
+    from presto_on_ray_spark.operators.similarity import semantic_cells
+
+    rows = [
+        (i, [100 * (i % 7) - 300, 50 * (i % 3)], "a") for i in range(60)
+    ]
+    ref, cur = _vdf(spark, rows[:40]), _vdf(spark, rows[40:])
+    default = semantic_drift_psi(ref, cur).collect()
+    pinned = semantic_drift_psi(
+        ref, cur, cents=semantic_cells(ref.select("vec_id", "qv"))
+    ).collect()
+    assert default == pinned

@@ -102,3 +102,71 @@ def test_reference_histogram_reuse_equals_two_snapshot_form(spark):
     ).collect()
     direct = distribution_drift(ref, cur, _W).collect()
     assert [tuple(r) for r in via_hist] == [tuple(r) for r in direct]
+
+
+def test_stream_semantic_batches_match_batch_api(spark, tmp_path):
+    """Two embedding micro-batches against a frozen reference: each
+    trigger's PSI relation equals semantic_drift_psi run on that
+    batch alone with the same pinned cells."""
+    from presto_on_ray_spark.operators._util import t
+    from presto_on_ray_spark.operators.drift import (
+        reference_histogram,
+        semantic_drift_psi,
+        semantic_snapshot,
+    )
+    from presto_on_ray_spark.operators.similarity import (
+        quantized,
+        semantic_cells,
+    )
+    from presto_on_ray_spark.streaming.drift import stream_semantic_drift
+
+    e = t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.col("label").cast("long").alias("source"),
+    )
+    v = e.select(
+        "vec_id", quantized(F.col("embedding")).alias("qv"), "source"
+    )
+    ref = v.filter(F.col("vec_id") < 300)
+    cents = semantic_cells(ref.select("vec_id", "qv"))
+    cents.persist().count()
+    ref_hist = reference_histogram(semantic_snapshot(ref, cents), 1)
+    ref_hist.persist().count()
+
+    src = tmp_path / "arrivals"
+    for name, lo, hi in (("f1", 300, 400), ("f2", 400, 500)):
+        e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.parquet(str(src / name))
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, source long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+
+    got = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = {
+            r.source: (r.n_ref, r.n_cur, r.n_bins, r.psi)
+            for r in df.collect()
+        }
+
+    stream_semantic_drift(
+        stream, ref_hist, cents, sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    for batch_id, (lo, hi) in enumerate(((300, 400), (400, 500))):
+        cur = v.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        want = {
+            r.source: (r.n_ref, r.n_cur, r.n_bins, r.psi)
+            for r in semantic_drift_psi(ref, cur, cents=cents).collect()
+        }
+        assert got[batch_id] == want, batch_id
+    cents.unpersist()
+    ref_hist.unpersist()
