@@ -453,3 +453,79 @@ def test_stream_semantic_admit_refuses_within_batch_duplicates(
         )
     assert "duplicate vec_id" in str(exc.value)
     assert not os.path.exists(store)
+
+
+def test_semantic_cells_lifecycle_rebuild(spark, sf_dir, tmp_path):
+    """The admission store's maintenance pair end-to-end: seed small →
+    stream-admit growth → advice FIRES once the corpus outgrows the
+    frozen dial → rebuild rewrites the sidecar at the auto dial →
+    advice is quiet and the next admission run verdicts under the new
+    geometry (== the batch twin with the rebuilt cells pinned)."""
+    from presto_on_ray_spark.operators.similarity import (
+        auto_ivf_cells,
+        semantic_cells,
+    )
+    from presto_on_ray_spark.streaming.ann import (
+        rebuild_semantic_cells,
+        semantic_cells_advice,
+        stream_semantic_admit,
+    )
+
+    v = _vecs(spark, sf_dir)
+    store = str(tmp_path / "vstore")
+    # tiny seed: 5 vectors → auto dial floors at 8 cells... a 5-row
+    # corpus yields 5 head cells, so built_for = 25 — the 400-row
+    # growth below overruns it 16x, a genuine growth episode
+    seed = v.filter(F.col("vec_id") < 5)
+    seed.write.parquet(store)
+    assert not semantic_cells_advice(spark, store)["rebuild_due"]  # no sidecar
+
+    src = tmp_path / "arrivals"
+    _write_arrivals(spark, sf_dir, src)
+    stream_semantic_admit(
+        _arrival_stream(spark, src), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    advice = semantic_cells_advice(spark, store)
+    assert advice["cells"] == 5 and advice["built_for"] == 25
+    assert advice["rebuild_due"], advice
+
+    post = rebuild_semantic_cells(spark, store)
+    assert post["cells"] == auto_ivf_cells(post["vectors"])
+    assert not post["rebuild_due"], post
+    want = {
+        (r.cell, tuple(r.cv))
+        for r in semantic_cells(
+            spark.read.parquet(store).select("vec_id", "qv")
+        ).collect()
+    }
+    got = {
+        (r.cell, tuple(r.cv))
+        for r in spark.read.parquet(store + "/_cents").collect()
+    }
+    assert got == want
+
+    # a later run admits under the REBUILT geometry: stream a third
+    # batch and compare against the batch twin with the new cells
+    extra = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(
+        (F.col("vec_id") >= 350) & (F.col("vec_id") < 400)
+    )
+    extra.coalesce(1).write.parquet(str(tmp_path / "src2" / "f"))
+    corpus_before = spark.read.parquet(store).select("vec_id", "qv")
+    corpus_before = corpus_before.persist()
+    corpus_before.count()
+    cents_new = spark.read.parquet(store + "/_cents")
+    b3 = v.filter((F.col("vec_id") >= 350) & (F.col("vec_id") < 400))
+    want_store = {
+        (r.vec_id, tuple(r.qv))
+        for r in corpus_before.unionByName(
+            _twin_admitted(corpus_before, b3, cents=cents_new)
+        ).collect()
+    }
+    stream_semantic_admit(
+        _arrival_stream(spark, tmp_path / "src2"), store,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert _qv_set(spark, store) == want_store
+    corpus_before.unpersist()
