@@ -173,7 +173,15 @@ def semantic_snapshot(v, cents, group_col: str = "source"):
     """Collapse a (vec_id, qv, <group_col>) relation to the (group,
     val) snapshot shape the PSI machinery consumes, with val = the
     vector's argmin frozen cell. One broadcast argmin + one id-keyed
-    join to re-attach the group — O(rows), no pairwise term."""
+    join to re-attach the group — O(rows), no pairwise term.
+
+    Precondition: vec_id is row-unique within the snapshot (the same
+    contract as the admission loop). The argmin groups BY vec_id, so
+    colliding ids — e.g. two producers merged without re-keying —
+    would collapse to one winner whose cell then counts for every
+    colliding row, silently skewing the histogram;
+    stream_semantic_drift refuses such batches loudly rather than
+    score them."""
     from presto_on_ray_spark.operators.similarity import _cell_assign
 
     asg = _cell_assign(v.select("vec_id", "qv"), cents)
@@ -206,9 +214,13 @@ def semantic_drift_psi(
     )
 
 
-_SEM_DRIFT_CELLS_SQL = """
+from presto_on_ray_spark.operators.similarity import _IVFPQ_CELLS  # noqa: E402
+# (single-sourced floor: auto_ivf_cells' default — the ingest oracle
+# interpolates the same constant, so a dial retune moves both keys)
+
+_SEM_DRIFT_CELLS_SQL = f"""
     dial AS (
-      SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nc
+      SELECT GREATEST({_IVFPQ_CELLS}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nc
       FROM ref
     ),
     cents AS (

@@ -279,28 +279,35 @@ def stream_semantic_admit(
             v = batch.select("vec_id", "qv")
         else:
             v = batch.select("vec_id", quantized(F.col(vec_col)).alias("qv"))
-        if v.isEmpty():
-            return
-        if v.groupBy("vec_id").count().filter("count > 1").limit(1).collect():
-            raise ValueError(
-                "stream_semantic_admit: duplicate vec_id within a single "
-                "batch — admission would keep an arbitrary copy; "
-                "deduplicate upstream (e.g. semantic_dedup or a "
-                "dropDuplicates on vec_id)"
-            )
         v = v.persist()
         try:
+            if v.isEmpty():
+                return
+            if v.groupBy("vec_id").count().filter(
+                "count > 1"
+            ).limit(1).collect():
+                raise ValueError(
+                    "stream_semantic_admit: duplicate vec_id within a single "
+                    "batch — admission would keep an arbitrary copy; "
+                    "deduplicate upstream (e.g. semantic_dedup or a "
+                    "dropDuplicates on vec_id)"
+                )
+            # the STORE is authoritative data: only the path-missing
+            # failure maps to the bootstrap path (dedup.py's saved-
+            # bands convention) — a transient FS error or corrupt
+            # footer must fail the trigger loudly, never admit the
+            # batch wholesale past the dedup rule and the replay probe
             try:
                 store = spark.read.parquet(store_path)
-                have_store = True
-            except Exception:
+            except Exception as e:  # AnalysisException: PATH_NOT_FOUND
+                if not (
+                    "PATH_NOT_FOUND" in str(e)
+                    or "Path does not exist" in str(e)
+                ):
+                    raise
                 store = None
-                have_store = False
-            if have_store:
-                replayed = store.select("vec_id").join(
-                    F.broadcast(v.select("vec_id")), "vec_id"
-                )
-                fresh = v.join(F.broadcast(replayed), "vec_id", "left_anti")
+            cents = None
+            if store is not None:
                 # the store's FROZEN quantizer sidecar (underscore
                 # path: invisible to the main parquet read). Cells
                 # re-derived per trigger from the growing corpus would
@@ -308,13 +315,40 @@ def stream_semantic_admit(
                 # verdicts unstable; frozen cells make rejection
                 # MONOTONE under growth (candidate sets only gain
                 # members), which is what replay determinism rests on.
+                # Unlike the store, the sidecar is DERIVED data: a
+                # missing or torn one (crashed first write leaves a
+                # dir of _temporary litter the read cannot infer a
+                # schema from) is rebuilt from the store and
+                # overwritten — self-healing; any other failure
+                # raises.
                 try:
                     cents = spark.read.parquet(cents_path)
-                except Exception:
-                    semantic_cells(store.select("vec_id", "qv")).coalesce(
-                        1
-                    ).write.parquet(cents_path)
-                    cents = spark.read.parquet(cents_path)
+                except Exception as e:
+                    if not (
+                        "PATH_NOT_FOUND" in str(e)
+                        or "Path does not exist" in str(e)
+                        or "UNABLE_TO_INFER_SCHEMA" in str(e)
+                        or "Unable to infer schema" in str(e)
+                    ):
+                        raise
+                    derived = semantic_cells(store.select("vec_id", "qv"))
+                    if derived.isEmpty():
+                        # empty-but-present store (a zero-row seed
+                        # write): nothing to freeze yet — bootstrap
+                        # this batch and leave sidecar derivation to
+                        # the first trigger that sees a corpus, same
+                        # as the no-store path
+                        cents = None
+                    else:
+                        derived.coalesce(1).write.mode(
+                            "overwrite"
+                        ).parquet(cents_path)
+                        cents = spark.read.parquet(cents_path)
+            if store is not None and cents is not None:
+                replayed = store.select("vec_id").join(
+                    F.broadcast(v.select("vec_id")), "vec_id"
+                )
+                fresh = v.join(F.broadcast(replayed), "vec_id", "left_anti")
                 verdicts = semantic_ingest_verdicts(
                     store.select("vec_id", "qv"), fresh,
                     nprobe=nprobe, tau=tau, cents=cents,
@@ -372,7 +406,13 @@ def semantic_cells_advice(spark, store_path: str, growth_factor: float = 4.0) ->
     vectors = spark.read.parquet(store_path).count()
     try:
         cells = spark.read.parquet(store_path.rstrip("/") + "/_cents").count()
-    except Exception:
+    except Exception as e:  # only a MISSING sidecar is quiet; a torn or
+        # unreadable one is exactly the state that needs maintenance
+        # attention and must raise, not report rebuild_due=False
+        if not (
+            "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+        ):
+            raise
         return {
             "vectors": vectors, "cells": 0, "built_for": 0,
             "auto_cells_now": auto_ivf_cells(vectors), "ratio": 0.0,
@@ -404,8 +444,6 @@ def rebuild_semantic_cells(spark, store_path: str) -> dict:
     at run boundaries, never inside a checkpointed run. Returns the
     post-rebuild advice dict (rebuild_due False by construction:
     vectors <= auto_cells(vectors)^2 for n >= 1)."""
-    from presto_on_ray_spark.operators.similarity import semantic_cells
-
     store = spark.read.parquet(store_path).select("vec_id", "qv")
     cents_path = store_path.rstrip("/") + "/_cents"
     semantic_cells(store).coalesce(1).write.mode("overwrite").parquet(

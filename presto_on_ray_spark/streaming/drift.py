@@ -103,6 +103,15 @@ def stream_semantic_drift(
             v = batch.select(
                 "vec_id", quantized(F.col(vec_col)).alias("qv"), group_col
             )
+        if v.groupBy("vec_id").count().filter(
+            "count > 1"
+        ).limit(1).collect():
+            raise ValueError(
+                "stream_semantic_drift: duplicate vec_id within a batch — "
+                "the per-id argmin would collapse colliding rows to one "
+                "winner and silently skew the histogram; re-key merged "
+                "sources upstream"
+            )
         sink(
             psi_against_reference(
                 ref_hist, semantic_snapshot(v, cents, group_col), 1, group_col

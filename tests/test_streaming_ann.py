@@ -529,3 +529,60 @@ def test_semantic_cells_lifecycle_rebuild(spark, sf_dir, tmp_path):
     )
     assert _qv_set(spark, store) == want_store
     corpus_before.unpersist()
+
+
+def test_stream_semantic_admit_heals_torn_cents_sidecar(
+    spark, sf_dir, tmp_path
+):
+    """A crashed first sidecar write leaves a dir the read cannot
+    infer a schema from; the sidecar is DERIVED data, so the next
+    trigger rebuilds and overwrites it instead of crash-looping."""
+    import pathlib
+
+    from presto_on_ray_spark.streaming.ann import stream_semantic_admit
+
+    v = _vecs(spark, sf_dir)
+    store = str(tmp_path / "vstore")
+    v.filter(F.col("vec_id") < 400).write.parquet(store)
+    torn = pathlib.Path(store) / "_cents" / "_temporary"
+    torn.mkdir(parents=True)
+    src = tmp_path / "arrivals"
+    _write_arrivals(spark, sf_dir, src)
+
+    stream_semantic_admit(
+        _arrival_stream(spark, src), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    cents = spark.read.parquet(store + "/_cents")
+    assert cents.count() > 0  # healed: derived and frozen
+
+
+def test_stream_semantic_admit_zero_row_store_bootstraps(
+    spark, sf_dir, tmp_path
+):
+    """An empty-but-present store (a zero-row seed write) must behave
+    like no store: bootstrap-admit, and crucially never freeze an
+    EMPTY sidecar that would admit everything forever."""
+    import os
+
+    from presto_on_ray_spark.streaming.ann import stream_semantic_admit
+
+    v = _vecs(spark, sf_dir)
+    store = str(tmp_path / "vstore")
+    v.limit(0).write.parquet(store)
+    src = tmp_path / "arrivals"
+    _write_arrivals(spark, sf_dir, src)
+
+    stream_semantic_admit(
+        _arrival_stream(spark, src), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    b1 = v.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    b2 = v.filter(F.col("vec_id") >= 450)
+    want = b1.unionByName(_twin_admitted(b1, b2))
+    assert _qv_set(spark, store) == {
+        (r.vec_id, tuple(r.qv)) for r in want.collect()
+    }
+    cents = spark.read.parquet(store + "/_cents")
+    assert cents.count() > 0  # frozen from b1, never from the empty seed
