@@ -3113,6 +3113,245 @@ def dedup_semantic_ingest(spark, sf_dir):
     return semantic_ingest_verdicts(corpus, batch)
 
 
+def semantic_probe_dial(
+    corpus_v,
+    tau: float = _SEM_TAU,
+    target_recall: float = 0.95,
+    sample_mod: int = 20,
+    n_cells: int | None = None,
+    cents=None,
+) -> dict:
+    """The recall dial for the probed-cell admission rule — lsh_dial's
+    philosophy where no closed form exists: how many cells must a
+    batch vector probe so that a stated fraction of true duplicates
+    (corpus-wide cosine >= tau) is caught? Unlike LSH's S-curve, the
+    answer depends on tau RELATIVE TO the corpus's cell angular scale
+    (a production tau of ~0.95 sits inside one Voronoi cell and
+    nprobe=2 is near-exact; the spread fixture at tau=0.35 needs ~16
+    of its 127 cells for 0.95 — measured, SCALING.md round 15), so the
+    dial is EMPIRICAL: one bounded sampled pass computes the whole
+    recall-vs-nprobe curve and returns the smallest nprobe meeting
+    ``target_recall``.
+
+    Method: sample queries deterministically (vec_id % ``sample_mod``
+    == 0), score them against the WHOLE corpus (one broadcast of the
+    sample against a single corpus scan — O(n x sample/corpus-density)
+    work, run once per rebuild, not per batch), and for each
+    dup-bearing query find the best RANK (in its own d2 cell ordering)
+    of any cell holding a qualifying shadower; recall(p) is then the
+    fraction of dup-bearing queries with min_rank <= p, read off one
+    histogram. Returns {nprobe, curve (rank -> cumulative recall),
+    sampled, dup_bearing, n_cells}. A corpus with no dup-bearing
+    sampled queries returns nprobe=_SEM_INGEST_NPROBE (nothing to
+    bound).
+
+    The verdict rule itself never changes — the dial only widens the
+    candidate set, exactly auto_ivf_nprobe's role on the ANN side;
+    thread the result into semantic_ingest_verdicts(nprobe=...)."""
+    if cents is None:
+        cents = semantic_cells(corpus_v, n_cells)
+    cents = cents.persist()
+    corpus_v = corpus_v.persist()
+    try:
+        # residue 1, not 0: a corpus whose id space already excludes a
+        # divisor's multiples (the fixture split drops % 5 == 0) would
+        # make the 0-residue sample empty
+        sample = corpus_v.filter(F.col("vec_id") % sample_mod == 1).select(
+            F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+        )
+        n_sample = sample.count()
+        # per-query cell ordering: rank of every cell by (d2, cell)
+        qd = sample.crossJoin(F.broadcast(cents)).select(
+            "qid",
+            "cell",
+            _pq_l2sq(F.col("qqv"), F.col("cv")).alias("d2"),
+        )
+        qrank = qd.select(
+            "qid",
+            "cell",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy("d2", "cell"))
+            .alias("rank"),
+        )
+        # corpus members' own argmin cells + qualifying pairs
+        casg = _cell_assign(corpus_v, cents).select(
+            F.col("vec_id").alias("cid"), "cell", F.col("qv").alias("cqv")
+        )
+        pairs = (
+            casg.join(F.broadcast(sample), F.col("cid") != F.col("qid"))
+            .filter(cosine_q(F.col("cqv"), F.col("qqv")) >= tau)
+            .select("qid", "cell")
+        )
+        min_rank = (
+            pairs.join(qrank, ["qid", "cell"])
+            .groupBy("qid")
+            .agg(F.min("rank").alias("min_rank"))
+        )
+        hist = {
+            int(r["min_rank"]): int(r["n"])
+            for r in min_rank.groupBy("min_rank")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        dup_bearing = sum(hist.values())
+        n_cells_used = cents.count()
+        if dup_bearing == 0:
+            return {
+                "nprobe": _SEM_INGEST_NPROBE,
+                "curve": {},
+                "sampled": n_sample,
+                "dup_bearing": 0,
+                "n_cells": n_cells_used,
+            }
+        curve, cum, nprobe = {}, 0, None
+        for rank in range(1, n_cells_used + 1):
+            cum += hist.get(rank, 0)
+            curve[rank] = round(cum / dup_bearing, 4)
+            # integer-vs-product compare, NOT the rounded curve value:
+            # cum >= target * dup_bearing is one IEEE multiply on both
+            # engines, so the folded SQL oracle lands the same rank
+            if nprobe is None and cum >= target_recall * dup_bearing:
+                nprobe = rank
+        return {
+            "nprobe": nprobe if nprobe is not None else n_cells_used,
+            "curve": curve,
+            "sampled": n_sample,
+            "dup_bearing": dup_bearing,
+            "n_cells": n_cells_used,
+        }
+    finally:
+        corpus_v.unpersist()
+        cents.unpersist()
+
+
+_SEM_DIAL_TARGET = 0.95
+_SEM_DIAL_SAMPLE_MOD = 20
+
+
+@query(
+    "dedup_semantic_ingest_bounded",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    corpus AS (SELECT vec_id, qv FROM e WHERE vec_id % 5 <> 0),
+    batch AS (SELECT vec_id, qv FROM e WHERE vec_id % 5 = 0),
+    dial AS (
+      SELECT GREATEST({_IVFPQ_CELLS},
+                      CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nc
+      FROM corpus
+    ),
+    cents AS (
+      SELECT cell, cv FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+               qv AS cv
+        FROM corpus)
+      WHERE cell < (SELECT nc FROM dial)
+    ),
+    cd AS (
+      SELECT c.vec_id, c.qv, ct.cell,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(c.qv) + 1),
+               i -> (c.qv[i] - ct.cv[i]) * (c.qv[i] - ct.cv[i]))) AS d2
+      FROM corpus c CROSS JOIN cents ct
+    ),
+    casg AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT vec_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM cd) WHERE rn = 1
+    ),
+    sample AS (
+      SELECT vec_id AS qid, qv FROM corpus
+      WHERE vec_id % {_SEM_DIAL_SAMPLE_MOD} = 1
+    ),
+    qd AS (
+      SELECT s.qid, ct.cell,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(s.qv) + 1),
+               i -> (s.qv[i] - ct.cv[i]) * (s.qv[i] - ct.cv[i]))) AS d2
+      FROM sample s CROSS JOIN cents ct
+    ),
+    qrank AS (
+      SELECT qid, cell,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cell) AS rnk
+      FROM qd
+    ),
+    qpairs AS (
+      SELECT b.qid, a.cell
+      FROM casg a JOIN sample b ON a.vec_id <> b.qid
+      WHERE {_SEM_COS_SQL} >= {_SEM_TAU}
+    ),
+    minr AS (
+      SELECT p.qid, MIN(r.rnk) AS min_rank
+      FROM qpairs p JOIN qrank r ON r.qid = p.qid AND r.cell = p.cell
+      GROUP BY p.qid
+    ),
+    npsel AS (
+      SELECT CASE
+        WHEN (SELECT COUNT(*) FROM minr) = 0 THEN {_SEM_INGEST_NPROBE}
+        ELSE (SELECT MIN(m1.min_rank) FROM minr m1
+              WHERE (SELECT COUNT(*) FROM minr m2
+                     WHERE m2.min_rank <= m1.min_rank)
+                    >= {_SEM_DIAL_TARGET} * (SELECT COUNT(*) FROM minr))
+      END AS np
+    ),
+    bdst AS (
+      SELECT b.vec_id, b.qv, ct.cell,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(b.qv) + 1),
+               i -> (b.qv[i] - ct.cv[i]) * (b.qv[i] - ct.cv[i]))) AS d2
+      FROM batch b CROSS JOIN cents ct
+    ),
+    bprobe AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT vec_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM bdst) WHERE rn <= (SELECT np FROM npsel)
+    ),
+    agg AS (
+      SELECT b.vec_id AS vec_id, COUNT(*) AS n_cand,
+             MIN(CASE WHEN {_SEM_COS_SQL} >= {_SEM_TAU}
+                      THEN a.vec_id END) AS dup_of
+      FROM bprobe b JOIN casg a ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      GROUP BY b.vec_id
+    )
+    SELECT bt.vec_id, (agg.dup_of IS NULL) AS admit, agg.dup_of,
+           CAST(COALESCE(agg.n_cand, 0) AS BIGINT) AS n_cand
+    FROM batch bt LEFT JOIN agg ON agg.vec_id = bt.vec_id
+    """,
+)
+def dedup_semantic_ingest_bounded(spark, sf_dir):
+    """Semantic ingest admission under the RECALL-BOUNDED probe dial
+    (the lsh_keepers_bounded of this family): semantic_probe_dial
+    measures the recall-vs-nprobe curve on a deterministic corpus
+    sample (vec_id % 20 == 1, full-corpus cosine truth, min qualifying
+    cell rank per dup-bearing query) and the verdict runs at the
+    smallest nprobe whose cumulative catch meets the 0.95
+    (= _SEM_DIAL_TARGET) target. The ENTIRE dial — sample, per-query
+    cell ranking, qualifying pairs, cumulative crossing — is folded
+    into the oracle, so the key is hash-exact at any scale with the
+    dial genuinely moving (nprobe 7 of 20 cells at sf0.01, 21 of 40 at
+    sf0.1 on the spread fixture; a production-tau corpus lands near
+    the frozen key's 2). Rule identical to dedup_semantic_ingest —
+    the dial only widens the candidate set, auto_ivf_nprobe's role on
+    the ANN side."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    corpus = v.filter(F.col("vec_id") % 5 != 0)
+    batch = v.filter(F.col("vec_id") % 5 == 0)
+    cents = semantic_cells(corpus)
+    d = semantic_probe_dial(
+        corpus,
+        target_recall=_SEM_DIAL_TARGET,
+        sample_mod=_SEM_DIAL_SAMPLE_MOD,
+        cents=cents,
+    )
+    return semantic_ingest_verdicts(
+        corpus, batch, nprobe=d["nprobe"], cents=cents
+    )
+
+
 # ---------------------------------------------------------------------------
 # k-center diversity seeds (farthest-point traversal — Gonzalez 1985,
 # the 2-approximation to k-center; the greedy coreset rule used for

@@ -132,3 +132,69 @@ def test_empty_corpus_admits_everything(spark, split):
     rows = semantic_ingest_verdicts(empty, head, n_cells=8).collect()
     assert len(rows) == 5
     assert all(r.admit and r.dup_of is None and r.n_cand == 0 for r in rows)
+
+
+def test_probe_dial_matches_numpy_recurve(split):
+    """semantic_probe_dial's whole curve against a shared-code-free
+    NumPy replay: sampled queries, full-corpus cosine truth, min
+    qualifying cell rank, cumulative crossing at the target."""
+    from presto_on_ray_spark.operators.similarity import (
+        semantic_probe_dial,
+    )
+
+    corpus, _, cvecs, _ = split
+    nc = auto_ivf_cells(len(cvecs))
+    d = semantic_probe_dial(corpus)
+
+    cids = sorted(cvecs)
+    cents = [cvecs[i] for i in cids[:nc]]
+
+    def dists(q):
+        return [int(((q - c).astype(object) ** 2).sum()) for c in cents]
+
+    cell_of = {i: int(np.argmin(dists(cvecs[i]))) for i in cids}
+    min_rank = {}
+    for qid in [i for i in cids if i % 20 == 1]:
+        order = [c for _, c in sorted((dv, c) for c, dv in enumerate(dists(cvecs[qid])))]
+        rank_of = {c: r + 1 for r, c in enumerate(order)}
+        nq = float(np.sqrt(float((cvecs[qid].astype(float) ** 2).sum())))
+        best = None
+        for a in cids:
+            if a == qid:
+                continue
+            na = float(np.sqrt(float((cvecs[a].astype(float) ** 2).sum())))
+            cos = float(
+                np.dot(cvecs[a].astype(float), cvecs[qid].astype(float))
+            ) / (na * nq)
+            if cos >= _SEM_TAU:
+                r = rank_of[cell_of[a]]
+                best = r if best is None else min(best, r)
+        if best is not None:
+            min_rank[qid] = best
+
+    dup = len(min_rank)
+    assert d["dup_bearing"] == dup
+    assert d["sampled"] == len([i for i in cids if i % 20 == 1])
+    curve, cum, want_np = {}, 0, None
+    for rank in range(1, nc + 1):
+        cum += sum(1 for r in min_rank.values() if r == rank)
+        curve[rank] = round(cum / dup, 4)
+        if want_np is None and cum >= 0.95 * dup:
+            want_np = rank
+    assert d["curve"] == curve
+    assert d["nprobe"] == want_np
+
+
+def test_probe_dial_full_target_reaches_full_probe_verdicts(split):
+    """target_recall=1.0 must land an nprobe at which the SAMPLED
+    dup-bearing queries are all caught; and the curve is a proper
+    nondecreasing CDF ending at 1.0."""
+    from presto_on_ray_spark.operators.similarity import (
+        semantic_probe_dial,
+    )
+
+    corpus, _, _, _ = split
+    d = semantic_probe_dial(corpus, target_recall=1.0)
+    vals = [d["curve"][k] for k in sorted(d["curve"])]
+    assert vals == sorted(vals) and vals[-1] == 1.0
+    assert d["curve"][d["nprobe"]] == 1.0
