@@ -207,7 +207,7 @@ def stream_ann_ingest_with_rebuild(
 def stream_semantic_admit(
     vec_stream: DataFrame,
     store_path: str,
-    nprobe: int = _SEM_INGEST_NPROBE,
+    nprobe: int | None = None,
     tau: float = _SEM_TAU,
     on_batch=None,
     checkpoint_dir: str | None = None,
@@ -264,6 +264,14 @@ def stream_semantic_admit(
     fail the batch loudly, mirroring the ANN ingest loop's refusal to
     pick an arbitrary winner.
 
+    ``nprobe=None`` (the default) resolves once at stream start: the
+    ``_probe`` sidecar if a rebuild_semantic_cells(target_recall=...)
+    pass has dialed this geometry, else the fixed _SEM_INGEST_NPROBE —
+    rebuild re-dials, the stream just reads. Resolution is per-RUN,
+    matching the frozen-geometry contract (rebuilds happen between
+    runs, so mid-run the sidecar never changes under a well-scheduled
+    maintainer).
+
     ``on_batch(stats)`` fires per non-empty trigger with
     {batch_id, arrived, fresh, admitted} — the bounded counts a
     scheduler logs; omit it and the loop never pays the extra
@@ -271,6 +279,9 @@ def stream_semantic_admit(
     import contextlib
 
     cents_path = store_path.rstrip("/") + "/_cents"
+    if nprobe is None:
+        dialed = _read_probe_sidecar(store_path)
+        nprobe = dialed if dialed is not None else _SEM_INGEST_NPROBE
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -430,7 +441,10 @@ def semantic_cells_advice(spark, store_path: str, growth_factor: float = 4.0) ->
     }
 
 
-def rebuild_semantic_cells(spark, store_path: str) -> dict:
+def rebuild_semantic_cells(
+    spark, store_path: str, target_recall: float | None = None,
+    tau: float = _SEM_TAU,
+) -> dict:
     """The maintenance pass the admission store's docstring promises:
     rewrite the ``_cents`` sidecar from the FULL current store at the
     auto sqrt-n dial. Runs BETWEEN stream runs (the admission loop
@@ -441,12 +455,56 @@ def rebuild_semantic_cells(spark, store_path: str) -> dict:
     shifts them: the rule (probed cells, cosine >= tau, earliest-id)
     is unchanged, the geometry moves to the corpus's current operating
     point — and replay determinism is preserved because rebuilds sit
-    at run boundaries, never inside a checkpointed run. Returns the
-    post-rebuild advice dict (rebuild_due False by construction:
-    vectors <= auto_cells(vectors)^2 for n >= 1)."""
+    at run boundaries, never inside a checkpointed run.
+
+    ``target_recall`` additionally runs semantic_probe_dial over the
+    rebuilt geometry (the once-per-rebuild sampled full-corpus pass —
+    exactly where its cost belongs) and persists the chosen nprobe in
+    the ``_probe`` sidecar, which stream_semantic_admit picks up on
+    its next run: rebuild re-dials, the stream just reads. Without it
+    any existing ``_probe`` sidecar is REMOVED — stale nprobes from an
+    old geometry must not survive a rebuild they weren't measured on.
+    Returns the post-rebuild advice dict (rebuild_due False by
+    construction: vectors <= auto_cells(vectors)^2 for n >= 1), plus
+    the dial dict under ``probe_dial`` when one ran."""
+    import json
+    import os
+
+    from presto_on_ray_spark.operators.similarity import (
+        semantic_probe_dial,
+    )
+
     store = spark.read.parquet(store_path).select("vec_id", "qv")
     cents_path = store_path.rstrip("/") + "/_cents"
+    probe_path = os.path.join(store_path.rstrip("/"), "_probe")
     semantic_cells(store).coalesce(1).write.mode("overwrite").parquet(
         cents_path
     )
-    return semantic_cells_advice(spark, store_path)
+    out = semantic_cells_advice(spark, store_path)
+    if target_recall is not None:
+        dial = semantic_probe_dial(
+            store, tau=tau, target_recall=target_recall,
+            cents=spark.read.parquet(cents_path),
+        )
+        tmp = probe_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"nprobe": dial["nprobe"],
+                       "target_recall": target_recall}, fh)
+        os.replace(tmp, probe_path)
+        out = dict(out, probe_dial=dial)
+    elif os.path.exists(probe_path):
+        os.remove(probe_path)
+    return out
+
+
+def _read_probe_sidecar(store_path: str) -> int | None:
+    """The dialed nprobe persisted by rebuild_semantic_cells, or None
+    when no dial has run for the current geometry."""
+    import json
+    import os
+
+    probe_path = os.path.join(store_path.rstrip("/"), "_probe")
+    if not os.path.exists(probe_path):
+        return None
+    with open(probe_path, encoding="utf-8") as fh:
+        return int(json.load(fh)["nprobe"])

@@ -586,3 +586,58 @@ def test_stream_semantic_admit_zero_row_store_bootstraps(
     }
     cents = spark.read.parquet(store + "/_cents")
     assert cents.count() > 0  # frozen from b1, never from the empty seed
+
+
+def test_rebuild_dial_feeds_next_admission_run(spark, sf_dir, tmp_path):
+    """rebuild_semantic_cells(target_recall=...) persists the dialed
+    nprobe in the _probe sidecar; the next stream run resolves it and
+    verdicts at that width (== the batch twin at the dialed nprobe);
+    a dial-less rebuild removes the stale sidecar."""
+    from presto_on_ray_spark.operators.similarity import (
+        semantic_ingest_verdicts,
+        semantic_probe_dial,
+    )
+    from presto_on_ray_spark.streaming.ann import (
+        _read_probe_sidecar,
+        rebuild_semantic_cells,
+        stream_semantic_admit,
+    )
+
+    v = _vecs(spark, sf_dir)
+    store = str(tmp_path / "vstore")
+    v.filter(F.col("vec_id") < 400).write.parquet(store)
+
+    out = rebuild_semantic_cells(spark, store, target_recall=0.95)
+    dialed = out["probe_dial"]["nprobe"]
+    assert _read_probe_sidecar(store) == dialed
+    assert dialed > 2  # the spread fixture genuinely widens the probe
+
+    src = tmp_path / "arrivals"
+    _write_arrivals(spark, sf_dir, src)
+    stream_semantic_admit(
+        _arrival_stream(spark, src), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    corpus0 = v.filter(F.col("vec_id") < 400)
+    cents = spark.read.parquet(store + "/_cents")
+    b1 = v.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    b2 = v.filter(F.col("vec_id") >= 450)
+
+    def _adm(corpus, batch):
+        verd = semantic_ingest_verdicts(
+            corpus, batch, nprobe=dialed, cents=cents
+        )
+        return batch.join(
+            verd.filter(F.col("admit")).select("vec_id"), "vec_id"
+        )
+
+    adm1 = _adm(corpus0, b1)
+    corpus1 = corpus0.unionByName(adm1)
+    want = corpus1.unionByName(_adm(corpus1, b2))
+    assert _qv_set(spark, store) == {
+        (r.vec_id, tuple(r.qv)) for r in want.collect()
+    }
+
+    rebuild_semantic_cells(spark, store)  # dial-less: sidecar removed
+    assert _read_probe_sidecar(store) is None
