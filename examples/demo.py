@@ -233,6 +233,23 @@ def main() -> None:
     print(f"published generation {gen}; nonzero weights:",
           w.filter("wnum <> 0").count())
 
+    print("== Semantic ingest admission (r15): batch vs corpus cells ==")
+    from presto_on_ray_spark.operators.similarity import (
+        semantic_ingest_verdicts,
+        semantic_probe_dial,
+    )
+
+    corpus = v.filter("vec_id % 5 <> 0")
+    arriving = v.filter("vec_id % 5 = 0")
+    verdicts = semantic_ingest_verdicts(corpus, arriving)
+    verdicts.groupBy("admit").count().orderBy("admit").show()
+    dial = semantic_probe_dial(corpus, target_recall=0.95)
+    print(
+        f"probe dial: nprobe {dial['nprobe']} of {dial['n_cells']} cells "
+        f"for recall >= 0.95 ({dial['dup_bearing']}/{dial['sampled']} "
+        f"sampled queries dup-bearing)"
+    )
+
     print("== Physical-plan introspection ==")
     from presto_on_ray_spark.plans import physical_summary
 

@@ -3113,11 +3113,14 @@ def dedup_semantic_ingest(spark, sf_dir):
     return semantic_ingest_verdicts(corpus, batch)
 
 
+_SEM_DIAL_SAMPLE_TARGET = 1000  # ~queries in the dial's truth sample
+
+
 def semantic_probe_dial(
     corpus_v,
     tau: float = _SEM_TAU,
     target_recall: float = 0.95,
-    sample_mod: int = 20,
+    sample_mod: int | None = None,
     n_cells: int | None = None,
     cents=None,
 ) -> dict:
@@ -3153,6 +3156,17 @@ def semantic_probe_dial(
     cents = cents.persist()
     corpus_v = corpus_v.persist()
     try:
+        if sample_mod is None:
+            # derived so the sample stays ~_SEM_DIAL_SAMPLE_TARGET
+            # queries REGARDLESS of corpus size — a fixed modulus
+            # would grow the broadcast side linearly with the corpus
+            # (n/20 of 10^10 is not broadcast-sized); the fixture
+            # rungs all land on the floor of 20, so the formula folds
+            # into the oracle without moving any frozen result
+            sample_mod = max(
+                _SEM_DIAL_SAMPLE_MOD,
+                math.ceil(corpus_v.count() / float(_SEM_DIAL_SAMPLE_TARGET)),
+            )
         # residue 1, not 0: a corpus whose id space already excludes a
         # divisor's multiples (the fixture split drops % 5 == 0) would
         # make the 0-residue sample empty
@@ -3263,9 +3277,15 @@ _SEM_DIAL_SAMPLE_MOD = 20
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
         FROM cd) WHERE rn = 1
     ),
+    smod AS (
+      SELECT GREATEST({_SEM_DIAL_SAMPLE_MOD},
+                      CAST(CEIL(COUNT(*) / CAST({_SEM_DIAL_SAMPLE_TARGET} AS DOUBLE))
+                           AS BIGINT)) AS m
+      FROM corpus
+    ),
     sample AS (
       SELECT vec_id AS qid, qv FROM corpus
-      WHERE vec_id % {_SEM_DIAL_SAMPLE_MOD} = 1
+      WHERE vec_id % (SELECT m FROM smod) = 1
     ),
     qd AS (
       SELECT s.qid, ct.cell,
@@ -3342,10 +3362,7 @@ def dedup_semantic_ingest_bounded(spark, sf_dir):
     batch = v.filter(F.col("vec_id") % 5 == 0)
     cents = semantic_cells(corpus)
     d = semantic_probe_dial(
-        corpus,
-        target_recall=_SEM_DIAL_TARGET,
-        sample_mod=_SEM_DIAL_SAMPLE_MOD,
-        cents=cents,
+        corpus, target_recall=_SEM_DIAL_TARGET, cents=cents
     )
     return semantic_ingest_verdicts(
         corpus, batch, nprobe=d["nprobe"], cents=cents

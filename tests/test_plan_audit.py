@@ -121,6 +121,17 @@ NESTED_LOOP_ALLOWED = {
     "dedup_semantic",
     "dedup_semantic_refined",  # same bounded argmin, refined cells
     "dedup_semantic_auto_cells",  # same argmin, ceil(sqrt n)-row broadcast side
+    # r15 semantic ingest tier: the nested-loop passes are the corpus
+    # and batch centroid argmins (x ceil(sqrt n)-row broadcast cents —
+    # the IVF assignment shape); the candidate stage is a cell-keyed
+    # equi-join. The bounded key adds the dial's sampled full-corpus
+    # truth pass (corpus x ~n/20-row broadcast sample, run once per
+    # rebuild by design — the dial's documented cost, not a per-batch
+    # term), and the drift key the same two argmins over both
+    # snapshots.
+    "dedup_semantic_ingest",
+    "dedup_semantic_ingest_bounded",
+    "corpus_drift_semantic",
     # source-pair theta self-join over the SKETCH relation (one row of
     # k longs per source — |sources| rows total, never documents)
     "corpus_overlap_bottomk",
