@@ -3151,10 +3151,15 @@ def semantic_probe_dial(
     The verdict rule itself never changes — the dial only widens the
     candidate set, exactly auto_ivf_nprobe's role on the ANN side;
     thread the result into semantic_ingest_verdicts(nprobe=...)."""
-    if cents is None:
-        cents = semantic_cells(corpus_v, n_cells)
-    cents = cents.persist()
-    corpus_v = corpus_v.persist()
+    # persist ONLY what this function derives: persist() on an
+    # already-persisted caller frame returns the same object, so an
+    # unconditional unpersist here would evict a cache the caller owns
+    # (found by the r15 self-review); callers running repeated dials
+    # should persist corpus_v/cents themselves, per the module's
+    # pinning advice
+    own_cents = cents is None
+    if own_cents:
+        cents = semantic_cells(corpus_v, n_cells).persist()
     try:
         if sample_mod is None:
             # derived so the sample stays ~_SEM_DIAL_SAMPLE_TARGET
@@ -3174,6 +3179,18 @@ def semantic_probe_dial(
             F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
         )
         n_sample = sample.count()
+        if n_sample == 0:
+            # distinguishable from "sampled but nothing dup-bearing":
+            # an empty sample measures NOTHING, and returning the
+            # default here would let a rebuild persist an nprobe as if
+            # the recall target were met (r15 self-review) — an id
+            # space missing the residue class must pick its own mod
+            raise ValueError(
+                f"semantic_probe_dial: the sample (vec_id % "
+                f"{sample_mod} == 1) is empty — this corpus's id space "
+                f"misses the residue class; pass a sample_mod its ids "
+                f"do hit"
+            )
         # per-query cell ordering: rank of every cell by (d2, cell)
         qd = sample.crossJoin(F.broadcast(cents)).select(
             "qid",
@@ -3234,8 +3251,8 @@ def semantic_probe_dial(
             "n_cells": n_cells_used,
         }
     finally:
-        corpus_v.unpersist()
-        cents.unpersist()
+        if own_cents:
+            cents.unpersist()
 
 
 _SEM_DIAL_TARGET = 0.95
@@ -3360,7 +3377,7 @@ def dedup_semantic_ingest_bounded(spark, sf_dir):
     v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
     corpus = v.filter(F.col("vec_id") % 5 != 0)
     batch = v.filter(F.col("vec_id") % 5 == 0)
-    cents = semantic_cells(corpus)
+    cents = tracked_persist(semantic_cells(corpus))
     d = semantic_probe_dial(
         corpus, target_recall=_SEM_DIAL_TARGET, cents=cents
     )

@@ -204,6 +204,27 @@ def stream_ann_ingest_with_rebuild(
     )
 
 
+def _path_missing(e: BaseException) -> bool:
+    """The dedup.py saved-bands convention for 'this parquet path does
+    not exist yet' — the ONLY read failure the semantic loops map to a
+    bootstrap/absent state; everything else must stay loud (one
+    helper, because the r15 self-review found the substring set
+    re-spelled three times and a drifted copy reintroduces either the
+    wholesale-admission or the quiet-advice bug)."""
+    return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
+
+def _sidecar_unreadable(e: BaseException) -> bool:
+    """_path_missing plus the torn-first-write state (a dir of
+    _temporary litter no schema can be inferred from) — acceptable to
+    self-heal ONLY for derived sidecars, never for the store."""
+    return (
+        _path_missing(e)
+        or "UNABLE_TO_INFER_SCHEMA" in str(e)
+        or "Unable to infer schema" in str(e)
+    )
+
+
 def stream_semantic_admit(
     vec_stream: DataFrame,
     store_path: str,
@@ -311,10 +332,7 @@ def stream_semantic_admit(
             try:
                 store = spark.read.parquet(store_path)
             except Exception as e:  # AnalysisException: PATH_NOT_FOUND
-                if not (
-                    "PATH_NOT_FOUND" in str(e)
-                    or "Path does not exist" in str(e)
-                ):
+                if not _path_missing(e):
                     raise
                 store = None
             cents = None
@@ -334,14 +352,17 @@ def stream_semantic_admit(
                 # raises.
                 try:
                     cents = spark.read.parquet(cents_path)
+                    if cents.isEmpty():
+                        # a zero-row sidecar (e.g. a maintenance pass
+                        # gone wrong before rebuild_semantic_cells
+                        # refused empty stores) would admit everything
+                        # forever with n_cand=0 — treat it as absent
+                        cents = None
                 except Exception as e:
-                    if not (
-                        "PATH_NOT_FOUND" in str(e)
-                        or "Path does not exist" in str(e)
-                        or "UNABLE_TO_INFER_SCHEMA" in str(e)
-                        or "Unable to infer schema" in str(e)
-                    ):
+                    if not _sidecar_unreadable(e):
                         raise
+                    cents = None
+                if cents is None:
                     derived = semantic_cells(store.select("vec_id", "qv"))
                     if derived.isEmpty():
                         # empty-but-present store (a zero-row seed
@@ -420,9 +441,7 @@ def semantic_cells_advice(spark, store_path: str, growth_factor: float = 4.0) ->
     except Exception as e:  # only a MISSING sidecar is quiet; a torn or
         # unreadable one is exactly the state that needs maintenance
         # attention and must raise, not report rebuild_due=False
-        if not (
-            "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
-        ):
+        if not _path_missing(e):
             raise
         return {
             "vectors": vectors, "cells": 0, "built_for": 0,
@@ -461,9 +480,16 @@ def rebuild_semantic_cells(
     rebuilt geometry (the once-per-rebuild sampled full-corpus pass —
     exactly where its cost belongs) and persists the chosen nprobe in
     the ``_probe`` sidecar, which stream_semantic_admit picks up on
-    its next run: rebuild re-dials, the stream just reads. Without it
-    any existing ``_probe`` sidecar is REMOVED — stale nprobes from an
-    old geometry must not survive a rebuild they weren't measured on.
+    its next run: rebuild re-dials, the stream just reads. Any
+    PRE-EXISTING ``_probe`` sidecar is removed IMMEDIATELY after the
+    cents rewrite, before the (multi-job, killable) dial runs — a
+    crash inside the dial must leave the new geometry with NO dialed
+    nprobe, never with one measured on the old geometry. The probe
+    sidecar needs the local-path protocol (an os-level atomic rename),
+    so dialing a non-local store raises, mirroring
+    stream_ann_ingest_with_rebuild's _REBUILD_STATE contract.
+    Refuses an EMPTY store: freezing zero cells would make every
+    later admission a silent accept-all (n_cand=0 forever).
     Returns the post-rebuild advice dict (rebuild_due False by
     construction: vectors <= auto_cells(vectors)^2 for n >= 1), plus
     the dial dict under ``probe_dial`` when one ran."""
@@ -475,36 +501,69 @@ def rebuild_semantic_cells(
     )
 
     store = spark.read.parquet(store_path).select("vec_id", "qv")
+    if store.isEmpty():
+        raise ValueError(
+            f"rebuild_semantic_cells: the store at {store_path!r} is "
+            f"empty — an empty _cents sidecar would admit every future "
+            f"batch with n_cand=0; seed the store (or let the admission "
+            f"stream bootstrap it) before scheduling maintenance"
+        )
     cents_path = store_path.rstrip("/") + "/_cents"
-    probe_path = os.path.join(store_path.rstrip("/"), "_probe")
+    probe_os = _probe_os_path(store_path)
+    if target_recall is not None and probe_os is None:
+        raise ValueError(
+            "rebuild_semantic_cells(target_recall=...) persists the "
+            "dialed nprobe via an os-level atomic rename, which needs "
+            f"a local store path; {store_path!r} is not one"
+        )
     semantic_cells(store).coalesce(1).write.mode("overwrite").parquet(
         cents_path
     )
+    # stale-dial removal happens HERE, directly after the geometry
+    # changed — not after the dial, whose failure window would
+    # otherwise pair old-geometry nprobes with new cells
+    if probe_os is not None and os.path.exists(probe_os):
+        os.remove(probe_os)
     out = semantic_cells_advice(spark, store_path)
     if target_recall is not None:
         dial = semantic_probe_dial(
             store, tau=tau, target_recall=target_recall,
             cents=spark.read.parquet(cents_path),
         )
-        tmp = probe_path + ".tmp"
+        tmp = probe_os + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({"nprobe": dial["nprobe"],
                        "target_recall": target_recall}, fh)
-        os.replace(tmp, probe_path)
+        os.replace(tmp, probe_os)
         out = dict(out, probe_dial=dial)
-    elif os.path.exists(probe_path):
-        os.remove(probe_path)
     return out
+
+
+def _probe_os_path(store_path: str) -> str | None:
+    """OS-level path of the ``_probe`` sidecar, via the same
+    local-vs-remote mapping as the saved indexes (_ann_paths handles
+    file:-URI spellings); None for non-local stores, where the
+    sidecar protocol (atomic rename) does not exist."""
+    import os
+
+    from presto_on_ray_spark.operators.similarity import _ann_paths
+
+    _, os_path, locked = _ann_paths(store_path)
+    if not locked:
+        return None
+    return os.path.join(os_path, "_probe")
 
 
 def _read_probe_sidecar(store_path: str) -> int | None:
     """The dialed nprobe persisted by rebuild_semantic_cells, or None
-    when no dial has run for the current geometry."""
+    when no dial has run for the current geometry (always None for
+    non-local stores — the dial refuses to persist there, so nothing
+    can be silently ignored)."""
     import json
     import os
 
-    probe_path = os.path.join(store_path.rstrip("/"), "_probe")
-    if not os.path.exists(probe_path):
+    probe_os = _probe_os_path(store_path)
+    if probe_os is None or not os.path.exists(probe_os):
         return None
-    with open(probe_path, encoding="utf-8") as fh:
+    with open(probe_os, encoding="utf-8") as fh:
         return int(json.load(fh)["nprobe"])

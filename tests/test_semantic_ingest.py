@@ -198,3 +198,33 @@ def test_probe_dial_full_target_reaches_full_probe_verdicts(split):
     vals = [d["curve"][k] for k in sorted(d["curve"])]
     assert vals == sorted(vals) and vals[-1] == 1.0
     assert d["curve"][d["nprobe"]] == 1.0
+
+
+def test_probe_dial_empty_sample_raises(spark, split):
+    """An id space that misses the sample residue class must fail
+    loudly — returning the default would let a rebuild persist an
+    nprobe as if the recall target were measured."""
+    from presto_on_ray_spark.operators.similarity import (
+        semantic_probe_dial,
+    )
+
+    corpus, _, _, _ = split
+    evens = corpus.withColumn("vec_id", F.col("vec_id") * 2)
+    with pytest.raises(ValueError, match="residue class"):
+        semantic_probe_dial(evens, sample_mod=2)
+
+
+def test_probe_dial_leaves_caller_cents_cached(split):
+    from presto_on_ray_spark.operators.similarity import (
+        semantic_cells,
+        semantic_probe_dial,
+    )
+
+    corpus, _, _, _ = split
+    cents = semantic_cells(corpus).persist()
+    cents.count()
+    try:
+        semantic_probe_dial(corpus, cents=cents)
+        assert cents.storageLevel.useMemory  # not evicted by the dial
+    finally:
+        cents.unpersist()

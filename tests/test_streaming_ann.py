@@ -641,3 +641,13 @@ def test_rebuild_dial_feeds_next_admission_run(spark, sf_dir, tmp_path):
 
     rebuild_semantic_cells(spark, store)  # dial-less: sidecar removed
     assert _read_probe_sidecar(store) is None
+
+
+def test_rebuild_semantic_cells_refuses_empty_store(spark, sf_dir, tmp_path):
+    from presto_on_ray_spark.streaming.ann import rebuild_semantic_cells
+
+    store = str(tmp_path / "vstore")
+    _vecs(spark, sf_dir).limit(0).write.parquet(store)
+    with pytest.raises(ValueError, match="empty"):
+        rebuild_semantic_cells(spark, store)
+    assert not os.path.isdir(store + "/_cents")  # nothing frozen
