@@ -3255,6 +3255,94 @@ def semantic_probe_dial(
             cents.unpersist()
 
 
+@query(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    corpus AS (SELECT vec_id, qv FROM e WHERE vec_id % 10 = 3),
+    batch AS (SELECT vec_id, qv FROM e WHERE vec_id % 10 <> 3),
+    dial AS (
+      SELECT GREATEST({_IVFPQ_CELLS},
+                      CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nc
+      FROM corpus
+    ),
+    cents AS (
+      SELECT cell, cv FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+               qv AS cv
+        FROM corpus)
+      WHERE cell < (SELECT nc FROM dial)
+    ),
+    cd AS (
+      SELECT c.vec_id, c.qv, ct.cell,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(c.qv) + 1),
+               i -> (c.qv[i] - ct.cv[i]) * (c.qv[i] - ct.cv[i]))) AS d2
+      FROM corpus c CROSS JOIN cents ct
+    ),
+    casg AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT vec_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM cd) WHERE rn = 1
+    ),
+    bdst AS (
+      SELECT b.vec_id, b.qv, ct.cell,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(b.qv) + 1),
+               i -> (b.qv[i] - ct.cv[i]) * (b.qv[i] - ct.cv[i]))) AS d2
+      FROM batch b CROSS JOIN cents ct
+    ),
+    bprobe AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT vec_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM bdst) WHERE rn <= {_SEM_INGEST_NPROBE}
+    ),
+    agg AS (
+      SELECT b.vec_id AS vec_id, COUNT(*) AS n_cand,
+             MIN(CASE WHEN {_SEM_COS_SQL} >= {_SEM_TAU}
+                      THEN a.vec_id END) AS dup_of
+      FROM bprobe b JOIN casg a ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      GROUP BY b.vec_id
+    )
+    SELECT bt.vec_id, (agg.dup_of IS NOT NULL) AS contaminated,
+           agg.dup_of AS eval_match,
+           CAST(COALESCE(agg.n_cand, 0) AS BIGINT) AS n_cand
+    FROM batch bt LEFT JOIN agg ON agg.vec_id = bt.vec_id
+    """,
+)
+def decontaminate_semantic(spark, sf_dir):
+    """Semantic (embedding-space) train/eval decontamination — the
+    modality twin of decontaminate_train_eval's n-gram verdicts: a
+    train vector is CONTAMINATED when some eval-set vector in one of
+    its probed coarse cells reaches quantized cosine >= tau. The
+    machinery IS semantic_ingest_verdicts with the roles flipped:
+    eval is the (small) corpus side, so the cell geometry lives on
+    eval, eval assignments broadcast, and the per-train-vector work
+    is bounded by probed EVAL-cell populations — O(train x eval/nc),
+    never train x eval. The fixture treats vec_id % 10 == 3 (~10%) as
+    the eval set; returns (vec_id, contaminated, eval_match, n_cand)
+    over the train rows with earliest-eval-id attribution, hash-exact
+    against the same folded oracle family as the ingest key. For
+    recall above the fixed 2-cell probe, semantic_probe_dial over the
+    eval corpus applies verbatim (pass its nprobe through)."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    eval_set = v.filter(F.col("vec_id") % 10 == 3)
+    train = v.filter(F.col("vec_id") % 10 != 3)
+    verdicts = semantic_ingest_verdicts(eval_set, train)
+    return verdicts.select(
+        "vec_id",
+        (~F.col("admit")).alias("contaminated"),
+        F.col("dup_of").alias("eval_match"),
+        "n_cand",
+    )
+
+
 _SEM_DIAL_TARGET = 0.95
 _SEM_DIAL_SAMPLE_MOD = 20
 

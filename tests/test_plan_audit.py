@@ -132,6 +132,7 @@ NESTED_LOOP_ALLOWED = {
     "dedup_semantic_ingest",
     "dedup_semantic_ingest_bounded",
     "corpus_drift_semantic",
+    "decontaminate_semantic",  # same argmins; eval is the broadcast side
     # source-pair theta self-join over the SKETCH relation (one row of
     # k longs per source — |sources| rows total, never documents)
     "corpus_overlap_bottomk",

@@ -228,3 +228,37 @@ def test_probe_dial_leaves_caller_cents_cached(split):
         assert cents.storageLevel.useMemory  # not evicted by the dial
     finally:
         cents.unpersist()
+
+
+def test_decontaminate_semantic_planted_copy(spark):
+    """A train vector that is an exact copy of an eval vector must be
+    flagged with that eval id; an orthogonal train vector must not."""
+    from presto_on_ray_spark.operators.similarity import (
+        semantic_ingest_verdicts,
+    )
+
+    # ten DISTINCT directions spread over the upper half-plane (a
+    # colinear eval set would make every member match everything)
+    import math as _math
+
+    evals = []
+    for i in range(10):
+        a = _math.pi * (i + 0.5) / 10
+        evals.append(
+            (1000 + i, [int(1000 * _math.cos(a)), int(1000 * _math.sin(a))])
+        )
+    eval_set = spark.createDataFrame(
+        evals, "vec_id long, qv array<bigint>"
+    )
+    copy_of = evals[3]
+    train = spark.createDataFrame(
+        [(1, [x * 3 for x in copy_of[1]]),   # same direction as eval 1003
+         (2, [0, -1000])],                   # opposite half-plane: cos < 0
+        "vec_id long, qv array<bigint>",
+    )
+    got = {
+        r.vec_id: (not r.admit, r.dup_of)
+        for r in semantic_ingest_verdicts(eval_set, train).collect()
+    }
+    assert got[1] == (True, copy_of[0])
+    assert got[2] == (False, None)
