@@ -567,3 +567,65 @@ def _read_probe_sidecar(store_path: str) -> int | None:
         return None
     with open(probe_os, encoding="utf-8") as fh:
         return int(json.load(fh)["nprobe"])
+
+
+def stream_semantic_decontaminate(
+    vec_stream: DataFrame,
+    eval_v: DataFrame,
+    sink,
+    nprobe: int = _SEM_INGEST_NPROBE,
+    tau: float = _SEM_TAU,
+    cents: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    await_termination: bool | None = None,
+    vec_col: str = "embedding",
+):
+    """operators/similarity.decontaminate_semantic run as streaming
+    policy: every arriving train micro-batch is screened against the
+    FROZEN eval-set geometry and its verdict relation (vec_id,
+    contaminated, eval_match, n_cand) is handed to
+    ``sink(verdicts_df, batch_id)`` — the monitor a training-data
+    intake runs beside the admission loop so eval leakage is flagged
+    before tokens reach a run. The eval set is the small corpus side:
+    persist ``eval_v`` (and pass ``cents`` — semantic_cells over the
+    eval set, derived once — to pin the geometry across triggers and
+    skip the per-trigger head scan); per-batch work is then one
+    broadcast argmin over the batch plus probed-eval-cell joins,
+    O(batch x eval/nc). The screen is stateless per trigger (same
+    batch → same verdicts — replay just re-emits), so no sidecar, no
+    checkpoint coupling beyond the source's own progress. For recall
+    above the fixed 2-cell probe, run semantic_probe_dial over the
+    eval corpus once and pass its nprobe."""
+    from presto_on_ray_spark.operators.similarity import (
+        semantic_ingest_verdicts,
+    )
+
+    if cents is None:
+        cents = semantic_cells(eval_v.select("vec_id", "qv"))
+        cents = cents.persist()
+        cents.count()
+
+    def _screen(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.filter(F.col(vec_col).isNotNull())
+        if vec_col == "qv":
+            v = batch.select("vec_id", "qv")
+        else:
+            v = batch.select("vec_id", quantized(F.col(vec_col)).alias("qv"))
+        verdicts = semantic_ingest_verdicts(
+            eval_v.select("vec_id", "qv"), v,
+            nprobe=nprobe, tau=tau, cents=cents,
+        )
+        sink(
+            verdicts.select(
+                "vec_id",
+                (~F.col("admit")).alias("contaminated"),
+                F.col("dup_of").alias("eval_match"),
+                "n_cand",
+            ),
+            batch_id,
+        )
+
+    return _start(
+        vec_stream, _screen, checkpoint_dir, available_now, await_termination
+    )

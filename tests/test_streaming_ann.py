@@ -651,3 +651,59 @@ def test_rebuild_semantic_cells_refuses_empty_store(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="empty"):
         rebuild_semantic_cells(spark, store)
     assert not os.path.isdir(store + "/_cents")  # nothing frozen
+
+
+def test_stream_semantic_decontaminate_matches_batch_api(
+    spark, sf_dir, tmp_path
+):
+    """Each train micro-batch's screen equals decontaminate-semantic's
+    batch form restricted to that batch, under pinned eval cells."""
+    from presto_on_ray_spark.operators.similarity import (
+        semantic_cells,
+        semantic_ingest_verdicts,
+    )
+    from presto_on_ray_spark.streaming.ann import (
+        stream_semantic_decontaminate,
+    )
+
+    v = _vecs(spark, sf_dir)
+    eval_v = v.filter(F.col("vec_id") % 10 == 3).persist()
+    eval_v.count()
+    cents = semantic_cells(eval_v).persist()
+    cents.count()
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = tmp_path / "arrivals"
+    for name, lo, hi in (("f1", 400, 450), ("f2", 450, 500)):
+        e.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            & (F.col("vec_id") % 10 != 3)
+        ).coalesce(1).write.parquet(str(src / name))
+
+    got = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = {
+            r.vec_id: (r.contaminated, r.eval_match, r.n_cand)
+            for r in df.collect()
+        }
+
+    stream_semantic_decontaminate(
+        _arrival_stream(spark, src), eval_v, sink, cents=cents,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    for batch_id, (lo, hi) in enumerate(((400, 450), (450, 500))):
+        train = v.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            & (F.col("vec_id") % 10 != 3)
+        )
+        want = {
+            r.vec_id: (not r.admit, r.dup_of, r.n_cand)
+            for r in semantic_ingest_verdicts(
+                eval_v, train, cents=cents
+            ).collect()
+        }
+        assert got[batch_id] == want, batch_id
+    eval_v.unpersist()
+    cents.unpersist()
