@@ -525,11 +525,12 @@ def _classifier_oracle() -> str:
 # counts — so training is bit-reproducible across engines and
 # partitionings (integer sums commute), a chained-CTE oracle replays
 # every epoch exactly, and a NumPy twin pins the algorithm. Scale
-# shape: each epoch is one broadcast of the fixed-width weight
-# relation + TWO map-combined shuffles over the persisted feature
-# relation (per-doc dot, per-bucket gradient); the epochs are a FIXED
-# relational chain, not a driver loop — the whole training plan,
-# pocket selection included, is ONE DataFrame DAG with zero collects.
+# shape (r15): the feature relation is persisted hash-partitioned and
+# sorted by doc_id, so each epoch is one broadcast of the fixed-width
+# weight relation + ONE exchange-free windowed pass over the cache
+# (per-doc dot + mistake filter) feeding the tiny per-bucket gradient
+# aggregate — the only shuffle left per epoch moves <= 4097 rows per
+# partition.
 
 _TRAIN_EPOCHS = 8
 _CLF_BIAS = _CLF_BUCKETS  # the reserved bias bucket id (4096)
@@ -555,11 +556,25 @@ def langid_labels(docs):
 def biased_features(docs):
     """hashed_features plus one bias row (bucket 4096 (= _CLF_BIAS),
     tf=1) per featured doc — the constant feature that lets a linear
-    model through the origin carry a threshold. The bias rows are
-    derived from the feature relation itself (one tiny projection), so
-    'featured doc' means exactly the docs hashed_features emits."""
+    model through the origin carry a threshold.
+
+    The bias rows come from the doc relation with the featured-doc
+    predicate applied directly (EXISTS one term of length > 0 — exactly
+    the rows hashed_features' explode+filter+groupBy emits a doc for):
+    deriving them from the feature relation itself, as before r15,
+    made Catalyst expand the self-reference into a SECOND full
+    explode + per-term hash + aggregate subtree under the union — a
+    whole corpus pass computing md5s only to be projected away (guide
+    §2.3 'don't compute what you throw away'; plan diff in plans/r15/
+    text_classifier_distilled_*.txt: the union's second branch lost
+    its Exchange + Generate). Callers pass unique-doc_id relations
+    (the corpus or a split of it), which is what keeps the two
+    derivations row-for-row equal."""
     feats = hashed_features(docs)
-    bias = feats.select("doc_id").distinct().select(
+    has_term = F.exists(
+        F.split("text", " "), lambda w: F.length(w) > 0
+    )
+    bias = docs.filter(has_term).select(
         "doc_id", F.lit(_CLF_BIAS).cast("long").alias("bucket"),
         F.lit(1).cast("long").alias("tf"),
     )
@@ -593,8 +608,27 @@ def classifier_score_biased(docs, weights):
     )
 
 
+def _train_features(docs, labels):
+    """The per-epoch scan relation: biased features joined with labels,
+    hash-partitioned AND sorted by doc_id before the persist so every
+    epoch's per-doc dot (a doc_id-partitioned window) runs with ZERO
+    exchanges and zero sorts against the cache — the partitioning and
+    ordering survive InMemoryTableScan and the broadcast weight join
+    (which preserves the streamed side's distribution). One exchange is
+    paid once at materialization instead of two per epoch (r15
+    optimization; guide §2.4 'two operations keyed the same way share
+    one exchange')."""
+    return (
+        biased_features(docs)
+        .join(labels, "doc_id")
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+
+
 def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS,
-                     pocket_docs=None, trace: list | None = None):
+                     pocket_docs=None, trace: list | None = None,
+                     fl=None):
     """Pocket batch integer perceptron over hashed+bias features:
     start from zero weights; per epoch add to each bucket the sum of
     y*tf over the docs the CURRENT weights misclassify (y*zint <= 0 —
@@ -639,16 +673,23 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS,
     metric ties), so the trace always has ``epochs`` rows and replays
     the oracle's full w{e}/err{e} CTE chain without extra jobs. A
     driver mismatch on the trace key then localizes to an epoch
-    instead of a 4097-row weight blob."""
+    instead of a 4097-row weight blob.
+
+    ``fl`` (r15): the persisted _train_features(docs, labels) relation,
+    when the caller already holds it — the distilled/published keys
+    audit over the same docs they train on, so passing fl here lets the
+    audit reuse the one cached feature build instead of re-featurizing
+    the corpus. Default None builds (and tracks) it internally."""
+    from pyspark.sql import Window
+
     from presto_on_ray_spark.caching import tracked_persist
 
     spark = docs.sparkSession
-    fl = tracked_persist(biased_features(docs).join(labels, "doc_id"))
+    if fl is None:
+        fl = tracked_persist(_train_features(docs, labels))
     vfl = None
     if pocket_docs is not None:
-        vfl = tracked_persist(
-            biased_features(pocket_docs).join(labels, "doc_id")
-        )
+        vfl = tracked_persist(_train_features(pocket_docs, labels))
     # epoch 1: w0 = 0 → every featured doc is a mistake, so the first
     # gradient needs no scoring pass. Bounded collect: <= 4097 rows
     # (the fixed-width model), like refine_cells' centroid collects.
@@ -660,29 +701,29 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS,
     ):
         w[int(r["bucket"])] = int(r["g"])
     best_err, best_w = None, None
+    # the per-doc dot as a doc_id-partitioned window over fl's cache
+    # partitioning (r15): zero exchanges and zero sorts up to the
+    # mistake filter — y and zint are constant across a doc's rows, so
+    # filtering the SCORED ROWS directly replaces the old
+    # groupBy(doc_id) + semi-join-back (two extra exchanges per epoch);
+    # the integer sums are order-independent, so the relation is
+    # unchanged. The only shuffle left per epoch is the tiny per-bucket
+    # gradient aggregate (<= 4097 rows per partition after partial
+    # aggregation).
+    zin = F.sum(F.col("tf") * F.col("wnum")).over(Window.partitionBy("doc_id"))
     for epoch in range(1, epochs + 1):
         wdf = F.broadcast(
             spark.createDataFrame(
                 list(enumerate(w)), "bucket long, wnum long"
             )
         )
-        s = (
-            fl.join(wdf, "bucket")
-            .groupBy("doc_id")
-            .agg(
-                F.min("y").alias("y"),
-                F.sum(F.col("tf") * F.col("wnum")).alias("zint"),
-            )
-        )
         # one job: mistakes' per-bucket gradient + per-bucket row count
         # (bounded collect, <= 4097 rows); err = the bias bucket's row
         # count, since every mistaken doc has exactly one bias row
         g = (
-            fl.join(
-                s.filter(F.col("y") * F.col("zint") <= 0).select("doc_id"),
-                "doc_id",
-                "left_semi",
-            )
+            fl.join(wdf, "bucket")
+            .withColumn("zint", zin)
+            .filter(F.col("y") * F.col("zint") <= 0)
             .groupBy("bucket")
             .agg(
                 F.sum(F.col("y") * F.col("tf")).alias("g"),
@@ -694,15 +735,17 @@ def classifier_train(docs, labels, epochs: int = _TRAIN_EPOCHS,
         if vfl is None:
             err = train_err
         else:
-            # pocket on the held-out split: one scalar count per epoch
+            # pocket on the held-out split: one scalar count per epoch —
+            # the same windowed dot; every featured doc carries exactly
+            # one bias row, so counting mistaken BIAS ROWS counts
+            # mistaken docs without a per-doc aggregate
             err = (
                 vfl.join(wdf, "bucket")
-                .groupBy("doc_id")
-                .agg(
-                    F.min("y").alias("y"),
-                    F.sum(F.col("tf") * F.col("wnum")).alias("zint"),
+                .withColumn("zint", zin)
+                .filter(
+                    (F.col("bucket") == _CLF_BIAS)
+                    & (F.col("y") * F.col("zint") <= 0)
                 )
-                .filter(F.col("y") * F.col("zint") <= 0)
                 .count()
             )
         if trace is not None:
@@ -952,6 +995,35 @@ def _distill_audit(d, lab, weights):
     )
 
 
+def _distill_audit_fl(fl, weights):
+    """_distill_audit computed from the trainer's persisted
+    _train_features relation instead of re-featurizing the corpus
+    (r15): the distilled/published keys train and audit over the SAME
+    docs, so the audit is one broadcast weight join + one per-doc
+    aggregate over the cache — the second explode/hash/aggregate pass
+    (and its label re-join) disappears. Same relation: fl carries
+    exactly the biased feature rows with each doc's label, and the
+    integer dot/verdict arithmetic is unchanged."""
+    z = (
+        fl.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min("y").alias("y"),
+            F.sum(F.col("tf") * F.col("wnum")).alias("zint"),
+            F.sum(
+                F.when(F.col("bucket") != _CLF_BIAS, F.col("tf")).otherwise(0)
+            ).alias("dl"),
+        )
+    )
+    return z.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        F.expr(f"CAST(zint AS DOUBLE) / ({_CLF_WSCALE}.0 * dl)").alias("logit"),
+        (F.col("zint") >= 0).alias("keep"),
+        ((F.col("zint") >= 0) == (F.col("y") == 1)).alias("agree"),
+    )
+
+
 @query("text_classifier_distilled", oracle=_DISTILLED_ORACLE)
 def text_classifier_distilled(spark, sf_dir):
     """Score the corpus with the ENGINE-TRAINED pocket weights and
@@ -962,9 +1034,12 @@ def text_classifier_distilled(spark, sf_dir):
     (broadcast weight table, exact integer verdict, bias row joined
     in), so deploying the trained model is the
     text_quality_classifier plan plus one bias feature."""
+    from presto_on_ray_spark.caching import tracked_persist
+
     d = t(spark, sf_dir, "documents")
     lab = langid_labels(d)
-    return _distill_audit(d, lab, classifier_train(d, lab))
+    fl = tracked_persist(_train_features(d, lab))
+    return _distill_audit_fl(fl, classifier_train(d, lab, fl=fl))
 
 
 # -- published-weights store (round 14) -----------------------------------
@@ -1044,7 +1119,10 @@ def text_classifier_published(spark, sf_dir):
     # the publish+pin once (ADVICE r14)
     from pyspark.errors import AnalysisException
 
-    wtrained = classifier_train(d, lab)
+    from presto_on_ray_spark.caching import tracked_persist
+
+    fl = tracked_persist(_train_features(d, lab))
+    wtrained = classifier_train(d, lab, fl=fl)
     for attempt in (0, 1):
         save_classifier_weights(wtrained, store, force=True)
         try:
@@ -1059,7 +1137,7 @@ def text_classifier_published(spark, sf_dir):
             # (PATH_NOT_FOUND at bind). Anything else propagates.
             if attempt:
                 raise
-    return _distill_audit(d, lab, w)
+    return _distill_audit_fl(fl, w)
 
 
 def _holdout_oracle(val_pocket: bool = False) -> str:
