@@ -502,10 +502,22 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     # form re-joined the result back onto labels — a second join and
     # coalesce per round, pure overhead since min(self ∪ neighbors)
     # says the same thing).
+    # eplus/labels/per-round checkpoints are LAZY (eager=False): the
+    # round's convergence collect below is the materializing action, so
+    # each round costs ONE job (compute + persist + sum in a single
+    # pass) instead of two (eager checkpoint job + sum job), and the
+    # two seed relations materialize inside round 1's job instead of
+    # two more up-front jobs (r15 optimization: guide §1.2/§2.4 —
+    # fewer sequential actions; lineage truncation is identical, the
+    # LogicalRDD plan barrier exists as soon as localCheckpoint
+    # returns, eager or not). Only ``edges`` stays eager: it fences the
+    # potentially expensive upstream pair DAG exactly once.
     eplus = edges.unionAll(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).localCheckpoint()
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=False
+    )
 
     # One hop per materialization round. (A two-hop-per-round variant
     # was measured at sf0.1 and is SLOWER here: near-dup clusters have
@@ -519,7 +531,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .select(F.col("src").alias("node"), "label")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -3187,12 +3199,26 @@ def dedup_ingest_chain_stale(spark, sf_dir):
     b1 = d.filter(F.col("doc_id") % 10 == 5)
     b2 = d.filter(F.col("doc_id") % 10 == 0)
 
+    import concurrent.futures
+
     tmp = tempfile.mkdtemp(prefix="ingest_chain_stale_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     p = os.path.join(tmp, "bidx")
     idx = build_base_index(base)
-    save_base_index(idx, p)
     c1 = tracked_persist(ingest_batch(b1, idx))
+    # The save and batch 1's classification both depend only on the
+    # built index — neither reads the other's output — so they run as
+    # concurrent jobs (guide §2.6 'overlap independent jobs'): the
+    # save's parquet writes fill the executor tail the classification
+    # leaves idle. c1.count() only materializes the persisted verdict
+    # relation the merge below would otherwise force serially via its
+    # admission guard; the merge then starts with BOTH the saved index
+    # and the cached c1 ready.
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+        fsave = ex.submit(save_base_index, idx, p)
+        fc1 = ex.submit(c1.count)
+        fsave.result()
+        fc1.result()
     new1 = b1.join(
         c1.filter(F.col("status") == "new").select("doc_id"), "doc_id", "left_semi"
     )

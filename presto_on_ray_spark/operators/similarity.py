@@ -1869,23 +1869,31 @@ def similarity_ivfpq_lifecycle_rebuild(spark, sf_dir):
         )
         _, os_path, _ = _ann_paths(store)
         gen_before = _ann_current_gen(os_path)
-        # (2) the growth episode: admit the remaining 80% under the
-        # frozen quantizers
-        merge_into_saved_ann_index(
-            spark, store, v.filter(F.col("vec_id") >= init_n)
-        )
-        # (3) the advisory must fire on the grown index
-        advice = ann_rebuild_advice(load_ann_index(spark, store))
+        # (4a) the rebuild's index relations depend only on the corpus
+        # relation v — never on the store the merge mutates — so they
+        # materialize CONCURRENTLY with the growth episode (guide §2.6
+        # 'overlap independent jobs'); only the publish below is
+        # ordered after the advice assertions.
+        import concurrent.futures
+
+        rebuilt_ix = build_ann_index(v, n_cells=auto_ivf_cells(n))
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+            fwarm = ex.submit(rebuilt_ix.codes.count)
+            # (2) the growth episode: admit the remaining 80% under the
+            # frozen quantizers
+            merge_into_saved_ann_index(
+                spark, store, v.filter(F.col("vec_id") >= init_n)
+            )
+            # (3) the advisory must fire on the grown index
+            advice = ann_rebuild_advice(load_ann_index(spark, store))
+            fwarm.result()
         if not advice["rebuild_due"]:
             raise AssertionError(
                 f"lifecycle: rebuild advice did not fire after 5x "
                 f"growth: {advice}"
             )
         # (4) rebuild at the corpus's own auto sizing; publish = new gen
-        save_ann_index(
-            build_ann_index(v, n_cells=auto_ivf_cells(n)), store,
-            force=True,
-        )
+        save_ann_index(rebuilt_ix, store, force=True)
         gen_after = _ann_current_gen(os_path)
         if gen_after == gen_before:
             raise AssertionError(
