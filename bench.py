@@ -179,6 +179,78 @@ def final_line(full: dict) -> str:
     return line
 
 
+def aggregate_runs(runs: list[dict]) -> dict:
+    """Per-key median/min/max over N single-run ``full`` dicts.
+
+    Pure so tests can pin it. Every run carries the same key set (the
+    HEADLINE list + layout pair is fixed per tree); the median is per
+    key, and the headline ``value`` is the sum of per-key medians so it
+    stays consistent with the ``queries`` map it summarizes.
+    """
+    import statistics
+
+    keys = list(runs[0]["queries"].keys())
+    med = {k: round(statistics.median(r["queries"][k] for r in runs), 3) for k in keys}
+    return {
+        "metric": "suite_seconds",
+        "value": round(sum(med.values()), 3),
+        "unit": "sec",
+        "queries": med,
+        "sf": runs[0]["sf"],
+        "runs": len(runs),
+        "queries_min": {k: min(r["queries"][k] for r in runs) for k in keys},
+        "queries_max": {k: max(r["queries"][k] for r in runs) for k in keys},
+        "run_totals": [r["value"] for r in runs],
+    }
+
+
+def main_multi(n: int) -> None:
+    """--runs N: N COLD child bench processes (each identical to the
+    driver's single-run methodology — fresh JVM, same warmup, same
+    count() sink), aggregated to per-key medians. One JSON line out,
+    same schema as the single-run contract plus a ``runs`` count; the
+    full spread (min/max per key, per-run totals) goes to
+    BENCH_MEDIAN.json and stderr. Additions only: the no-flag default
+    path is untouched."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs: list[dict] = []
+    for i in range(n):
+        rc = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py")],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        ).returncode
+        if rc != 0:
+            print(f"# run {i + 1}/{n} failed rc={rc}", file=sys.stderr)
+            continue
+        # BENCH_FULL.json has the 3-decimal map (stdout rounds to 2).
+        with open(os.path.join(here, "BENCH_FULL.json"), encoding="utf-8") as fh:
+            runs.append(json.load(fh))
+        print(f"# run {i + 1}/{n}: total {runs[-1]['value']}s", file=sys.stderr)
+    if not runs:
+        print("# all runs failed", file=sys.stderr)
+        sys.exit(1)
+    agg = aggregate_runs(runs)
+    try:
+        with open(os.path.join(here, "BENCH_MEDIAN.json"), "w", encoding="utf-8") as fh:
+            json.dump(agg, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# BENCH_MEDIAN.json write failed: {exc}", file=sys.stderr)
+    for k in agg["queries"]:
+        print(
+            f"# {k}: med {agg['queries'][k]}s "
+            f"[{agg['queries_min'][k]}, {agg['queries_max'][k]}]",
+            file=sys.stderr,
+        )
+    line_payload = {
+        k: agg[k] for k in ("metric", "value", "unit", "queries", "sf", "runs")
+    }
+    print(final_line(line_payload))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     suite.load_all()
@@ -289,4 +361,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # Additions-only CLI (VERDICT r15 #1): `--runs N [--median]` emits
+    # per-key medians over N cold runs with min/max spread; no flags =
+    # the original single-run driver contract, byte-for-byte.
+    _args = sys.argv[1:]
+    _n = 1
+    if "--runs" in _args:
+        _n = int(_args[_args.index("--runs") + 1])
+    if _n > 1:
+        main_multi(_n)
+    else:
+        main()

@@ -62,3 +62,24 @@ def test_final_line_both_branches():
     parsed = json.loads(line)
     assert parsed["queries"] == {"_full_map": "BENCH_FULL.json"}
     assert len(line) < 300
+
+
+def test_aggregate_runs_medians_and_spread():
+    """--runs N aggregation (VERDICT r15 #1): per-key medians, per-key
+    min/max spread, value = sum of medians, same line schema + runs."""
+    mk = lambda a, b: {
+        "metric": "suite_seconds", "value": round(a + b, 3), "unit": "sec",
+        "queries": {"q1": a, "q2": b}, "sf": 0.1,
+    }
+    agg = bench.aggregate_runs([mk(1.0, 10.0), mk(3.0, 30.0), mk(2.0, 20.0)])
+    assert agg["queries"] == {"q1": 2.0, "q2": 20.0}
+    assert agg["value"] == 22.0
+    assert agg["runs"] == 3
+    assert agg["queries_min"] == {"q1": 1.0, "q2": 10.0}
+    assert agg["queries_max"] == {"q1": 3.0, "q2": 30.0}
+    assert agg["run_totals"] == [11.0, 33.0, 22.0]
+    # the median line itself must satisfy the stdout contract
+    payload = {k: agg[k] for k in ("metric", "value", "unit", "queries", "sf", "runs")}
+    line = bench.final_line(payload)
+    parsed = json.loads(line)
+    assert parsed["queries"] == {"q1": 2.0, "q2": 20.0} and parsed["runs"] == 3
