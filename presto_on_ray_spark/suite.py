@@ -123,13 +123,17 @@ CURATED_50: list[str] = [
     # local oracle gate).
     "dedup_neardup_clusters",
     # r13's recall-bounded dial: (bands, rows) derived from the
-    # 1-(1-s^r)^b S-curve for a stated recall at the threshold. Also
-    # the LSH family's window representative since the r15 swap:
-    # dedup_lsh_keepers (the frozen 8x4 dial, same candidates→verify→
-    # CC→keepers machinery) moved to the local oracle gate to make
-    # room for the classifier trace key (VERDICT r14 #3's sanctioned
-    # displacement).
+    # 1-(1-s^r)^b S-curve for a stated recall at the threshold.
     "dedup_lsh_keepers_bounded",
+    # r16 (VERDICT r15 #4): the frozen 8x4-dial end-to-end LSH pipeline
+    # rotated BACK in — it had been displaced by the classifier trace
+    # key in r15 (VERDICT r14 #3's sanctioned displacement) while the
+    # train key's driver hash divergence was live; train went
+    # driver-green hash-exact in r15, the diagnostic job is done, and
+    # the window prefers end-to-end paths. The trace key stays
+    # registered with its chained-CTE oracle under the local
+    # differential gate. Rotation log: WINDOW.md.
+    "dedup_lsh_keepers",
     # the saved-index maintenance lifecycle: stale-path merge (O(batch)
     # appends) + compaction + verify, chained oracles.
     "dedup_ingest_chain_stale",
@@ -144,11 +148,8 @@ CURATED_50: list[str] = [
     "cov_text_docs",             # quality scores, fingerprint
     "text_bm25_topk",
     "text_classifier_train",     # 8-epoch pocket perceptron, chained-CTE oracle
-    # r15 insurance for the r14 red row: the per-epoch trace (err +
-    # weight checksums per epoch, emitted by the SAME production loop)
-    # — if the train blob ever hash-diverges in the driver again, this
-    # row localizes it to an epoch. Displaced dedup_lsh_keepers.
-    "text_classifier_train_trace",
+    # (text_classifier_train_trace — the r15 per-epoch diagnostic row —
+    # rotated back out in r16 with train driver-green; see WINDOW.md)
     "text_classifier_holdout",   # leakage-safe train → per-split held-out accuracy
     # governance + pipeline prep
     "corpus_health_report_saved",  # dashboard through the saved counts store

@@ -192,3 +192,36 @@ def test_holdout_trains_only_on_train_split(spark, sf_dir):
     w_sub = classifier_train(train_docs, lab, epochs=2)
     w_full = classifier_train(d, lab, epochs=2)
     assert w_sub.exceptAll(w_full).count() > 0  # genuinely different model
+
+
+def test_holdout_scoring_feature_reuse(spark, sf_dir):
+    """r16 (VERDICT r15 #6): scoring from [cached split features union
+    freshly featurized held-out docs] equals whole-corpus featurization
+    — the holdout keys' reuse seam. Splits partition the corpus and the
+    per-doc sums are integer/order-independent, so the relations must
+    be row-for-row identical."""
+    from presto_on_ray_spark.operators.textstats import (
+        _score_biased_feats,
+        _train_features,
+        demo_weights,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    lab = langid_labels(d)
+    train = d.filter(F.col("doc_id") % 10 < 8)
+    held_out = d.filter(F.col("doc_id") % 10 >= 8)
+    fl = _train_features(train, lab).persist()
+    try:
+        w = demo_weights(spark)
+        reused = _score_biased_feats(
+            fl.select("doc_id", "bucket", "tf").unionByName(
+                biased_features(held_out)
+            ),
+            w,
+        )
+        fresh = classifier_score_biased(d, w)
+        assert reused.exceptAll(fresh).count() == 0
+        assert fresh.exceptAll(reused).count() == 0
+        assert reused.count() == fresh.count()
+    finally:
+        fl.unpersist()
