@@ -2005,17 +2005,8 @@ def merge_into_base_index(
             )
         )
         if rerank:
-            affected = (
-                index.shingles.join(df_delta.select("sh"), "sh", "left_semi")
-                .select("doc_id")
-                .distinct()
-            )
-            untouched = index.prefix.join(affected, "doc_id", "left_anti")
-            rerank_sho = index.shingles.join(
-                affected, "doc_id", "left_semi"
-            ).unionByName(new_sho)
             prefix = keep(
-                untouched.unionByName(_ranked_prefix(rerank_sho, df_rel, tn, td))
+                _delta_prefix(index, new_sho, df_delta, df_rel, tn, td)
             )
         else:
             prefix = keep(
@@ -2112,6 +2103,32 @@ def _check_new_doc_ids(index: BaseIndex, new_docs) -> None:
         f"and silently corrupt near-tier verdicts); dedupe the admit set "
         f"against the index first"
     )
+
+
+def _delta_prefix(index: BaseIndex, new_sho, df_delta, df_rel, tn: int, td: int):
+    """The strict merge's prefix relation as a DELTA re-rank, shared by
+    the in-session and parquet-backed merges so the two policies cannot
+    drift: re-rank exactly the AFFECTED base docs — those sharing >= 1
+    shingle with the batch (only their dfs changed, so every other
+    doc's per-doc (df, sh) order and n are provably unchanged) — union
+    the batch's docs, and keep everyone else's saved prefix rows
+    untouched. The window's input is bounded by the postings of the
+    batch's shingles rather than the corpus (guide §2.3: shuffle fewer
+    bytes into the rank sort). The result is row-for-row equal to
+    _ranked_prefix over ALL shingles under the merged df (pinned by
+    the merge-equals-rebuild tests). On saturated vocabularies
+    "affected" can approach every doc and this degenerates to the
+    wholesale re-rank plus two bounded semi/anti joins."""
+    affected = (
+        index.shingles.join(df_delta.select("sh"), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    untouched = index.prefix.join(affected, "doc_id", "left_anti")
+    rerank_sho = index.shingles.join(
+        affected, "doc_id", "left_semi"
+    ).unionByName(new_sho)
+    return untouched.unionByName(_ranked_prefix(rerank_sho, df_rel, tn, td))
 
 
 def _merged_aggregates(index: BaseIndex, new_docs, new_sho):
@@ -2449,11 +2466,13 @@ def merge_into_saved_index(
       swapped in as a new generation (plain parquet cannot merge rows
       in place; with a table format these are MERGE INTOs).
     - ``prefix`` with rerank=True (default, strict): rewritten as a
-      new generation under the merged df. Still cheaper than a full
-      rebuild: the corpus is NEVER re-shingled — the rank reads the
-      existing shingles parquet instead of re-running the explode +
-      distinct over all document text, which is the dominant stage of
-      build_base_index.
+      new generation under the merged df, as the DELTA re-rank the
+      in-session merge runs (shared _delta_prefix): only docs sharing
+      a shingle with the batch enter the rank window, everyone else's
+      saved prefix rows are copied forward — and the corpus is NEVER
+      re-shingled: the rank reads the existing shingles parquet
+      instead of re-running the explode + distinct over all document
+      text, which is the dominant stage of build_base_index.
 
     Concurrency + failure contract: the _saved_index_mutation
     single-writer protocol (SINGLE-WRITER lock, clean pre-mutation
@@ -2496,25 +2515,25 @@ def merge_into_saved_index(
                 _check_new_doc_ids(index, new_docs)
 
             # phase 1: write every new generation, reading ONLY the old
-            # directories (the strict prefix ranks over the saved shingles
-            # UNION the batch — not the appended files — so no step here
-            # depends on a mutation having happened). Generation writes
+            # directories (the strict prefix's delta re-rank reads the
+            # saved shingles/prefix plus the batch — not the appended
+            # files — so no step here depends on a mutation having
+            # happened). Generation writes
             # have no ordering contract before the window (the swap
             # publishes them), so they run as concurrent Spark actions.
             import concurrent.futures
 
-            digests, df_rel, _ = _merged_aggregates(index, new_docs, new_sho)
+            digests, df_rel, df_delta = _merged_aggregates(index, new_docs, new_sho)
             gens = [("digests", digests), ("df", df_rel)]
             if rerank:
                 # strict: order-dependent, so a new generation — but from
-                # the saved shingles, never by re-shingling document text
+                # the saved shingles, never by re-shingling document text,
+                # and as the DELTA re-rank (only affected docs enter the
+                # rank window; everyone else's saved prefix rows are
+                # copied forward) — the same policy as the in-session
+                # merge via the shared _delta_prefix
                 gens.append(
-                    (
-                        "prefix",
-                        _ranked_prefix(
-                            index.shingles.unionByName(new_sho), df_rel, tn, td
-                        ),
-                    )
+                    ("prefix", _delta_prefix(index, new_sho, df_delta, df_rel, tn, td))
                 )
             with concurrent.futures.ThreadPoolExecutor(
                 max_workers=len(gens)

@@ -88,7 +88,18 @@ def get_spark(
     if env_conf:
         import json
 
-        for k, v in json.loads(env_conf).items():
+        try:
+            parsed = json.loads(env_conf)
+        except ValueError as e:
+            raise ValueError(
+                f"$SPARK_GRAFT_EXTRA_CONF is not valid JSON: {env_conf!r} ({e})"
+            ) from e
+        if not isinstance(parsed, dict):
+            raise ValueError(
+                "$SPARK_GRAFT_EXTRA_CONF must be a JSON object of conf "
+                f"key/values, got {type(parsed).__name__}: {env_conf!r}"
+            )
+        for k, v in parsed.items():
             builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

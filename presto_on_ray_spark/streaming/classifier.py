@@ -45,6 +45,22 @@ def _weights_store_live(path: str) -> bool:
 _SCORED_SCHEMA = "doc_id long, n_tokens long, logit double, keep boolean"
 
 
+def _unique_batch_docs(batch_df: DataFrame) -> DataFrame:
+    """The per-trigger (doc_id, text) boundary contract, in one place:
+    NULL-text rows are excluded (no features, exactly like the batch
+    API) and a doc_id delivered more than once inside ONE trigger is
+    collapsed to a single row. At-least-once sources can redeliver a
+    row within a batch; without the dedupe a duplicated doc's verdict
+    carries a doubled n_tokens (keep/logit are scale-invariant) and a
+    batch-trained retrain double-weights its gradient —
+    biased_features assumes unique doc_ids per its docstring (ADVICE
+    r15). O(batch) work, keyed the same way as the featurize
+    aggregation that follows."""
+    return batch_df.filter(batch_df["text"].isNotNull()).dropDuplicates(
+        ["doc_id"]
+    )
+
+
 def _score_or_empty(batch_docs: DataFrame, weights_path: str, sink, batch_id):
     """Score an EMPTY batch through the live store when one exists,
     else sink an empty relation of the verdict shape — never train."""
@@ -99,9 +115,7 @@ def stream_classifier_score(
 
     def _score(batch_df: DataFrame, batch_id: int) -> None:
         sink(
-            classifier_score_biased(
-                batch_df.filter(batch_df["text"].isNotNull()), weights
-            ),
+            classifier_score_biased(_unique_batch_docs(batch_df), weights),
             batch_id,
         )
 
@@ -139,9 +153,7 @@ def stream_classifier_score_published(
     def _score(batch_df: DataFrame, batch_id: int) -> None:
         w = load_classifier_weights(batch_df.sparkSession, weights_path)
         sink(
-            classifier_score_biased(
-                batch_df.filter(batch_df["text"].isNotNull()), w
-            ),
+            classifier_score_biased(_unique_batch_docs(batch_df), w),
             batch_id,
         )
 
@@ -194,7 +206,7 @@ def stream_classifier_retrain_on_drift(
             return classifier_train(batch_docs, langid_labels(batch_docs))
 
     def _tick(batch_df: DataFrame, batch_id: int) -> None:
-        batch_docs = batch_df.filter(batch_df["text"].isNotNull())
+        batch_docs = _unique_batch_docs(batch_df)
         if batch_docs.isEmpty():
             # nothing to monitor, nothing sane to train: an all-NULL
             # first batch must NOT bootstrap an all-zero model
@@ -317,7 +329,7 @@ def stream_classifier_retrain_windowed(
         spark = batch_df.sparkSession
         st = _read_state()
         spool = os.path.join(window_path, f"w{st['window']:06d}")
-        batch_docs = batch_df.filter(batch_df["text"].isNotNull())
+        batch_docs = _unique_batch_docs(batch_df)
         if batch_docs.isEmpty():
             # nothing to accumulate or train on (an all-NULL first
             # batch must NOT bootstrap an all-zero model); the trigger

@@ -35,12 +35,10 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     sc = spark.sparkContext
-    tracker = sc.statusTracker()
     jsc = sc._jsc.sc().statusTracker()
     out = {}
     for name in keys:
         fn = suite.QUERIES[name]
-        before_jobs = set(tracker.getJobIdsForGroup(None) or [])
         # job ids are monotonically increasing; snapshot the max
         all_before = jsc.getJobIdsForGroup(None)
         max_before = max(list(all_before), default=-1)

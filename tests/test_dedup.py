@@ -601,6 +601,68 @@ def test_merge_stale_mode_contract(spark):
     assert got[40] == ("new", 0)
 
 
+def test_delta_prefix_equals_wholesale_rerank(spark):
+    """The shared _delta_prefix (r16: now also the saved-path strict
+    merge's prefix generation) is row-for-row multiset-equal to the
+    wholesale _ranked_prefix over ALL merged shingles — including the
+    untouched branch: base docs sharing no shingle with the batch
+    (fixture docs 2 and 3) keep their saved prefix rows verbatim."""
+    from pyspark.sql import functions as SF
+
+    from presto_on_ray_spark.operators.dedup import (
+        _INGEST_T_DEN,
+        _INGEST_T_NUM,
+        _delta_prefix,
+        _merged_aggregates,
+        _ranked_prefix,
+        build_base_index,
+        shingles,
+    )
+
+    ten, base, admitted, batch = _merge_fixture(spark)
+    admitted = admitted.filter(SF.col("text").isNotNull())
+    idx = build_base_index(base, tracked=False)
+    try:
+        new_sho = admitted.select(
+            "doc_id", SF.explode(shingles(SF.col("text"))).alias("sh")
+        )
+        _, df_rel, df_delta = _merged_aggregates(idx, admitted, new_sho)
+        got = sorted(
+            map(
+                tuple,
+                _delta_prefix(
+                    idx, new_sho, df_delta, df_rel, _INGEST_T_NUM, _INGEST_T_DEN
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                _ranked_prefix(
+                    idx.shingles.unionByName(new_sho),
+                    df_rel,
+                    _INGEST_T_NUM,
+                    _INGEST_T_DEN,
+                ).collect(),
+            )
+        )
+        assert got == want
+        # the untouched branch is genuinely exercised: docs 2 and 3
+        # share no shingle with the batch
+        affected = {
+            r["doc_id"]
+            for r in idx.shingles.join(
+                df_delta.select("sh"), "sh", "left_semi"
+            )
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert affected == {1}
+    finally:
+        idx.release()
+
+
 def test_merge_into_saved_index_strict_equals_rebuild(spark, tmp_path):
     """The parquet-backed merge (the production form): after
     merge_into_saved_index the on-disk index is relation-for-relation

@@ -64,6 +64,41 @@ def test_stream_batches_match_batch_api(spark, sf_dir, tmp_path):
         weights.unpersist()
 
 
+def test_duplicate_doc_ids_in_one_trigger_collapse(spark, tmp_path):
+    """A doc_id redelivered INSIDE one trigger (at-least-once source)
+    scores once, with the single-delivery n_tokens — the boundary
+    dedupe contract (_unique_batch_docs, ADVICE r15: biased_features
+    assumes unique doc_ids; without the dedupe the duplicated doc's
+    n_tokens doubles)."""
+    weights = (
+        spark.range(4097)
+        .selectExpr("id AS bucket", "CAST(1 AS LONG) AS wnum")
+        .persist()
+    )
+    rows = [(1, "the cat sat"), (1, "the cat sat"), (3, "dog")]
+    src = tmp_path / "arrivals"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    got = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = {r.doc_id: r.n_tokens for r in df.collect()}
+
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        stream_classifier_score(
+            stream, weights, sink, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        assert got == {0: {1: 3, 3: 1}}
+    finally:
+        weights.unpersist()
+
+
 def test_null_text_rows_dropped_like_batch(spark, tmp_path):
     weights = (
         spark.range(4097)
